@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column-level text-analysis functions for large-scale document
+  * pipelines (builder brief: language-ID, quality scoring, token
+  * counting, fingerprinting). All pure `functions._` compositions —
+  * codegen-friendly, no UDFs — so they survive a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (reference tokenizer:
+    * `storm/.../ErrorClassifierBolt.java:66` splits on `\s+`).
+    * Empty strings from leading/trailing whitespace are removed.
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (for Jaccard / dedup). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Number of whitespace tokens. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: splits on word/number/punct boundaries the
+    * way byte-pair pretokenizers do (letters runs, digit runs, single
+    * punctuation marks each count).
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Word n-gram shingles as space-joined strings.
+    * `transform(sequence(...))` + `slice` keeps this inside codegen —
+    * no explode needed until the caller wants one row per shingle.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles (for near-dup on raw text). */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = lower(c)
+    when(length(s) <= n, array(s)).otherwise(
+      transform(
+        sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+  }
+
+  /** Ratio of punctuation characters to total characters, in [0,1]. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", "")))
+        .cast(DoubleType) / length(c))
+
+  /** English-ish stopword list used by the quality score. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of tokens that are stopwords, in [0,1]. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => lower(t).isInCollection(Stopwords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast(DoubleType) / size(toks))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks))
+  }
+
+  /** Composite document quality score in [0,1]:
+    * penalizes very short docs, high punctuation, and zero stopwords
+    * (classic pretraining-corpus heuristics). Deterministic and
+    * SQL-expressible so the DuckDB oracle can replicate it.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast(DoubleType) / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 4)
+  }
+
+  /** Per-language marker words for the n-gram-heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Count of marker-word hits for one language (whole-token matches). */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(c))
+    size(filter(toks, t => t.isInCollection(markers)))
+  }
+
+  /** Heuristic language ID: argmax of marker hits with a fixed priority
+    * order on ties; "und" when nothing matches. CASE-chain shape mirrors
+    * exactly into ANSI SQL for the oracle.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+    chain
+  }
+
+  /** Content fingerprint: md5 of casefolded, whitespace-collapsed,
+    * punctuation-stripped text. Stable under formatting noise; the
+    * exact-dedup key (builder brief "document fingerprinting").
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "[^a-z0-9]+", " "))
+
+  /** 64-bit rolling-hash fingerprint as a bigint (polynomial hash of the
+    * normalized text, base 31, wrapping Long arithmetic) — computed with
+    * `aggregate` over characters, fully codegen'd.
+    */
+  def rollingHash64(c: Column): Column = {
+    val norm = regexp_replace(lower(trim(c)), "[^a-z0-9]+", " ")
+    aggregate(
+      split(norm, ""),
+      lit(0L),
+      (acc, ch) => acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column-level dense-vector math over `array<float>` embedding columns
+  * (builder brief: similarity search). Uses `zip_with` / `aggregate`
+  * higher-order functions — evaluated inside Tungsten with no object
+  * boxing per element beyond the array itself, and no UDF serialization.
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> to array<double> for stable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    val denom = l2Norm(ad) * l2Norm(bd)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(ad, bd) / denom)
+  }
+
+  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Element-wise sum of two vectors (for centroid accumulation). */
+  def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Scale a vector by a scalar column. */
+  def scale(a: Column, k: Column): Column = transform(a, x => x * k)
+
+  /** Deterministic pseudo-random hyperplane component for SimHash/LSH
+    * over embeddings: a reproducible value in [-0.5, 0.5) derived from
+    * (plane, dim) via xxhash64 — no RNG, so plans are replayable.
+    */
+  def hyperplaneComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast(DoubleType)
+      / 1000000.0) - 0.5
+}

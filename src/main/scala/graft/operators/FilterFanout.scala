@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.model.FilterDef
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-filter regex fan-out — the reference's core streaming operator
+  * (`storm/.../MatchBolt.java:189-202`): every line is tested against
+  * EVERY registered filter; a line emits one `(filter_id, ...)` row per
+  * matching filter (multicast, 0..N outputs per input).
+  *
+  * Spark-first design: the registry is tiny (tens of rows) and the
+  * stream is huge, so this is a broadcast nested-loop join in spirit —
+  * but instead of `crossJoin(broadcast(filters)).where(rlike)` (which
+  * re-compiles the regex per row because the pattern is non-literal), we
+  * inline each filter as a *literal-pattern* predicate into one
+  * projection: `explode(filter(array(when(p1,id1), ...), notnull))`.
+  * Each regex compiles once at codegen time and the whole operator stays
+  * inside WholeStageCodegen — no shuffle, no join, scales linearly with
+  * input partitions.
+  */
+object FilterFanout {
+
+  /** Word-only pattern test — reference `Filter.java:33-41` hoists these
+    * to `String.contains` ("2-30x faster" per `Filter.java:96`).
+    */
+  private val WordOnly = "^[A-Za-z0-9_-]+$".r
+
+  /** Compile one filter regex to the cheapest equivalent Catalyst
+    * predicate (reference fast-path analysis `Filter.java:33-52`,
+    * match semantics `Filter.java:88-105` = Java `Matcher.find`, which
+    * Spark's `rlike` shares):
+    *   - plain word          → Contains (codegen'd, no regex)
+    *   - `(?i)` + plain word → Contains on lower()
+    *   - anything else       → RLike with a literal pattern
+    */
+  def predicate(raw: Column, regex: String): Column = regex match {
+    case WordOnly() => raw.contains(regex)
+    case r if r.startsWith("(?i)") && WordOnly.matches(r.stripPrefix("(?i)")) =>
+      lower(raw).contains(r.stripPrefix("(?i)").toLowerCase(java.util.Locale.ROOT))
+    case r => raw.rlike(r)
+  }
+
+  /** Array of matched filter ids for one line (null-free). */
+  def matchedIds(raw: Column, filters: Seq[FilterDef]): Column = {
+    require(filters.nonEmpty, "empty filter registry")
+    val hits = array(filters.map(f =>
+      when(predicate(raw, f.regex), lit(f.id))): _*)
+    filter(hits, x => x.isNotNull)
+  }
+
+  /** Fan a line DataFrame out to `(filter_id, <original columns>)`, one
+    * row per (line, matching filter). Lines matching nothing disappear
+    * (explode of an empty array), matching the reference's multicast.
+    */
+  def explodeMatches(lines: DataFrame, rawCol: String,
+      filters: Seq[FilterDef]): DataFrame =
+    lines.withColumn("filter_id",
+      explode(matchedIds(col(rawCol), filters)))
+
+  /** Per-filter match counts — the `match_stats` side-output
+    * (reference `MatchBolt.java:198` emits metric-1 counters).
+    */
+  def matchCounts(lines: DataFrame, rawCol: String,
+      filters: Seq[FilterDef]): DataFrame =
+    explodeMatches(lines, rawCol, filters)
+      .groupBy("filter_id").agg(count(lit(1)).as("matches"))
+}

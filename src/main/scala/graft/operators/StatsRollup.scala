@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.LogFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Time-series rollup + display re-rollup + zero gap-fill — the
+  * reference's stats path (secondly partial `RollupStatsBolt.java:79-99`,
+  * minutely store `SupervisorStatsWriterBolt.java:124-146`, client
+  * re-rollup/window/gap-fill `cli/supervisorcon.go:43-119`).
+  *
+  * In Spark the partial→final split is automatic (HashAggregate partial
+  * on the map side), so one declarative `groupBy` replaces the
+  * reference's three-hop merge. Gap-fill is `sequence`+`explode` over
+  * the (tiny) bucket range cross-joined with the (tiny) key set — both
+  * sides are broadcast-sized regardless of input scale, so the only
+  * full-data pass is the aggregation itself.
+  */
+object StatsRollup {
+
+  /** Tumbling-window counts: one row per (keys..., bucket_start).
+    * `bucket = ts - ts % step` in epoch seconds — the intended
+    * seconds-based semantics (SURVEY.md §1.1 units caveat).
+    */
+  def rollup(df: DataFrame, tsCol: String, stepSec: Long,
+      keyCols: Seq[String], countCol: String = "cnt"): DataFrame = {
+    val keys = keyCols.map(col) :+
+      LogFunctions.bucket(col(tsCol), stepSec).as("bucket_start")
+    df.groupBy(keys: _*).agg(count(lit(1)).as(countCol))
+  }
+
+  /** Keep only rows within the trailing window `[now - windowSec, now]`
+    * — reference `cli/supervisorcon.go:59-83` (default window 86400 s).
+    * `now` is passed explicitly for determinism.
+    */
+  def windowFilter(df: DataFrame, tsCol: String, windowSec: Long,
+      nowEpochSec: Long): DataFrame =
+    df.filter(unix_timestamp(col(tsCol)) >= lit(nowEpochSec - windowSec))
+
+  /** Re-rollup an already-bucketed series to a coarser step and sum —
+    * reference `cli/supervisorcon.go:86-100`.
+    */
+  def rerollup(stats: DataFrame, bucketCol: String, countCol: String,
+      stepSec: Long, keyCols: Seq[String]): DataFrame = {
+    val newBucket = (floor(col(bucketCol) / stepSec) * stepSec)
+      .cast(LongType).as(bucketCol)
+    stats.groupBy(keyCols.map(col) :+ newBucket: _*)
+      .agg(sum(col(countCol)).as(countCol))
+  }
+
+  /** Zero-fill missing buckets between the global min and max bucket at
+    * step `stepSec`, per key — reference `cli/supervisorcon.go:103-114`.
+    *
+    * The series and key relations are derived aggregates (a handful of
+    * rows); Catalyst broadcasts them, so gap-fill adds no shuffle over
+    * the stats table beyond one broadcast hash join.
+    */
+  def gapFill(stats: DataFrame, keyCols: Seq[String],
+      bucketCol: String = "bucket_start", countCol: String = "cnt",
+      stepSec: Long): DataFrame = {
+    val bounds = stats.agg(
+      min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
+    val series = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(stepSec))).as(bucketCol))
+    val keys = stats.select(keyCols.map(col): _*).distinct()
+    val grid = keys.crossJoin(broadcast(series))
+    grid.join(stats, keyCols :+ bucketCol, "left")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+      .select((keyCols :+ bucketCol :+ countCol).map(col): _*)
+  }
+
+  /** Full `stats <filter> [window W] [rollup R]` pipeline: window →
+    * bucket → count → gap-fill (reference `cli/supervisorcon.go:43-119`;
+    * defaults W=86400, R=60 per `cli/cloudpelican-lsd.go:794-798`).
+    */
+  def statsQuery(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      windowSec: Long = 86400, stepSec: Long = 60,
+      nowEpochSec: Long): DataFrame = {
+    val windowed = windowFilter(events, tsCol, windowSec, nowEpochSec)
+    val rolled = rollup(windowed, tsCol, stepSec, keyCols)
+    gapFill(rolled, keyCols, "bucket_start", "cnt", stepSec)
+  }
+}
