@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.{LogFunctions, TextFunctions}
 import graft.model.FilterDef
-import graft.operators.{FilterFanout, StatsRollup, Tail}
+import graft.operators.{Dedup, FilterFanout, Similarity, StatsRollup, Tail, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import graft.queries.GrepQL
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -162,6 +163,368 @@ object SparkEntry {
              |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
              |       count(*) AS cnt
              |FROM lineitem GROUP BY 1, 2""".stripMargin))
+  ) ++ relationalDefs ++ textDefs ++ dedupDefs ++ similarityDefs
+
+  // --- relational surface: joins / windows / set ops / rollup (SURVEY
+  // §2.3-2.6 — the reference delegates these to BigQuery; native here) ---
+  private def relationalDefs: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_join_agg", // TPC-H Q3 shape: filter → 2 joins → agg → top-k
+      (s: SparkSession, dir: String) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val revCents = sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("bigint")).as("rev_cents")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey").agg(revCents)
+          .orderBy(col("rev_cents").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY rev_cents DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    ("q_join_5way", // TPC-H Q5 shape: revenue per nation, co-located cust/supp
+      (s: SparkSession, dir: String) => {
+        val revCents = sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("bigint")).as("rev_cents")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name").agg(revCents)
+      },
+      Some("""SELECT r_name, n_name,
+             |       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    ("q_semi_join",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+              .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin)),
+
+    ("q_anti_join",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    ("q_window_rank", // top-3 orders per customer (§2.5)
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+            round(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn,
+             |       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY o_custkey
+             |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    ("q_window_running", // running frame aggregation (§2.5)
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("run_cnt", count(lit(1)).over(w))
+          .withColumn("run_cents",
+            sum(round(col("o_totalprice") * 100).cast("bigint")).over(w))
+          .select("o_custkey", "o_orderkey", "run_cnt", "run_cents")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       count(1) OVER w AS run_cnt,
+             |       sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS run_cents
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    ("q_window_lag", // lag/lead analytic (§2.5)
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("prev_ms",
+            unix_millis(lag(col("o_orderdate"), 1).over(w).cast("timestamp")))
+          .select("o_custkey", "o_orderkey", "prev_ms")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       epoch_ms(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             |         ORDER BY o_orderdate, o_orderkey)) AS prev_ms
+             |FROM orders""".stripMargin)),
+
+    ("q_set_ops", // union / except / intersect (§2.6 O6)
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer")
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val rich = c.filter(col("c_acctbal") > 7000).select("c_custkey")
+        val lowNation = c.filter(col("c_nationkey") < 5).select("c_custkey")
+        building.union(rich).distinct()
+          .except(lowNation.intersect(rich))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+             |EXCEPT
+             |(SELECT c_custkey FROM customer WHERE c_nationkey < 5
+             | INTERSECT
+             | SELECT c_custkey FROM customer WHERE c_acctbal > 7000)""".stripMargin)),
+
+    ("q_rollup_agg", // grouping-set rollup (§2.4 A6)
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum("l_quantity").cast("bigint").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    ("q_cube_agg",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    ("q_distinct_agg", // exact distinct (§2.4 A5; approx variant not oracle-able)
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             |       count(DISTINCT l_partkey) AS n_part
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    ("q_topk_orders", // global top-k (§2.6)
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("bigint").as("price_cents"))
+          .limit(25),
+      Some("""SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    ("q_having",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 500),
+      Some("""SELECT l_suppkey, count(*) AS cnt FROM lineitem
+             |GROUP BY 1 HAVING count(*) > 500""".stripMargin)),
+
+    ("q_json_extract", // F14 JSON surface
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events""".stripMargin)),
+
+    ("q_regex_extract", // F5-adjacent regexp_extract surface
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word")),
+      Some("""SELECT doc_id,
+             |       COALESCE(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word
+             |FROM documents""".stripMargin)),
+
+    ("q_outlier_zscore", // M2 analyzer: mean±kσ over the rollup series
+      (s: SparkSession, dir: String) => {
+        val series = StatsRollup.rollup(
+          t(s, dir, "events").filter(col("event_type") === "error"),
+          "ts", 21600, Seq.empty)
+        val stats0 = series.agg(
+          avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sigma"))
+        series.crossJoin(broadcast(stats0))
+          .withColumn("z", (col("cnt") - col("mu")) / col("sigma"))
+          .filter(abs(col("z")) > lit(1.5))
+          .select(col("bucket_start"), col("cnt"), round(col("z"), 6).as("z"))
+      },
+      Some("""WITH series AS (
+             |  SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_start,
+             |         count(*) AS cnt
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |st AS (SELECT avg(cnt) AS mu, stddev_samp(cnt) AS sigma FROM series)
+             |SELECT bucket_start, cnt, round((cnt - mu)/sigma, 6) AS z
+             |FROM series, st WHERE abs((cnt - mu)/sigma) > 1.5""".stripMargin))
+  )
+
+  // --- text analysis (builder brief: first-class extension ops) ---
+  private def stopwordsSqlList: String =
+    TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def textDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_text_profile",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk,
+              |         text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(text) AS n_chars,
+              |  len(tk) AS n_tokens,
+              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+              |  round(CASE WHEN len(text) = 0 THEN 0.0
+              |    ELSE (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / len(text) END, 6) AS punct_ratio,
+              |  round(CASE WHEN len(tk) = 0 THEN 0.0
+              |    ELSE len(list_filter(tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len(tk) END, 6) AS stopword_ratio,
+              |  round((least(len(text)/200.0, 1.0)
+              |    + (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+              |         ELSE (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / len(text) END) * 4.0, 1.0))
+              |    + least((CASE WHEN len(tk) = 0 THEN 0.0
+              |         ELSE len(list_filter(tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len(tk) END) * 5.0, 1.0)
+              |  ) / 3.0, 4) AS quality,
+              |  ${langIdSql("text")} AS lang_guess,
+              |  md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')) AS fp
+              |FROM toks""".stripMargin)),
+
+    ("q_token_count_total",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .agg(sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+            sum(TextFunctions.subwordCount(col("text"))).as("total_subwords")),
+      Some("""SELECT CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+             |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords
+             |FROM documents""".stripMargin))
+  )
+
+  /** DuckDB CASE chain mirroring [[TextFunctions.langId]]. */
+  private def langIdSql(c: String): String = {
+    def score(ms: Seq[String]) =
+      s"len(list_filter(list_filter(string_split_regex(lower($c), '\\s+'), x -> len(x) > 0), x -> list_contains(${ms.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
+    val scores = TextFunctions.LangMarkers.map { case (l, ms) => (l, score(ms)) }
+    val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+    scores.map { case (l, sc) =>
+      s"WHEN $sc = $maxExpr AND $maxExpr > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  // --- dedup (builder brief: exact + near-dup as first-class ops) ---
+  private def dedupDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_dedup_exact",
+      (s: SparkSession, dir: String) =>
+        Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')) AS fp,
+             |       min(doc_id) AS doc_id, count(*) AS dup_cnt
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("q_dedup_keep_first",
+      (s: SparkSession, dir: String) =>
+        Dedup.exactKeepFirst(t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id FROM documents
+             |GROUP BY md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g'))""".stripMargin)),
+
+    ("q_dedup_jaccard", // exact token-Jaccard pairs on a bounded slice
+      (s: SparkSession, dir: String) =>
+        Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 0.8),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, unnest(list_distinct(
+             |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS tok
+             |  FROM documents WHERE doc_id < 500),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+             |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+             |          FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+             |FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+             |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin)),
+
+    // MinHash-LSH and SimHash near-dup: not SQL-expressible (banding +
+    // xxhash64) → rows-only driver check; correctness vs brute force is
+    // covered by DedupSpec.
+    ("q_dedup_minhash_lsh",
+      (s: SparkSession, dir: String) =>
+        Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5),
+      None),
+    ("q_dedup_simhash",
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3),
+      None)
+  )
+
+  // --- similarity search (builder brief) ---
+  private def similarityDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_embed_topk", // brute-force cosine top-k, exact baseline
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        Similarity.topKByQuery(emb.filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, 20)
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings WHERE vec_id = 0),
+             |v AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings WHERE vec_id > 0),
+             |d AS (SELECT vec_id, sum(xv*qv) AS dot, sum(xv*xv) AS n2
+             |      FROM v JOIN q USING (i) GROUP BY 1),
+             |qn AS (SELECT sum(qv*qv) AS qn2 FROM q)
+             |SELECT vec_id, round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
+             |FROM d, qn
+             |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // IVF probe + hyperplane-LSH pairs: not SQL-expressible (centroid
+    // fit / banding) → rows-only check; recall vs brute force covered
+    // by SimilaritySpec.
+    ("q_embed_ivf",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val idx = Similarity.buildIvf(emb.filter(col("vec_id") > 0),
+          "vec_id", "embedding", nCells = 8)
+        Similarity.queryIvf(idx, "vec_id", "embedding", q, k = 20, nprobe = 3)
+      },
+      None),
+    ("q_embed_lsh_pairs",
+      (s: SparkSession, dir: String) =>
+        Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nTables = 4, planesPerTable = 6, threshold = 0.3),
+      None)
   )
 
   private def qGrep(name: String, pipeline: String): (String, Q, Option[String]) = {

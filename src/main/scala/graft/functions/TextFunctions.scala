@@ -24,14 +24,15 @@ object TextFunctions {
   /** Number of whitespace tokens. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish subword count: splits on word/number/punct boundaries the
-    * way byte-pair pretokenizers do (letters runs, digit runs, single
-    * punctuation marks each count).
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as one piece (byte-pair pretokenizer
+    * shape). Lookaround-free pattern so RE2 engines (DuckDB oracle)
+    * compute the identical count.
     */
+  val SubwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   def subwordCount(c: Column): Column =
-    size(filter(
-      split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(c, lit(SubwordPattern), lit(0)))
 
   /** Word n-gram shingles as space-joined strings.
     * `transform(sequence(...))` + `slice` keeps this inside codegen —

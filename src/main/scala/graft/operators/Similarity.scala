@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding
+  * column (builder brief). Two tiers:
+  *
+  *  - [[topKByQuery]]: exact brute-force cosine top-k — one scan, no
+  *    shuffle (TakeOrderedAndProject keeps a k-heap per partition).
+  *    The correctness baseline at any scale where one pass is fine.
+  *  - [[IvfIndex]]: inverted-file (IVF) coarse quantization — vectors
+  *    are assigned to their nearest centroid once (one scan), queries
+  *    probe only the `nprobe` nearest centroid cells. At 100 TB the
+  *    assignment is the only full pass; probes touch ~nprobe/k of the
+  *    data, and the partition-by-cell layout turns a probe into a
+  *    partition-pruned scan.
+  */
+object Similarity {
+
+  /** Cosine of every row's `vecCol` against a literal query vector. */
+  def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
+    VectorFunctions.cosine(vecCol, array(query.map(lit): _*))
+
+  /** Exact top-k by cosine similarity to `query`.
+    * Output: (idCol, cos) ordered desc with id tiebreak.
+    */
+  def topKByQuery(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    df.withColumn("cos", cosineToQuery(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .limit(k)
+
+  /** IVF index: centroids + cell-assigned vectors. */
+  final case class IvfIndex(centroids: Array[(Int, Array[Double])],
+      assigned: DataFrame)
+
+  /** Build an IVF index with `nCells` centroids obtained by one
+    * k-means-style refinement over a deterministic hash-based seeding
+    * (no RNG — replayable). Assignment = one scan; a second scan
+    * refines centroids once (Lloyd iteration), which is enough for
+    * coarse quantization.
+    */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): IvfIndex = {
+    val spark = df.sparkSession
+    // Deterministic seed vectors: the nCells rows with smallest
+    // xxhash64(id) — spread uniformly, reproducible.
+    val seeds = df
+      .withColumn("_h", xxhash64(col(idCol)))
+      .orderBy("_h").limit(nCells)
+      .select(col(idCol), col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }
+    val refined = lloydStep(df, vecCol, seeds)
+    val assigned = assign(df, vecCol, refined)
+      .select(col(idCol), col(vecCol), col("cell"))
+    IvfIndex(refined, assigned)
+  }
+
+  /** One Lloyd iteration: assign to nearest seed, average per cell. */
+  private def lloydStep(df: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    val dim = cents.head._2.length
+    val withCell = assign(df, vecCol, cents)
+    val sums = withCell
+      .select(col("cell"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(element_at(col("v"), i + 1))): _*)
+          .as("sums"))
+      .collect()
+    sums.map { r =>
+      val n = r.getLong(1).toDouble
+      r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toArray
+    }.sortBy(_._1)
+  }
+
+  /** Add a `cell` column: index of the nearest centroid (max cosine).
+    * Centroids are inlined as literals — broadcast by value, evaluated
+    * in codegen; argmax via array of (cos, cell) structs + array_max.
+    */
+  def assign(df: DataFrame, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = array(cents.map { case (id, c) =>
+      struct(
+        VectorFunctions.cosine(col(vecCol), array(c.map(lit): _*)).as("cos"),
+        lit(id).as("cell"))
+    }: _*)
+    df.withColumn("cell", array_max(scored).getField("cell"))
+  }
+
+  /** Query the IVF index: probe the `nprobe` cells whose centroids are
+    * nearest the query, exact-rank inside them. Returns (id, cos).
+    */
+  def queryIvf(index: IvfIndex, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val qArr = query.toArray
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < c.length) {
+        dot += c(i) * qArr(i); na += c(i) * c(i); nb += qArr(i) * qArr(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val probeCells = index.centroids.sortBy { case (_, c) => -cos(c) }
+      .take(nprobe).map(_._1).toSeq
+    index.assigned
+      .filter(col("cell").isInCollection(probeCells))
+      .withColumn("cos", cosineToQuery(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .limit(k)
+  }
+
+  /** All-pairs near-neighbors via random-hyperplane LSH: `nTables`
+    * independent hash tables of `planesPerTable` sign bits each
+    * (deterministic hyperplanes — no RNG). Candidates = pairs agreeing
+    * on ALL bits of at least one table (union via explode + one
+    * shuffle on (table, signature)); verified with exact cosine.
+    * Recall/cost tune like MinHash banding: more tables = higher
+    * recall, more bits per table = fewer false candidates.
+    * Output: (id_a, id_b, cos) with cos ≥ threshold.
+    */
+  def lshPairs(df: DataFrame, idCol: String, vecCol: String,
+      nTables: Int = 4, planesPerTable: Int = 6,
+      threshold: Double = 0.3): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    def tableSig(table: Int): Column =
+      (0 until planesPerTable).map { p =>
+        val planeDot = (0 until dim).map { d =>
+          element_at(col(vecCol), d + 1).cast("double") *
+            VectorFunctions.hyperplaneComponent(table * 97 + p, lit(d))
+        }.reduce(_ + _)
+        when(planeDot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val sigs = df
+      .withColumn("tb", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), tableSig(t).as("sig"))): _*)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("tb.t").as("t"), col("tb.sig").as("sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}
