@@ -163,7 +163,55 @@ object SparkEntry {
              |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
              |       count(*) AS cnt
              |FROM lineitem GROUP BY 1, 2""".stripMargin))
-  ) ++ relationalDefs ++ textDefs ++ dedupDefs ++ similarityDefs
+  ) ++ relationalDefs ++ textDefs ++ dedupDefs ++ similarityDefs ++ mlDefs
+
+  // --- ML + multimodal operators (M1/M2 + builder brief) ---
+  private def mlDefs: Seq[(String, Q, Option[String])] = Seq(
+    // Online naive-Bayes classifier (M1): stateful sequential fold →
+    // not SQL-expressible → rows-only check; determinism + lexicon
+    // agreement covered by ClassifierSpec.
+    ("q_classifier_errors",
+      (s: SparkSession, dir: String) => {
+        implicit val spark: SparkSession = s
+        val rows = t(s, dir, "events").select(
+          col("event_type").as("filter_id"),
+          col("event_id").as("ord"),
+          concat_ws(" ", col("event_type"), col("props")).as("_raw"))
+        graft.ml.ErrorClassifier.classifyBatch(rows,
+            graft.ml.ErrorClassifier.Config(minTrained = 50))
+          .toDF()
+          .groupBy("filter_id", "predicted")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      None),
+    // Outlier ensemble (M2): analyzer internals (sliding windows,
+    // regression fits) → rows-only; behavior covered by OutlierSpec.
+    ("q_outlier_ensemble",
+      (s: SparkSession, dir: String) => {
+        implicit val spark: SparkSession = s
+        val stats = StatsRollup.rollup(t(s, dir, "events"), "ts", 300,
+            Seq("event_type"))
+          .select(col("event_type").as("filter_id"),
+            col("bucket_start").as("bucket"), col("cnt").as("count"))
+        graft.ml.Outliers.detect(stats,
+          graft.ml.Outliers.Config(windowSec = 86400L * 365,
+            scoreThreshold = 0.1)).toDF()
+      },
+      None),
+    ("q_multimodal_meta",
+      (s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.metaProfile(
+          graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents"))),
+      Some("""SELECT doc_id AS media_id, 'fake/raw' AS format,
+             |       (len(text) % 1024) * (n_chars % 768) AS pixels,
+             |       n_chars * 10 AS duration_ms
+             |FROM documents""".stripMargin)),
+    ("q_multimodal_features",
+      (s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents"))),
+      None)
+  )
 
   // --- relational surface: joins / windows / set ops / rollup (SURVEY
   // §2.3-2.6 — the reference delegates these to BigQuery; native here) ---

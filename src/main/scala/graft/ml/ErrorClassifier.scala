@@ -1,0 +1,94 @@
+package graft.ml
+
+import graft.functions.LogFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-filter online error classification — the reference's M1 operator
+  * (`storm/.../ErrorClassifierBolt.java:39-105`): heuristically label
+  * each message via the 25-word error lexicon, train a per-filter
+  * naive-Bayes model (all of the first `fullTrainCount` samples, then
+  * every `sampleEvery`-th), and once ≥ `minTrained` samples are seen,
+  * classify each message; "error" classifications emit metric-2
+  * counters.
+  *
+  * Batch form: `groupByKey(filter_id)` + `flatMapGroups` — one shuffle
+  * on filter_id (the reference's fieldsGrouping), then a sequential
+  * fold per filter, mirroring the stream order via an explicit sort
+  * inside the group. State never leaves the executor.
+  */
+object ErrorClassifier {
+
+  val ErrorCategory = "error"
+  val RegularCategory = "regular"
+
+  final case class Config(
+      fullTrainCount: Long = 10000, // ErrorClassifierBolt.java:69
+      sampleEvery: Long = 25,       // "
+      minTrained: Long = 100,       // ErrorClassifierBolt.java:96
+      memoryCapacity: Int = 1000)   // Classifier.java:32
+
+  final case class Classified(
+      filter_id: String, ord: Long, _raw: String, predicted: String)
+
+  def tokenize(msg: String): Seq[String] =
+    msg.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  def lexiconLabel(msg: String): String = {
+    val l = msg.toLowerCase(java.util.Locale.ROOT)
+    if (LogFunctions.ErrorWords.exists(l.contains)) ErrorCategory
+    else RegularCategory
+  }
+
+  /** Fold one message through the model: maybe-train, maybe-classify.
+    * Returns the updated model and the predicted category (empty until
+    * the model has trained on `minTrained` samples).
+    */
+  def step(model: BayesModel, msg: String, cfg: Config): (BayesModel, String) = {
+    val features = tokenize(msg)
+    val shouldTrain = model.trained < cfg.fullTrainCount ||
+      model.trained % cfg.sampleEvery == 0
+    val next =
+      if (shouldTrain) model.learn(lexiconLabel(msg), features) else model
+    val predicted =
+      if (next.trained >= cfg.minTrained) next.classify(features).getOrElse("")
+      else ""
+    (next, predicted)
+  }
+
+  /** Batch classification: rows (filter_id, ord, _raw) → one
+    * `Classified` per row, processed in `ord` order per filter.
+    */
+  def classifyBatch(rows: DataFrame, cfg: Config = Config())(
+      implicit spark: SparkSession): Dataset[Classified] = {
+    import spark.implicits._
+    rows.select(
+        col("filter_id").cast("string"),
+        col("ord").cast("long"),
+        col("_raw").cast("string"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (fid, it) =>
+        // Sort inside the group to get deterministic stream order; at
+        // 100 TB this is a per-filter sort of that filter's slice only.
+        val sorted = it.toIndexedSeq.sortBy(_._2)
+        var model = BayesModel.empty(cfg.memoryCapacity)
+        sorted.iterator.map { case (_, ord, raw) =>
+          val (next, predicted) = step(model, raw, cfg)
+          model = next
+          Classified(fid, ord, raw, predicted)
+        }
+      }
+  }
+
+  /** Metric-2 (error) counter series from classifications —
+    * what the reference pushes as `error_stats`
+    * (`ErrorClassifierBolt.java:98-101`).
+    */
+  def errorCounts(classified: Dataset[Classified]): DataFrame =
+    classified.toDF()
+      .filter(col("predicted") === ErrorCategory)
+      .groupBy("filter_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("metric", lit(2))
+}

@@ -1,0 +1,168 @@
+package graft.ml
+
+import graft.model.Outlier
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series outlier detection ensemble — the reference's M2 operator
+  * (`storm/.../OutlierDetectionBolt.java:60-181`): per filter, take the
+  * trailing 24 h of the stats series at 300 s resolution, drop the
+  * (still-filling) newest bucket, require ≥ 10 points, run an analyzer
+  * ensemble over it, and emit `(filter_id, ts, score, details)` for
+  * buckets a majority of analyzers flag.
+  *
+  * Analyzers are fresh implementations of the standard techniques the
+  * reference lists by name (normal/log-normal deviation, moving
+  * average, linear-regression residuals, exponential smoothing).
+  * Each scores only the NEWEST evaluated bucket (the reference checks
+  * "is the current behavior anomalous", not history rewriting).
+  */
+object Outliers {
+
+  /** One analyzer: given the historical series (bucket asc) and the
+    * evaluation point, return an anomaly score in [0, 1].
+    */
+  trait TimeseriesAnalyzer extends Serializable {
+    def name: String
+    /** @param history (bucket, value) points strictly before `at`
+      * @param value   the value at the evaluated bucket
+      */
+    def score(history: Seq[(Long, Double)], value: Double): Double
+  }
+
+  private def clamp01(x: Double): Double = math.max(0.0, math.min(1.0, x))
+
+  /** Deviation from the sample mean in σ units, scaled so 2σ→0.5, 4σ→1. */
+  final class NormalDeviation extends TimeseriesAnalyzer {
+    val name = "normal"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val xs = history.map(_._2)
+      val mu = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / math.max(1, xs.size - 1))
+      if (sd == 0) { if (value == mu) 0.0 else 1.0 }
+      else clamp01(math.abs(value - mu) / sd / 4.0)
+    }
+  }
+
+  /** NormalDeviation in log1p space (counts are right-skewed). */
+  final class LogNormalDeviation extends TimeseriesAnalyzer {
+    val name = "lognormal"
+    private val inner = new NormalDeviation
+    def score(history: Seq[(Long, Double)], value: Double): Double =
+      inner.score(history.map { case (b, v) => (b, math.log1p(math.max(0, v))) },
+        math.log1p(math.max(0, value)))
+  }
+
+  /** Residual vs the trailing-k moving average, in σ units of the
+    * moving-average residuals.
+    */
+  final class MovingAverage(k: Int = 6) extends TimeseriesAnalyzer {
+    val name = s"moving_avg_$k"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val xs = history.map(_._2)
+      if (xs.size < k) return 0.0
+      val ma = xs.takeRight(k).sum / k
+      val resids = xs.sliding(k + 1).collect {
+        case w if w.size == k + 1 => w.last - w.init.sum / k
+      }.toSeq
+      if (resids.isEmpty) return 0.0
+      val sd = math.sqrt(resids.map(r => r * r).sum / resids.size)
+      if (sd == 0) { if (value == ma) 0.0 else 1.0 }
+      else clamp01(math.abs(value - ma) / sd / 4.0)
+    }
+  }
+
+  /** Least-squares linear fit over history; score = prediction residual
+    * in σ units of the fit residuals.
+    */
+  final class LinearRegression extends TimeseriesAnalyzer {
+    val name = "linear_regression"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val n = history.size
+      if (n < 3) return 0.0
+      val xs = history.map(_._1.toDouble)
+      val ys = history.map(_._2)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      if (sxx == 0) return 0.0
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / sxx
+      val icept = my - slope * mx
+      val resids = xs.zip(ys).map { case (x, y) => y - (slope * x + icept) }
+      val sd = math.sqrt(resids.map(r => r * r).sum / n)
+      val atX = history.last._1.toDouble + (history.last._1 - history.head._1).toDouble / math.max(1, n - 1)
+      val predicted = slope * atX + icept
+      if (sd == 0) { if (value == predicted) 0.0 else 1.0 }
+      else clamp01(math.abs(value - predicted) / sd / 4.0)
+    }
+  }
+
+  /** Simple exponential smoothing (α) one-step forecast residual. */
+  final class ExponentialSmoothing(alpha: Double = 0.3) extends TimeseriesAnalyzer {
+    val name = "exp_smoothing"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val xs = history.map(_._2)
+      if (xs.size < 3) return 0.0
+      var level = xs.head
+      var sumSq = 0.0; var n = 0
+      xs.tail.foreach { x =>
+        sumSq += (x - level) * (x - level); n += 1
+        level = alpha * x + (1 - alpha) * level
+      }
+      val sd = math.sqrt(sumSq / math.max(1, n))
+      if (sd == 0) { if (value == level) 0.0 else 1.0 }
+      else clamp01(math.abs(value - level) / sd / 4.0)
+    }
+  }
+
+  def defaultEnsemble: Seq[TimeseriesAnalyzer] = Seq(
+    new NormalDeviation, new LogNormalDeviation, new MovingAverage(6),
+    new LinearRegression, new ExponentialSmoothing(0.3))
+
+  final case class Config(
+      resolutionSec: Long = 300,  // OutlierDetectionBolt.java:137
+      windowSec: Long = 86400,    // :139
+      minPoints: Int = 10,        // :160
+      scoreThreshold: Double = 0.5,
+      skipNewest: Boolean = true) // :140-141
+
+  /** Detect outliers over a stats table (filter_id, bucket, count).
+    * One shuffle on filter_id; per-filter series are bounded
+    * (windowSec / resolutionSec points ≤ 288) so group memory is O(1).
+    * Evaluates the newest retained bucket of each filter's series.
+    */
+  def detect(stats: DataFrame, cfg: Config = Config(),
+      analyzers: Seq[TimeseriesAnalyzer] = defaultEnsemble)(
+      implicit spark: SparkSession): Dataset[Outlier] = {
+    import spark.implicits._
+    stats.select(
+        col("filter_id").cast("string"),
+        col("bucket").cast("long"),
+        col("count").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (fid, it) =>
+        val raw = it.toIndexedSeq
+        val maxB = raw.map(_._2).max
+        // re-bucket to resolution, window, drop still-filling newest
+        val series = raw
+          .filter { case (_, b, _) => b > maxB - cfg.windowSec }
+          .groupBy { case (_, b, _) => b - b % cfg.resolutionSec }
+          .map { case (b, rows) => (b, rows.map(_._3).sum) }
+          .toIndexedSeq.sortBy(_._1)
+        val trimmed = if (cfg.skipNewest && series.size > 1) series.init else series
+        if (trimmed.size < cfg.minPoints) Iterator.empty
+        else {
+          val (evalBucket, evalValue) = trimmed.last
+          val history = trimmed.init
+          val scores = analyzers.map(a => a.name -> a.score(history, evalValue))
+          val avg = scores.map(_._2).sum / scores.size
+          if (avg < cfg.scoreThreshold) Iterator.empty
+          else {
+            val details = scores.map { case (n, sc) => s""""$n":${"%.4f".format(sc)}""" }
+              .mkString("{", ",", "}")
+            Iterator.single(Outlier(fid, evalBucket, avg, details))
+          }
+        }
+      }
+  }
+}

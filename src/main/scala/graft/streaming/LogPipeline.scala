@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.functions.LogFunctions
+import graft.ml.{BayesModel, ErrorClassifier}
+import graft.model.FilterDef
+import graft.operators.FilterFanout
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming wiring of the reference topology (SURVEY.md
+  * §3.1): raw lines → parse → multi-filter fan-out → {results sink,
+  * windowed stats, online classifier}. Storm's bolts+ticks collapse to
+  * concurrent streaming queries with `Trigger.ProcessingTime`; the
+  * supervisor's HTTP merge hops collapse to Spark's shuffle.
+  *
+  * Triggers mirror the reference cadences: results 1 s
+  * (`SupervisorResultWriterBolt.java:88-93`), stats 10 s
+  * (`SupervisorStatsWriterBolt.java:116-121`), outliers 60 s
+  * (`OutlierDetectionBolt.java:184-189`).
+  */
+object LogPipeline {
+
+  /** Parse stage (reference `ParseBolt.java:49-97`): drop null/empty,
+    * trim+truncate to 4096+"..", sniff ISO8601 event time with
+    * processing-time fallback. Works on batch and streaming frames.
+    */
+  def parse(lines: DataFrame, rawCol: String = "value"): DataFrame =
+    lines
+      .filter(LogFunctions.nonEmptyLine(col(rawCol)))
+      .select(
+        LogFunctions.normalizeRaw(col(rawCol)).as("_raw"),
+        LogFunctions.tsOrNow(col(rawCol)).as("ts"))
+
+  /** Fan-out stage: one (filter_id, ts, _raw) row per matching filter. */
+  def matches(parsed: DataFrame, filters: Seq[FilterDef]): DataFrame =
+    FilterFanout.explodeMatches(parsed, "_raw", filters)
+      .select("filter_id", "ts", "_raw")
+
+  /** Results sink: append matched rows to a parquet table partitioned
+    * by (filter_id, date) — replaces the reference's name-mangled
+    * per-day BigQuery tables (`BigQueryInsertRunnable.java:31-37`)
+    * with real partition pruning. Retention = partition TTL job.
+    */
+  def resultsQuery(matchedStream: DataFrame, path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    matchedStream
+      .withColumn("date", LogFunctions.dateSuffix(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("filter_id", "date")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Windowed stats aggregation (reference A1-A3 collapsed): tumbling
+    * `stepSec` counts per (filter_id, metric=1). Watermark bounds state
+    * (the reference has none — it merges additively forever — so we
+    * pick a generous 1 h; SURVEY.md §7.4).
+    */
+  def statsFrame(matchedStream: DataFrame, stepSec: Long = 60,
+      watermark: String = "1 hour"): DataFrame =
+    matchedStream
+      .withWatermark("ts", watermark)
+      .groupBy(col("filter_id"),
+        window(col("ts"), s"$stepSec seconds").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("filter_id"), lit(1).as("metric"),
+        unix_timestamp(col("w.start")).as("bucket"), col("cnt"))
+
+  /** Stats sink: update-mode memory table the CLI's `stats` verb reads
+    * (reference keeps these in the supervisor's BoltDB).
+    */
+  def statsQuery(matchedStream: DataFrame, queryName: String,
+      stepSec: Long = 60,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    statsFrame(matchedStream, stepSec)
+      .writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .trigger(trigger)
+      .start()
+
+  /** Tail sink: bounded in-memory table of recent matches with a
+    * monotonic per-batch ordinal — the ring-buffer read path
+    * (`filter_manager.go:298-346`). The cursor is (batch, ord).
+    */
+  def tailQuery(matchedStream: DataFrame, queryName: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    matchedStream.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+
+  /** Online per-filter classifier state for flatMapGroupsWithState. */
+  final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
+
+  /** Streaming classifier (reference M1): per-filter Bayes model held
+    * in `GroupState`, trained/applied in arrival order within each
+    * micro-batch. Emits rows predicted as "error" (metric-2 source).
+    */
+  def classifierStream(matchedStream: DataFrame,
+      cfg: ErrorClassifier.Config = ErrorClassifier.Config())(
+      implicit spark: SparkSession): Dataset[ErrorClassifier.Classified] = {
+    import spark.implicits._
+    implicit val stateEnc = Encoders.kryo[BayesModel]
+    matchedStream.select("filter_id", "ts", "_raw").as[ClassifierEvent]
+      .groupByKey(_.filter_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fid: String, rows: Iterator[ClassifierEvent],
+            state: GroupState[BayesModel]) => {
+          var model = state.getOption.getOrElse(BayesModel.empty(cfg.memoryCapacity))
+          val out = rows.toIndexedSeq.sortBy(_.ts.getTime).map { ev =>
+            val (next, predicted) = ErrorClassifier.step(model, ev._raw, cfg)
+            model = next
+            ErrorClassifier.Classified(fid, ev.ts.getTime, ev._raw, predicted)
+          }
+          state.update(model)
+          out.iterator
+        })
+  }
+}

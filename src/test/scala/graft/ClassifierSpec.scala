@@ -1,0 +1,65 @@
+package graft
+
+import graft.ml.{BayesModel, ErrorClassifier}
+
+class ClassifierSpec extends SparkSpec {
+
+  test("bayes learns and classifies deterministically") {
+    var m = BayesModel.empty(1000)
+    (1 to 60).foreach { i =>
+      m = m.learn("error", Seq("disk", "failure", s"id$i"))
+      m = m.learn("regular", Seq("request", "served", s"id$i"))
+    }
+    assert(m.classify(Seq("disk", "failure")).contains("error"))
+    assert(m.classify(Seq("request", "served")).contains("regular"))
+    // rerunning the same sequence yields the same model
+    var m2 = BayesModel.empty(1000)
+    (1 to 60).foreach { i =>
+      m2 = m2.learn("error", Seq("disk", "failure", s"id$i"))
+      m2 = m2.learn("regular", Seq("request", "served", s"id$i"))
+    }
+    assert(m.featureCount == m2.featureCount && m.categoryCount == m2.categoryCount)
+  }
+
+  test("memory window forgets oldest samples (Classifier.java:32,380-394)") {
+    var m = BayesModel.empty(10)
+    (1 to 10).foreach(i => m = m.learn("a", Seq(s"w$i")))
+    assert(m.categoryCount("a") == 10)
+    m = m.learn("b", Seq("new"))
+    assert(m.memory.size == 10)
+    assert(m.categoryCount.getOrElse("a", 0L) == 9L) // w1 forgotten
+    assert(!m.featureCount("a").contains("w1"))
+  }
+
+  test("step: lexicon labeling drives training, classify gated on minTrained (ErrorClassifierBolt.java:96-99)") {
+    val cfg = ErrorClassifier.Config(fullTrainCount = 1000, sampleEvery = 25,
+      minTrained = 10, memoryCapacity = 100)
+    var m = BayesModel.empty(cfg.memoryCapacity)
+    var preds = Vector.empty[String]
+    val msgs = (1 to 9).flatMap(i => Seq(s"request ok $i", s"disk error $i"))
+    msgs.foreach { msg =>
+      val (next, p) = ErrorClassifier.step(m, msg, cfg)
+      m = next; preds :+= p
+    }
+    assert(preds.take(9).forall(_ == "")) // below minTrained → no prediction
+    assert(preds.drop(10).forall(_.nonEmpty))
+    val (_, errPred) = ErrorClassifier.step(m, "disk error 99", cfg)
+    val (_, okPred) = ErrorClassifier.step(m, "request ok 99", cfg)
+    assert(errPred == "error" && okPred == "regular")
+  }
+
+  test("classifyBatch: per-filter isolation and ord-ordered processing") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = ((1 to 120).map(i => ("f1", i.toLong, s"disk error $i")) ++
+      (1 to 120).map(i => ("f2", i.toLong, s"all fine $i")))
+      .toDF("filter_id", "ord", "_raw")
+    val out = ErrorClassifier.classifyBatch(rows,
+      ErrorClassifier.Config(minTrained = 50)).collect()
+    assert(out.length == 240)
+    val f1 = out.filter(_.filter_id == "f1")
+    assert(f1.filter(_.predicted == "error").length > 50)
+    val f2 = out.filter(_.filter_id == "f2")
+    assert(f2.forall(_.predicted != "error"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("exact dedup partitions ids: every doc in exactly one fp group") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.agg(sum("dup_cnt")).head().getLong(0) == docs.count())
+    assert(d.select("fp").distinct().count() == d.count())
+  }
+
+  test("keep-first returns the min doc_id per fingerprint group") {
+    val kept = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAgg = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == viaAgg)
+  }
+
+  test("minhash LSH finds high-jaccard pairs found by brute force (recall)") {
+    import spark.implicits._
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force ground truth over all pairs (500 docs → 125k pairs)
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val truth = withSh.as("a").join(withSh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    // banding theory: p(candidate) = 1-(1-j^r)^b ≥ 0.99 at j=0.5,r=4,b=16
+    val recall = (lsh & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall, truth=${truth.size}, lsh=${lsh.size}")
+    // no false positives below threshold (verification step is exact)
+    assert((lsh -- truth).isEmpty)
+  }
+
+  test("simhash pairs have verified hamming distance and symmetry-free ids") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 8 })
+    // cross-check a few hamming distances against directly computed signatures
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    pairs.take(20).foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
+    }
+  }
+
+  test("jaccardPairs values match direct set computation") {
+    import spark.implicits._
+    val small = docs.filter(col("doc_id") < 100)
+    val got = Dedup.jaccardPairs(small, "doc_id", "text", 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val texts = small.select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.take(50).foreach { case (a, b, j) =>
+      val sa = texts(a).split("\\s+").filter(_.nonEmpty).toSet
+      val sb = texts(b).split("\\s+").filter(_.nonEmpty).toSet
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 1e-5, s"pair ($a,$b): $j vs $expect")
+    }
+  }
+}

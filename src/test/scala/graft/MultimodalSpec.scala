@@ -1,0 +1,45 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.syntheticMediaTable(Tables.load(spark, sfDir, "documents"))
+
+  test("media table has the binary+meta schema contract") {
+    val sch = media.schema
+    assert(sch("media").dataType.typeName == "binary")
+    val metaFields = sch("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .map(f => (f.name, f.dataType))
+    assert(metaFields == Multimodal.MediaMetaType.map(f => (f.name, f.dataType)))
+  }
+
+  test("feature extraction: one fixed-dim vector per row, deterministic") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(f1.length == media.count())
+    assert(f1.forall(_.getSeq[Float](1).length == 16))
+    val f2 = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(f1.map(_.toString).sorted.sameElements(f2.map(_.toString).sorted))
+  }
+
+  test("metadata-only projection prunes the binary column at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    media.write.mode("overwrite").parquet(dir)
+    val plan = Multimodal.metaProfile(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("media#") || !plan.split("ReadSchema")(1).contains("media"),
+      s"binary column not pruned:\n$plan")
+  }
+
+  test("stub codec is pure: same bytes → same features") {
+    val b = "hello world".getBytes("UTF-8")
+    assert(Multimodal.StubCodec.decodeImage(b, 8).toSeq ==
+      Multimodal.StubCodec.decodeImage(b, 8).toSeq)
+    assert(Multimodal.StubCodec.sampleFrames(b, 3).length == 3)
+  }
+}

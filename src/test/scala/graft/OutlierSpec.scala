@@ -1,0 +1,46 @@
+package graft
+
+import graft.ml.Outliers
+
+class OutlierSpec extends SparkSpec {
+
+  private def series(values: Seq[Double], step: Long = 300): Seq[(String, Long, Double)] =
+    values.zipWithIndex.map { case (v, i) => ("f1", 1700000000L + i * step, v) }
+
+  test("flat series with a spike at the end is flagged") {
+    implicit val s = spark
+    import s.implicits._
+    val flat = series(Seq.fill(30)(10.0) :+ 100.0 :+ 10.0) // spike in evaluated bucket (newest dropped)
+    val stats = flat.toDF("filter_id", "bucket", "count")
+    val got = Outliers.detect(stats,
+      Outliers.Config(scoreThreshold = 0.4)).collect()
+    assert(got.length == 1)
+    assert(got.head.filter_id == "f1")
+    assert(got.head.score > 0.4)
+    assert(got.head.details.contains("normal"))
+  }
+
+  test("flat series without anomaly emits nothing") {
+    implicit val s = spark
+    import s.implicits._
+    val stats = series(Seq.fill(32)(10.0)).toDF("filter_id", "bucket", "count")
+    assert(Outliers.detect(stats, Outliers.Config(scoreThreshold = 0.4)).isEmpty)
+  }
+
+  test("min-points gate: short series emits nothing (OutlierDetectionBolt.java:159-162)") {
+    implicit val s = spark
+    import s.implicits._
+    val stats = series(Seq.fill(5)(10.0) :+ 99.0).toDF("filter_id", "bucket", "count")
+    assert(Outliers.detect(stats, Outliers.Config(scoreThreshold = 0.1)).isEmpty)
+  }
+
+  test("individual analyzers score spikes higher than normal points") {
+    val hist = (0 until 30).map(i => (1700000000L + i * 300L, 10.0 + (i % 3)))
+    Outliers.defaultEnsemble.foreach { a =>
+      val spikeScore = a.score(hist, 80.0)
+      val normalScore = a.score(hist, 11.0)
+      assert(spikeScore > normalScore,
+        s"${a.name}: spike $spikeScore !> normal $normalScore")
+    }
+  }
+}

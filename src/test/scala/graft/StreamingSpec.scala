@@ -1,0 +1,101 @@
+package graft
+
+import graft.model.FilterDef
+import graft.streaming.LogPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val filters = Seq(
+    FilterDef("f_err", "errors", "error"),
+    FilterDef("f_co", "checkout", "(?i)checkout"))
+
+  private val lines = Seq(
+    "2015-07-20T11:35:41.851+02:00 host1 app: error in checkout 100",
+    "2015-07-20T11:35:42.000+02:00 host1 app: checkout ok 200",
+    "2015-07-20T11:36:01.000+02:00 host2 app: error timeout",
+    "",                     // dropped by parse
+    "plain line no match")
+
+  test("end-to-end: MemoryStream → parse → match → tail memory sink") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[String](spark)
+    val matched = LogPipeline.matches(
+      LogPipeline.parse(input.toDF(), "value"), filters)
+    val q = LogPipeline.tailQuery(matched, "tail_test")
+    try {
+      input.addData(lines: _*)
+      q.processAllAvailable()
+      val got = spark.table("tail_test")
+        .select("filter_id", "_raw").as[(String, String)].collect().toSet
+      assert(got == Set(
+        ("f_err", "2015-07-20T11:35:41.851+02:00 host1 app: error in checkout 100"),
+        ("f_co", "2015-07-20T11:35:41.851+02:00 host1 app: error in checkout 100"),
+        ("f_co", "2015-07-20T11:35:42.000+02:00 host1 app: checkout ok 200"),
+        ("f_err", "2015-07-20T11:36:01.000+02:00 host2 app: error timeout")))
+    } finally q.stop()
+  }
+
+  test("streaming windowed stats equal the batch rollup of the same data") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[String](spark)
+    val matched = LogPipeline.matches(
+      LogPipeline.parse(input.toDF(), "value"), filters)
+    val q = LogPipeline.statsQuery(matched, "stats_test", stepSec = 60)
+    try {
+      input.addData(lines: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("stats_test")
+        .select("filter_id", "bucket", "cnt")
+        .as[(String, Long, Long)].collect().toSet
+      // batch equivalent over the same lines
+      val batch = graft.operators.StatsRollup.rollup(
+          LogPipeline.matches(LogPipeline.parse(
+            lines.toDF("value"), "value"), filters),
+          "ts", 60, Seq("filter_id"))
+        .select(col("filter_id"), col("bucket_start"), col("cnt"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(streaming == batch && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("event time parsed from line; processing-time fallback otherwise (ParseBolt.java:72-84)") {
+    implicit val s = spark
+    import s.implicits._
+    val parsed = LogPipeline.parse(lines.toDF("value"), "value")
+    assert(parsed.count() == 4) // empty line dropped
+    val withIso = parsed.filter(col("_raw").contains("error in checkout"))
+      .select(unix_timestamp(col("ts"))).head().getLong(0)
+    assert(withIso == 1437384941L) // 2015-07-20T09:35:41Z
+    val fallback = parsed.filter(col("_raw") === "plain line no match")
+      .select(unix_timestamp(col("ts"))).head().getLong(0)
+    assert(math.abs(fallback - System.currentTimeMillis() / 1000) < 300)
+  }
+
+  test("streaming classifier holds per-filter state across micro-batches") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[String](spark)
+    val matched = LogPipeline.matches(
+      LogPipeline.parse(input.toDF(), "value"), filters)
+    val classified = LogPipeline.classifierStream(matched,
+      graft.ml.ErrorClassifier.Config(minTrained = 5))
+    val q = classified.writeStream.format("memory").queryName("clf_test")
+      .outputMode("append").start()
+    try {
+      // two micro-batches; state (trained count) must carry over
+      (1 to 4).foreach(i => input.addData(s"error batch1 sample $i"))
+      q.processAllAvailable()
+      (1 to 4).foreach(i => input.addData(s"error batch2 sample $i"))
+      q.processAllAvailable()
+      val preds = spark.table("clf_test").select("predicted")
+        .as[String].collect()
+      assert(preds.length == 8)
+      // first batch: under minTrained → ""; second batch: model trained
+      assert(preds.count(_.nonEmpty) >= 3)
+    } finally q.stop()
+  }
+}
