@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session tuning so Verify/Bench/tests/demos all
+  * run identical semantics.
+  *
+  *  - shuffle.partitions = cores (local mode; at cluster scale this is
+  *    overridden by AQE coalescing anyway)
+  *  - AQE on: runtime re-plan, skew-join splitting, partition coalesce
+  *  - ANSI off: the engine's hash families (MinHash, rolling hashes)
+  *    rely on wrapping 64-bit arithmetic, as any native hash engine
+  *    does; ANSI overflow errors would reject them
+  *  - UTC session timezone for oracle parity
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
+}

@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled single-pass expressions for the MinHash pipeline. The
+  * declarative formulation (transform ∘ array_distinct ∘ shingles with
+  * nested lambdas) evaluates in Catalyst's interpreted HOF path —
+  * ~1.7 ms/row on 20-token docs — which is the difference between a
+  * scan-speed dedup pass and a 5× slowdown at 100 TB. These evaluate
+  * in one compiled loop each (CodegenFallback: the eval itself is
+  * compiled Scala; no per-element closure dispatch).
+  */
+
+/** Distinct word n-gram shingle hashes of a string, as array<long>.
+  * Token hashes are 64-bit (two murmur3 seeds); shingle hash mixes
+  * consecutive token hashes with multiply-rotate — deterministic
+  * across JVMs, runs, and partitionings.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.split("\\s+")
+    // 64-bit token hash from two murmur3 passes with different seeds
+    val th = new Array[Long](toks.length)
+    var m = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+        th(m) = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+        m += 1
+      }
+      i += 1
+    }
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val count = math.max(1, m - n + 1)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var k = 0
+    var start = 0
+    while (start < count) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      val lim = math.min(n, m - start)
+      while (j < lim) {
+        h = java.lang.Long.rotateLeft(h ^ th(start + j), 27) * 0x9E3779B97F4A7C15L
+        j += 1
+      }
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      start += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature from an array<long> of element hashes:
+  * sig[i] = min over elements of (A_i * h) ^ B_i, for `numHashes`
+  * deterministic splitmix64-derived (A_i odd, B_i) constants.
+  * One compiled O(numHashes × |elements|) loop per row.
+  */
+case class MinHashSignature64(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val constA: Array[Long] =
+    Array.tabulate(numHashes)(i => 0x9E3779B97F4A7C15L * (2L * i + 1) | 1L)
+  @transient private lazy val constB: Array[Long] =
+    Array.tabulate(numHashes)(i => 0xBF58476D1CE4E5B9L * (i + 1))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<long>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = constA(i); val b = constB(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (hs.getLong(j) * a) ^ b
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature64 =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a string's whitespace-token multiset: per bit
+  * position, sum +1/-1 over token-hash bits; bit j of the result is
+  * set when the sum is positive. One compiled pass per row — no
+  * explode, no shuffle, no 64-aggregate codegen unit.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signatures for a numeric vector: one
+  * `planesPerTable`-bit sign signature per hash table, as array<long>
+  * of length `nTables`. Hyperplane components are splitmix64-derived
+  * from (plane, dim) — deterministic, no RNG, no broadcast needed.
+  * Evaluates all nTables × planesPerTable dot products in one compiled
+  * loop (the unrolled Column formulation generated a codegen unit that
+  * took seconds to Janino-compile per query).
+  */
+case class HyperplaneSigs(child: Expression, nTables: Int, planesPerTable: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** plane component ~ U[-0.5, 0.5), splitmix64((plane, dim)). */
+  private def component(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 1000000.0) - 0.5
+  }
+
+  @transient private var planeCache: Array[Array[Double]] = _
+  private def planes(dim: Int): Array[Array[Double]] = {
+    if (planeCache == null || planeCache(0).length != dim) {
+      planeCache = Array.tabulate(nTables * planesPerTable) { i =>
+        val table = i / planesPerTable
+        val p = i % planesPerTable
+        Array.tabulate(dim)(d => component(table * 97 + p, d))
+      }
+    }
+    planeCache
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val pl = planes(dim)
+    val sigs = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = pl(t * planesPerTable + p)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          dot += x * plane(d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}

@@ -14,9 +14,15 @@ object VectorFunctions {
   /** Cast an array<float> to array<double> for stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  /** Dot product of two equal-length numeric arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two equal-length numeric arrays — codegen'd native
+    * [[VecDot]] expression (same left-to-right summation order as the
+    * HOF formulation it replaced, so values are bit-identical).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(
+      VecDot(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+  }
 
   /** Euclidean norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -40,12 +46,4 @@ object VectorFunctions {
 
   /** Scale a vector by a scalar column. */
   def scale(a: Column, k: Column): Column = transform(a, x => x * k)
-
-  /** Deterministic pseudo-random hyperplane component for SimHash/LSH
-    * over embeddings: a reproducible value in [-0.5, 0.5) derived from
-    * (plane, dim) via xxhash64 — no RNG, so plans are replayable.
-    */
-  def hyperplaneComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast(DoubleType)
-      / 1000000.0) - 0.5
 }

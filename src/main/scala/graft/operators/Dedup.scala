@@ -41,19 +41,25 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature: array of `numHashes` minima of per-seed hashes
-    * over the document's shingle set. Computed entirely inside one
-    * projection (transform over seeds × aggregate over shingles) — no
-    * explode, no shuffle; cost is O(shingles × hashes) per row.
+  /** MinHash signature from a precomputed `array<long>` of shingle
+    * hashes — compiled [[graft.functions.MinHashSignature64]] (one
+    * O(numHashes × shingles) loop per row; the declarative
+    * transform/array_min form evaluated interpreted and was ~50×
+    * slower).
     */
-  def minhashSignature(textCol: Column, shingleSize: Int,
-      numHashes: Int): Column = {
-    val sh = array_distinct(TextFunctions.shingles(textCol, shingleSize))
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed =>
-        aggregate(sh, lit(Long.MaxValue),
-          (acc, s) => least(acc, xxhash64(seed, s))))
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.MinHashSignature64(
+      GraftExprBridge.expression(shingleHashes), numHashes))
+  }
+
+  /** Distinct shingle hashes of a text column in one compiled pass
+    * ([[graft.functions.WordShingleHashes]]).
+    */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.WordShingleHashes(
+      GraftExprBridge.expression(textCol), shingleSize))
   }
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
@@ -68,8 +74,22 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Repartition before the per-row signature compute: a small input
+    // (one parquet file) would otherwise pin the whole O(rows×shingles)
+    // stage to a single task; at real scale the scan already has many
+    // partitions and this is a cheap round-robin.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // The signature relation feeds FOUR plan branches (both banding
+    // sides + both verification sides); persist it or Spark recomputes
+    // the signature scan per branch. (id, hs, sig) is a small fraction
+    // of the corpus size, so MEMORY_AND_DISK is safe at scale.
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleSize, numHashes))
+      .repartition(parallelism)
+      .withColumn("hs", shingleHashes(col("text"), shingleSize))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .drop("text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -82,13 +102,27 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Verification reuses the per-doc shingle-HASH arrays (never the
+    // raw text — no re-tokenizing per pair) in two tiers:
+    //  1. signature-estimate prefilter: matching minhash rows / numHashes
+    //     approximates Jaccard within ~1/sqrt(numHashes); cheap 64-long
+    //     zip per pair kills the bulk of low-similarity candidates.
+    //  2. exact Jaccard on the distinct shingle-hash sets for survivors.
+    val sides = withSig.select(col("id"), col("hs"), col("sig"))
+    val slack = 2.5 / math.sqrt(numHashes.toDouble)
     val verified = cand
-      .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("j", jaccardShingles(col("text_a"), col("text_b"), shingleSize))
+      .join(sides.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(sides.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("sig").as("sig_b")), "id_b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes)
+      .filter(col("est") >= threshold - slack)
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("j",
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("j") >= threshold)
     verified.select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
@@ -127,23 +161,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the token multiset: for each bit position,
-    * sum +1/-1 weighted by token-hash bit, then collapse the sign
-    * vector to a Long. One explode + one groupBy (single shuffle).
+  /** 64-bit SimHash over the token multiset — one compiled pass per
+    * row ([[graft.functions.SimHash64]]): no explode, no shuffle, runs
+    * at scan speed. (The declarative explode + 64-aggregate groupBy
+    * formulation shuffled the full token stream and Janino-compiled a
+    * 64-aggregate codegen unit per query.)
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.cast(LongType).as("simhash"))
+    import org.apache.spark.sql.GraftExprBridge
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol), col(textCol))
+      .repartition(parallelism)
+      .select(col(idCol),
+        GraftExprBridge.column(graft.functions.SimHash64(
+          GraftExprBridge.expression(col(textCol)))).as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, blocked by

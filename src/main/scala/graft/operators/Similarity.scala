@@ -131,28 +131,29 @@ object Similarity {
   def lshPairs(df: DataFrame, idCol: String, vecCol: String,
       nTables: Int = 4, planesPerTable: Int = 6,
       threshold: Double = 0.3): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    def tableSig(table: Int): Column =
-      (0 until planesPerTable).map { p =>
-        val planeDot = (0 until dim).map { d =>
-          element_at(col(vecCol), d + 1).cast("double") *
-            VectorFunctions.hyperplaneComponent(table * 97 + p, lit(d))
-        }.reduce(_ + _)
-        when(planeDot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
+    import org.apache.spark.sql.GraftExprBridge
+    // All table signatures in one compiled expression (HyperplaneSigs);
+    // posexplode fans out to (table, sig) rows for the bucket join.
+    val sigsPerTable = GraftExprBridge.column(
+      graft.functions.HyperplaneSigs(
+        GraftExprBridge.expression(col(vecCol)), nTables, planesPerTable))
+    // Normalize once per vector so pair verification is a bare dot
+    // product (no per-pair norms/sqrt).
+    val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
     val sigs = df
-      .withColumn("tb", explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("t"), tableSig(t).as("sig"))): _*)))
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        col("tb.t").as("t"), col("tb.sig").as("sig"))
+      .withColumn("nv", when(nrm === 0.0,
+          transform(col(vecCol), x => lit(0.0)))
+        .otherwise(transform(col(vecCol), x => x.cast("double") / nrm)))
+      .select(col(idCol).as("id"), col("nv"), posexplode(sigsPerTable))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.nv").as("va"), col("b.nv").as("vb"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorFunctions.dot(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

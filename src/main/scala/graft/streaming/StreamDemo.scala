@@ -17,13 +17,8 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, workDir) = args.take(2)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-stream-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder(4)
+      .appName("graft-stream-demo").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Stage fixture docs as timestamped syslog-ish lines.
