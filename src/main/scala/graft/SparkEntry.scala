@@ -163,7 +163,68 @@ object SparkEntry {
              |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
              |       count(*) AS cnt
              |FROM lineitem GROUP BY 1, 2""".stripMargin))
-  ) ++ relationalDefs ++ textDefs ++ dedupDefs ++ similarityDefs ++ mlDefs
+  ) ++ relationalDefs ++ textDefs ++ dedupDefs ++ similarityDefs ++ mlDefs ++ consoleDefs
+
+  /** Catalog mapping console names onto the fixtures: `docs` = document
+    * text as `_raw`; `ev` = event stream with ts + monotonic id.
+    */
+  private def consoleCatalog(dir: String): graft.queries.Console.Catalog =
+    new graft.queries.Console.Catalog {
+      def resolve(s: SparkSession, name: String): DataFrame = name match {
+        case "docs" => Tables.load(s, dir, "documents")
+          .select(col("text").as("_raw"), col("doc_id").as("id"))
+        case "ev" => Tables.load(s, dir, "events")
+          .select(col("event_type").as("_raw"), col("ts"),
+            col("event_id").as("id"))
+        case other => throw new IllegalArgumentException(s"unknown source $other")
+      }
+    }
+
+  // --- console verb surface (§3.2/3.3: select/tail/stats/count) ---
+  private def consoleDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_console_select",
+      (s: SparkSession, dir: String) =>
+        graft.queries.Console.compile(
+          graft.queries.Console.parse("select * from docs where 'merge (join|data)'"),
+          consoleCatalog(dir), s),
+      Some("""SELECT text AS _raw FROM documents
+             |WHERE regexp_matches(text, 'merge (join|data)')""".stripMargin)),
+    ("q_console_tail",
+      (s: SparkSession, dir: String) =>
+        graft.queries.Console.compile(
+          graft.queries.Console.parse("tail ev"),
+          consoleCatalog(dir), s)
+          .withColumnRenamed("_raw", "event_type"),
+      Some("""SELECT event_type FROM events ORDER BY event_id DESC LIMIT 10""")),
+    ("q_console_stats",
+      (s: SparkSession, dir: String) =>
+        graft.queries.Console.compile(
+          graft.queries.Console.parse("stats ev window 30d rollup 6h"),
+          consoleCatalog(dir), s),
+      Some("""WITH now_s AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS n FROM events),
+             |counts AS (
+             |  SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_start,
+             |         count(*) AS cnt
+             |  FROM events, now_s WHERE floor(epoch(ts)) >= n - 2592000
+             |  GROUP BY 1),
+             |bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM counts),
+             |series AS (SELECT CAST(unnest(generate_series(b.lo, b.hi, 21600)) AS BIGINT) AS bucket_start
+             |           FROM bounds b)
+             |SELECT s.bucket_start, COALESCE(c.cnt, 0) AS cnt
+             |FROM series s LEFT JOIN counts c ON c.bucket_start = s.bucket_start""".stripMargin)),
+    ("q_console_count",
+      (s: SparkSession, dir: String) =>
+        graft.queries.Console.compile(
+          graft.queries.Console.parse("count docs"),
+          consoleCatalog(dir), s),
+      Some("SELECT count(1) AS cnt FROM documents")),
+    ("q_approx_distinct", // A5: HLL++ sketch — approximate, rows-only
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None)
+  )
 
   // --- ML + multimodal operators (M1/M2 + builder brief) ---
   private def mlDefs: Seq[(String, Q, Option[String])] = Seq(

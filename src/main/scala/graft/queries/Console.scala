@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.functions.LogFunctions
+import graft.operators.{StatsRollup, Tail}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference CLI's verb surface (`cli/cloudpelican-lsd.go:200-303`)
+  * compiled to DataFrame plans instead of supervisor RPCs:
+  *
+  *   cat <f> | grep ... | sort | head          — [[GrepQL]]
+  *   select <cols> from <f> [where '<regex>'] [limit n]
+  *                                             — `:455-491`
+  *   tail <f>                                  — rewrite to select+last-N,
+  *                                               `:250-259`, `:629-636`
+  *   stats <f> [window W] [rollup R]           — `:761-833` + A4 rollup
+  *   count <f>                                 — COUNT(1) shape (F15)
+  *
+  * The engine side is a [[Catalog]]: name → results DataFrame with a
+  * `_raw` column (plus `id`/`ts` when available). In the reference the
+  * name resolves to a filter's result table; here any registered
+  * DataFrame works.
+  */
+object Console {
+
+  trait Catalog {
+    /** Resolve a filter/table name to its results frame. */
+    def resolve(spark: SparkSession, name: String): DataFrame
+  }
+
+  sealed trait Command
+  final case class Grep(pipeline: GrepQL.GrepPipeline) extends Command
+  final case class Select(source: String, whereRegex: Option[String],
+      limit: Option[Int], tail: Boolean) extends Command
+  final case class Stats(source: String, windowSec: Long, rollupSec: Long)
+      extends Command
+  final case class Count(source: String) extends Command
+
+  /** Parse one console line into a Command.
+    * Mirrors the keyword dispatch at `cli/cloudpelican-lsd.go:200-303`.
+    */
+  def parse(line: String): Command = {
+    val trimmed = line.trim
+    val lower = trimmed.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("cat ")) Grep(GrepQL.parse(trimmed))
+    else if (lower.startsWith("tail ")) {
+      val name = trimmed.split("\\s+")(1)
+      Select(name, None, Some(10), tail = true) // tail = select * + last-N
+    } else if (lower.startsWith("select")) parseSelect(trimmed)
+    else if (lower.startsWith("stats ")) parseStats(trimmed)
+    else if (lower.startsWith("count ")) Count(trimmed.split("\\s+")(1))
+    else throw new IllegalArgumentException(s"unknown command: $trimmed")
+  }
+
+  /** `select <cols> from <name> [where '<regex>'] [limit n]` —
+    * prev-token state machine like `cli/cloudpelican-lsd.go:457-491`;
+    * `*` projects `_raw` (`:338-339`).
+    */
+  private def parseSelect(s: String): Select = {
+    val toks = s.split("\\s+").toSeq
+    var source = ""
+    var whereRegex: Option[String] = None
+    var limit: Option[Int] = None
+    var i = 0
+    while (i < toks.length) {
+      toks(i).toLowerCase(java.util.Locale.ROOT) match {
+        case "from" if i + 1 < toks.length => source = toks(i + 1); i += 2
+        case "where" if i + 1 < toks.length =>
+          val raw = toks.drop(i + 1).takeWhile(t =>
+            !Set("limit").contains(t.toLowerCase(java.util.Locale.ROOT)))
+          whereRegex = Some(raw.mkString(" ").stripPrefix("'").stripSuffix("'"))
+          i += 1 + raw.length
+        case "limit" if i + 1 < toks.length =>
+          limit = Some(toks(i + 1).toInt); i += 2
+        case _ => i += 1
+      }
+    }
+    require(source.nonEmpty, s"select needs FROM: $s")
+    Select(source, whereRegex, limit, tail = false)
+  }
+
+  /** `stats <name> [window W] [rollup R]` with m/h/d suffixes —
+    * defaults 86400 s window, 60 s rollup
+    * (`cli/cloudpelican-lsd.go:794-798`).
+    */
+  private def parseStats(s: String): Stats = {
+    val toks = s.split("\\s+").toSeq
+    require(toks.length >= 2, s"stats needs a name: $s")
+    var window = 86400L
+    var rollup = 60L
+    var i = 2
+    while (i + 1 < toks.length + 1 && i < toks.length) {
+      toks(i).toLowerCase(java.util.Locale.ROOT) match {
+        case "window" if i + 1 < toks.length =>
+          window = LogFunctions.parseDuration(toks(i + 1)); i += 2
+        case "rollup" if i + 1 < toks.length =>
+          rollup = LogFunctions.parseDuration(toks(i + 1)); i += 2
+        case _ => i += 1
+      }
+    }
+    Stats(toks(1), window, rollup)
+  }
+
+  /** Compile a parsed command against the catalog. `nowEpochSec` pins
+    * the stats window for determinism (tests/oracle).
+    */
+  def compile(cmd: Command, catalog: Catalog, spark: SparkSession,
+      nowEpochSec: Option[Long] = None): DataFrame = cmd match {
+    case Grep(p) =>
+      p.compile(catalog.resolve(spark, p.source), "_raw")
+        .select("_raw")
+    case Select(src, whereRegex, limit, tail) =>
+      val base = catalog.resolve(spark, src)
+      val filtered = whereRegex match {
+        case Some(re) => base.filter(col("_raw").rlike(re)) // P6
+        case None => base
+      }
+      if (tail) {
+        val orderCol = if (filtered.columns.contains("id")) "id" else "_raw"
+        Tail.lastN(filtered, limit.getOrElse(10), Seq(orderCol)).select("_raw")
+      } else limit.fold(filtered.select("_raw"))(n => filtered.select("_raw").limit(n))
+    case Stats(src, window, rollup) =>
+      val base = catalog.resolve(spark, src)
+      require(base.columns.contains("ts"), s"stats needs a ts column on $src")
+      val now = nowEpochSec.getOrElse(
+        base.agg(max(unix_timestamp(col("ts")))).head().getLong(0))
+      StatsRollup.statsQuery(base, "ts", Seq.empty,
+        windowSec = window, stepSec = rollup, nowEpochSec = now)
+    case Count(src) =>
+      catalog.resolve(spark, src).agg(count(lit(1)).as("cnt"))
+  }
+}
