@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

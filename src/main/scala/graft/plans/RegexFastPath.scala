@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Contains, Expression, Literal, Lower, RLike}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: rewrite `RLike` with a word-only literal pattern to
+  * a plain `Contains` (and `(?i)word` to `Contains(Lower(x), word)`).
+  *
+  * This is the reference's hand-rolled regex fast path
+  * (`storm/.../Filter.java:33-52`, claimed "2-30x" at `:96`) promoted
+  * to a Catalyst rule, so it applies to ANY rlike in ANY plan — SQL
+  * strings, Column DSL, the grep front-end — not just the fan-out
+  * operator's own pre-analysis. Catalyst's built-in
+  * `LikeSimplification` does this for LIKE but not for RLIKE.
+  *
+  * Semantics: Java regex `find()` over a pattern with no
+  * metacharacters is exactly substring containment, and `(?i)` on a
+  * word is containment on the lower-cased pair (safe here because the
+  * rewrite is limited to ASCII `[A-Za-z0-9_-]` patterns — no Turkish-I
+  * style case-folding edge cases).
+  */
+object RegexFastPathRule extends Rule[LogicalPlan] {
+
+  private val WordOnly = "^[A-Za-z0-9_-]+$".r
+  private val CiPrefix = "(?i)"
+
+  private def rewrite(e: Expression): Expression = e match {
+    case RLike(subject, Literal(p: UTF8String, StringType)) =>
+      val pattern = p.toString
+      pattern match {
+        case WordOnly() =>
+          Contains(subject, Literal(p, StringType))
+        case ci if ci.startsWith(CiPrefix) &&
+            WordOnly.matches(ci.stripPrefix(CiPrefix)) =>
+          val word = ci.stripPrefix(CiPrefix)
+            .toLowerCase(java.util.Locale.ROOT)
+          Contains(Lower(subject),
+            Literal(UTF8String.fromString(word), StringType))
+        case _ => e
+      }
+    case _ => e
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions { case e: RLike => rewrite(e) }
+}
+
+/** Session extension installing the graft optimizer rules:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RegexFastPathRule)
+  }
+}

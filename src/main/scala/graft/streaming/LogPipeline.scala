@@ -96,6 +96,61 @@ object LogPipeline {
       .trigger(trigger)
       .start()
 
+  /** Outlier sink (S7): run the detection ensemble over each stats
+    * micro-batch and append flagged outliers to a parquet table —
+    * replaces `OutlierCollectorBolt` → supervisor POST → BoltDB.
+    * Trigger mirrors the reference's 60 s cadence
+    * (`OutlierDetectionBolt.java:184-189`).
+    */
+  def outlierQuery(statsStream: DataFrame, path: String, checkpoint: String,
+      cfg: graft.ml.Outliers.Config = graft.ml.Outliers.Config(),
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    statsStream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        implicit val s: SparkSession = batch.sparkSession
+        val hits = graft.ml.Outliers.detect(
+          batch.select(col("filter_id"), col("bucket"),
+            col("cnt").as("count")), cfg)
+        if (!hits.isEmpty)
+          hits.toDF().write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** Retention job (S6's 168 h table expiry as a partition TTL): drop
+    * `date=yyyy_MM_dd` partitions of the results table older than
+    * `retentionDays`. Run from a scheduler; partition pruning means
+    * the job never reads row data.
+    */
+  def expireResults(spark: SparkSession, path: String, retentionDays: Int,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = java.time.Instant.ofEpochMilli(nowMillis)
+      .minus(java.time.Duration.ofDays(retentionDays))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val dropped = Seq.newBuilder[String]
+    fs.listStatus(root).filter(_.isDirectory).foreach { filterDir =>
+      fs.listStatus(filterDir.getPath).filter(_.isDirectory).foreach { dateDir =>
+        val name = dateDir.getPath.getName // date=yyyy_MM_dd
+        if (name.startsWith("date=")) {
+          val d = name.stripPrefix("date=")
+          try {
+            val partDate = java.time.LocalDate.parse(d.replace('_', '-'))
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+            if (partDate.isBefore(cutoff)) {
+              fs.delete(dateDir.getPath, true)
+              dropped += s"${filterDir.getPath.getName}/$name"
+            }
+          } catch { case _: java.time.format.DateTimeParseException => () }
+        }
+      }
+    }
+    dropped.result()
+  }
+
   /** Online per-filter classifier state for flatMapGroupsWithState. */
   final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
 

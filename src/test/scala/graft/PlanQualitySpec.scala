@@ -1,0 +1,73 @@
+package graft
+
+/** Physical-plan regression gates: the properties that make these
+  * operators scale (pushdown, pruning, broadcast, no stray shuffles)
+  * asserted on the executed plan, so a refactor that silently
+  * de-optimizes a plan fails CI rather than a 100 TB run.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("grep pipeline: predicate pushed to parquet + column pruning + top-k operator") {
+    val p = plan("q_grep_pipeline")
+    assert(p.contains("PushedFilters") && p.contains("StringContains"),
+      s"grep predicates not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning lost:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"sort+limit not top-k:\n$p")
+  }
+
+  test("q1_agg: partial/final hash aggregate with a single exchange, pruned scan") {
+    val p = plan("q1_agg")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+    assert(p.split("Exchange").length == 2, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string,l_linestatus:string>"),
+      s"scan reads extra columns:\n$p")
+  }
+
+  test("join queries broadcast the small sides") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+    val p5 = plan("q_join_5way")
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(!p5.contains("CartesianProduct"))
+  }
+
+  test("filter fan-out is scan → generate → project: no join, no shuffle") {
+    val p = plan("q_filter_fanout")
+    assert(p.contains("Generate"), s"no generate:\n$p")
+    assert(!p.contains("Join"), s"fan-out should not join:\n$p")
+    assert(!p.contains("Exchange"), s"fan-out should not shuffle:\n$p")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort "), s"full sort instead of top-k heap:\n$p")
+  }
+
+  test("semi/anti joins use semi/anti strategies (no row explosion)") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("gap-fill grid joins are broadcast (no shuffle of the series)") {
+    val p = plan("q_stats_rollup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"gap-fill grid not broadcast:\n$p")
+  }
+
+  test("multimodal metadata projection prunes the binary payload column") {
+    val dir = java.nio.file.Files.createTempDirectory("mmp").toString
+    graft.multimodal.Multimodal.syntheticMediaTable(
+      graft.sources.Tables.load(spark, sfDir, "documents"))
+      .write.mode("overwrite").parquet(dir)
+    val p = graft.multimodal.Multimodal.metaProfile(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    val readSchema = p.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(!readSchema.contains("media:binary"),
+      s"binary column read for metadata query: $readSchema")
+  }
+}

@@ -75,6 +75,45 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(fallback - System.currentTimeMillis() / 1000) < 300)
   }
 
+  test("outlier sink flags a spiking filter from the streaming stats table") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("outl").toString
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val stats = input.toDF().toDF("filter_id", "bucket", "cnt")
+    val q = LogPipeline.outlierQuery(stats, s"$dir/outliers", s"$dir/ckpt",
+      graft.ml.Outliers.Config(scoreThreshold = 0.4),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      val series = (0 until 30).map(i => ("f1", 1700000000L + i * 300L, 10L)) ++
+        Seq(("f1", 1700000000L + 30 * 300L, 100L), // spike (evaluated)
+            ("f1", 1700000000L + 31 * 300L, 10L))  // newest (skipped)
+      input.addData(series: _*)
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/outliers")
+      assert(out.count() == 1)
+      assert(out.head().getAs[String]("filter_id") == "f1")
+    } finally q.stop()
+  }
+
+  test("retention job drops only expired date partitions (S6 TTL)") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ret").toString + "/results"
+    Seq(("f1", "2024_01_01", "old"), ("f1", "2024_03_01", "new"),
+        ("f2", "2024_01_15", "old2"))
+      .toDF("filter_id", "date", "_raw")
+      .write.partitionBy("filter_id", "date").parquet(dir)
+    val nowMs = java.time.Instant.parse("2024-03-05T00:00:00Z").toEpochMilli
+    val dropped = LogPipeline.expireResults(spark, dir, retentionDays = 7,
+      nowMillis = nowMs)
+    assert(dropped.toSet == Set("filter_id=f1/date=2024_01_01",
+      "filter_id=f2/date=2024_01_15"))
+    val left = spark.read.parquet(dir).select("_raw")
+      .collect().map(_.getString(0)).toSet
+    assert(left == Set("new"))
+  }
+
   test("streaming classifier holds per-filter state across micro-batches") {
     implicit val s = spark
     import s.implicits._
