@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for skew and co-location — the knobs a 1000-executor
+  * deployment turns that local[32] never needs, kept as first-class
+  * operators so plans are written scale-correct from the start.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation for skewed keys (SURVEY §4 "hotspot
+    * avoidance"): stage 1 aggregates on (key, salt) — spreading a hot
+    * key over `saltBuckets` reducers — stage 2 merges the partials on
+    * the key alone. Correct for any commutative merge; exposed for
+    * count/sum which cover the engine's rollup shapes.
+    *
+    * AQE's skew-join handling covers joins; this covers groupBy where
+    * a single filter_id/event_type dominates the stream (the
+    * reference's shuffleGrouping comment, `storm/.../Main.java:106`).
+    */
+  def saltedCount(df: DataFrame, keyCols: Seq[String],
+      saltBuckets: Int, countCol: String = "cnt"): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum("_partial").as(countCol))
+  }
+
+  /** Salted sum — same two-stage shape for sum aggregates. */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      saltBuckets: Int, sumCol: String = "sum"): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("_partial"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum("_partial").as(sumCol))
+  }
+
+  /** Write a table bucketed+sorted on its join key so repeated joins
+    * on that key shuffle NEITHER side (SortMergeJoin reads co-located
+    * buckets). This is the batch-layer answer to "the same join runs
+    * every hour at 100 TB" — pay the shuffle once at write time.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — shuffle-free when
+    * both were written with [[writeBucketed]] and compatible bucket
+    * counts.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Scale
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  private lazy val events = Tables.load(spark, sfDir, "events")
+
+  test("salted count equals direct count for every key") {
+    val direct = events.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedCount(events, Seq("event_type"), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted sum equals direct sum") {
+    val direct = events.groupBy("event_type")
+      .agg(sum(round(col("value") * 100).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedSum(
+        events.withColumn("cents", round(col("value") * 100).cast("long")),
+        Seq("event_type"), "cents", saltBuckets = 8, sumCol = "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed join plan has no shuffle exchange on either side") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Scale.writeBucketed(
+        Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice")),
+        "b_orders", "k", 4)
+      Scale.writeBucketed(
+        Tables.load(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")),
+        "b_lineitem", "k", 4)
+      val joined = Scale.bucketedJoin(spark, "b_orders", "b_lineitem", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it is correct
+      val expected = Tables.load(spark, sfDir, "lineitem")
+        .join(Tables.load(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
