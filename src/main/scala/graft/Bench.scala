@@ -30,10 +30,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn)
     }
+
+    // Fan-out throughput (BASELINE.md: ≥50k lines/s at sf0.1): lines =
+    // the event stream rendered as log text, matched against the
+    // standard registry.
+    val fanoutRate = {
+      import org.apache.spark.sql.functions._
+      val lines = graft.sources.Tables.load(spark, sfDir, "events")
+        .select(concat_ws(" ", col("event_type"), col("props")).as("_raw"))
+      val filters = Seq(
+        graft.model.FilterDef("f1", "errors", "error"),
+        graft.model.FilterDef("f2", "clickview", "(click|view)"),
+        graft.model.FilterDef("f3", "ci", "(?i)PURCHASE"),
+        graft.model.FilterDef("f4", "re", "\"k\": [0-9]"))
+      val n = lines.count()
+      val t0 = System.nanoTime()
+      graft.operators.FilterFanout.explodeMatches(lines, "_raw", filters)
+        .write.format("noop").mode("overwrite").save()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fanout_lines_per_sec":$fanoutRate%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -224,6 +224,145 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders")),
       None)
+  ) ++ temporalDefs ++ sqlSurfaceDefs
+
+  // --- temporal operators beyond the reference (as-of join, sessions) ---
+  private def temporalDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_asof_join", // most-recent-prior click for every purchase
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+        graft.operators.Temporal.asOfJoin(
+          purchases, clicks, Seq("user_id"), "ts",
+          Map("event_id" -> "clicked_id"))
+          .select("event_id", "user_id", "clicked_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS clicked_id
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+    ("q_session_window", // gap-based sessionization (30 min)
+      (s: SparkSession, dir: String) =>
+        graft.operators.Temporal.sessionize(
+          t(s, dir, "events"), Seq("user_id"), "ts", 1800, "event_id"),
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM m)
+             |SELECT user_id, session_seq, count(*) AS n_events,
+             |       min(event_id) AS first_id, max(event_id) AS last_id
+             |FROM s GROUP BY 1, 2""".stripMargin))
+  )
+
+  // --- wider SQL surface (CTE, pivot, outer joins, scalar/date funcs) ---
+  private def sqlSurfaceDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sql_cte", // SQL front-end parity: same text runs in both engines
+      (s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH big AS (
+                |  SELECT o_custkey AS k, count(*) AS n FROM orders
+                |  WHERE o_totalprice > 100000 GROUP BY 1)
+                |SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS total
+                |FROM big JOIN customer ON k = c_custkey GROUP BY 1""".stripMargin)
+      },
+      Some("""WITH big AS (
+             |  SELECT o_custkey AS k, count(*) AS n FROM orders
+             |  WHERE o_totalprice > 100000 GROUP BY 1)
+             |SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS total
+             |FROM big JOIN customer ON k = c_custkey GROUP BY 1""".stripMargin)),
+    ("q_pivot",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events").groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY 1""".stripMargin)),
+    ("q_left_join",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "nation").join(t(s, dir, "supplier"),
+            col("s_nationkey") === col("n_nationkey"), "left")
+          .groupBy("n_name")
+          .agg(count(col("s_suppkey")).as("supp_cnt")),
+      Some("""SELECT n_name, count(s_suppkey) AS supp_cnt
+             |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+             |GROUP BY 1""".stripMargin)),
+    ("q_full_outer_join",
+      (s: SparkSession, dir: String) => {
+        val supp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk2"))
+          .agg(count(lit(1)).as("n_cust"))
+        supp.join(cust, col("nk") === col("nk2"), "full_outer")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            col("n_supp"), col("n_cust"))
+      },
+      Some("""SELECT coalesce(s.nk, c.nk) AS nationkey, s.n_supp, c.n_cust
+             |FROM (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+             |FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+             |  ON s.nk = c.nk""".stripMargin)),
+    ("q_scalar_funcs", // math/string/date/conditional scalar coverage
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_discount") - 0.05), 4).as("abs_disc"),
+          ceil(col("l_quantity") / 7.0).cast("bigint").as("ceil_q"),
+          floor(col("l_quantity") / 7.0).cast("bigint").as("floor_q"),
+          upper(col("l_linestatus")).as("status_u"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_pair"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          when(col("l_quantity") > 25, "bulk")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("small").as("size_class"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("flag_or_x")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(abs(l_discount - 0.05), 4) AS abs_disc,
+             |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+             |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q,
+             |  upper(l_linestatus) AS status_u,
+             |  concat_ws('-', l_returnflag, l_linestatus) AS flag_pair,
+             |  CAST(year(l_shipdate) AS INT) AS ship_year,
+             |  CAST(month(l_shipdate) AS INT) AS ship_month,
+             |  CASE WHEN l_quantity > 25 THEN 'bulk'
+             |       WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class,
+             |  coalesce(nullif(l_returnflag, 'N'), 'X') AS flag_or_x
+             |FROM lineitem""".stripMargin)),
+    ("q_percentiles",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+    ("q_date_trunc",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .cast("string").as("order_month"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+             |       count(*) AS cnt
+             |FROM orders GROUP BY 1""".stripMargin))
   )
 
   // --- ML + multimodal operators (M1/M2 + builder brief) ---

@@ -151,6 +151,17 @@ object LogPipeline {
     dropped.result()
   }
 
+  /** Streaming exact dedup: drop duplicate lines within the watermark
+    * horizon (builder brief: dedup as a streaming citizen too). State
+    * is bounded by the watermark — expired fingerprints age out.
+    */
+  def dedupStream(parsed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withColumn("_fp", graft.functions.TextFunctions.fingerprint(col("_raw")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Online per-filter classifier state for flatMapGroupsWithState. */
   final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
 

@@ -20,6 +20,9 @@ def norm(v):
     if isinstance(v, datetime.datetime): return v.isoformat()
     return str(v)
 
+def keyed(rows):
+    return sorted(rows, key=lambda t: tuple((v is None, str(type(v)), v) for v in t))
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for tbl in ["region","nation","customer","supplier","part","orders",
@@ -33,12 +36,12 @@ def main(sf_dir, out_dir):
             print(f"MISSING {name}"); fails += 1; continue
         spark_t = pq.read_table(files[0]) if len(files)==1 else pq.read_table(f"{out_dir}/{name}")
         cols = sorted(spark_t.column_names)
-        spark_rows = sorted(tuple(norm(r[c]) for c in cols) for r in spark_t.to_pylist())
+        spark_rows = keyed([tuple(norm(r[c]) for c in cols) for r in spark_t.to_pylist()])
         try:
             duck = con.sql(oracle[name])
             dcols = sorted(duck.columns)
             idx = [duck.columns.index(c) for c in dcols]
-            duck_rows = sorted(tuple(norm(row[i]) for i in idx) for row in duck.fetchall())
+            duck_rows = keyed([tuple(norm(row[i]) for i in idx) for row in duck.fetchall()])
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); fails += 1; continue
         if cols != dcols:
