@@ -237,9 +237,10 @@ object SparkEntry {
         graft.operators.Temporal.asOfJoin(
           purchases, clicks, Seq("user_id"), "ts",
           Map("event_id" -> "clicked_id"))
-          .select("event_id", "user_id", "clicked_id")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("clicked_id"), lit(-1L)).as("clicked_id"))
       },
-      Some("""SELECT l.event_id, l.user_id, r.event_id AS clicked_id
+      Some("""SELECT l.event_id, l.user_id, coalesce(r.event_id, -1) AS clicked_id
              |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
              |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
@@ -310,9 +311,11 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_cust"))
         supp.join(cust, col("nk") === col("nk2"), "full_outer")
           .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
-            col("n_supp"), col("n_cust"))
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
       },
-      Some("""SELECT coalesce(s.nk, c.nk) AS nationkey, s.n_supp, c.n_cust
+      Some("""SELECT coalesce(s.nk, c.nk) AS nationkey,
+             |       coalesce(s.n_supp, 0) AS n_supp, coalesce(c.n_cust, 0) AS n_cust
              |FROM (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
              |FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
              |  ON s.nk = c.nk""".stripMargin)),
@@ -520,13 +523,14 @@ object SparkEntry {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate"), col("o_orderkey"))
         t(s, dir, "orders")
-          .withColumn("prev_ms",
-            unix_millis(lag(col("o_orderdate"), 1).over(w).cast("timestamp")))
+          .withColumn("prev_ms", coalesce(
+            unix_millis(lag(col("o_orderdate"), 1).over(w).cast("timestamp")),
+            lit(-1L)))
           .select("o_custkey", "o_orderkey", "prev_ms")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |       epoch_ms(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
-             |         ORDER BY o_orderdate, o_orderkey)) AS prev_ms
+             |       coalesce(epoch_ms(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             |         ORDER BY o_orderdate, o_orderkey)), -1) AS prev_ms
              |FROM orders""".stripMargin)),
 
     ("q_set_ops", // union / except / intersect (§2.6 O6)
@@ -551,8 +555,13 @@ object SparkEntry {
         t(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("cnt"),
-            sum("l_quantity").cast("bigint").as("sum_qty")),
-      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+            sum("l_quantity").cast("bigint").as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("cnt"), col("sum_qty")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             |       count(*) AS cnt,
              |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
@@ -560,8 +569,13 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         t(s, dir, "orders")
           .cube("o_orderstatus", "o_orderpriority")
-          .agg(count(lit(1)).as("cnt")),
-      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          .agg(count(lit(1)).as("cnt"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("cnt")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+             |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+             |       count(*) AS cnt
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
     ("q_distinct_agg", // exact distinct (§2.4 A5; approx variant not oracle-able)
