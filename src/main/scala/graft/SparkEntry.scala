@@ -32,6 +32,19 @@ object SparkEntry {
   private def registryValuesSql: String =
     registry.map(f => s"('${f.id}', '${f.regex}')").mkString(", ")
 
+  /** 40-filter registry exercising the large-registry
+    * (MultiRegexMatch) fan-out path with word/ci/regex/anchor shapes.
+    */
+  private val largeRegistry: Seq[FilterDef] = {
+    val vocab = Seq("spark", "join", "merge", "query", "table", "scan",
+      "batch", "stream", "filter", "window")
+    vocab.zipWithIndex.flatMap { case (w, i) => Seq(
+      FilterDef(s"w$i", s"w$i", w),
+      FilterDef(s"c$i", s"c$i", s"(?i)${w.toUpperCase(java.util.Locale.ROOT)}"),
+      FilterDef(s"r$i", s"r$i", s"($w|xyz$i)"),
+      FilterDef(s"a$i", s"a$i", s"^$w ")) }
+  }
+
   /** SQL fragment: the 25-word error lexicon test over a column —
     * mirrors [[LogFunctions.containsErrorWord]] for the oracle.
     */
@@ -139,7 +152,19 @@ object SparkEntry {
               |  ON regexp_matches(d.text, f.regex)
               |GROUP BY 1""".stripMargin)),
 
-    // --- daily partition routing (F6/S6, §2.11 #10) ---
+      // large-registry fan-out: same operator, compiled MultiRegexMatch
+    // path (>InlineRegistryLimit filters) — oracle over the identical
+    // 40-filter table proves the two paths share semantics.
+    ("q_filter_fanout_large",
+      (s: SparkSession, dir: String) =>
+        FilterFanout.explodeMatches(t(s, dir, "documents"), "text", largeRegistry)
+          .select("filter_id", "doc_id"),
+      Some(s"""SELECT f.filter_id, d.doc_id
+              |FROM documents d
+              |JOIN (VALUES ${largeRegistry.map(f => s"('${f.id}', '${f.regex}')").mkString(", ")}) f(filter_id, regex)
+              |  ON regexp_matches(d.text, f.regex)""".stripMargin)),
+
+  // --- daily partition routing (F6/S6, §2.11 #10) ---
     ("q_date_partition",
       (s: SparkSession, dir: String) =>
         t(s, dir, "events")
@@ -474,14 +499,16 @@ object SparkEntry {
              |WHERE EXISTS (SELECT 1 FROM orders
              |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin)),
 
-    ("q_anti_join",
+    ("q_anti_join", // customers with no high-value order (non-empty at every sf)
       (s: SparkSession, dir: String) =>
         t(s, dir, "customer")
-          .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+              .select(col("o_custkey").as("c_custkey")),
             Seq("c_custkey"), "left_anti")
           .select("c_custkey", "c_name"),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
 
     ("q_window_rank", // top-3 orders per customer (§2.5)
       (s: SparkSession, dir: String) => {

@@ -123,6 +123,42 @@ case class MinHashSignature64(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Indexes of all matching filters for one line, in one compiled pass —
+  * the large-registry form of the fan-out predicate array. Patterns are
+  * compiled once per executor via the [[graft.operators.FilterFanout]]
+  * fast-path analysis (word → contains, (?i)word → lower-contains,
+  * else regex find). Returns array<int> of matching filter ordinals.
+  */
+case class MultiRegexMatch(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects string, got ${child.dataType}")
+
+  @transient private lazy val matchers =
+    patterns.map(graft.operators.FilterFanout.compileMatcher).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val hits = new Array[Int](matchers.length)
+    var k = 0
+    var i = 0
+    while (i < matchers.length) {
+      if (matchers(i).matches(s)) { hits(k) = i; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hits, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiRegexMatch =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a string's whitespace-token multiset: per bit
   * position, sum +1/-1 over token-hash bits; bit j of the result is
   * set when the sum is positive. One compiled pass per row — no

@@ -81,6 +81,50 @@ object ErrorClassifier {
       }
   }
 
+  /** Fit per-filter models on a (bounded) sample collected to the
+    * driver — the train/apply split for 100 TB scoring: training state
+    * is small (lexicon-labeled counts over ≤ sampleRows rows per
+    * filter), the full-corpus pass is a stateless broadcast map.
+    */
+  def trainModels(sample: DataFrame, cfg: Config = Config()): Map[String, BayesModel] = {
+    import org.apache.spark.sql.functions.col
+    sample.select(
+        col("filter_id").cast("string"),
+        col("ord").cast("long"),
+        col("_raw").cast("string"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (fid, rows) =>
+        var model = BayesModel.empty(cfg.memoryCapacity)
+        rows.sortBy(_.getLong(1)).foreach { r =>
+          val msg = r.getString(2)
+          model = model.learn(lexiconLabel(msg), tokenize(msg))
+        }
+        fid -> model
+      }
+  }
+
+  /** Score rows with frozen broadcast models — no shuffle, no state:
+    * one map over the scan. Rows for filters without a model get an
+    * empty prediction.
+    */
+  def scoreBroadcast(rows: DataFrame, models: Map[String, BayesModel])(
+      implicit spark: SparkSession): Dataset[Classified] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bc = spark.sparkContext.broadcast(models)
+    rows.select(
+        col("filter_id").cast("string"),
+        col("ord").cast("long"),
+        col("_raw").cast("string"))
+      .as[(String, Long, String)]
+      .map { case (fid, ord, raw) =>
+        val predicted = bc.value.get(fid)
+          .flatMap(_.classify(tokenize(raw))).getOrElse("")
+        Classified(fid, ord, raw, predicted)
+      }
+  }
+
   /** Metric-2 (error) counter series from classifications —
     * what the reference pushes as `error_stats`
     * (`ErrorClassifierBolt.java:98-101`).

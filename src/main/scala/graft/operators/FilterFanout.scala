@@ -26,6 +26,42 @@ object FilterFanout {
     */
   private val WordOnly = "^[A-Za-z0-9_-]+$".r
 
+  /** A compiled match predicate — the JVM-side twin of [[predicate]],
+    * used by the large-registry path where per-filter Column codegen
+    * would produce an unboundedly large codegen unit.
+    */
+  sealed trait Matcher extends Serializable {
+    def matches(s: String): Boolean
+  }
+  final case class ContainsWord(w: String) extends Matcher {
+    def matches(s: String): Boolean = s.contains(w)
+  }
+  final case class ContainsWordCi(wLower: String) extends Matcher {
+    def matches(s: String): Boolean =
+      s.toLowerCase(java.util.Locale.ROOT).contains(wLower)
+  }
+  final case class RegexFind(pattern: String) extends Matcher {
+    @transient private lazy val p = java.util.regex.Pattern.compile(pattern)
+    def matches(s: String): Boolean = p.matcher(s).find()
+  }
+
+  /** Compile one filter regex to its cheapest [[Matcher]] — same fast
+    * paths as [[predicate]] (reference `Filter.java:33-52`).
+    */
+  def compileMatcher(regex: String): Matcher = regex match {
+    case WordOnly() => ContainsWord(regex)
+    case r if r.startsWith("(?i)") && WordOnly.matches(r.stripPrefix("(?i)")) =>
+      ContainsWordCi(r.stripPrefix("(?i)").toLowerCase(java.util.Locale.ROOT))
+    case r => RegexFind(r)
+  }
+
+  /** Above this registry size, fan-out switches from the inline
+    * when-array (one codegen branch per filter — unbounded codegen
+    * unit) to the single compiled [[graft.functions.MultiRegexMatch]]
+    * expression.
+    */
+  val InlineRegistryLimit = 16
+
   /** Compile one filter regex to the cheapest equivalent Catalyst
     * predicate (reference fast-path analysis `Filter.java:33-52`,
     * match semantics `Filter.java:88-105` = Java `Matcher.find`, which
@@ -52,11 +88,29 @@ object FilterFanout {
   /** Fan a line DataFrame out to `(filter_id, <original columns>)`, one
     * row per (line, matching filter). Lines matching nothing disappear
     * (explode of an empty array), matching the reference's multicast.
+    *
+    * Small registries inline one predicate per filter (fully codegen'd);
+    * large registries use one compiled expression evaluating all
+    * matchers in a single pass (codegen unit stays O(1) as the registry
+    * grows to hundreds of filters).
     */
   def explodeMatches(lines: DataFrame, rawCol: String,
       filters: Seq[FilterDef]): DataFrame =
-    lines.withColumn("filter_id",
-      explode(matchedIds(col(rawCol), filters)))
+    if (filters.size <= InlineRegistryLimit)
+      lines.withColumn("filter_id",
+        explode(matchedIds(col(rawCol), filters)))
+    else {
+      import org.apache.spark.sql.GraftExprBridge
+      val matchedIdx = GraftExprBridge.column(
+        graft.functions.MultiRegexMatch(
+          GraftExprBridge.expression(col(rawCol)),
+          filters.map(_.regex)))
+      val ids = array(filters.map(f => lit(f.id)): _*)
+      lines
+        .withColumn("_mi", explode(matchedIdx))
+        .withColumn("filter_id", element_at(ids, col("_mi") + 1))
+        .drop("_mi")
+    }
 
   /** Per-filter match counts — the `match_stats` side-output
     * (reference `MatchBolt.java:198` emits metric-1 counters).

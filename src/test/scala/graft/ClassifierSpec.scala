@@ -48,6 +48,27 @@ class ClassifierSpec extends SparkSpec {
     assert(errPred == "error" && okPred == "regular")
   }
 
+  test("train-on-sample + broadcast scoring: stateless full pass agrees on clear cases") {
+    implicit val s = spark
+    import s.implicits._
+    val rows = ((1 to 300).map(i => ("f1", i.toLong,
+        if (i % 2 == 0) s"disk error $i" else s"request ok $i")))
+      .toDF("filter_id", "ord", "_raw")
+    val models = ErrorClassifier.trainModels(rows.filter($"ord" <= 100))
+    assert(models.contains("f1") && models("f1").trained == 100)
+    val scored = ErrorClassifier.scoreBroadcast(rows, models).collect()
+    assert(scored.length == 300)
+    val errs = scored.filter(_._raw.contains("error"))
+    val oks = scored.filter(_._raw.contains("ok"))
+    assert(errs.count(_.predicted == "error") > errs.length * 0.9)
+    assert(oks.count(_.predicted == "regular") > oks.length * 0.9)
+    // unknown filter → empty prediction, no crash
+    val other = ErrorClassifier.scoreBroadcast(
+      Seq(("nope", 1L, "disk error")).toDF("filter_id", "ord", "_raw"), models)
+      .collect()
+    assert(other.head.predicted == "")
+  }
+
   test("classifyBatch: per-filter isolation and ord-ordered processing") {
     implicit val s = spark
     import s.implicits._

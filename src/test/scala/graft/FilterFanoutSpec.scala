@@ -38,6 +38,28 @@ class FilterFanoutSpec extends SparkSpec {
     assert(ciFast == ciRlike && ciFast == viaRlike)
   }
 
+  test("large-registry path (MultiRegexMatch) agrees with the inline path") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    // 40 filters: word, ci, regex, anchored variants
+    val vocab = Seq("spark", "join", "merge", "query", "table", "scan",
+      "batch", "stream", "filter", "window")
+    val big = vocab.zipWithIndex.flatMap { case (w, i) => Seq(
+      FilterDef(s"w$i", s"w$i", w),
+      FilterDef(s"c$i", s"c$i", s"(?i)${w.toUpperCase}"),
+      FilterDef(s"r$i", s"r$i", s"($w|xyz$i)"),
+      FilterDef(s"a$i", s"a$i", s"^$w ")) }
+    assert(big.size > FilterFanout.InlineRegistryLimit)
+    val viaExpr = FilterFanout.explodeMatches(docs, "text", big)
+      .select("doc_id", "filter_id").as[(Long, String)].collect().toSet
+    // force the inline path by splitting into ≤16-filter chunks
+    val viaInline = big.grouped(FilterFanout.InlineRegistryLimit).flatMap { chunk =>
+      FilterFanout.explodeMatches(docs, "text", chunk)
+        .select("doc_id", "filter_id").as[(Long, String)].collect()
+    }.toSet
+    assert(viaExpr == viaInline && viaExpr.nonEmpty)
+  }
+
   test("matchCounts aggregates per filter") {
     import spark.implicits._
     val lines = Seq("error a", "error b", "ok 100").toDF("_raw")
