@@ -44,9 +44,12 @@ object Bench {
         graft.model.FilterDef("f3", "ci", "(?i)PURCHASE"),
         graft.model.FilterDef("f4", "re", "\"k\": [0-9]"))
       val n = lines.count()
+      def pass(): Unit =
+        graft.operators.FilterFanout.explodeMatches(lines, "_raw", filters)
+          .write.format("noop").mode("overwrite").save()
+      pass() // absorb codegen/JIT so the rate measures the operator
       val t0 = System.nanoTime()
-      graft.operators.FilterFanout.explodeMatches(lines, "_raw", filters)
-        .write.format("noop").mode("overwrite").save()
+      pass()
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
