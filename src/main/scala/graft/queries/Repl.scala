@@ -42,6 +42,11 @@ object Repl {
           case Some(f) =>
             docs.filter(FilterFanout.predicate(col("_raw"), f.regex))
           case None if name == "docs" => docs
+          case None if name == "ev" =>
+            // the event stream as a stats-capable source (ts column)
+            Tables.load(s, sfDir, "events")
+              .select(col("event_type").as("_raw"), col("ts"),
+                col("event_id").as("id"))
           case None =>
             throw new IllegalArgumentException(s"no filter named '$name'")
         }
@@ -70,10 +75,19 @@ object Repl {
               case None => println(s"ERR no filter named '$name'")
             }
           } else {
-            val df = Console.compile(Console.parse(t), catalog, spark)
-            val rows = df.limit(20).collect()
-            rows.foreach(r => println(r.toSeq.mkString("\t")))
-            println(s"${rows.length} row(s) shown")
+            val cmd = Console.parse(t)
+            val df = Console.compile(cmd, catalog, spark)
+            cmd match {
+              case _: Console.Stats =>
+                // render the ASCII chart like the reference CLI
+                val series = df.orderBy("bucket_start").collect()
+                  .map(r => (r.getAs[Long]("bucket_start"), r.getAs[Long]("cnt")))
+                print(Chart.render(series.toSeq))
+              case _ =>
+                val rows = df.limit(20).collect()
+                rows.foreach(r => println(r.toSeq.mkString("\t")))
+                println(s"${rows.length} row(s) shown")
+            }
           }
         } catch {
           case e: Exception => println(s"ERR ${e.getMessage}")

@@ -71,6 +71,31 @@ object LogPipeline {
       .select(col("filter_id"), lit(1).as("metric"),
         unix_timestamp(col("w.start")).as("bucket"), col("cnt"))
 
+  /** Full-topology stats: metric-1 (match) windowed counts UNION
+    * metric-2 (error) counts from the online classifier — the combined
+    * series the reference's supervisor accumulates
+    * (`RollupStatsBolt` consumes both `match_stats` and `error_stats`,
+    * `storm/.../Main.java:118`).
+    */
+  def combinedStatsFrame(matchedStream: DataFrame, stepSec: Long = 60,
+      watermark: String = "1 hour",
+      cfg: ErrorClassifier.Config = ErrorClassifier.Config())(
+      implicit spark: SparkSession): DataFrame = {
+    val matchStats = statsFrame(matchedStream, stepSec, watermark)
+    val errorStats = classifierStream(matchedStream, cfg)
+      .filter(_.predicted == ErrorClassifier.ErrorCategory)
+      .toDF()
+      .select(col("filter_id"),
+        timestamp_millis(col("ord")).as("ts")) // ord carries epoch ms
+      .withWatermark("ts", watermark)
+      .groupBy(col("filter_id"),
+        window(col("ts"), s"$stepSec seconds").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("filter_id"), lit(2).as("metric"),
+        unix_timestamp(col("w.start")).as("bucket"), col("cnt"))
+    matchStats.unionByName(errorStats)
+  }
+
   /** Stats sink: update-mode memory table the CLI's `stats` verb reads
     * (reference keeps these in the supervisor's BoltDB).
     */

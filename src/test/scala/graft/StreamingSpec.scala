@@ -114,6 +114,31 @@ class StreamingSpec extends SparkSpec {
     assert(left == Set("new"))
   }
 
+  test("combined stats: metric-1 match counts union metric-2 classifier errors") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[String](spark)
+    val matched = LogPipeline.matches(
+      LogPipeline.parse(input.toDF(), "value"), filters)
+    val combined = LogPipeline.combinedStatsFrame(matched, stepSec = 60,
+      cfg = graft.ml.ErrorClassifier.Config(minTrained = 2))
+    val q = combined.writeStream.format("memory").queryName("comb_stats")
+      .outputMode("append").start()
+    try {
+      (1 to 6).foreach(i => input.addData(
+        s"2015-07-20T11:35:4$i.000+00:00 app: error disk failure $i"))
+      q.processAllAvailable()
+      // second batch so watermark advances and append-mode emits
+      input.addData("2015-07-20T13:00:00.000+00:00 app: error late tick")
+      q.processAllAvailable()
+      val rows = spark.table("comb_stats")
+        .select("filter_id", "metric", "cnt")
+        .as[(String, Int, Long)].collect()
+      assert(rows.exists(_._2 == 1), s"no metric-1 rows in ${rows.toSeq}")
+      assert(rows.exists(_._2 == 2), s"no metric-2 rows in ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicates within the watermark") {
     implicit val s = spark
     import s.implicits._
