@@ -691,12 +691,12 @@ object SparkEntry {
               |    ELSE (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / len(text) END, 6) AS punct_ratio,
               |  round(CASE WHEN len(tk) = 0 THEN 0.0
               |    ELSE len(list_filter(tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len(tk) END, 6) AS stopword_ratio,
-              |  round((least(len(text)/200.0, 1.0)
+              |  CAST(floor((least(len(text)/200.0, 1.0)
               |    + (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
               |         ELSE (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / len(text) END) * 4.0, 1.0))
               |    + least((CASE WHEN len(tk) = 0 THEN 0.0
               |         ELSE len(list_filter(tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len(tk) END) * 5.0, 1.0)
-              |  ) / 3.0, 4) AS quality,
+              |  ) / 3.0 * 10000) AS BIGINT) AS quality,
               |  ${langIdSql("text")} AS lang_guess,
               |  md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')) AS fp
               |FROM toks""".stripMargin)),

@@ -95,6 +95,19 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / 3.0, 4)
   }
 
+  /** Quality score as integer ten-thousandths via floor — the
+    * oracle-safe form: floor of bit-identical doubles is identical in
+    * every engine, whereas round() disagrees across engines on values
+    * whose shortest decimal representation sits on a .5 boundary
+    * (Spark rounds the exact binary value, DuckDB the shortest repr).
+    */
+  def qualityScoreScaled(c: Column): Column = {
+    val lenScore = least(length(c).cast(DoubleType) / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    floor((lenScore + punctScore + stopScore) / 3.0 * 10000).cast("bigint")
+  }
+
   /** Per-language marker words for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with"),

@@ -19,7 +19,7 @@ object TextAnalysis {
       TextFunctions.subwordCount(t).as("n_subwords"),
       round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
       round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
-      TextFunctions.qualityScore(t).as("quality"),
+      TextFunctions.qualityScoreScaled(t).as("quality"),
       TextFunctions.langId(t).as("lang_guess"),
       TextFunctions.fingerprint(t).as("fp"))
   }
