@@ -40,20 +40,32 @@ object ErrorClassifier {
     else RegularCategory
   }
 
-  /** Fold one message through the model: maybe-train, maybe-classify.
-    * Returns the updated model and the predicted category (empty until
-    * the model has trained on `minTrained` samples).
+  /** Classifier state: the model plus a count of ALL messages seen.
+    * The sampling gate must run on messages seen, not samples trained —
+    * gating on `model.trained` would freeze training permanently once
+    * `trained` passes `fullTrainCount` off the sampling phase.
     */
-  def step(model: BayesModel, msg: String, cfg: Config): (BayesModel, String) = {
+  final case class State(model: BayesModel, seen: Long)
+  object State {
+    def empty(memoryCapacity: Int): State =
+      State(BayesModel.empty(memoryCapacity), 0L)
+  }
+
+  /** Fold one message through the state: maybe-train (all of the first
+    * `fullTrainCount` messages, then every `sampleEvery`-th seen),
+    * classify once ≥ `minTrained` samples are trained.
+    */
+  def step(state: State, msg: String, cfg: Config): (State, String) = {
     val features = tokenize(msg)
-    val shouldTrain = model.trained < cfg.fullTrainCount ||
-      model.trained % cfg.sampleEvery == 0
-    val next =
-      if (shouldTrain) model.learn(lexiconLabel(msg), features) else model
+    val shouldTrain = state.seen < cfg.fullTrainCount ||
+      state.seen % cfg.sampleEvery == 0
+    val model =
+      if (shouldTrain) state.model.learn(lexiconLabel(msg), features)
+      else state.model
     val predicted =
-      if (next.trained >= cfg.minTrained) next.classify(features).getOrElse("")
+      if (model.trained >= cfg.minTrained) model.classify(features).getOrElse("")
       else ""
-    (next, predicted)
+    (State(model, state.seen + 1), predicted)
   }
 
   /** Batch classification: rows (filter_id, ord, _raw) → one
@@ -72,10 +84,10 @@ object ErrorClassifier {
         // Sort inside the group to get deterministic stream order; at
         // 100 TB this is a per-filter sort of that filter's slice only.
         val sorted = it.toIndexedSeq.sortBy(_._2)
-        var model = BayesModel.empty(cfg.memoryCapacity)
+        var state = State.empty(cfg.memoryCapacity)
         sorted.iterator.map { case (_, ord, raw) =>
-          val (next, predicted) = step(model, raw, cfg)
-          model = next
+          val (next, predicted) = step(state, raw, cfg)
+          state = next
           Classified(fid, ord, raw, predicted)
         }
       }

@@ -60,11 +60,14 @@ object Multimodal {
       }
     }
 
-    /** STUB: resize = proportional re-bucket of the byte histogram. */
+    /** STUB: resize = proportional re-bucket of the byte histogram.
+      * Empty payloads yield an all-zero output.
+      */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte](math.max(1, (w.toLong * h / 64).toInt))
+      if (bytes.isEmpty) return out
       var i = 0
-      while (i < out.length) { out(i) = bytes(if (bytes.isEmpty) 0 else i % bytes.length); i += 1 }
+      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
       out
     }
   }

@@ -124,7 +124,14 @@ object Dedup {
       .withColumn("j",
         col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("j") >= threshold)
-    verified.select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    val result = verified
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      // Materialize eagerly (localCheckpoint RDDs are context-cleaned
+      // when unreferenced) so the persisted signature relation can be
+      // released here instead of leaking across invocations.
+      .localCheckpoint(true)
+    withSig.unpersist(false)
+    result
   }
 
   /** True Jaccard over distinct word shingles of two texts, computed

@@ -105,6 +105,27 @@ final class FilterRegistry(persistPath: Option[String] = None,
     }
   }
 
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+  /** Sequential JSON-string unescape — exact inverse of [[esc]]
+    * (naive chained replace() corrupts backslash sequences and never
+    * reverses \\uXXXX).
+    */
+  private def unesc(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'n'  => out += '\n'; i += 2
+          case 'u' if i + 5 < s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => out += '\\'; out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.result()
+  }
 }

@@ -140,21 +140,27 @@ object Similarity {
     // Normalize once per vector so pair verification is a bare dot
     // product (no per-pair norms/sqrt).
     val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
+    // Persist: the signature+normalization scan feeds both self-join
+    // sides (same recompute hazard minhashLsh documents).
     val sigs = df
       .withColumn("nv", when(nrm === 0.0,
           transform(col(vecCol), x => lit(0.0)))
         .otherwise(transform(col(vecCol), x => x.cast("double") / nrm)))
       .select(col(idCol).as("id"), col("nv"), posexplode(sigsPerTable))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.nv").as("va"), col("b.nv").as("vb"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val result = cand
       .withColumn("cos", VectorFunctions.dot(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .localCheckpoint(true) // materialize so the persist can be released
+    sigs.unpersist(false)
+    result
   }
 }

@@ -53,29 +53,23 @@ object Console {
   }
 
   /** `select <cols> from <name> [where '<regex>'] [limit n]` —
-    * prev-token state machine like `cli/cloudpelican-lsd.go:457-491`;
-    * `*` projects `_raw` (`:338-339`).
+    * shape per `cli/cloudpelican-lsd.go:457-491`; `*` projects `_raw`
+    * (`:338-339`). The where-regex is taken verbatim from its quotes
+    * (it may contain keywords like `limit`); an unquoted where pattern
+    * is a single token.
     */
+  private val FromRe = "(?i)\\bfrom\\s+(\\S+)".r
+  private val WhereQuotedRe = "(?i)\\bwhere\\s+'([^']*)'".r
+  private val WhereBareRe = "(?i)\\bwhere\\s+([^'\\s]+)".r
+  private val LimitRe = "(?i)\\blimit\\s+(\\d+)\\s*$".r
+
   private def parseSelect(s: String): Select = {
-    val toks = s.split("\\s+").toSeq
-    var source = ""
-    var whereRegex: Option[String] = None
-    var limit: Option[Int] = None
-    var i = 0
-    while (i < toks.length) {
-      toks(i).toLowerCase(java.util.Locale.ROOT) match {
-        case "from" if i + 1 < toks.length => source = toks(i + 1); i += 2
-        case "where" if i + 1 < toks.length =>
-          val raw = toks.drop(i + 1).takeWhile(t =>
-            !Set("limit").contains(t.toLowerCase(java.util.Locale.ROOT)))
-          whereRegex = Some(raw.mkString(" ").stripPrefix("'").stripSuffix("'"))
-          i += 1 + raw.length
-        case "limit" if i + 1 < toks.length =>
-          limit = Some(toks(i + 1).toInt); i += 2
-        case _ => i += 1
-      }
-    }
-    require(source.nonEmpty, s"select needs FROM: $s")
+    val source = FromRe.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(s"select needs FROM: $s"))
+    val whereRegex = WhereQuotedRe.findFirstMatchIn(s).map(_.group(1))
+      .orElse(WhereBareRe.findFirstMatchIn(s).map(_.group(1))
+        .filterNot(_.equalsIgnoreCase("limit")))
+    val limit = LimitRe.findFirstMatchIn(s).map(_.group(1).toInt)
     Select(source, whereRegex, limit, tail = false)
   }
 

@@ -43,16 +43,21 @@ object GrepQL {
     }
 
     /** DuckDB-runnable SQL predicate, mirroring the reference's
-      * grep→SQL translation (`cli/grepsql.go:44-58`). */
+      * grep→SQL translation (`cli/grepsql.go:44-58`). Non-regex greps
+      * are LITERAL substring tests on the Spark side, so LIKE
+      * metacharacters (% _ \) are escaped with an ESCAPE clause to
+      * keep both sides equivalent.
+      */
     def toSql(rawCol: String): String = {
       val esc = pattern.replace("'", "''")
+      def likeEsc = esc.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
       val base =
         if (regex) {
           val p = if (caseInsensitive) s"(?i)$esc" else esc
           s"regexp_matches($rawCol, '$p')"
         } else if (caseInsensitive) {
-          s"lower($rawCol) LIKE lower('%$esc%')"
-        } else s"$rawCol LIKE '%$esc%'"
+          s"lower($rawCol) LIKE lower('%$likeEsc%') ESCAPE '\\'"
+        } else s"$rawCol LIKE '%$likeEsc%' ESCAPE '\\'"
       if (inverse) s"NOT $base" else base
     }
   }

@@ -198,20 +198,21 @@ object LogPipeline {
       cfg: ErrorClassifier.Config = ErrorClassifier.Config())(
       implicit spark: SparkSession): Dataset[ErrorClassifier.Classified] = {
     import spark.implicits._
-    implicit val stateEnc = Encoders.kryo[BayesModel]
+    implicit val stateEnc = Encoders.kryo[ErrorClassifier.State]
     matchedStream.select("filter_id", "ts", "_raw").as[ClassifierEvent]
       .groupByKey(_.filter_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (fid: String, rows: Iterator[ClassifierEvent],
-            state: GroupState[BayesModel]) => {
-          var model = state.getOption.getOrElse(BayesModel.empty(cfg.memoryCapacity))
+            state: GroupState[ErrorClassifier.State]) => {
+          var st = state.getOption
+            .getOrElse(ErrorClassifier.State.empty(cfg.memoryCapacity))
           val out = rows.toIndexedSeq.sortBy(_.ts.getTime).map { ev =>
-            val (next, predicted) = ErrorClassifier.step(model, ev._raw, cfg)
-            model = next
+            val (next, predicted) = ErrorClassifier.step(st, ev._raw, cfg)
+            st = next
             ErrorClassifier.Classified(fid, ev.ts.getTime, ev._raw, predicted)
           }
-          state.update(model)
+          state.update(st)
           out.iterator
         })
   }

@@ -34,18 +34,31 @@ class ClassifierSpec extends SparkSpec {
   test("step: lexicon labeling drives training, classify gated on minTrained (ErrorClassifierBolt.java:96-99)") {
     val cfg = ErrorClassifier.Config(fullTrainCount = 1000, sampleEvery = 25,
       minTrained = 10, memoryCapacity = 100)
-    var m = BayesModel.empty(cfg.memoryCapacity)
+    var st = ErrorClassifier.State.empty(cfg.memoryCapacity)
     var preds = Vector.empty[String]
     val msgs = (1 to 9).flatMap(i => Seq(s"request ok $i", s"disk error $i"))
     msgs.foreach { msg =>
-      val (next, p) = ErrorClassifier.step(m, msg, cfg)
-      m = next; preds :+= p
+      val (next, p) = ErrorClassifier.step(st, msg, cfg)
+      st = next; preds :+= p
     }
     assert(preds.take(9).forall(_ == "")) // below minTrained → no prediction
     assert(preds.drop(10).forall(_.nonEmpty))
-    val (_, errPred) = ErrorClassifier.step(m, "disk error 99", cfg)
-    val (_, okPred) = ErrorClassifier.step(m, "request ok 99", cfg)
+    val (_, errPred) = ErrorClassifier.step(st, "disk error 99", cfg)
+    val (_, okPred) = ErrorClassifier.step(st, "request ok 99", cfg)
     assert(errPred == "error" && okPred == "regular")
+  }
+
+  test("sampling continues after the full-train phase (gate on seen, not trained)") {
+    val cfg = ErrorClassifier.Config(fullTrainCount = 10, sampleEvery = 5,
+      minTrained = 1, memoryCapacity = 1000)
+    var st = ErrorClassifier.State.empty(cfg.memoryCapacity)
+    (1 to 100).foreach { i =>
+      st = ErrorClassifier.step(st, s"message number $i", cfg)._1
+    }
+    // 10 full-train + every 5th of the remaining 90 seen (seen 10,15,...,95)
+    assert(st.seen == 100)
+    assert(st.model.trained == 10 + 18,
+      s"training froze: trained=${st.model.trained}")
   }
 
   test("train-on-sample + broadcast scoring: stateless full pass agrees on clear cases") {

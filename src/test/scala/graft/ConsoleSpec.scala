@@ -25,6 +25,14 @@ class ConsoleSpec extends SparkSpec {
     assert(got.forall(_.getString(0).contains("spark")))
   }
 
+  test("quoted where-regex may contain keywords like 'limit'") {
+    val cmd = Console.parse("select * from docs where 'rate limit exceeded' limit 3")
+    assert(cmd == Console.Select("docs", Some("rate limit exceeded"), Some(3),
+      tail = false))
+    // and executes without error (empty result is fine — pattern is rare)
+    Console.compile(cmd, Cat, spark).count()
+  }
+
   test("tail rewrites to last-N by id (cli/cloudpelican-lsd.go:250-259)") {
     val cmd = Console.parse("tail ev")
     assert(cmd == Console.Select("ev", None, Some(10), tail = true))

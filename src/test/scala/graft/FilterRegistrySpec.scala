@@ -18,6 +18,16 @@ class FilterRegistrySpec extends AnyFunSuite {
     assert(new FilterRegistry(Some(path)).list().isEmpty)
   }
 
+  test("persistence round-trips backslash and control characters exactly") {
+    val path = java.nio.file.Files.createTempDirectory("reg2").resolve("f.json").toString
+    val reg = new FilterRegistry(Some(path))
+    val regex = """\\n \d+ x""" // backslash-pair + regex escapes
+    reg.create("tricky", regex, "host\twith\ttabs")
+    val reloaded = new FilterRegistry(Some(path)).byName("tricky").get
+    assert(reloaded.regex == regex, s"got ${reloaded.regex}")
+    assert(reloaded.clientHost == "host\twith\ttabs")
+  }
+
   test("name validation (^[a-z0-9_]+$, cli/cloudpelican-lsd.go:393-398)") {
     val reg = new FilterRegistry(None)
     intercept[IllegalArgumentException](reg.create("Bad-Name", ".*"))

@@ -22,8 +22,8 @@ class GrepQLSpec extends SparkSpec {
     val p = parse("""cat errors | grep -v 404 | grep -i checkout | grep -e "(100|200)"""")
     val sql = p.toSql("results", "_raw")
     assert(sql ==
-      "SELECT _raw FROM results WHERE NOT _raw LIKE '%404%' " +
-      "AND lower(_raw) LIKE lower('%checkout%') " +
+      "SELECT _raw FROM results WHERE NOT _raw LIKE '%404%' ESCAPE '\\' " +
+      "AND lower(_raw) LIKE lower('%checkout%') ESCAPE '\\' " +
       "AND regexp_matches(_raw, '(100|200)')")
   }
 
