@@ -35,6 +35,12 @@ object Console {
   final case class Stats(source: String, windowSec: Long, rollupSec: Long)
       extends Command
   final case class Count(source: String) extends Command
+  /** `search <sql>` — raw SQL with `FROM <name>` resolved through the
+    * catalog (reference `cli/cloudpelican-lsd.go:322-348`: regex
+    * rewrite of the FROM target + `select *`→`select _raw`, then
+    * delegate; here the delegate is Catalyst, not BigQuery).
+    */
+  final case class Search(sql: String, sources: Seq[String]) extends Command
 
   /** Parse one console line into a Command.
     * Mirrors the keyword dispatch at `cli/cloudpelican-lsd.go:200-303`.
@@ -49,6 +55,14 @@ object Console {
     } else if (lower.startsWith("select")) parseSelect(trimmed)
     else if (lower.startsWith("stats ")) parseStats(trimmed)
     else if (lower.startsWith("count ")) Count(trimmed.split("\\s+")(1))
+    else if (lower.startsWith("search ")) {
+      val sql = trimmed.drop("search ".length).trim
+      // every FROM and JOIN target is a catalog name to resolve
+      val sources = "(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+      require(sources.nonEmpty, s"search needs a FROM clause: $sql")
+      Search(sql, sources)
+    }
     else throw new IllegalArgumentException(s"unknown command: $trimmed")
   }
 
@@ -122,5 +136,14 @@ object Console {
         windowSec = window, stepSec = rollup, nowEpochSec = now)
     case Count(src) =>
       catalog.resolve(spark, src).agg(count(lit(1)).as("cnt"))
+    case Search(sql, sources) =>
+      // register each FROM target as a temp view resolved via the
+      // catalog (`select *` projects whatever the source exposes —
+      // the reference narrows * to _raw because its tables only ever
+      // populate _raw; our sources carry their real columns)
+      sources.foreach { src =>
+        catalog.resolve(spark, src).createOrReplaceTempView(src)
+      }
+      spark.sql(sql)
   }
 }

@@ -65,4 +65,20 @@ class ConsoleSpec extends SparkSpec {
   test("unknown verb rejected") {
     intercept[IllegalArgumentException](Console.parse("drop table docs"))
   }
+
+  test("search: raw SQL with catalog-resolved FROM (cli/cloudpelican-lsd.go:322-348)") {
+    val cmd = Console.parse(
+      "search SELECT count(*) AS n FROM docs WHERE _raw LIKE '%spark%'")
+    assert(cmd.asInstanceOf[Console.Search].sources == Seq("docs"))
+    val n = Console.compile(cmd, Cat, spark).head().getLong(0)
+    // agrees with the grep path over the same source
+    val viaGrep = Console.compile(
+      Console.parse("cat docs | grep spark"), Cat, spark).count()
+    assert(n == viaGrep && n > 0)
+    // multi-source search joins two catalog names
+    val joined = Console.compile(Console.parse(
+      "search SELECT count(*) AS n FROM docs d JOIN ev e ON d.id = e.id"),
+      Cat, spark).head().getLong(0)
+    assert(joined > 0)
+  }
 }
