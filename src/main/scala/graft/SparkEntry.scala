@@ -698,7 +698,7 @@ object SparkEntry {
               |         ELSE len(list_filter(tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len(tk) END) * 5.0, 1.0)
               |  ) / 3.0 * 10000) AS BIGINT) AS quality,
               |  ${langIdSql("text")} AS lang_guess,
-              |  md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')) AS fp
+              |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
               |FROM toks""".stripMargin)),
 
     ("q_token_count_total",
@@ -727,7 +727,7 @@ object SparkEntry {
     ("q_dedup_exact",
       (s: SparkSession, dir: String) =>
         Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
-      Some("""SELECT md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')) AS fp,
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
              |       min(doc_id) AS doc_id, count(*) AS dup_cnt
              |FROM documents GROUP BY 1""".stripMargin)),
 
@@ -736,7 +736,7 @@ object SparkEntry {
         Dedup.exactKeepFirst(t(s, dir, "documents"), "doc_id", "text")
           .select("doc_id"),
       Some("""SELECT min(doc_id) AS doc_id FROM documents
-             |GROUP BY md5(regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g'))""".stripMargin)),
+             |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""".stripMargin)),
 
     ("q_dedup_jaccard", // exact token-Jaccard pairs on a bounded slice
       (s: SparkSession, dir: String) =>

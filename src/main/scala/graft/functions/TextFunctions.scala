@@ -140,14 +140,14 @@ object TextFunctions {
     * exact-dedup key (builder brief "document fingerprinting").
     */
   def fingerprint(c: Column): Column =
-    md5(regexp_replace(lower(trim(c)), "[^a-z0-9]+", " "))
+    md5(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
 
   /** 64-bit rolling-hash fingerprint as a bigint (polynomial hash of the
     * normalized text, base 31, wrapping Long arithmetic) — computed with
     * `aggregate` over characters, fully codegen'd.
     */
   def rollingHash64(c: Column): Column = {
-    val norm = regexp_replace(lower(trim(c)), "[^a-z0-9]+", " ")
+    val norm = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
     aggregate(
       split(norm, ""),
       lit(0L),

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(raw: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(raw).toDF("x").select(c).head().get(0)
+  }
+
+  test("tokens/shingles: whitespace split, n-gram windows, short-doc fallback") {
+    assert(one("a  b   c", tokens(col("x"))) == Seq("a", "b", "c"))
+    assert(one("a b c d", shingles(col("x"), 3)) == Seq("a b c", "b c d"))
+    assert(one("a b", shingles(col("x"), 3)) == Seq("a b")) // shorter than n
+    assert(one("abcd", charShingles(col("x"), 3)) == Seq("abc", "bcd"))
+    assert(one("ab", charShingles(col("x"), 3)) == Seq("ab"))
+  }
+
+  test("subword count: letter runs, digit runs, punct marks (RE2-compatible)") {
+    assert(one("hello world42, ok!", subwordCount(col("x"))) == 6)
+    // hello | world | 42 | , | ok | !
+  }
+
+  test("rolling hash: deterministic, normalization-invariant, content-sensitive") {
+    val a = one("Hello,  World!", rollingHash64(col("x"))).asInstanceOf[Long]
+    val b = one("hello world", rollingHash64(col("x"))).asInstanceOf[Long]
+    assert(a == b) // casefold + punct-strip + whitespace-collapse
+    val c = one("hello worlds", rollingHash64(col("x"))).asInstanceOf[Long]
+    assert(a != c)
+    assert(a == one("Hello,  World!", rollingHash64(col("x"))).asInstanceOf[Long])
+  }
+
+  test("fingerprint md5 matches the same normalization") {
+    assert(one("Hello,  World!", fingerprint(col("x"))) ==
+      one("hello world", fingerprint(col("x"))))
+  }
+
+  test("langId picks marker-dominant language; 'und' without markers") {
+    assert(one("the cat and the dog is here", langId(col("x"))) == "en")
+    assert(one("der hund und die katze ist nicht da", langId(col("x"))) == "de")
+    assert(one("zzz qqq xxx", langId(col("x"))) == "und")
+  }
+
+  test("quality scaled score is monotone in obvious quality signals") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs far away to the hills " * 3
+    val bad = "@#$% ^&*! ~~ ||"
+    val scores = Seq(good, bad).toDF("x")
+      .select(qualityScoreScaled(col("x"))).collect().map(_.getLong(0))
+    assert(scores(0) > scores(1))
+    assert(scores.forall(s => s >= 0 && s <= 10000))
+  }
+}
