@@ -142,22 +142,17 @@ case class MultiRegexMatch(child: Expression, patterns: Seq[String])
 
   @transient private lazy val matchers =
     patterns.map(graft.operators.FilterFanout.compileMatcher).toArray
-  @transient private lazy val needsLower = matchers.exists(
-    _.isInstanceOf[graft.operators.FilterFanout.ContainsWordCi])
+  @transient private lazy val needsLower = matchers.exists(_.needsLower)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    // lower-case ONCE per row, not once per (?i) matcher
+    // lower-case ONCE per row, not once per case-insensitive matcher
     val lower = if (needsLower) s.toLowerCase(java.util.Locale.ROOT) else null
     val hits = new Array[Int](matchers.length)
     var k = 0
     var i = 0
     while (i < matchers.length) {
-      val hit = matchers(i) match {
-        case graft.operators.FilterFanout.ContainsWordCi(w) => lower.contains(w)
-        case m => m.matches(s)
-      }
-      if (hit) { hits(k) = i; k += 1 }
+      if (matchers(i).matches(s, lower)) { hits(k) = i; k += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hits, k))

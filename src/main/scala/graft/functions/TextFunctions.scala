@@ -88,12 +88,8 @@ object TextFunctions {
     * (classic pretraining-corpus heuristics). Deterministic and
     * SQL-expressible so the DuckDB oracle can replicate it.
     */
-  def qualityScore(c: Column): Column = {
-    val lenScore = least(length(c).cast(DoubleType) / 200.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
-    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    round((lenScore + punctScore + stopScore) / 3.0, 4)
-  }
+  def qualityScore(c: Column): Column =
+    qualityScoreScaled(c).cast(DoubleType) / 10000.0
 
   /** Quality score as integer ten-thousandths via floor — the
     * oracle-safe form: floor of bit-identical doubles is identical in

@@ -124,14 +124,14 @@ object Dedup {
       .withColumn("j",
         col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("j") >= threshold)
-    val result = verified
+    // Materialize eagerly (localCheckpoint RDDs are context-cleaned
+    // when unreferenced) so the persisted signature relation can be
+    // released here instead of leaking across invocations. Note this
+    // makes the call eager — the LSH job runs now, not at first action.
+    try verified
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
-      // Materialize eagerly (localCheckpoint RDDs are context-cleaned
-      // when unreferenced) so the persisted signature relation can be
-      // released here instead of leaking across invocations.
       .localCheckpoint(true)
-    withSig.unpersist(false)
-    result
+    finally withSig.unpersist(false)
   }
 
   /** True Jaccard over distinct word shingles of two texts, computed

@@ -31,18 +31,29 @@ object FilterFanout {
     * would produce an unboundedly large codegen unit.
     */
   sealed trait Matcher extends Serializable {
-    def matches(s: String): Boolean
+    /** True when this matcher needs the pre-lowercased form — callers
+      * testing many matchers against one line lower-case it once and
+      * pass it here, instead of each CI matcher re-lowering the line.
+      */
+    def needsLower: Boolean = false
+    /** @param s        the raw line
+      * @param sLowered the lower-cased line; may be null when
+      *                 `needsLower` is false
+      */
+    def matches(s: String, sLowered: String): Boolean
+    final def matches(s: String): Boolean =
+      matches(s, if (needsLower) s.toLowerCase(java.util.Locale.ROOT) else null)
   }
   final case class ContainsWord(w: String) extends Matcher {
-    def matches(s: String): Boolean = s.contains(w)
+    def matches(s: String, sLowered: String): Boolean = s.contains(w)
   }
   final case class ContainsWordCi(wLower: String) extends Matcher {
-    def matches(s: String): Boolean =
-      s.toLowerCase(java.util.Locale.ROOT).contains(wLower)
+    override def needsLower: Boolean = true
+    def matches(s: String, sLowered: String): Boolean = sLowered.contains(wLower)
   }
   final case class RegexFind(pattern: String) extends Matcher {
     @transient private lazy val p = java.util.regex.Pattern.compile(pattern)
-    def matches(s: String): Boolean = p.matcher(s).find()
+    def matches(s: String, sLowered: String): Boolean = p.matcher(s).find()
   }
 
   /** Compile one filter regex to its cheapest [[Matcher]] — same fast

@@ -119,7 +119,9 @@ final class FilterRegistry(persistPath: Option[String] = None,
           case '"'  => out += '"'; i += 2
           case '\\' => out += '\\'; i += 2
           case 'n'  => out += '\n'; i += 2
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(ch =>
+                Character.digit(ch, 16) >= 0) =>
             out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 6
           case other => out += '\\'; out += other; i += 2

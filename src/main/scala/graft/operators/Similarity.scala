@@ -155,12 +155,13 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.nv").as("va"), col("b.nv").as("vb"))
       .dropDuplicates("id_a", "id_b")
-    val result = cand
+    // eager materialization so the persist can be released (see
+    // Dedup.minhashLsh — same lifecycle, same eagerness tradeoff)
+    try cand
       .withColumn("cos", VectorFunctions.dot(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .localCheckpoint(true) // materialize so the persist can be released
-    sigs.unpersist(false)
-    result
+      .localCheckpoint(true)
+    finally sigs.unpersist(false)
   }
 }

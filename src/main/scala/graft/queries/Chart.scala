@@ -41,8 +41,8 @@ object Chart {
       }.mkString
     }
     val axis = "-" * cols.size
-    val firstTs = java.time.Instant.ofEpochSecond(cols.head._1)
-    val lastTs = java.time.Instant.ofEpochSecond(cols.last._1)
+    val firstTs = java.time.Instant.ofEpochSecond(buckets.head)
+    val lastTs = java.time.Instant.ofEpochSecond(buckets.last)
     (rows :+ axis :+ s"$firstTs .. $lastTs  (max=$maxV, o=match, *=error)")
       .mkString("\n") + "\n"
   }

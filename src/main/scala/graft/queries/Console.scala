@@ -57,10 +57,12 @@ object Console {
     else if (lower.startsWith("count ")) Count(trimmed.split("\\s+")(1))
     else if (lower.startsWith("search ")) {
       val sql = trimmed.drop("search ".length).trim
-      // every FROM and JOIN target is a catalog name to resolve
+      // candidate FROM/JOIN targets; resolution is best-effort at
+      // compile time (CTE names, string-literal text, and derived
+      // tables simply won't resolve in the catalog and are skipped —
+      // Catalyst resolves them itself or reports the missing relation)
       val sources = "(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
-      require(sources.nonEmpty, s"search needs a FROM clause: $sql")
       Search(sql, sources)
     }
     else throw new IllegalArgumentException(s"unknown command: $trimmed")
@@ -137,13 +139,22 @@ object Console {
     case Count(src) =>
       catalog.resolve(spark, src).agg(count(lit(1)).as("cnt"))
     case Search(sql, sources) =>
-      // register each FROM target as a temp view resolved via the
-      // catalog (`select *` projects whatever the source exposes —
-      // the reference narrows * to _raw because its tables only ever
-      // populate _raw; our sources carry their real columns)
-      sources.foreach { src =>
-        catalog.resolve(spark, src).createOrReplaceTempView(src)
+      // Register catalog-resolvable FROM/JOIN targets as temp views
+      // (best-effort: names the catalog doesn't know — CTEs, literals —
+      // are skipped). Views created here are dropped again after the
+      // plan is analyzed, so the session catalog isn't left mutated;
+      // pre-existing views are left alone (and shadow the catalog).
+      val created = sources.flatMap { src =>
+        if (spark.catalog.tableExists(src)) None
+        else scala.util.Try {
+          catalog.resolve(spark, src).createOrReplaceTempView(src)
+          src
+        }.toOption
       }
-      spark.sql(sql)
+      try {
+        val df = spark.sql(sql)
+        df.schema // force analysis while the views exist
+        df
+      } finally created.foreach(spark.catalog.dropTempView)
   }
 }

@@ -193,6 +193,11 @@ object LogPipeline {
   /** Streaming classifier (reference M1): per-filter Bayes model held
     * in `GroupState`, trained/applied in arrival order within each
     * micro-batch. Emits rows predicted as "error" (metric-2 source).
+    *
+    * NOTE: the Kryo-serialized state shape is `ErrorClassifier.State`;
+    * changing that class invalidates existing streaming checkpoints
+    * (restore would deserialize old bytes into the new shape) — bump
+    * the checkpoint location when the state class changes.
     */
   def classifierStream(matchedStream: DataFrame,
       cfg: ErrorClassifier.Config = ErrorClassifier.Config())(
