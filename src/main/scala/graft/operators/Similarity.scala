@@ -99,6 +99,41 @@ object Similarity {
     */
   def queryIvf(index: IvfIndex, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = nearestCells(index.centroids, query, nprobe)
+    index.assigned
+      .filter(col("cell").isInCollection(probeCells))
+      .withColumn("cos", cosineToQuery(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .limit(k)
+  }
+
+  /** Persist an IVF index as a cell-partitioned parquet table — the
+    * 100 TB layout: a probe becomes a partition-pruned scan that never
+    * touches the other cells' files.
+    */
+  def writeIvf(index: IvfIndex, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Query a written IVF table: only the `nprobe` nearest cells'
+    * partitions are read (verified by SimilaritySpec via the scan's
+    * PartitionFilters).
+    */
+  def queryIvfTable(spark: SparkSession, path: String,
+      centroids: Array[(Int, Array[Double])], idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = nearestCells(centroids, query, nprobe)
+    spark.read.parquet(path)
+      .filter(col("cell").isInCollection(probeCells))
+      .withColumn("cos", cosineToQuery(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .limit(k)
+  }
+
+  /** The `nprobe` cell ids whose centroids are nearest the query. */
+  def nearestCells(centroids: Array[(Int, Array[Double])],
+      query: Seq[Double], nprobe: Int): Seq[Int] = {
     val qArr = query.toArray
     def cos(c: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -109,14 +144,7 @@ object Similarity {
       }
       if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
     }
-    val probeCells = index.centroids.sortBy { case (_, c) => -cos(c) }
-      .take(nprobe).map(_._1).toSeq
-    index.assigned
-      .filter(col("cell").isInCollection(probeCells))
-      .withColumn("cos", cosineToQuery(col(vecCol), query))
-      .orderBy(col("cos").desc, col(idCol))
-      .select(col(idCol), round(col("cos"), 6).as("cos"))
-      .limit(k)
+    centroids.sortBy { case (_, c) => -cos(c) }.take(nprobe).map(_._1).toSeq
   }
 
   /** All-pairs near-neighbors via random-hyperplane LSH: `nTables`

@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == 20)
   }
 
+  test("written IVF table probes read only the probed cell partitions") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") > 0)
+    val idx = Similarity.buildIvf(base, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    Similarity.writeIvf(idx, dir)
+    // physically partitioned by cell
+    val cells = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.length == idx.centroids.length)
+    val probed = Similarity.queryIvfTable(spark, dir, idx.centroids,
+      "vec_id", "embedding", query, k = 20, nprobe = 3)
+    // partition pruning reaches the scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters")(1).take(120).contains("cell"),
+      s"no partition pruning:\n$plan")
+    // and results agree with the in-memory probe of the same index
+    val fromTable = probed.as[(Long, Double)].collect().map(_._1).toSeq
+    val inMemory = Similarity.queryIvf(idx, "vec_id", "embedding", query,
+      k = 20, nprobe = 3).as[(Long, Double)].collect().map(_._1).toSeq
+    assert(fromTable == inMemory)
+  }
+
   test("LSH pairs are exact-verified: every returned pair has cos >= threshold") {
     import spark.implicits._
     val pairs = Similarity.lshPairs(emb, "vec_id", "embedding",
