@@ -423,7 +423,7 @@ object SparkEntry {
             col("bucket_start").as("bucket"), col("cnt").as("count"))
         graft.ml.Outliers.detect(stats,
           graft.ml.Outliers.Config(windowSec = 86400L * 365,
-            scoreThreshold = 0.1)).toDF()
+            scoreThreshold = 0.02)).toDF()
       },
       None),
     ("q_multimodal_meta",

@@ -114,9 +114,53 @@ object Outliers {
     }
   }
 
+  /** Random-walk model: the forecast is the last observed value;
+    * score = step residual in σ units of the historical steps
+    * (reference lists RandomWalkRegression in its ensemble).
+    */
+  final class RandomWalk extends TimeseriesAnalyzer {
+    val name = "random_walk"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val xs = history.map(_._2)
+      if (xs.size < 3) return 0.0
+      val steps = xs.sliding(2).map(w => w(1) - w(0)).toSeq
+      val sd = math.sqrt(steps.map(s => s * s).sum / steps.size)
+      val resid = value - xs.last
+      if (sd == 0) { if (resid == 0) 0.0 else 1.0 }
+      else clamp01(math.abs(resid) / sd / 4.0)
+    }
+  }
+
+  /** Time-bucket (seasonal) deviation: compare the value against
+    * history points in the SAME bucket-of-period (e.g. same
+    * time-of-day), in σ units of that sub-series — catches "normal at
+    * noon, anomalous at 3am" patterns (reference's
+    * TimeBucketSimpleRegression shape).
+    */
+  final class TimeBucketDeviation(periodSec: Long = 86400,
+      bucketSec: Long = 3600) extends TimeseriesAnalyzer {
+    val name = s"time_bucket_${periodSec}_$bucketSec"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      if (history.size < 6) return 0.0
+      // the evaluated point's bucket = one step after the last history point
+      val step = if (history.size >= 2)
+        history.last._1 - history(history.size - 2)._1 else bucketSec
+      val evalBucket = ((history.last._1 + step) % periodSec) / bucketSec
+      val same = history.filter { case (b, _) => (b % periodSec) / bucketSec == evalBucket }
+        .map(_._2)
+      if (same.size < 3) return 0.0
+      val mu = same.sum / same.size
+      val sd = math.sqrt(same.map(x => (x - mu) * (x - mu)).sum /
+        math.max(1, same.size - 1))
+      if (sd == 0) { if (value == mu) 0.0 else 1.0 }
+      else clamp01(math.abs(value - mu) / sd / 4.0)
+    }
+  }
+
   def defaultEnsemble: Seq[TimeseriesAnalyzer] = Seq(
     new NormalDeviation, new LogNormalDeviation, new MovingAverage(6),
-    new LinearRegression, new ExponentialSmoothing(0.3))
+    new LinearRegression, new ExponentialSmoothing(0.3),
+    new RandomWalk, new TimeBucketDeviation())
 
   final case class Config(
       resolutionSec: Long = 300,  // OutlierDetectionBolt.java:137
