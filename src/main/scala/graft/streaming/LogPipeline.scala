@@ -56,6 +56,31 @@ object LogPipeline {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Results sink with a LIVE registry: the filter set is re-read at
+    * every micro-batch (the reference's 1 s registry reload,
+    * `MatchBolt.java:89-97`), so `registry.create(...)` mid-stream
+    * starts matching on the next batch without restarting the query —
+    * filters are data, not plan structure.
+    */
+  def dynamicResultsQuery(parsedStream: DataFrame,
+      registry: graft.operators.FilterRegistry, path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    parsedStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val filters = registry.list()
+        if (filters.nonEmpty)
+          FilterFanout.explodeMatches(batch, "_raw", filters)
+            .select("filter_id", "ts", "_raw")
+            .withColumn("date", LogFunctions.dateSuffix(col("ts")))
+            .write.mode("append")
+            .partitionBy("filter_id", "date")
+            .parquet(path)
+      }
+      .start()
+
   /** Windowed stats aggregation (reference A1-A3 collapsed): tumbling
     * `stepSec` counts per (filter_id, metric=1). Watermark bounds state
     * (the reference has none — it merges additively forever — so we

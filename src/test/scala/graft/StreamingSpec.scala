@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpec {
     assert(left == Set("new"))
   }
 
+  test("dynamic registry: a filter created mid-stream matches from the next batch") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dynreg").toString
+    val registry = new graft.operators.FilterRegistry(None)
+    registry.create("errors", "error")
+    val input = MemoryStream[String](spark)
+    val q = LogPipeline.dynamicResultsQuery(
+      LogPipeline.parse(input.toDF(), "value"), registry,
+      s"$dir/results", s"$dir/ckpt")
+    try {
+      input.addData("2015-07-20T11:35:41.851+00:00 error one",
+        "2015-07-20T11:35:42.851+00:00 checkout two")
+      q.processAllAvailable()
+      // register a new filter BETWEEN batches — no restart
+      registry.create("checkout", "(?i)checkout")
+      input.addData("2015-07-20T11:35:43.851+00:00 error three",
+        "2015-07-20T11:35:44.851+00:00 Checkout four")
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/results")
+        .select("filter_id", "_raw").as[(String, String)].collect()
+      val byFilter = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // errors filter saw both batches; checkout only the second
+      assert(byFilter(registry.byName("errors").get.id).size == 2)
+      assert(byFilter(registry.byName("checkout").get.id) ==
+        Set("2015-07-20T11:35:44.851+00:00 Checkout four"))
+    } finally q.stop()
+  }
+
   test("combined stats: metric-1 match counts union metric-2 classifier errors") {
     implicit val s = spark
     import s.implicits._
