@@ -768,6 +768,12 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3),
+      None),
+    ("q_dedup_drop_near", // LSH pairs → deduplicated corpus (keep-first)
+      (s: SparkSession, dir: String) =>
+        Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+          .select("doc_id"),
       None)
   )
 

@@ -134,6 +134,24 @@ object Dedup {
     finally withSig.unpersist(false)
   }
 
+  /** Drop near-duplicates keep-first: remove every row that has a
+    * near-dup partner with a smaller id (from [[minhashLsh]]'s (id_a <
+    * id_b) pairs, dropping all id_b leaves exactly the smallest id of
+    * every near-dup cluster that is a clique; for chain-shaped
+    * clusters a kept row may still have a dropped partner, which is
+    * the standard greedy approximation — exact clustering needs
+    * connected components).
+    * One anti-join against the (small) pair set.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val dupIds = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
+        bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** True Jaccard over distinct word shingles of two texts, computed
     * column-side (array_intersect / array_union).
     */

@@ -45,6 +45,20 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- truth).isEmpty)
   }
 
+  test("dropNearDuplicates removes the larger id of every near-dup pair") {
+    import spark.implicits._
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    // every dropped id is the b-side of some pair; every pair lost its b
+    val dropped = docs.select("doc_id").as[Long].collect().toSet -- kept
+    assert(dropped == pairs.map(_._2).toSet)
+    assert(pairs.forall { case (_, b, _) => !kept.contains(b) })
+  }
+
   test("simhash pairs have verified hamming distance and symmetry-free ids") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
