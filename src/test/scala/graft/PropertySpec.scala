@@ -1,0 +1,104 @@
+package graft
+
+import graft.ml.BayesModel
+import graft.queries.GrepQL
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property suite for the engine's pure kernels — the
+  * invariants example-based specs can't sweep.
+  */
+object GraftProperties extends Properties("graft") {
+
+  // --- duration literals (F8) ---
+  property("parseDuration inverts unit multiplication") = Prop.forAll(
+    Gen.chooseNum(0L, 1000000L), Gen.oneOf("s" -> 1L, "m" -> 60L, "h" -> 3600L, "d" -> 86400L)) {
+    case (n, (suffix, mult)) =>
+      graft.functions.LogFunctions.parseDuration(s"$n$suffix") == n * mult
+  }
+
+  // --- bucket arithmetic (F7): bucket <= ts < bucket + step ---
+  property("bucket bounds") = Prop.forAll(
+    Gen.chooseNum(0L, 4102444800L), Gen.chooseNum(1L, 86400L)) { (ts, step) =>
+      val bucket = ts - ts % step
+      bucket % step == 0 && bucket <= ts && ts < bucket + step
+  }
+
+  // --- GrepQL: parse never crashes on grammar-valid pipelines and
+  //     preserves stage structure ---
+  private val word = for {
+    n <- Gen.chooseNum(1, 10)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+  private val grepStage = for {
+    v <- Gen.oneOf(true, false)
+    i <- Gen.oneOf(true, false)
+    e <- Gen.oneOf(true, false)
+    p <- word
+  } yield (s"grep ${if (v) "-v " else ""}${if (i) "-i " else ""}${if (e) "-e " else ""}$p",
+    GrepQL.GrepCmd(p, v, i, e))
+
+  property("grep pipeline parse preserves structure") = Prop.forAll(
+    word, Gen.listOfN(3, grepStage), Gen.chooseNum(1, 500)) { (src, stages, n) =>
+      val input = (s"cat $src" +: stages.map(_._1) :+ s"limit $n").mkString(" | ")
+      val parsed = GrepQL.parse(input)
+      parsed.source == src &&
+        parsed.greps == stages.map(_._2) &&
+        parsed.limit.contains(n)
+  }
+
+  // --- Bayes memory window: bounded state, counts consistent ---
+  private val sample = for {
+    cat <- Gen.oneOf("error", "regular")
+    toks <- Gen.listOfN(4, word)
+  } yield (cat, toks)
+
+  property("bayes memory stays bounded and counts sum to window size") =
+    Prop.forAll(Gen.listOfN(60, sample)) { samples =>
+      val cap = 25
+      val m = samples.foldLeft(BayesModel.empty(cap)) {
+        case (model, (cat, toks)) => model.learn(cat, toks)
+      }
+      m.memory.size == math.min(cap, samples.size) &&
+        m.categoryCount.values.sum == m.memory.size &&
+        m.trained == samples.size
+    }
+
+  // --- rollup/re-rollup invariant: coarser buckets preserve totals ---
+  property("re-bucketing preserves counts") = Prop.forAll(
+    Gen.listOfN(50, Gen.chooseNum(0L, 100000L)), Gen.chooseNum(1L, 50L)) {
+      (tss, k) =>
+        val fine = tss.groupBy(ts => ts - ts % 10).view.mapValues(_.size.toLong).toMap
+        val coarseFromFine = fine.groupBy { case (b, _) => b - b % (10 * k) }
+          .view.mapValues(_.values.sum).toMap
+        val coarseDirect = tss.groupBy(ts => ts - ts % (10 * k))
+          .view.mapValues(_.size.toLong).toMap
+        coarseFromFine == coarseDirect &&
+          fine.values.sum == tss.size
+  }
+
+  // --- minhash signature estimate approximates true jaccard ---
+  property("minhash estimate tracks true jaccard") = Prop.forAllNoShrink(
+    Gen.chooseNum(20, 60), Gen.chooseNum(0, 40), Gen.chooseNum(1L, Long.MaxValue)) {
+      (common, extra, seed) =>
+        // two synthetic shingle-hash sets with known overlap
+        def h(i: Long) = {
+          var z = (seed + i) * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 31)
+        }
+        val shared = (0 until common).map(i => h(i)).toArray
+        val a = shared ++ (0 until extra).map(i => h(1000 + i))
+        val b = shared ++ (0 until extra).map(i => h(2000 + i))
+        val trueJ = common.toDouble / (common + 2 * extra)
+        // signature via the same family as MinHashSignature64
+        val numHashes = 128
+        def sig(hs: Array[Long]): Array[Long] =
+          Array.tabulate(numHashes) { i =>
+            val A = 0x9E3779B97F4A7C15L * (2L * i + 1) | 1L
+            val B = 0xBF58476D1CE4E5B9L * (i + 1)
+            hs.map(x => (x * A) ^ B).min
+          }
+        val est = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / numHashes
+        math.abs(est - trueJ) < 0.2 // 128 hashes → σ ≈ 0.044; 4.5σ bound
+  }
+}
