@@ -121,6 +121,24 @@ object SparkEntry {
              |WHERE floor(epoch(ts)) >= n - 172800
              |GROUP BY 1, 2""".stripMargin)),
 
+    ("q_sliding_window", // §2.9: sliding windows (beyond the reference's tumbling-only)
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_timestamp(col("window.start")).as("win_start"),
+            col("event_type"), col("cnt")),
+      // each event falls into w/s = 2 sliding windows
+      Some("""WITH slid AS (
+             |  SELECT event_type,
+             |         CAST(floor(epoch(ts)/3600)*3600 - i.i*3600 AS BIGINT) AS win_start,
+             |         epoch(ts) AS es
+             |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i)
+             |SELECT win_start, event_type, count(*) AS cnt
+             |FROM slid
+             |WHERE es >= win_start AND es < win_start + 7200
+             |GROUP BY 1, 2""".stripMargin)),
+
     // --- error lexicon series (M1 deterministic half, §2.11 #7) ---
     ("q_error_series",
       (s: SparkSession, dir: String) => {
