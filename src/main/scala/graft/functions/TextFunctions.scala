@@ -75,14 +75,6 @@ object TextFunctions {
       .otherwise(size(stops).cast(DoubleType) / size(toks))
   }
 
-  /** Mean token length (0 for empty docs). */
-  def meanTokenLength(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(toks))
-  }
-
   /** Composite document quality score in [0,1]:
     * penalizes very short docs, high punctuation, and zero stopwords
     * (classic pretraining-corpus heuristics). Deterministic and

@@ -35,15 +35,4 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(ad, bd) / denom)
   }
 
-  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor). */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Element-wise sum of two vectors (for centroid accumulation). */
-  def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
-
-  /** Scale a vector by a scalar column. */
-  def scale(a: Column, k: Column): Column = transform(a, x => x * k)
 }

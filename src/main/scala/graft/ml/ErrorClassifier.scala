@@ -137,14 +137,4 @@ object ErrorClassifier {
       }
   }
 
-  /** Metric-2 (error) counter series from classifications —
-    * what the reference pushes as `error_stats`
-    * (`ErrorClassifierBolt.java:98-101`).
-    */
-  def errorCounts(classified: Dataset[Classified]): DataFrame =
-    classified.toDF()
-      .filter(col("predicted") === ErrorCategory)
-      .groupBy("filter_id")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("metric", lit(2))
 }

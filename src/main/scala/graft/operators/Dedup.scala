@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.LongType
   *  - near-dup NEVER does the O(n²) self-join: MinHash banding shuffles
   *    on (band, signature-slice) so only probable-duplicate pairs meet,
   *    and candidate verification runs on that reduced set.
-  *  - all hashing is xxhash64 / md5 (deterministic, seedable via
-  *    literal mixing) — plans replay identically, no RNG state.
+  *  - all hashing is deterministic (murmur-mix / splitmix64 / md5) —
+  *    plans replay identically, no RNG state.
   */
 object Dedup {
 
@@ -64,8 +64,8 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), shuffle once on (band, banded slice),
-    * emit intra-bucket pairs, then verify with true shingle-Jaccard and
-    * keep pairs ≥ `threshold`.
+    * emit intra-bucket pairs, then verify with exact Jaccard over the
+    * shingle-hash sets and keep pairs ≥ `threshold`.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
@@ -150,17 +150,6 @@ object Dedup {
         bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
-  }
-
-  /** True Jaccard over distinct word shingles of two texts, computed
-    * column-side (array_intersect / array_union).
-    */
-  def jaccardShingles(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(TextFunctions.shingles(a, n))
-    val sb = array_distinct(TextFunctions.shingles(b, n))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
-    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
   /** All-pairs n-gram token Jaccard via token-inverted-index join —

@@ -99,7 +99,7 @@ object Console {
     var window = 86400L
     var rollup = 60L
     var i = 2
-    while (i + 1 < toks.length + 1 && i < toks.length) {
+    while (i < toks.length) {
       toks(i).toLowerCase(java.util.Locale.ROOT) match {
         case "window" if i + 1 < toks.length =>
           window = LogFunctions.parseDuration(toks(i + 1)); i += 2
