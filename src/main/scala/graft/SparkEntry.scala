@@ -300,8 +300,8 @@ object SparkEntry {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id, event_id,
-             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
              |  FROM m)
              |SELECT user_id, session_seq, count(*) AS n_events,
              |       min(event_id) AS first_id, max(event_id) AS last_id
@@ -453,9 +453,17 @@ object SparkEntry {
              |       n_chars * 10 AS duration_ms
              |FROM documents""".stripMargin)),
     ("q_multimodal_features",
+      // Scalar projection of the per-row feature vector (the driver's
+      // result dump sorts every column, so no raw array<float> output).
       (s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.extractFeatures(
-          graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents"))),
+          graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents")))
+          .select(col("media_id"), size(col("features")).as("n_dims"),
+            round(aggregate(col("features"), lit(0.0d),
+              (acc, x) => acc + x.cast("double")), 4).as("feat_sum"),
+            round(sqrt(aggregate(col("features"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+              .as("feat_norm")),
       None)
   )
 
@@ -558,7 +566,7 @@ object SparkEntry {
       },
       Some("""SELECT o_custkey, o_orderkey,
              |       count(1) OVER w AS run_cnt,
-             |       sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS run_cents
+             |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),

@@ -202,7 +202,8 @@ object Outliers {
           val avg = scores.map(_._2).sum / scores.size
           if (avg < cfg.scoreThreshold) Iterator.empty
           else {
-            val details = scores.map { case (n, sc) => s""""$n":${"%.4f".format(sc)}""" }
+            val details = scores.map { case (n, sc) =>
+              s""""$n":${"%.4f".formatLocal(java.util.Locale.ROOT, sc)}""" }
               .mkString("{", ",", "}")
             Iterator.single(Outlier(fid, evalBucket, avg, details))
           }

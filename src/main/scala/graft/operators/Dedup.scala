@@ -192,16 +192,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, blocked by
-    * 16-bit signature chunks (a pair within k bits must share at least
-    * one of k+1 chunks — pigeonhole), so no full cross join.
+    * signature chunks: the 64-bit signature is split into
+    * `maxHamming + 1` chunks, so a pair within `maxHamming` bits must
+    * share at least one chunk unchanged (pigeonhole) — full recall, no
+    * cross join. Chunk widths are 64/(k+1) rounded, so larger
+    * `maxHamming` trades more candidate collisions for recall.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sigs = simhash(df, idCol, textCol)
     val chunks = sigs.select(col(idCol).as("id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until nChunks).map { c =>
+        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+          shiftright(col("simhash"), offsets(c)).bitwiseAND(mask).as("v"))
+      }: _*))
         .as("ck"))
     val cand = chunks.as("a").join(chunks.as("b"),
         col("a.ck.chunk") === col("b.ck.chunk") &&

@@ -99,7 +99,7 @@ final class FilterRegistry(persistPath: Option[String] = None,
       """\{"id":"(.*?)","name":"(.*?)","regex":"(.*?)","client_host":"(.*?)"\}""".r
     Files.readAllLines(path).forEach {
       case Line(id, name, regex, host) =>
-        filters.put(id, FilterDef(unesc(id), unesc(name), unesc(regex),
+        filters.put(unesc(id), FilterDef(unesc(id), unesc(name), unesc(regex),
           unesc(host), temp = unesc(name).startsWith(TempPrefix)))
       case _ => ()
     }

@@ -53,7 +53,8 @@ object Similarity {
       .orderBy("_h").limit(nCells)
       .select(col(idCol), col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](1).map(_.toDouble).toArray
+        // element type may be float or double — match assign/VecDot
+        i -> r.getSeq[Number](1).map(_.doubleValue).toArray
       }
     val refined = lloydStep(df, vecCol, seeds)
     val assigned = assign(df, vecCol, refined)

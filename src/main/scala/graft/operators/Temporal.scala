@@ -39,8 +39,12 @@ object Temporal {
       }
     val unioned = l.select((leftCols ++ rightCols.values :+ marked).map(col): _*)
       .unionByName(r.select((leftCols ++ rightCols.values :+ marked).map(col): _*))
+    // Tiebreak by the carried right columns so that when several right
+    // rows share (keys, ts), `last()` deterministically attaches the
+    // max-ordered one — and the SAME one for every filled column.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col(marked))
+      .orderBy(col(tsCol) +: col(marked) +:
+        rightCols.values.toSeq.sorted.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightCols.values.foldLeft(unioned) { case (df, out) =>
       df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
