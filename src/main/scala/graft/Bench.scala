@@ -21,7 +21,12 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Release storage the query left behind (localCheckpoint blocks
+      // from the LSH operators): queries are independent, and leaked
+      // blocks turn into GC pressure charged to whatever runs next.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sec
     }
 
     // Warmup: exercise parquet reader, codegen, shuffle machinery once.

@@ -161,36 +161,43 @@ object Similarity {
       nTables: Int = 4, planesPerTable: Int = 6,
       threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.GraftExprBridge
-    // All table signatures in one compiled expression (HyperplaneSigs);
-    // posexplode fans out to (table, sig) rows for the bucket join.
+    // All table signatures in one compiled expression (HyperplaneSigs).
     val sigsPerTable = GraftExprBridge.column(
       graft.functions.HyperplaneSigs(
         GraftExprBridge.expression(col(vecCol)), nTables, planesPerTable))
-    // Normalize once per vector so pair verification is a bare dot
-    // product (no per-pair norms/sqrt).
-    val nrm = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
-    // Persist: the signature+normalization scan feeds both self-join
-    // sides (same recompute hazard minhashLsh documents).
-    val sigs = df
-      .withColumn("nv", when(nrm === 0.0,
-          transform(col(vecCol), x => lit(0.0)))
-        .otherwise(transform(col(vecCol), x => x.cast("double") / nrm)))
-      .select(col(idCol).as("id"), col("nv"), posexplode(sigsPerTable))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+    // One persisted scan feeds the banding branch and both verification
+    // sides (same recompute hazard minhashLsh documents). The vector is
+    // stored ONCE per id (not per table row), with its norm precomputed
+    // so pair verification is dot(va, vb) / (na * nb) — no normalized
+    // copy of the vector, no per-pair sqrt.
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
+        sigsPerTable.as("sigs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = sigs.as("a").join(sigs.as("b"),
+    // Banding self-join carries only (id, table, sig) — at 100 TB this
+    // shuffle is ~dim× smaller than joining the vectors directly.
+    val banded = base.select(col("id"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.nv").as("va"), col("b.nv").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val verified = cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("cos", when(col("na") * col("nb") === 0.0, lit(0.0))
+        .otherwise(VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
     // eager materialization so the persist can be released (see
     // Dedup.minhashLsh — same lifecycle, same eagerness tradeoff)
-    try cand
-      .withColumn("cos", VectorFunctions.dot(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
+    try verified
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .localCheckpoint(true)
-    finally sigs.unpersist(false)
+    finally base.unpersist(false)
   }
 }
