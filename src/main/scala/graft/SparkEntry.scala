@@ -727,6 +727,18 @@ object SparkEntry {
               |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
               |FROM toks""".stripMargin)),
 
+    ("q_lang_trigram", // char-trigram language ID (Cavnar–Trenkle shape)
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.langIdTrigram(col("text")).as("lang_tri"),
+            greatest(TextFunctions.LangTrigrams.map { case (_, gs) =>
+              TextFunctions.trigramScore(col("text"), gs) }: _*)
+              .cast("bigint").as("top_score")),
+      Some(s"""SELECT doc_id, ${langIdTrigramSql("text")} AS lang_tri,
+              |       CAST(${trigramGreatestSql("text")} AS BIGINT) AS top_score
+              |FROM documents""".stripMargin)),
+
     ("q_token_count_total",
       (s: SparkSession, dir: String) =>
         t(s, dir, "documents")
@@ -743,6 +755,28 @@ object SparkEntry {
       s"len(list_filter(list_filter(string_split_regex(lower($c), '\\s+'), x -> len(x) > 0), x -> list_contains(${ms.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
     val scores = TextFunctions.LangMarkers.map { case (l, ms) => (l, score(ms)) }
     val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+    scores.map { case (l, sc) =>
+      s"WHEN $sc = $maxExpr AND $maxExpr > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** DuckDB mirror of [[TextFunctions.trigramScore]]: occurrences by
+    * length delta under literal replace, over the same normalization.
+    */
+  private def trigramScoreSql(c: String, grams: Seq[String]): String = {
+    val s = s"(' ' || trim(regexp_replace(lower($c), '[^a-z]+', ' ', 'g')) || ' ')"
+    grams.map(g => s"(len($s) - len(replace($s, '$g', ''))) / 3.0")
+      .mkString(" + ")
+  }
+
+  private def trigramGreatestSql(c: String): String =
+    s"greatest(${TextFunctions.LangTrigrams.map { case (_, gs) => s"(${trigramScoreSql(c, gs)})" }.mkString(", ")})"
+
+  /** DuckDB CASE chain mirroring [[TextFunctions.langIdTrigram]]. */
+  private def langIdTrigramSql(c: String): String = {
+    val scores = TextFunctions.LangTrigrams.map { case (l, gs) =>
+      (l, s"(${trigramScoreSql(c, gs)})") }
+    val maxExpr = trigramGreatestSql(c)
     scores.map { case (l, sc) =>
       s"WHEN $sc = $maxExpr AND $maxExpr > 0 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")

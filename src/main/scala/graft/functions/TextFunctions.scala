@@ -123,6 +123,51 @@ object TextFunctions {
     chain
   }
 
+  /** Per-language character-trigram profiles (Cavnar–Trenkle-style
+    * n-gram language ID, ASCII-only so `[^a-z]` normalization agrees
+    * across engines). Space-padded grams capture word boundaries.
+    */
+  val LangTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " of", "of ", "ed ",
+      " to", "ion"),
+    "de" -> Seq("der", "ein", "ich", "sch", "die", "und", "ung", "cht",
+      "gen", "ver"),
+    "es" -> Seq(" el", "el ", "los", " la", "la ", "ado", "nte", "ien",
+      "con", "est"),
+    "fr" -> Seq(" le", "le ", "les", "eur", "ait", "oir", "une", "aux",
+      "ais", "ont"))
+
+  /** Trigram-normalized text: lowercase, non-letters collapsed to one
+    * space, padded with spaces so boundary grams match at the edges.
+    */
+  def trigramNorm(c: Column): Column =
+    concat(lit(" "), trim(regexp_replace(lower(c), "[^a-z]+", " ")), lit(" "))
+
+  /** Total occurrences of a profile's trigrams in the normalized text.
+    * Occurrences counted by length delta under literal replace —
+    * non-overlapping leftmost semantics in every engine, so the DuckDB
+    * oracle computes the identical number.
+    */
+  def trigramScore(c: Column, grams: Seq[String]): Column = {
+    val s = trigramNorm(c)
+    grams.map(g =>
+        (length(s) - length(replace(s, lit(g), lit("")))).cast(DoubleType) / 3.0)
+      .reduce(_ + _)
+  }
+
+  /** Character-trigram language ID: argmax of profile scores with the
+    * fixed [[LangTrigrams]] priority order on ties; "und" when no
+    * profile trigram occurs. Same CASE-chain shape as [[langId]] (the
+    * marker-word variant) so it mirrors into ANSI SQL.
+    */
+  def langIdTrigram(c: Column): Column = {
+    val scores = LangTrigrams.map { case (lang, gs) => lang -> trigramScore(c, gs) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
   /** Content fingerprint: md5 of casefolded, whitespace-collapsed,
     * punctuation-stripped text. Stable under formatting noise; the
     * exact-dedup key (builder brief "document fingerprinting").

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
 object Outliers {
 
   /** One analyzer: given the historical series (bucket asc) and the
-    * evaluation point, return an anomaly score in [0, 1].
+    * evaluation point, return an anomaly score in [0, 1], or
+    * `Double.NaN` to abstain (abstaining analyzers are excluded from
+    * the ensemble average instead of diluting it).
     */
   trait TimeseriesAnalyzer extends Serializable {
     def name: String
@@ -157,10 +159,169 @@ object Outliers {
     }
   }
 
+  /** Always abstains — the ensemble's control analyzer (reference lists
+    * a Noop analyzer first in `OutlierDetectionBolt.java:62`).
+    */
+  final class Noop extends TimeseriesAnalyzer {
+    val name = "noop"
+    def score(history: Seq[(Long, Double)], value: Double): Double = Double.NaN
+  }
+
+  /** Least-squares polynomial fit (degree 2) over history; score =
+    * one-step-ahead prediction residual in σ units of the fit
+    * residuals (reference's PolynomialRegression shape).
+    */
+  final class PolynomialRegression(degree: Int = 2) extends TimeseriesAnalyzer {
+    val name = s"poly_regression_$degree"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val n = history.size
+      if (n < degree + 2) return Double.NaN
+      val t0 = history.head._1.toDouble
+      val span = math.max(1.0, (history.last._1 - history.head._1).toDouble)
+      // normalize t to [0,1] so the normal equations stay conditioned
+      val xs = history.map(h => (h._1 - t0) / span)
+      val ys = history.map(_._2)
+      val coefs = Outliers.polyFit(xs, ys, degree).getOrElse(return Double.NaN)
+      def predict(x: Double): Double =
+        coefs.zipWithIndex.map { case (c, p) => c * math.pow(x, p) }.sum
+      val resids = xs.zip(ys).map { case (x, y) => y - predict(x) }
+      val sd = math.sqrt(resids.map(r => r * r).sum / n)
+      val step = span / math.max(1, n - 1)
+      val predicted = predict(1.0 + step / span)
+      if (sd == 0) { if (value == predicted) 0.0 else 1.0 }
+      else clamp01(math.abs(value - predicted) / sd / 4.0)
+    }
+  }
+
+  /** Interval band: the historical [min, max] range widened by a
+    * margin; in-band values score 0, outside scores grow with the
+    * excursion relative to the band width (reference's
+    * IntervalInterceptor shape).
+    */
+  final class IntervalBand(margin: Double = 0.1) extends TimeseriesAnalyzer {
+    val name = "interval"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      if (history.size < 5) return Double.NaN
+      val xs = history.map(_._2)
+      val lo = xs.min; val hi = xs.max
+      val width = math.max(hi - lo, 1e-9)
+      val bandLo = lo - margin * width
+      val bandHi = hi + margin * width
+      if (value >= bandLo && value <= bandHi) 0.0
+      else {
+        val excess = if (value > bandHi) value - bandHi else bandLo - value
+        clamp01(excess / width)
+      }
+    }
+  }
+
+  /** One-class novelty detection: distance from the value to its
+    * nearest historical observation, normalized by the history's
+    * dispersion — a 1-D stand-in for the reference's OneClassSVM
+    * (support of the training set = the observed values; novelty =
+    * distance from that support).
+    */
+  final class OneClassNovelty extends TimeseriesAnalyzer {
+    val name = "one_class"
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      if (history.size < 5) return Double.NaN
+      val xs = history.map(_._2)
+      val mu = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum /
+        math.max(1, xs.size - 1))
+      val dNearest = xs.map(x => math.abs(value - x)).min
+      if (sd == 0) { if (dNearest == 0) 0.0 else 1.0 }
+      else clamp01(dNearest / sd / 2.0)
+    }
+  }
+
+  /** Multiple linear regression on [t, sin(2πt/day), cos(2πt/day)] —
+    * trend plus daily seasonality; score = prediction residual in σ
+    * units (reference's MultipleLinearRegression shape).
+    */
+  final class MultipleRegression(periodSec: Double = 86400.0)
+      extends TimeseriesAnalyzer {
+    val name = "multiple_regression"
+    private def features(t: Double, t0: Double, span: Double): Array[Double] =
+      Array(1.0, (t - t0) / span,
+        math.sin(2 * math.Pi * t / periodSec),
+        math.cos(2 * math.Pi * t / periodSec))
+    def score(history: Seq[(Long, Double)], value: Double): Double = {
+      val n = history.size
+      if (n < 8) return Double.NaN
+      val t0 = history.head._1.toDouble
+      val span = math.max(1.0, (history.last._1 - history.head._1).toDouble)
+      val rows = history.map(h => features(h._1.toDouble, t0, span))
+      val ys = history.map(_._2)
+      val beta = Outliers.leastSquares(rows, ys).getOrElse(return Double.NaN)
+      def predict(f: Array[Double]): Double =
+        f.zip(beta).map { case (a, b) => a * b }.sum
+      val resids = rows.zip(ys).map { case (f, y) => y - predict(f) }
+      val sd = math.sqrt(resids.map(r => r * r).sum / n)
+      val step = span / math.max(1, n - 1)
+      val predicted = predict(features(history.last._1 + step, t0, span))
+      if (sd == 0) { if (value == predicted) 0.0 else 1.0 }
+      else clamp01(math.abs(value - predicted) / sd / 4.0)
+    }
+  }
+
+  /** Polynomial least squares via the normal equations; None when the
+    * system is singular. Coefficients ascending by power.
+    */
+  private[graft] def polyFit(xs: Seq[Double], ys: Seq[Double],
+      degree: Int): Option[Array[Double]] =
+    leastSquares(xs.map(x => Array.tabulate(degree + 1)(p => math.pow(x, p))), ys)
+
+  /** Solve min ‖Xβ − y‖² via XᵀX β = Xᵀy with Gaussian elimination
+    * (partial pivoting). None when singular. Feature counts here are
+    * tiny (≤ 4), history ≤ 288 points — driver-free, per-group cost.
+    */
+  private[graft] def leastSquares(rows: Seq[Array[Double]],
+      ys: Seq[Double]): Option[Array[Double]] = {
+    val k = rows.head.length
+    val a = Array.ofDim[Double](k, k + 1)
+    rows.zip(ys).foreach { case (f, y) =>
+      var i = 0
+      while (i < k) {
+        var j = 0
+        while (j < k) { a(i)(j) += f(i) * f(j); j += 1 }
+        a(i)(k) += f(i) * y
+        i += 1
+      }
+    }
+    var col = 0
+    while (col < k) {
+      var p = col
+      var r = col + 1
+      while (r < k) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
+      if (math.abs(a(p)(col)) < 1e-12) return None
+      val tmp = a(col); a(col) = a(p); a(p) = tmp
+      r = 0
+      while (r < k) {
+        if (r != col) {
+          val f = a(r)(col) / a(col)(col)
+          var j = col
+          while (j <= k) { a(r)(j) -= f * a(col)(j); j += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Some(Array.tabulate(k)(i => a(i)(k) / a(i)(i)))
+  }
+
+  /** The reference's full 12-analyzer ensemble surface
+    * (`OutlierDetectionBolt.java:62-73`), re-derived: Noop,
+    * normal/log-normal deviation, simple/polynomial/multiple
+    * regression, moving average, interval band, random walk, one-class
+    * novelty, time-bucket seasonality, exponential smoothing.
+    */
   def defaultEnsemble: Seq[TimeseriesAnalyzer] = Seq(
-    new NormalDeviation, new LogNormalDeviation, new MovingAverage(6),
-    new LinearRegression, new ExponentialSmoothing(0.3),
-    new RandomWalk, new TimeBucketDeviation())
+    new Noop, new NormalDeviation, new LogNormalDeviation,
+    new MovingAverage(6), new LinearRegression,
+    new PolynomialRegression(2), new IntervalBand(0.1),
+    new RandomWalk, new OneClassNovelty, new TimeBucketDeviation(),
+    new MultipleRegression(), new ExponentialSmoothing(0.3))
 
   final case class Config(
       resolutionSec: Long = 300,  // OutlierDetectionBolt.java:137
@@ -199,11 +360,16 @@ object Outliers {
           val (evalBucket, evalValue) = trimmed.last
           val history = trimmed.init
           val scores = analyzers.map(a => a.name -> a.score(history, evalValue))
-          val avg = scores.map(_._2).sum / scores.size
+          val voting = scores.filterNot(_._2.isNaN)
+          val avg = if (voting.isEmpty) 0.0
+            else voting.map(_._2).sum / voting.size
           if (avg < cfg.scoreThreshold) Iterator.empty
           else {
+            // abstaining analyzers render as null, not a fake 0 score
             val details = scores.map { case (n, sc) =>
-              s""""$n":${"%.4f".formatLocal(java.util.Locale.ROOT, sc)}""" }
+              val v = if (sc.isNaN) "null"
+                else "%.4f".formatLocal(java.util.Locale.ROOT, sc)
+              s""""$n":$v""" }
               .mkString("{", ",", "}")
             Iterator.single(Outlier(fid, evalBucket, avg, details))
           }

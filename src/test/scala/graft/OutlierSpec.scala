@@ -36,11 +36,33 @@ class OutlierSpec extends SparkSpec {
 
   test("individual analyzers score spikes higher than normal points") {
     val hist = (0 until 30).map(i => (1700000000L + i * 300L, 10.0 + (i % 3)))
+    var voting = 0
     Outliers.defaultEnsemble.foreach { a =>
       val spikeScore = a.score(hist, 80.0)
       val normalScore = a.score(hist, 11.0)
-      assert(spikeScore > normalScore,
-        s"${a.name}: spike $spikeScore !> normal $normalScore")
+      if (!spikeScore.isNaN || !normalScore.isNaN) {
+        voting += 1
+        assert(spikeScore > normalScore,
+          s"${a.name}: spike $spikeScore !> normal $normalScore")
+      }
     }
+    // everything except the always-abstaining Noop must vote here
+    assert(voting == Outliers.defaultEnsemble.size - 1)
+  }
+
+  test("polyFit recovers an exact quadratic, leastSquares an exact plane") {
+    val xs = (0 until 10).map(_.toDouble)
+    val ys = xs.map(x => 2.0 + 3.0 * x - 0.5 * x * x)
+    val c = Outliers.polyFit(xs, ys, 2).get
+    assert(math.abs(c(0) - 2.0) < 1e-8)
+    assert(math.abs(c(1) - 3.0) < 1e-8)
+    assert(math.abs(c(2) + 0.5) < 1e-8)
+    val rows = (0 until 12).map(i => Array(1.0, i.toDouble, (i % 4).toDouble))
+    val beta0 = Array(5.0, -1.5, 2.0)
+    val ys2 = rows.map(f => f.zip(beta0).map { case (a, b) => a * b }.sum)
+    val beta = Outliers.leastSquares(rows, ys2).get
+    beta0.zip(beta).foreach { case (e, g) => assert(math.abs(e - g) < 1e-8) }
+    // singular system abstains rather than exploding
+    assert(Outliers.leastSquares(Seq(Array(1.0, 2.0), Array(2.0, 4.0)), Seq(1.0, 2.0)).isEmpty)
   }
 }

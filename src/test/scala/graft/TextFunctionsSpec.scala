@@ -43,6 +43,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("zzz qqq xxx", langId(col("x"))) == "und")
   }
 
+  test("langIdTrigram classifies sentences in each profiled language; 'und' otherwise") {
+    assert(one("the weather of the morning is making things good", langIdTrigram(col("x"))) == "en")
+    assert(one("ich verstehe nicht warum der versuch schon wieder gescheitert ist", langIdTrigram(col("x"))) == "de")
+    assert(one("el gobierno ha presentado los resultados del estudio con la comision", langIdTrigram(col("x"))) == "es")
+    assert(one("le directeur avait fait une erreur dans les travaux", langIdTrigram(col("x"))) == "fr")
+    assert(one("zzz qqq xxx", langIdTrigram(col("x"))) == "und")
+    assert(one("", langIdTrigram(col("x"))) == "und")
+  }
+
+  test("trigramScore counts non-overlapping occurrences exactly") {
+    import spark.implicits._
+    // " th", "the", "he " each occur once in " the "; profile sums add up
+    val got = Seq("the").toDF("x")
+      .select(trigramScore(col("x"), Seq(" th", "the", "he ")).as("s"))
+      .head().getDouble(0)
+    assert(got == 3.0)
+    // repeated grams count every occurrence: " ab ab ab " has three "ab "
+    val rep = Seq("ab ab ab").toDF("x")
+      .select(trigramScore(col("x"), Seq("ab ")).as("s")).head().getDouble(0)
+    assert(rep == 3.0)
+  }
+
   test("quality scaled score is monotone in obvious quality signals") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and runs far away to the hills " * 3
