@@ -452,6 +452,31 @@ object SparkEntry {
              |       (len(text) % 1024) * (n_chars % 768) AS pixels,
              |       n_chars * 10 AS duration_ms
              |FROM documents""".stripMargin)),
+    ("q_multimodal_resize", // binary→binary resize; oracle reconstructs
+      // the stub codec's cyclic re-bucket (ASCII fixture ⇒ byte≡char)
+      (s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.resizeMedia(
+          graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents")),
+          64, 48)
+          .select(col("media_id"), length(col("media")).as("out_len"),
+            md5(col("media")).as("out_md5")),
+      Some("""SELECT doc_id AS media_id, CAST(48 AS INT) AS out_len,
+             |  md5(substr(repeat(text, CAST(ceil(48.0/greatest(len(text),1)) AS INT)), 1, 48)) AS out_md5
+             |FROM documents""".stripMargin)),
+    ("q_multimodal_frames", // frame sampling = generator fan-out
+      (s: SparkSession, dir: String) =>
+        graft.multimodal.Multimodal.sampleFrameRows(
+          graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents")), 4)
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame")).as("frame_len")),
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id, len(text) AS n,
+             |         greatest(1, len(text) // 4) AS step
+             |  FROM documents)
+             |SELECT media_id, CAST(i.i AS INT) AS frame_idx,
+             |       CAST(least(n, i.i*step + step) - i.i*step AS INT) AS frame_len
+             |FROM f, (SELECT unnest(generate_series(0, 3)) AS i) i
+             |WHERE i.i < least(4, n)""".stripMargin)),
     ("q_multimodal_features",
       // Scalar projection of the per-row feature vector (the driver's
       // result dump sorts every column, so no raw array<float> output).
@@ -535,6 +560,27 @@ object SparkEntry {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin)),
+
+    ("q_bloom_join", // bloom-filter join pruning: big side filtered by a
+      // bloom of the small side's keys before the shuffle; exact join
+      // removes false positives so results equal a plain join.
+      (s: SparkSession, dir: String) => {
+        val smallOrders = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"))
+        graft.operators.Scale.bloomPrunedJoin(
+          t(s, dir, "lineitem"), "l_orderkey", smallOrders, "o_orderkey",
+          expectedKeys = 1L << 16, fpp = 0.01)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 100).cast("bigint"))
+              .cast("bigint").as("cents"))
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_items,
+             |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 400000
+             |GROUP BY 1""".stripMargin)),
 
     ("q_window_rank", // top-3 orders per customer (§2.5)
       (s: SparkSession, dir: String) => {
@@ -834,6 +880,12 @@ object SparkEntry {
         Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
           .select("doc_id"),
+      None),
+    ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first)
+      (s: SparkSession, dir: String) =>
+        Dedup.dropEmbeddingNearDuplicates(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.98)
+          .select("vec_id"),
       None)
   )
 
@@ -871,7 +923,7 @@ object SparkEntry {
         val q = emb.filter(col("vec_id") === 0)
           .head().getSeq[Float](1).map(_.toDouble)
         val idx = Similarity.buildIvf(emb.filter(col("vec_id") > 0),
-          "vec_id", "embedding", nCells = 8)
+          "vec_id", "embedding", nCells = 8, iterations = 2)
         Similarity.queryIvf(idx, "vec_id", "embedding", q, k = 20, nprobe = 3)
       },
       None),

@@ -118,4 +118,38 @@ object Multimodal {
       col("meta.format").as("format"),
       (col("meta.width") * col("meta.height")).as("pixels"),
       col("meta.duration_ms"))
+
+  /** Resize transform: partition-local binary→binary projection (no
+    * shuffle); metadata is rewritten to the target dimensions. Swap
+    * [[StubCodec.resize]] for a real scaler without touching the
+    * plumbing.
+    */
+  def resizeMedia(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media").rdd.map { r =>
+      val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+      Row(r.getLong(0), StubCodec.resize(bytes, w, h),
+        Row("fake/raw", w, h, 0L))
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** Frame sampling: one output row per sampled frame — the generator
+    * (UDTF) shape of media decode. Partition-local fan-out; at scale
+    * the row count multiplies by ≤ `n` with no shuffle.
+    */
+  def sampleFrameRows(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val rdd = media.select("media_id", "media").rdd.flatMap { r =>
+      val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+      StubCodec.sampleFrames(bytes, n).zipWithIndex.map { case (f, i) =>
+        Row(r.getLong(0), i, f)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

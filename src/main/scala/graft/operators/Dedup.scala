@@ -152,6 +152,26 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the brief's fifth dedup
+    * modality): hyperplane-LSH blocked candidates, exact-cosine
+    * verified — delegates to [[Similarity.lshPairs]] with a
+    * high-similarity default. Output: (id_a, id_b, cos), id_a < id_b.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nTables: Int = 6,
+      planesPerTable: Int = 8): DataFrame =
+    Similarity.lshPairs(df, idCol, vecCol, nTables, planesPerTable, threshold)
+
+  /** Drop embedding-cosine near-duplicates keep-first (same greedy
+    * id_b-removal semantics as [[dropNearDuplicates]]).
+    */
+  def dropEmbeddingNearDuplicates(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95): DataFrame = {
+    val dupIds = embeddingNearDups(df, idCol, vecCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** All-pairs n-gram token Jaccard via token-inverted-index join —
     * the exact (non-approximate) near-dup reference path. Quadratic in
     * the worst case, so callers bound the input (the LSH variant is the

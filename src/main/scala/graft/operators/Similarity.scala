@@ -37,15 +37,15 @@ object Similarity {
   final case class IvfIndex(centroids: Array[(Int, Array[Double])],
       assigned: DataFrame)
 
-  /** Build an IVF index with `nCells` centroids obtained by one
-    * k-means-style refinement over a deterministic hash-based seeding
-    * (no RNG — replayable). Assignment = one scan; a second scan
-    * refines centroids once (Lloyd iteration), which is enough for
-    * coarse quantization.
+  /** Build an IVF index with `nCells` centroids obtained by
+    * `iterations` k-means (Lloyd) refinements over a deterministic
+    * hash-based seeding (no RNG — replayable). Each iteration is one
+    * scan (assign + per-cell average); coarse quantization converges
+    * in a handful.
     */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): IvfIndex = {
-    val spark = df.sparkSession
+      nCells: Int, iterations: Int = 1): IvfIndex = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     // Deterministic seed vectors: the nCells rows with smallest
     // xxhash64(id) — spread uniformly, reproducible.
     val seeds = df
@@ -56,13 +56,17 @@ object Similarity {
         // element type may be float or double — match assign/VecDot
         i -> r.getSeq[Number](1).map(_.doubleValue).toArray
       }
-    val refined = lloydStep(df, vecCol, seeds)
+    val refined = (0 until math.max(1, iterations))
+      .foldLeft(seeds)((cents, _) => lloydStep(df, vecCol, cents))
     val assigned = assign(df, vecCol, refined)
       .select(col(idCol), col(vecCol), col("cell"))
     IvfIndex(refined, assigned)
   }
 
-  /** One Lloyd iteration: assign to nearest seed, average per cell. */
+  /** One Lloyd iteration: assign to nearest seed, average per cell.
+    * Cells that attract no points keep their previous centroid (a
+    * vanished cell would silently shrink the index).
+    */
   private def lloydStep(df: DataFrame, vecCol: String,
       cents: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
     val dim = cents.head._2.length
@@ -75,10 +79,11 @@ object Similarity {
         array((0 until dim).map(i => sum(element_at(col("v"), i + 1))): _*)
           .as("sums"))
       .collect()
-    sums.map { r =>
+    val updated = sums.map { r =>
       val n = r.getLong(1).toDouble
       r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toArray
-    }.sortBy(_._1)
+    }.toMap
+    cents.map { case (id, c) => id -> updated.getOrElse(id, c) }.sortBy(_._1)
   }
 
   /** Add a `cell` column: index of the nearest centroid (max cosine).

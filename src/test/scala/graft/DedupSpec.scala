@@ -72,6 +72,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup removal keeps the smaller id of every dropped pair") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val kept = Dedup.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding",
+        threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.size <= emb.count())
+    // every dropped id appears as the larger side of some pair
+    val dropped = emb.select("vec_id").collect().map(_.getLong(0)).toSet -- kept
+    assert(dropped.forall(d => pairs.exists(_._2 == d)))
+    // and no pair survives with both sides kept
+    assert(pairs.forall { case (a, b) => !(kept(a) && kept(b)) })
+  }
+
   test("jaccardPairs values match direct set computation") {
     import spark.implicits._
     val small = docs.filter(col("doc_id") < 100)

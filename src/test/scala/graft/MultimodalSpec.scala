@@ -36,6 +36,26 @@ class MultimodalSpec extends SparkSpec {
       s"binary column not pruned:\n$plan")
   }
 
+  test("resize rewrites payload and metadata to the target dimensions") {
+    val resized = Multimodal.resizeMedia(media, 64, 48)
+    assert(resized.schema == Multimodal.MediaSchema)
+    val rows = resized.select(length(col("media")),
+      col("meta.width"), col("meta.height")).distinct().collect()
+    assert(rows.length == 1)
+    assert(rows.head.getInt(0) == 48 && rows.head.getInt(1) == 64 &&
+      rows.head.getInt(2) == 48)
+  }
+
+  test("frame sampling fans out ≤ n rows per media, partition-local") {
+    val frames = Multimodal.sampleFrameRows(media, 4)
+    val perMedia = frames.groupBy("media_id").count().collect()
+    assert(perMedia.forall(_.getLong(1) <= 4))
+    assert(frames.count() > media.count()) // genuine fan-out on this fixture
+    // generator shape: no shuffle exchange in the plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame fan-out shuffles:\n$plan")
+  }
+
   test("stub codec is pure: same bytes → same features") {
     val b = "hello world".getBytes("UTF-8")
     assert(Multimodal.StubCodec.decodeImage(b, 8).toSeq ==

@@ -27,6 +27,32 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("bloom-pruned join equals plain join; bloom prunes before the shuffle") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val smallOrders = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_orderkey")
+    val pruned = Scale.bloomPrunedJoin(lineitem, "l_orderkey",
+        smallOrders, "o_orderkey", expectedKeys = 1 << 14, fpp = 0.01)
+      .select("l_orderkey", "l_linenumber")
+    val plain = lineitem.join(smallOrders,
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    assert(pruned.collect().toSet == plain.collect().toSet)
+    // the might_contain filter sits on the big side of the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom filter in plan:\n$plan")
+    // and the bloom genuinely prunes: surviving rows ≈ matches, far
+    // fewer than the full table (1% fpp slack)
+    val bloom = Scale.buildKeyBloom(smallOrders, "o_orderkey", 1 << 14, 0.01)
+    val survivors = lineitem
+      .filter(Scale.bloomMightContain(bloom, col("l_orderkey"))).count()
+    val matches = plain.count()
+    val total = lineitem.count()
+    assert(survivors >= matches)
+    assert(survivors <= matches + (total * 0.02).toLong,
+      s"bloom barely pruned: $survivors of $total for $matches matches")
+  }
+
   test("bucketed join plan has no shuffle exchange on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
