@@ -46,21 +46,31 @@ object Similarity {
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iterations: Int = 1): IvfIndex = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    // Deterministic seed vectors: the nCells rows with smallest
-    // xxhash64(id) — spread uniformly, reproducible.
-    val seeds = df
-      .withColumn("_h", xxhash64(col(idCol)))
-      .orderBy("_h").limit(nCells)
-      .select(col(idCol), col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) =>
-        // element type may be float or double — match assign/VecDot
-        i -> r.getSeq[Number](1).map(_.doubleValue).toArray
-      }
-    val refined = (0 until math.max(1, iterations))
-      .foldLeft(seeds)((cents, _) => lloydStep(df, vecCol, cents))
-    val assigned = assign(df, vecCol, refined)
-      .select(col(idCol), col(vecCol), col("cell"))
-    IvfIndex(refined, assigned)
+    // The build makes (2 + iterations) passes over the input (seeding,
+    // one per Lloyd step, final assignment) — persist it once instead
+    // of re-reading the source each pass. The assignment materializes
+    // eagerly so the persist can be released here; durable indexes go
+    // through writeIvf (cell-partitioned parquet) instead.
+    val input = df.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Deterministic seed vectors: the nCells rows with smallest
+      // xxhash64(id) — spread uniformly, reproducible.
+      val seeds = input
+        .withColumn("_h", xxhash64(col(idCol)))
+        .orderBy("_h").limit(nCells)
+        .select(col(idCol), col(vecCol)).collect()
+        .zipWithIndex.map { case (r, i) =>
+          // element type may be float or double — match assign/VecDot
+          i -> r.getSeq[Number](1).map(_.doubleValue).toArray
+        }
+      val refined = (0 until math.max(1, iterations))
+        .foldLeft(seeds)((cents, _) => lloydStep(input, vecCol, cents))
+      val assigned = assign(input, vecCol, refined)
+        .select(col(idCol), col(vecCol), col("cell"))
+        .localCheckpoint(true)
+      IvfIndex(refined, assigned)
+    } finally input.unpersist(false)
   }
 
   /** One Lloyd iteration: assign to nearest seed, average per cell.
