@@ -773,6 +773,34 @@ object SparkEntry {
               |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
               |FROM toks""".stripMargin)),
 
+    ("q_top_tokens", // corpus heavy hitters, exact counts
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.topTokens(t(s, dir, "documents"), "text", 50),
+      Some("""SELECT token, count(*) AS cnt FROM (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                            x -> len(x) > 0)) AS token
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+
+    ("q_tfidf", // per-doc top-3 tokens by tf·ln(N/df), floor-scaled
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", 3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                    x -> len(x) > 0)) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, token, tf, df_t,
+             |         CAST(floor(1000000 * tf * ln(CAST(n AS DOUBLE)/df_t)) AS BIGINT) AS score_scaled
+             |  FROM tf JOIN dfreq USING (token), n)
+             |SELECT doc_id, token, tf, df_t, score_scaled FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score_scaled DESC, token) AS rn
+             |  FROM scored) WHERE rn <= 3""".stripMargin)),
+
     ("q_lang_trigram", // char-trigram language ID (Cavnar–Trenkle shape)
       (s: SparkSession, dir: String) =>
         t(s, dir, "documents")

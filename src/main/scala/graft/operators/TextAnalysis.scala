@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis profile over a document table (builder brief:
@@ -22,5 +23,39 @@ object TextAnalysis {
       TextFunctions.qualityScoreScaled(t).as("quality"),
       TextFunctions.langId(t).as("lang_guess"),
       TextFunctions.fingerprint(t).as("fp"))
+  }
+
+  /** Corpus-wide heavy-hitter tokens: exact frequencies, top-k with a
+    * deterministic tie order. Explode → one map-side-combinable
+    * shuffle; the top-k is a TakeOrdered, not a full sort.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Per-document top-k tokens by TF-IDF (score = tf · ln(N/df)).
+    * Scores ship as floor-scaled integers (×10⁶) so ranking and
+    * equality are engine-stable. Two shuffles (tf, then document
+    * frequency) + a per-doc window — the df relation is tiny
+    * (vocabulary-sized) and broadcast back onto tf.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("score_scaled",
+        floor(lit(1e6) * col("tf") * log(lit(n.toDouble) / col("df_t")))
+          .cast("bigint"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_scaled").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
+        col("score_scaled"))
   }
 }

@@ -121,6 +121,22 @@ object LogPipeline {
     matchStats.unionByName(errorStats)
   }
 
+  /** Streaming sessionization: gap-merged session windows per key —
+    * the streaming face of `Temporal.sessionize` (batch), using
+    * Spark's native `session_window` state merge. Watermark bounds the
+    * open-session state; sessions emit on close (append mode).
+    */
+  def sessionFrame(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"))
+
   /** Stats sink: update-mode memory table the CLI's `stats` verb reads
     * (reference keeps these in the supervisor's BoltDB).
     */

@@ -189,6 +189,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows gap-merge and close past the watermark") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)](spark)
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val sessions = LogPipeline.sessionFrame(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gap = "10 minutes", watermark = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // u1: two bursts 30 min apart → two sessions; u2: one session
+      input.addData(("u1", ts(0)), ("u1", ts(5)), ("u2", ts(1)))
+      input.addData(("u1", ts(35)), ("u1", ts(38)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every open session
+      input.addData(("u3", ts(600)))
+      q.processAllAvailable()
+      val got = spark.table("sess_test")
+        .select("user", "session_start_ms", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("u1", ts(0).getTime, 2L),
+        ("u1", ts(35).getTime, 2L),
+        ("u2", ts(1).getTime, 1L)))
+      // batch equivalent: Temporal.sessionize groups the same bursts
+      val batch = graft.operators.Temporal.sessionize(
+        Seq(("u1", ts(0), 1L), ("u1", ts(5), 2L), ("u2", ts(1), 3L),
+          ("u1", ts(35), 4L), ("u1", ts(38), 5L))
+          .toDF("user", "ts", "id"),
+        Seq("user"), "ts", gapSec = 600, idCol = "id")
+        .select("user", "n_events").as[(String, Long)].collect().toSet
+      assert(batch == Set(("u1", 2L), ("u2", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming classifier holds per-filter state across micro-batches") {
     implicit val s = spark
     import s.implicits._
