@@ -72,6 +72,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash blocking has full recall at any maxHamming (pigeonhole chunks)") {
+    val slice = docs.filter(col("doc_id") < 150)
+    val sigs = Dedup.simhash(slice, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (k <- Seq(1, 3, 5, 7)) {
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= k
+      } yield (ia, ib)).toSet
+      val blocked = Dedup.simhashPairs(slice, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute,
+        s"k=$k: blocked ${blocked.size} != brute ${brute.size}")
+    }
+  }
+
   test("embedding near-dup removal keeps the smaller id of every dropped pair") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val kept = Dedup.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding",

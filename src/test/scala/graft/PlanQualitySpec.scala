@@ -70,4 +70,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("media:binary"),
       s"binary column read for metadata query: $readSchema")
   }
+
+  test("trigram language ID is one codegen'd projection: no shuffle, no extra stage") {
+    val p = plan("q_lang_trigram")
+    assert(!p.contains("Exchange"), s"trigram lang-id shuffles:\n$p")
+    // "*(n)" prefix = inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Project"), s"not codegen'd:\n$p")
+  }
+
+  test("top tokens: partial agg before the shuffle, top-k not full sort") {
+    val p = plan("q_top_tokens")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("tfidf: vocabulary-sized document-frequency side is broadcast") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
+  }
+
+  test("bloom join: might_contain filter sits under the join, before its exchange") {
+    val p = plan("q_bloom_join")
+    val joinAt = p.indexOf("Join")
+    val bloomAt = p.indexOf("might_contain")
+    assert(bloomAt >= 0, s"no bloom filter in plan:\n$p")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter not below the join in the plan tree:\n$p")
+  }
 }
