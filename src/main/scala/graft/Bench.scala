@@ -19,14 +19,16 @@ object Bench {
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      val sec = (System.nanoTime() - t0) / 1e9
       // Release storage the query left behind (localCheckpoint blocks
-      // from the LSH operators): queries are independent, and leaked
-      // blocks turn into GC pressure charged to whatever runs next.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      sec
+      // from the LSH operators) even when it fails: queries are
+      // independent, and leaked blocks turn into GC pressure charged
+      // to whatever runs next.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      finally spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(false))
     }
 
     // Warmup: exercise parquet reader, codegen, shuffle machinery once.

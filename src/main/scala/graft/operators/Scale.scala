@@ -101,7 +101,9 @@ object Scale {
       smallKey: String, expectedKeys: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
     val bytes = buildKeyBloom(small, smallKey, expectedKeys, fpp)
-    big.filter(bloomMightContain(bytes, col(bigKey)))
-      .join(small, col(bigKey) === col(smallKey))
+    // alias both sides so same-named key columns resolve unambiguously
+    big.filter(bloomMightContain(bytes, col(bigKey))).as("_bloom_big")
+      .join(small.as("_bloom_small"),
+        col(s"_bloom_big.$bigKey") === col(s"_bloom_small.$smallKey"))
   }
 }

@@ -64,7 +64,8 @@ object Similarity {
           // element type may be float or double — match assign/VecDot
           i -> r.getSeq[Number](1).map(_.doubleValue).toArray
         }
-      val refined = (0 until math.max(1, iterations))
+      // iterations = 0 is honored: pure hash-seeded centroids
+      val refined = (0 until iterations)
         .foldLeft(seeds)((cents, _) => lloydStep(input, vecCol, cents))
       val assigned = assign(input, vecCol, refined)
         .select(col(idCol), col(vecCol), col("cell"))

@@ -27,6 +27,8 @@ object Temporal {
       tsCol: String, rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val marked = "_is_left"
+    val carry = "_carry"
+    val outs = rightCols.values.toSeq.sorted
     val l = rightCols.values.foldLeft(left.withColumn(marked, lit(1))) {
       case (df, out) => df.withColumn(out, lit(null))
     }
@@ -39,17 +41,22 @@ object Temporal {
       }
     val unioned = l.select((leftCols ++ rightCols.values :+ marked).map(col): _*)
       .unionByName(r.select((leftCols ++ rightCols.values :+ marked).map(col): _*))
-    // Tiebreak by the carried right columns so that when several right
-    // rows share (keys, ts), `last()` deterministically attaches the
-    // max-ordered one — and the SAME one for every filled column.
+      // Carried columns travel as ONE struct (null on left rows): a
+      // single last(ignoreNulls) then attaches exactly one right row
+      // atomically — per-column fills could mix values from different
+      // right rows when a tied row carries a null field. The struct is
+      // also the (keys, ts) tiebreak, so the attached row is
+      // deterministic across runs and partitionings.
+      .withColumn(carry,
+        when(col(marked) === 0, struct(outs.map(col): _*)))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol) +: col(marked) +:
-        rightCols.values.toSeq.sorted.map(col): _*)
+      .orderBy(col(tsCol), col(marked), col(carry))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.values.foldLeft(unioned) { case (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(marked) === 1).drop(marked)
+    unioned
+      .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
+      .filter(col(marked) === 1)
+      .select(leftCols.map(col) ++
+        outs.map(out => col(s"$carry.$out").as(out)): _*)
   }
 
   /** Session windows: group rows into per-key sessions separated by

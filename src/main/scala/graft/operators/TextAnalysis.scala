@@ -40,6 +40,13 @@ object TextAnalysis {
     * equality are engine-stable. Two shuffles (tf, then document
     * frequency) + a per-doc window — the df relation is tiny
     * (vocabulary-sized) and broadcast back onto tf.
+    *
+    * Cross-engine note: unlike the other floor-scaled oracles (which
+    * floor algebraically exact values), this floors a transcendental.
+    * Verified on the fixtures at every sf: the nearest score sits
+    * ≥ 3.5e-4 scaled units (~10⁵ ulps) from a floor boundary and no
+    * two distinct (tf, df) pairs collide within 1e-3, so 1-ulp libm
+    * disagreement between engines cannot flip a floor or a rank.
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {

@@ -51,9 +51,22 @@ class MultimodalSpec extends SparkSpec {
     val perMedia = frames.groupBy("media_id").count().collect()
     assert(perMedia.forall(_.getLong(1) <= 4))
     assert(frames.count() > media.count()) // genuine fan-out on this fixture
-    // generator shape: no shuffle exchange in the plan
-    val plan = frames.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"frame fan-out shuffles:\n$plan")
+    // generator shape: the RDD lineage (where the work actually lives —
+    // the SQL plan only shows Scan ExistingRDD) has no shuffle stage
+    val lineage = frames.rdd.toDebugString
+    assert(!lineage.contains("ShuffledRDD"),
+      s"frame fan-out shuffles:\n$lineage")
+  }
+
+  test("resize/frames oracle preconditions hold in the fixture (non-null ASCII text)") {
+    // q_multimodal_resize / q_multimodal_frames oracles equate bytes
+    // with characters and md5 over cycled text — sound only while every
+    // document is non-null, non-empty, pure-ASCII. Pin that here so a
+    // fixture regeneration surfaces as a clear failure, not oracle drift.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bad = docs.filter(col("text").isNull || length(col("text")) === 0 ||
+      length(col("text")) =!= octet_length(col("text"))).count()
+    assert(bad == 0, s"$bad documents violate the byte≡char oracle assumptions")
   }
 
   test("stub codec is pure: same bytes → same features") {

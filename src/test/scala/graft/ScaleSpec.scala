@@ -53,6 +53,18 @@ class ScaleSpec extends SparkSpec {
       s"bloom barely pruned: $survivors of $total for $matches matches")
   }
 
+  test("bloom-pruned join resolves same-named key columns on both sides") {
+    import org.apache.spark.sql.SparkSession
+    val s = spark
+    import s.implicits._
+    val big = (1L to 100L).map(i => (i % 10, i)).toDF("key", "v")
+    val small = Seq(1L, 3L).toDF("key")
+    val got = Scale.bloomPrunedJoin(big, "key", small, "key")
+      .select(col("v")).collect().map(_.getLong(0)).toSet
+    val expected = (1L to 100L).filter(i => i % 10 == 1 || i % 10 == 3).toSet
+    assert(got == expected)
+  }
+
   test("bucketed join plan has no shuffle exchange on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
