@@ -909,6 +909,13 @@ object SparkEntry {
           threshold = 0.5)
           .select("doc_id"),
       None),
+    ("q_dedup_clusters", // exact near-dup clustering: LSH pairs →
+      // connected components → one representative per component
+      (s: SparkSession, dir: String) =>
+        Dedup.dropNearDuplicatesExact(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+          .select("doc_id"),
+      None),
     ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first)
       (s: SparkSession, dir: String) =>
         Dedup.dropEmbeddingNearDuplicates(t(s, dir, "embeddings"),

@@ -152,6 +152,68 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair set: every id is
+    * labeled with the smallest id reachable through pair edges, so a
+    * chain a–b, b–c, c–d collapses to one cluster even though (a, d)
+    * was never emitted as a pair. Iterative min-label propagation
+    * (the standard large-scale CC shape: alternate "adopt the
+    * smallest neighbor label" rounds until fixpoint), each round one
+    * shuffle over the EDGE set — never over the corpus. Near-dup
+    * graphs are sparse and shallow, so rounds ≈ cluster diameter
+    * (bounded by `maxIter`, with convergence checked per round).
+    *
+    * Output: (id, cluster) for every id that appears in `pairs`;
+    * cluster = min id of its component.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // candidate label per id: min over neighbors' current labels
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("cluster")).as("nb_cluster"))
+        val updated = labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nb_cluster"), col("cluster")))
+              .as("cluster"))
+          .localCheckpoint(true)
+        val changed = updated.as("u")
+          .join(labels.as("l"), col("u.id") === col("l.id"))
+          .filter(col("u.cluster") =!= col("l.cluster")).count()
+        labels = updated
+        converged = changed == 0
+        i += 1
+      }
+      labels
+    } finally edges.unpersist(false)
+  }
+
+  /** Drop near-duplicates with EXACT cluster semantics: LSH pairs →
+    * connected components → keep only each component's min id. Unlike
+    * the greedy [[dropNearDuplicates]], chain-shaped clusters keep
+    * exactly one representative.
+    */
+  def dropNearDuplicatesExact(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
+      bands, threshold)
+    val dropIds = nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs (the brief's fifth dedup
     * modality): hyperplane-LSH blocked candidates, exact-cosine
     * verified — delegates to [[Similarity.lshPairs]] with a

@@ -72,6 +72,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupClusters: chains collapse to one component labeled by min id") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicatesExact keeps exactly one representative per LSH component") {
+    val slice = docs.filter(col("doc_id") < 800)
+    val pairs = Dedup.minhashLsh(slice, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find ground truth on the collected pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expectedDropped = inPairs.filter(x => {
+      val root = find(x)
+      inPairs.filter(y => find(y) == root).min != x
+    })
+    val kept = Dedup.dropNearDuplicatesExact(slice, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = slice.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- expectedDropped)
+  }
+
   test("simhash blocking has full recall at any maxHamming (pigeonhole chunks)") {
     val slice = docs.filter(col("doc_id") < 150)
     val sigs = Dedup.simhash(slice, "doc_id", "text")
