@@ -308,6 +308,18 @@ object SparkEntry {
              |FROM s GROUP BY 1, 2""".stripMargin))
   )
 
+  /** Orders at least 1.5× their customer's average — Catalyst rewrites
+    * the correlated scalar subquery to an aggregate + join; the
+    * identical text runs in DuckDB.
+    */
+  private val correlatedSubSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+      |                      FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
   // --- wider SQL surface (CTE, pivot, outer joins, scalar/date funcs) ---
   private def sqlSurfaceDefs: Seq[(String, Q, Option[String])] = Seq(
     ("q_sql_cte", // SQL front-end parity: same text runs in both engines
@@ -324,6 +336,12 @@ object SparkEntry {
              |  WHERE o_totalprice > 100000 GROUP BY 1)
              |SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS total
              |FROM big JOIN customer ON k = c_custkey GROUP BY 1""".stripMargin)),
+    ("q_correlated_sub", // correlated scalar subquery (same text both engines)
+      (s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir)
+        s.sql(correlatedSubSql)
+      },
+      Some(correlatedSubSql)),
     ("q_pivot",
       (s: SparkSession, dir: String) =>
         t(s, dir, "events").groupBy("user_id")
