@@ -174,6 +174,10 @@ object Dedup {
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     try {
+      // Labels only ever decrease, so Σcluster is strictly monotone
+      // until fixpoint — one aggregate per round detects convergence
+      // without a self-join against the previous labels.
+      var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -182,16 +186,14 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(min(col("cluster")).as("nb_cluster"))
-        val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        labels = labels.join(viaNeighbors, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("nb_cluster"), col("cluster")))
               .as("cluster"))
           .localCheckpoint(true)
-        val changed = updated.as("u")
-          .join(labels.as("l"), col("u.id") === col("l.id"))
-          .filter(col("u.cluster") =!= col("l.cluster")).count()
-        labels = updated
-        converged = changed == 0
+        val newSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+        converged = newSum == prevSum
+        prevSum = newSum
         i += 1
       }
       labels
