@@ -308,17 +308,21 @@ object SparkEntry {
              |FROM s GROUP BY 1, 2""".stripMargin))
   )
 
-  /** Orders at least 1.5× their customer's average — Catalyst rewrites
-    * the correlated scalar subquery to an aggregate + join; the
-    * identical text runs in DuckDB.
+  /** Orders strictly above 1.5× their customer's average — Catalyst
+    * rewrites the correlated scalar subqueries to aggregates + joins;
+    * the identical text runs in DuckDB. The predicate is pure integer
+    * arithmetic (price > 1.5·sum/n ⟺ 2·n·price_cents > 3·Σcents), so
+    * no float threshold whose last ulp depends on summation order can
+    * flip a row between engines.
     */
   private val correlatedSubSql: String =
     """SELECT o_orderkey, o_custkey,
       |       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
       |FROM orders o
-      |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-      |                      FROM orders o2
-      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+      |WHERE CAST(round(o_totalprice*100) AS BIGINT) * 2 *
+      |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |      > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin
 
   // --- wider SQL surface (CTE, pivot, outer joins, scalar/date funcs) ---
   private def sqlSurfaceDefs: Seq[(String, Q, Option[String])] = Seq(

@@ -155,12 +155,12 @@ object Dedup {
   /** Connected components over a near-dup pair set: every id is
     * labeled with the smallest id reachable through pair edges, so a
     * chain a–b, b–c, c–d collapses to one cluster even though (a, d)
-    * was never emitted as a pair. Iterative min-label propagation
-    * (the standard large-scale CC shape: alternate "adopt the
-    * smallest neighbor label" rounds until fixpoint), each round one
-    * shuffle over the EDGE set — never over the corpus. Near-dup
-    * graphs are sparse and shallow, so rounds ≈ cluster diameter
-    * (bounded by `maxIter`, with convergence checked per round).
+    * was never emitted as a pair. Each round: min-label propagation
+    * over the EDGE set (never the corpus) followed by pointer doubling
+    * (adopt my label's label), so a diameter-d chain converges in
+    * O(log d) rounds, not d. Requires integral ids. Throws if
+    * `maxIter` rounds don't reach the fixpoint rather than silently
+    * returning a partial clustering.
     *
     * Output: (id, cluster) for every id that appears in `pairs`;
     * cluster = min id of its component.
@@ -171,14 +171,17 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+      .withColumn("cluster", col("id").cast("long"))
       .localCheckpoint(true)
     try {
       // Labels only ever decrease, so Σcluster is strictly monotone
       // until fixpoint — one aggregate per round detects convergence
-      // without a self-join against the previous labels.
-      var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
-      var converged = false
+      // without a self-join against the previous labels. coalesce
+      // covers the empty-pair-set case (sum over zero rows is null).
+      def labelSum(): Long = labels
+        .agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+      var prevSum = labelSum()
+      var converged = labels.isEmpty
       var i = 0
       while (!converged && i < maxIter) {
         // candidate label per id: min over neighbors' current labels
@@ -186,16 +189,26 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(min(col("cluster")).as("nb_cluster"))
-        labels = labels.join(viaNeighbors, Seq("id"), "left")
+        val propagated = labels.join(viaNeighbors, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("nb_cluster"), col("cluster")))
               .as("cluster"))
+        // pointer doubling: cluster ← label(cluster); every cluster
+        // value is itself a labeled id, so the lookup always resolves
+        labels = propagated.as("l")
+          .join(propagated.select(col("id").as("_cid"),
+            col("cluster").as("_cc")).as("r"),
+            col("l.cluster") === col("_cid"), "left")
+          .select(col("id"),
+            coalesce(col("_cc"), col("cluster")).as("cluster"))
           .localCheckpoint(true)
-        val newSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+        val newSum = labelSum()
         converged = newSum == prevSum
         prevSum = newSum
         i += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds — raise maxIter")
       labels
     } finally edges.unpersist(false)
   }
@@ -207,10 +220,10 @@ object Dedup {
     */
   def dropNearDuplicatesExact(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxIter: Int = 10): DataFrame = {
     val pairs = minhashLsh(df, idCol, textCol, shingleSize, numHashes,
       bands, threshold)
-    val dropIds = nearDupClusters(pairs)
+    val dropIds = nearDupClusters(pairs, maxIter)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(dropIds, Seq(idCol), "left_anti")

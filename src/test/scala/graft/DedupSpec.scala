@@ -83,6 +83,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters: empty pair set yields empty labels, long chains converge via doubling") {
+    val s = spark
+    import s.implicits._
+    // empty pair set: no NPE, empty result (sum-over-nothing guard)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupClusters(empty).count() == 0)
+    // a 40-node chain has diameter 39 — linear propagation would need
+    // 39 rounds; pointer doubling must converge within maxIter = 10
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 40)
+    assert(labels.forall(_._2 == 1L), s"chain not collapsed: ${labels.toSeq.sortBy(_._1).take(8)}")
+  }
+
   test("dropNearDuplicatesExact keeps exactly one representative per LSH component") {
     val slice = docs.filter(col("doc_id") < 800)
     val pairs = Dedup.minhashLsh(slice, "doc_id", "text", threshold = 0.5)

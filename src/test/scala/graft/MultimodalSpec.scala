@@ -53,8 +53,9 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() > media.count()) // genuine fan-out on this fixture
     // generator shape: the RDD lineage (where the work actually lives —
     // the SQL plan only shows Scan ExistingRDD) has no shuffle stage
+    // "Shuffled" catches both ShuffledRDD (RDD API) and ShuffledRowRDD (SQL)
     val lineage = frames.rdd.toDebugString
-    assert(!lineage.contains("ShuffledRDD"),
+    assert(!lineage.contains("Shuffled"),
       s"frame fan-out shuffles:\n$lineage")
   }
 

@@ -54,7 +54,6 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bloom-pruned join resolves same-named key columns on both sides") {
-    import org.apache.spark.sql.SparkSession
     val s = spark
     import s.implicits._
     val big = (1L to 100L).map(i => (i % 10, i)).toDF("key", "v")
