@@ -340,6 +340,29 @@ object SparkEntry {
              |  WHERE o_totalprice > 100000 GROUP BY 1)
              |SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS total
              |FROM big JOIN customer ON k = c_custkey GROUP BY 1""".stripMargin)),
+    ("q_sample", // deterministic md5-threshold sampling (no RNG)
+      (s: SparkSession, dir: String) =>
+        graft.operators.Scale.deterministicSample(
+          t(s, dir, "orders"), "o_orderkey", 0.1)
+          .select("o_orderkey"),
+      Some(s"""SELECT o_orderkey FROM orders
+              |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+              |      < '${graft.operators.Scale.hexThreshold(0.1)}'""".stripMargin)),
+
+    ("q_hash_split", // reproducible train/val/test split
+      (s: SparkSession, dir: String) =>
+        graft.operators.Scale.hashSplit(t(s, dir, "orders"), "o_orderkey",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split").agg(count(lit(1)).as("cnt")),
+      Some {
+        def th(c: Double) = graft.operators.Scale.hexThreshold(c)
+        s"""SELECT CASE
+           |  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${th(0.8)}' THEN 'train'
+           |  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${th(0.9)}' THEN 'val'
+           |  ELSE 'test' END AS split, count(*) AS cnt
+           |FROM orders GROUP BY 1""".stripMargin
+      }),
+
     ("q_correlated_sub", // correlated scalar subquery (same text both engines)
       (s: SparkSession, dir: String) => {
         Tables.registerAll(s, dir)

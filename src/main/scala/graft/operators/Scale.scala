@@ -65,6 +65,46 @@ object Scale {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Deterministic hash sample: keep a row iff the first 8 hex chars
+    * of md5(key) fall below `fraction` of the hex space. No RNG, no
+    * seed state — the same row set on every run, every engine, every
+    * cluster size (the property a reproducible training pipeline
+    * needs; rate accuracy is ±2⁻³² of the requested fraction).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1]: $fraction")
+    df.filter(sampleBucket(col(keyCol)) < lit(hexThreshold(fraction)))
+  }
+
+  /** Deterministic train/validation/test split: label each row by
+    * where md5(key) lands among the cumulative weight thresholds.
+    * Disjoint, exhaustive, reproducible — and expressible as the same
+    * CASE chain in any SQL engine.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val cums = weights.scanLeft(0.0)(_ + _._2).tail
+    val bucket = sampleBucket(col(keyCol))
+    val chain = weights.init.zip(cums.init).foldRight(
+      lit(weights.last._1)) { case (((name, _), cum), elseCol) =>
+      when(bucket < lit(hexThreshold(cum)), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn(labelCol, chain)
+  }
+
+  /** First 8 hex chars of md5 — a uniform 32-bit bucket as a hex
+    * string, comparable lexicographically in every engine.
+    */
+  def sampleBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** `fraction` of the 32-bit hex space as an 8-char lower-hex string. */
+  def hexThreshold(fraction: Double): String =
+    f"${math.min(0xFFFFFFFFL, (fraction * 4294967296.0).toLong)}%08x"
+
   /** Serialized bloom filter over a table's (integral) join-key column
     * — one distributed aggregate over the small side.
     */

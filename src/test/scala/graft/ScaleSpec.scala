@@ -64,6 +64,33 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("deterministic sample: stable, monotone-nested, near the requested rate") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val n = orders.count().toDouble
+    val s10 = Scale.deterministicSample(orders, "o_orderkey", 0.1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val s10again = Scale.deterministicSample(orders, "o_orderkey", 0.1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s10 == s10again) // no RNG: identical row set every run
+    assert(math.abs(s10.size / n - 0.1) < 0.03, s"rate ${s10.size / n}")
+    val s25 = Scale.deterministicSample(orders, "o_orderkey", 0.25)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s25)) // threshold sampling nests monotonically
+  }
+
+  test("hash split is disjoint, exhaustive, and close to the weights") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val n = orders.count().toDouble
+    val counts = Scale.hashSplit(orders, "o_orderkey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n.toLong) // exhaustive partition
+    assert(math.abs(counts("train") / n - 0.8) < 0.05)
+    assert(math.abs(counts("val") / n - 0.1) < 0.04)
+  }
+
   test("bucketed join plan has no shuffle exchange on either side") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
