@@ -818,6 +818,25 @@ object SparkEntry {
               |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
               |FROM toks""".stripMargin)),
 
+    ("q_chunk_tokens", // context-window chunking (size 32, overlap 8)
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, tk, len(tk) AS n,
+             |         CASE WHEN len(tk) = 0 THEN 0
+             |              ELSE CAST(floor((len(tk)-1) * 1.0 / 24) AS INT) + 1 END AS nc
+             |  FROM toks)
+             |SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+             |       CAST(len(list_slice(tk, i.i*24 + 1, least(n, i.i*24 + 32))) AS INT) AS n_chunk_tokens,
+             |       array_to_string(list_slice(tk, i.i*24 + 1, least(n, i.i*24 + 32)), ' ') AS chunk_text
+             |FROM base, (SELECT unnest(generate_series(0, 999)) AS i) i
+             |WHERE i.i < nc""".stripMargin)),
+
     ("q_top_tokens", // corpus heavy hitters, exact counts
       (s: SparkSession, dir: String) =>
         TextAnalysis.topTokens(t(s, dir, "documents"), "text", 50),

@@ -35,6 +35,35 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Context-window chunking: split each document into fixed-size
+    * token chunks with `overlap` tokens of context carried between
+    * consecutive chunks (the standard pretraining/RAG windowing).
+    * Pure per-row generator — explode of slices, no shuffle; chunk
+    * count and boundaries are integer arithmetic, so the DuckDB
+    * oracle reproduces them exactly.
+    *
+    * Output: (idCol, chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap / $chunkSize")
+    val step = chunkSize - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    // chunks cover starts 0, step, 2·step, … while start < n (≥1 chunk
+    // for non-empty docs); empty docs produce no chunks
+    val nChunks = when(size(toks) === 0, lit(0))
+      .otherwise(floor((size(toks) - 1).cast("double") / step).cast("int") + 1)
+    df.select(col(idCol), toks.as("_tk"), nChunks.as("_nc"))
+      .filter(col("_nc") > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          i => slice(col("_tk"), i * step + 1, lit(chunkSize)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** Per-document top-k tokens by TF-IDF (score = tf · ln(N/df)).
     * Scores ship as floor-scaled integers (×10⁶) so ranking and
     * equality are engine-stable. Two shuffles (tf, then document

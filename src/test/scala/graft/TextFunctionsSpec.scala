@@ -74,4 +74,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scores(0) > scores(1))
     assert(scores.forall(s => s >= 0 && s <= 10000))
   }
+
+  test("chunkTokens: fixed windows with overlap, full coverage, exact tail") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis
+      .chunkTokens(doc, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    // 10 tokens, step 3: starts 0,3,6,9 -> sizes 4,4,4,1
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(chunks.map(_._2).toSeq == Seq(4, 4, 4, 1))
+    assert(chunks(0)._3 == "t1 t2 t3 t4")
+    assert(chunks(1)._3 == "t4 t5 t6 t7") // 1-token overlap carried
+    assert(chunks(3)._3 == "t10")
+    // empty docs produce no chunks
+    val none = graft.operators.TextAnalysis
+      .chunkTokens(Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+    assert(none.count() == 0)
+  }
 }
