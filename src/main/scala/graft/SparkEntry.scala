@@ -363,6 +363,17 @@ object SparkEntry {
            |FROM orders GROUP BY 1""".stripMargin
       }),
 
+    ("q_stratified_sample", // N-per-stratum corpus curation sample
+      (s: SparkSession, dir: String) =>
+        graft.operators.Scale.stratifiedSample(
+          t(s, dir, "documents"), Seq("lang", "source"), "doc_id", 3)
+          .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source,
+             |         row_number() OVER (PARTITION BY lang, source
+             |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 3""".stripMargin)),
+
     ("q_correlated_sub", // correlated scalar subquery (same text both engines)
       (s: SparkSession, dir: String) => {
         Tables.registerAll(s, dir)
@@ -836,6 +847,85 @@ object SparkEntry {
              |       array_to_string(list_slice(tk, i.i*24 + 1, least(n, i.i*24 + 32)), ' ') AS chunk_text
              |FROM base, (SELECT unnest(generate_series(0, 999)) AS i) i
              |WHERE i.i < nc""".stripMargin)),
+
+    ("q_repetition", // Gopher-style repetition quality metrics
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, tk, len(tk) AS n,
+             |         CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+             |              ELSE list_transform(generate_series(1, len(tk)-1),
+             |                                  i -> tk[i] || ' ' || tk[i+1]) END AS bg
+             |  FROM toks),
+             |top AS (
+             |  SELECT doc_id, max(c) AS topc FROM (
+             |    SELECT doc_id, count(*) AS c
+             |    FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t)
+             |  GROUP BY doc_id)
+             |SELECT b.doc_id, CAST(n AS INT) AS n_tokens,
+             |  CASE WHEN n = 0 THEN 0 ELSE CAST(floor(
+             |    (n - len(list_distinct(tk))) * 1000000.0 / n) AS BIGINT) END AS dup_token_ppm,
+             |  CASE WHEN len(bg) = 0 THEN 0 ELSE CAST(floor(
+             |    (len(bg) - len(list_distinct(bg))) * 1000000.0 / len(bg)) AS BIGINT) END AS dup_bigram_ppm,
+             |  CASE WHEN n = 0 THEN 0 ELSE CAST(floor(
+             |    coalesce(topc, 0) * 1000000.0 / n) AS BIGINT) END AS top_token_ppm
+             |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin)),
+
+    ("q_redact", // PII-shape pattern scrubbing over a rendered log line
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.redact(
+          t(s, dir, "events").select(col("event_id"),
+            concat(lit("id="), col("event_id"),
+              lit(" contact=user"), col("user_id"),
+              lit("@mail.example.com code="),
+              col("event_id") * col("event_id")).as("line")),
+          "line", TextAnalysis.DefaultRedactions)
+          .select("event_id", "redacted"),
+      Some("""SELECT event_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    'id=' || event_id || ' contact=user' || user_id ||
+             |    '@mail.example.com code=' || (event_id * event_id),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9a-fA-F]{16,}', '<HEX>', 'g'),
+             |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
+             |FROM events""".stripMargin)),
+
+    ("q_decontaminate", // train/eval 8-gram overlap (GPT-3 procedure)
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id").as("bench_id"),
+            substring(col("text"), 20, 120).as("phrase"))
+        graft.operators.Decontaminate.overlapPairs(
+          docs, "doc_id", "text", bench, "bench_id", "phrase", 8)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |cng AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+             |         ELSE list_transform(generate_series(1, len(t)-7),
+             |                i -> array_to_string(list_slice(t, i, i+7), ' ')) END)) AS ng
+             |  FROM tok),
+             |btok AS (
+             |  SELECT doc_id AS bench_id,
+             |         list_filter(string_split_regex(lower(substr(text, 20, 120)), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents WHERE doc_id % 97 = 3),
+             |bng AS (
+             |  SELECT bench_id, unnest(list_distinct(
+             |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+             |         ELSE list_transform(generate_series(1, len(t)-7),
+             |                i -> array_to_string(list_slice(t, i, i+7), ' ')) END)) AS ng
+             |  FROM btok)
+             |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+             |FROM cng c JOIN bng b USING (ng) GROUP BY 1, 2""".stripMargin)),
 
     ("q_top_tokens", // corpus heavy hitters, exact counts
       (s: SparkSession, dir: String) =>

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination: find training documents that share
+  * token n-grams with a benchmark/eval set (the GPT-3/PaLM
+  * "13-gram overlap" procedure). A training corpus that contains the
+  * eval set inflates benchmark scores — at 100 TB this check must be
+  * a first-class corpus operator, not a driver-side loop.
+  *
+  * Design for scale: both sides explode to DISTINCT per-document
+  * n-grams; the benchmark side is tiny by nature (eval suites are
+  * thousands of rows, not billions) so it broadcasts, and the corpus
+  * side streams through the join at scan speed — no corpus shuffle.
+  * Only matched (doc, bench) pairs reach the counting aggregation,
+  * which combines map-side. N-grams join as strings so the identical
+  * computation is expressible in any engine (hash them to longs only
+  * if a profiled deployment shows the broadcast map dominating).
+  */
+object Decontaminate {
+
+  /** Distinct token `n`-grams of a text column as `array<string>`
+    * (space-joined). Guarded so documents shorter than `n` tokens
+    * yield an empty array — Spark's `sequence(1, 0)` would otherwise
+    * count DOWN.
+    */
+  def ngramSet(textCol: Column, n: Int): Column = {
+    val tk = TextFunctions.tokens(lower(textCol))
+    array_distinct(
+      when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n))))))
+  }
+
+  /** (corpusId, benchId, n_shared) for every corpus document sharing
+    * at least one token n-gram with a benchmark row. Column names in
+    * the output: corpus id column, bench id column, `n_shared`.
+    */
+  def overlapPairs(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    val cg = corpus.select(col(corpusId),
+      explode(ngramSet(col(corpusText), n)).as("_ng"))
+    val bg = bench.select(col(benchId),
+      explode(ngramSet(col(benchText), n)).as("_ng"))
+    cg.join(broadcast(bg), "_ng")
+      .groupBy(col(corpusId), col(benchId))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The corpus minus every document that shares ≥ `minShared`
+    * n-grams with the benchmark set (left-anti against the flagged
+    * ids — the keep-side of the decontamination pass).
+    */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int, minShared: Long = 1L): DataFrame = {
+    val flagged = overlapPairs(corpus, corpusId, corpusText,
+      bench, benchId, benchText, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col(corpusId)).distinct()
+    corpus.join(flagged, Seq(corpusId), "left_anti")
+  }
+}

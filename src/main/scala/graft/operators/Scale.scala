@@ -95,6 +95,24 @@ object Scale {
     df.withColumn(labelCol, chain)
   }
 
+  /** Stratified deterministic sample: keep at most `perGroup` rows per
+    * stratum, chosen by md5(id) order (with the id itself as the final
+    * tiebreak), so the kept set is stable across runs, partitionings,
+    * and engines. The corpus-curation shape "N documents per
+    * (language, source)" — one shuffle on the stratum keys, a
+    * rank-limit per partition, no sort of the full data.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+      idCol: String, perGroup: Int): DataFrame = {
+    require(perGroup > 0, s"perGroup must be positive: $perGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(sampleBucket(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perGroup)
+      .drop("_rk")
+  }
+
   /** First 8 hex chars of md5 — a uniform 32-bit bucket as a hex
     * string, comparable lexicographically in every engine.
     */

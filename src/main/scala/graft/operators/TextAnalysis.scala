@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,69 @@ object TextAnalysis {
         size(col("col")).as("n_chunk_tokens"),
         concat_ws(" ", col("col")).as("chunk_text"))
   }
+
+  /** Gopher-style repetition metrics per document — the standard
+    * pretraining quality gates for boilerplate/spam: fraction of
+    * duplicate tokens, fraction of duplicate bigrams, and the share of
+    * the single most frequent token. Fractions ship floor-scaled to
+    * parts-per-million BIGINTs so thresholding and the oracle compare
+    * are engine-exact.
+    *
+    * The per-row metrics are one projection (no shuffle); the
+    * mode-token share is an explode → two map-side-combinable
+    * aggregations keyed by the doc id — at 100 TB the shuffle carries
+    * (doc, distinct-token) pairs, bounded by document vocabulary, not
+    * corpus size.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    def ppm(num: Column, den: Column): Column =
+      when(den === 0, lit(0L))
+        .otherwise(floor(num.cast("double") * 1000000d / den.cast("double"))
+          .cast("bigint"))
+    val bigrams = when(size(col("_tk")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("_tk")) - 1),
+        i => concat_ws(" ", slice(col("_tk"), i, lit(2)))))
+    val perRow = df
+      .select(col(idCol), tk.as("_tk"))
+      .withColumn("_bg", bigrams)
+      .select(col(idCol),
+        col("_tk"),
+        size(col("_tk")).as("n_tokens"),
+        ppm(size(col("_tk")) - size(array_distinct(col("_tk"))),
+          size(col("_tk"))).as("dup_token_ppm"),
+        ppm(size(col("_bg")) - size(array_distinct(col("_bg"))),
+          size(col("_bg"))).as("dup_bigram_ppm"))
+    val topShare = perRow
+      .select(col(idCol), explode(col("_tk")).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_top"))
+    perRow.drop("_tk")
+      .join(topShare, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("dup_token_ppm"),
+        col("dup_bigram_ppm"),
+        ppm(coalesce(col("_top"), lit(0L)), col("n_tokens"))
+          .as("top_token_ppm"))
+  }
+
+  /** Pattern redaction (PII scrubbing shape): apply `rules` —
+    * (regex, replacement) pairs — in order to the text column. Pure
+    * projection, codegen'd regexp_replace chain, no shuffle; the
+    * patterns must be RE2-compatible so the identical rule list runs
+    * in any engine.
+    */
+  def redact(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)], outCol: String = "redacted"): DataFrame =
+    df.withColumn(outCol,
+      rules.foldLeft(col(textCol)) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      })
+
+  /** The default scrub list: emails, long digit runs, hex ids. */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9a-fA-F]{16,}" -> "<HEX>",
+    "[0-9]{4,}" -> "<NUM>")
 
   /** Per-document top-k tokens by TF-IDF (score = tf · ln(N/df)).
     * Scores ship as floor-scaled integers (×10⁶) so ranking and

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Decontaminate
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("overlapPairs finds planted n-gram overlap and counts distinct shared n-grams") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta different tail")
+    val bench = docs(
+      100L -> "ALPHA beta gamma delta epsilon zeta eta theta iota kappa")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    val got = Decontaminate.overlapPairs(
+        corpus, "doc_id", "text", bench, "bench_id", "phrase", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 shares all three 8-grams of the bench row (case-folded),
+    // doc 3 shares exactly the first one, doc 2 shares none
+    assert(got == Set((1L, 100L, 3L), (3L, 100L, 1L)))
+  }
+
+  test("documents shorter than n tokens produce no n-grams (no descending sequence)") {
+    val corpus = docs(1L -> "only three tokens", 2L -> "")
+    val bench = docs(9L -> "only three tokens")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    assert(Decontaminate.overlapPairs(
+      corpus, "doc_id", "text", bench, "bench_id", "phrase", 8).count() == 0)
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "clean document with no benchmark overlap at all here")
+    val bench = docs(7L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    val kept = Decontaminate.decontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "phrase", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("decontamination plan broadcasts the benchmark side") {
+    val corpus = docs(1L -> "a b c d e f g h i j")
+    val bench = docs(9L -> "a b c d e f g h")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    val plan = Decontaminate.overlapPairs(
+      corpus, "doc_id", "text", bench, "bench_id", "phrase", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"benchmark side should broadcast:\n$plan")
+  }
+}

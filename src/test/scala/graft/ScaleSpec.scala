@@ -118,4 +118,25 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("stratifiedSample caps every stratum and is deterministic") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sampled = Scale.stratifiedSample(docs, Seq("lang", "source"), "doc_id", 2)
+    val perGroup = sampled.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(2))
+    assert(perGroup.nonEmpty && perGroup.forall(_ <= 2))
+    // groups with >= 2 docs contribute exactly 2
+    val groupSizes = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sampledSizes = sampled.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    groupSizes.foreach { case (g, n) =>
+      assert(sampledSizes.getOrElse(g, 0L) == math.min(n, 2L), s"group $g")
+    }
+    // deterministic: same ids on a re-run
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Scale.stratifiedSample(docs, Seq("lang", "source"), "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
 }

@@ -75,6 +75,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0 && s <= 10000))
   }
 
+  test("repetitionProfile: duplicate token/bigram fractions and top-token share") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // all dup, one token dominates
+      (2L, "all tokens here are unique now"), // no repetition
+      (3L, "")                                // empty: all metrics 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 4 tokens, 3 dups -> 750000 ppm; 3 bigrams, 2 dups -> 666666;
+    // top token 4/4 -> 1000000
+    assert(got(1L) == ((4, 750000L, 666666L, 1000000L)))
+    // doc 2: 6 unique tokens, 5 unique bigrams, top share 1/6 -> 166666
+    assert(got(2L) == ((6, 0L, 0L, 166666L)))
+    assert(got(3L) == ((0, 0L, 0L, 0L)))
+  }
+
+  test("redact scrubs emails, hex ids and digit runs in rule order") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "reach me at jane.doe+x@corp.example.org ref 0123456789abcdef00 pin 123 card 98765432"))
+      .toDF("id", "text")
+    val out = graft.operators.TextAnalysis
+      .redact(df, "text", graft.operators.TextAnalysis.DefaultRedactions)
+      .head().getString(2)
+    assert(out == "reach me at <EMAIL> ref <HEX> pin 123 card <NUM>")
+  }
+
   test("chunkTokens: fixed windows with overlap, full coverage, exact tail") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
