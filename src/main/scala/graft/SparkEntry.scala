@@ -840,12 +840,12 @@ object SparkEntry {
              |base AS (
              |  SELECT doc_id, tk, len(tk) AS n,
              |         CASE WHEN len(tk) = 0 THEN 0
-             |              ELSE CAST(floor((len(tk)-1) * 1.0 / 24) AS INT) + 1 END AS nc
+             |              ELSE 1 + (greatest(len(tk) - 32, 0) + 23) // 24 END AS nc
              |  FROM toks)
              |SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
              |       CAST(len(list_slice(tk, i.i*24 + 1, least(n, i.i*24 + 32))) AS INT) AS n_chunk_tokens,
              |       array_to_string(list_slice(tk, i.i*24 + 1, least(n, i.i*24 + 32)), ' ') AS chunk_text
-             |FROM base, (SELECT unnest(generate_series(0, 999)) AS i) i
+             |FROM base, (SELECT unnest(generate_series(0, (SELECT max(nc) FROM base))) AS i) i
              |WHERE i.i < nc""".stripMargin)),
 
     ("q_repetition", // Gopher-style repetition quality metrics

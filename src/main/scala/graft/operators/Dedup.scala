@@ -176,10 +176,13 @@ object Dedup {
     try {
       // Labels only ever decrease, so Σcluster is strictly monotone
       // until fixpoint — one aggregate per round detects convergence
-      // without a self-join against the previous labels. coalesce
-      // covers the empty-pair-set case (sum over zero rows is null).
-      def labelSum(): Long = labels
-        .agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+      // without a self-join against the previous labels. The sum runs
+      // as DECIMAL(38,0): with 64-bit hash-derived ids a LONG sum can
+      // overflow (throwing under ANSI, or wrapping to a false
+      // fixpoint). coalesce covers the empty-pair-set case.
+      def labelSum(): java.math.BigDecimal = labels
+        .agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum()
       var converged = labels.isEmpty
       var i = 0
@@ -203,7 +206,7 @@ object Dedup {
             coalesce(col("_cc"), col("cluster")).as("cluster"))
           .localCheckpoint(true)
         val newSum = labelSum()
-        converged = newSum == prevSum
+        converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         i += 1
       }

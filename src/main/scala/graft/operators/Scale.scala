@@ -74,7 +74,11 @@ object Scale {
   def deterministicSample(df: DataFrame, keyCol: String,
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction in [0,1]: $fraction")
-    df.filter(sampleBucket(col(keyCol)) < lit(hexThreshold(fraction)))
+    // fraction 1.0 is an exact boundary users expect to be total; the
+    // strict '<' against a clamped "ffffffff" threshold would drop rows
+    // whose bucket is exactly ffffffff, so keep-everything is a no-op.
+    if (fraction >= 1.0) df
+    else df.filter(sampleBucket(col(keyCol)) < lit(hexThreshold(fraction)))
   }
 
   /** Deterministic train/validation/test split: label each row by

@@ -50,10 +50,14 @@ object TextAnalysis {
       s"need 0 <= overlap < chunkSize, got $overlap / $chunkSize")
     val step = chunkSize - overlap
     val toks = TextFunctions.tokens(col(textCol))
-    // chunks cover starts 0, step, 2·step, … while start < n (≥1 chunk
-    // for non-empty docs); empty docs produce no chunks
+    // chunks cover starts 0, step, 2·step, … but only starts that add at
+    // least one token beyond the carried overlap (start + overlap < n):
+    // nChunks = 1 + ceil(max(0, n - chunkSize) / step). Integer-exact so
+    // the DuckDB oracle reproduces it; empty docs produce no chunks.
     val nChunks = when(size(toks) === 0, lit(0))
-      .otherwise(floor((size(toks) - 1).cast("double") / step).cast("int") + 1)
+      .otherwise(lit(1) +
+        ((greatest(size(toks) - chunkSize, lit(0)) + (step - 1)) / step)
+          .cast("int"))
     df.select(col(idCol), toks.as("_tk"), nChunks.as("_nc"))
       .filter(col("_nc") > 0)
       .select(col(idCol),

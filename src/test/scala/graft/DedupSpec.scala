@@ -98,6 +98,21 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 1L), s"chain not collapsed: ${labels.toSeq.sortBy(_._1).take(8)}")
   }
 
+  test("nearDupClusters: 64-bit hash-scale ids don't overflow the convergence sum") {
+    val s = spark
+    import s.implicits._
+    // ids near Long.MaxValue: a LONG Σcluster would overflow (throwing
+    // under ANSI or wrapping to a false fixpoint); the DECIMAL(38,0)
+    // aggregate must converge to the true labels (ADVICE r2)
+    val m = Long.MaxValue
+    val pairs = Seq((m, m - 1), (m - 1, m - 2), (m - 3, m - 4))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
+      (m - 3) -> (m - 4), (m - 4) -> (m - 4)))
+  }
+
   test("dropNearDuplicatesExact keeps exactly one representative per LSH component") {
     val slice = docs.filter(col("doc_id") < 800)
     val pairs = Dedup.minhashLsh(slice, "doc_id", "text", threshold = 0.5)

@@ -76,6 +76,9 @@ class ScaleSpec extends SparkSpec {
     val s25 = Scale.deterministicSample(orders, "o_orderkey", 0.25)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(s10.subsetOf(s25)) // threshold sampling nests monotonically
+    // fraction 1.0 is exact: keeps EVERY row, including any whose md5
+    // bucket is the boundary value ffffffff (ADVICE r2)
+    assert(Scale.deterministicSample(orders, "o_orderkey", 1.0).count() == n.toLong)
   }
 
   test("hash split is disjoint, exhaustive, and close to the weights") {

@@ -113,15 +113,38 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("chunk_idx")
       .select("chunk_idx", "n_chunk_tokens", "chunk_text")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
-    // 10 tokens, step 3: starts 0,3,6,9 -> sizes 4,4,4,1
-    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2, 3))
-    assert(chunks.map(_._2).toSeq == Seq(4, 4, 4, 1))
+    // 10 tokens, step 3: starts 0,3,6 -> sizes 4,4,4; start 9 would be
+    // a pure suffix of chunk 2 (zero new tokens) and must NOT appear
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(chunks.map(_._2).toSeq == Seq(4, 4, 4))
     assert(chunks(0)._3 == "t1 t2 t3 t4")
     assert(chunks(1)._3 == "t4 t5 t6 t7") // 1-token overlap carried
-    assert(chunks(3)._3 == "t10")
+    assert(chunks(2)._3 == "t7 t8 t9 t10") // full coverage to the last token
     // empty docs produce no chunks
     val none = graft.operators.TextAnalysis
       .chunkTokens(Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
     assert(none.count() == 0)
+  }
+
+  test("chunkTokens: no zero-new-token trailing chunk at overlap boundaries") {
+    import spark.implicits._
+    // the ADVICE r2 repro: 30 tokens, chunkSize 32, overlap 8 -> exactly
+    // one chunk (the old formula emitted a second, pure-suffix chunk)
+    def nChunks(n: Int, size: Int, ov: Int): Seq[(Int, Int)] = {
+      val doc = Seq((1L, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+      graft.operators.TextAnalysis.chunkTokens(doc, "doc_id", "text", size, ov)
+        .orderBy("chunk_idx").select("chunk_idx", "n_chunk_tokens")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    }
+    assert(nChunks(30, 32, 8) == Seq((0, 30)))
+    assert(nChunks(32, 32, 8) == Seq((0, 32)))
+    // 33 tokens: second chunk carries 8 overlap + 1 new token
+    assert(nChunks(33, 32, 8) == Seq((0, 32), (1, 9)))
+    // 56 = 32 + 24: start 24 would end exactly at the overlap boundary
+    assert(nChunks(56, 32, 8) == Seq((0, 32), (1, 32)))
+    // 57: a third... no — starts 0,24; start 48 adds token 57 (9-token chunk)
+    assert(nChunks(57, 32, 8) == Seq((0, 32), (1, 32), (2, 9)))
+    // every token is still covered: last chunk always reaches token n
+    assert(nChunks(100, 32, 8).map(_._2).sum >= 100)
   }
 }
