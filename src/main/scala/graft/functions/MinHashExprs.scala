@@ -284,3 +284,113 @@ case class HyperplaneSigs(child: Expression, nTables: Int, planesPerTable: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
 }
+
+/** Distinct word n-grams of a string as array<string> (space-joined,
+  * first-occurrence order) in one compiled pass. The declarative
+  * `array_distinct(transform(sequence(...), i => concat_ws(slice(...))))`
+  * formulation evaluates in the interpreted HOF path — per-n-gram
+  * closure dispatch and array churn made it the hot spot of the
+  * decontamination operator. Semantics match that formulation exactly
+  * (tokens = non-empty `\s+` splits; fewer than `n` tokens → empty
+  * array), so the DuckDB oracle is unchanged.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks0 = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    var m = 0
+    var i = 0
+    while (i < toks0.length) { // compact non-empty tokens in place
+      if (toks0(i).nonEmpty) { toks0(m) = toks0(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val count = m - n + 1
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var start = 0
+    while (start < count) {
+      val sb = new java.lang.StringBuilder(toks0(start))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks0(start + j)); j += 1 }
+      seen.add(sb.toString)
+      start += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Index of the nearest centroid by dot product — the IVF assign step
+  * in one compiled loop. Centroids arrive L2-normalized (argmax of
+  * dot against normalized centroids == argmax of cosine, since the
+  * row vector's own norm is a constant positive factor), so no
+  * per-row sqrt. Ties keep the LAST index, matching the
+  * struct-array_max formulation this replaces (max struct on equal
+  * cos picks the larger cell ordinal). The previous unrolled
+  * nCells × dim Column tree also cost seconds of Janino compilation
+  * per pass — this is one small expression regardless of nCells.
+  */
+case class NearestCellDot(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(cents.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val mat: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < mat.length) {
+      val c = mat(j)
+      val dim = math.min(v.numElements(), c.length)
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        s += x * c(d)
+        d += 1
+      }
+      if (s >= bestDot) { bestDot = s; best = j }
+      j += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellDot =
+    copy(child = newChild)
+}

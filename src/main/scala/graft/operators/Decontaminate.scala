@@ -22,16 +22,15 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Distinct token `n`-grams of a text column as `array<string>`
-    * (space-joined). Guarded so documents shorter than `n` tokens
-    * yield an empty array — Spark's `sequence(1, 0)` would otherwise
-    * count DOWN.
+    * (space-joined; fewer than `n` tokens → empty array). One compiled
+    * pass per row ([[graft.functions.WordNgrams]] — the declarative
+    * array_distinct∘transform∘slice formulation evaluated in the
+    * interpreted HOF path and dominated the operator's runtime).
     */
   def ngramSet(textCol: Column, n: Int): Column = {
-    val tk = TextFunctions.tokens(lower(textCol))
-    array_distinct(
-      when(size(tk) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
-          i => concat_ws(" ", slice(tk, i, lit(n))))))
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.WordNgrams(
+      GraftExprBridge.expression(lower(textCol)), n))
   }
 
   /** (corpusId, benchId, n_shared) for every corpus document sharing

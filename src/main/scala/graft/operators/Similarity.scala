@@ -97,18 +97,29 @@ object Similarity {
     cents.map { case (id, c) => id -> updated.getOrElse(id, c) }.sortBy(_._1)
   }
 
-  /** Add a `cell` column: index of the nearest centroid (max cosine).
-    * Centroids are inlined as literals — broadcast by value, evaluated
-    * in codegen; argmax via array of (cos, cell) structs + array_max.
+  /** Add a `cell` column: id of the nearest centroid (max cosine).
+    * Centroids ship L2-normalized inside one compiled
+    * [[graft.functions.NearestCellDot]] expression — argmax of dot
+    * against normalized centroids equals argmax of cosine (the row's
+    * own norm is a constant positive factor), so the assign runs one
+    * primitive nCells × dim loop per row with no per-centroid sqrt.
+    * (The previous unrolled struct-array_max Column tree also cost
+    * seconds of Janino compilation on every build pass.)
     */
   def assign(df: DataFrame, vecCol: String,
       cents: Array[(Int, Array[Double])]): DataFrame = {
-    val scored = array(cents.map { case (id, c) =>
-      struct(
-        VectorFunctions.cosine(col(vecCol), array(c.map(lit): _*)).as("cos"),
-        lit(id).as("cell"))
-    }: _*)
-    df.withColumn("cell", array_max(scored).getField("cell"))
+    import org.apache.spark.sql.GraftExprBridge
+    val ordered = cents.sortBy(_._1)
+    val normed: Seq[Seq[Double]] = ordered.toIndexedSeq.map { case (_, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (if (n == 0.0) c else c.map(_ / n)).toIndexedSeq
+    }
+    val idx = GraftExprBridge.column(graft.functions.NearestCellDot(
+      GraftExprBridge.expression(col(vecCol)), normed))
+    // map argmax ordinal -> centroid id (ids are 0..n-1 in practice,
+    // but the lookup keeps assign correct for any integral ids)
+    val ids = array(ordered.map(c => lit(c._1)): _*)
+    df.withColumn("cell", element_at(ids, idx + 1))
   }
 
   /** Query the IVF index: probe the `nprobe` cells whose centroids are

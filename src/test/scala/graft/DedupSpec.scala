@@ -91,11 +91,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDupClusters(empty).count() == 0)
     // a 40-node chain has diameter 39 — linear propagation would need
     // 39 rounds; pointer doubling must converge within maxIter = 10
+    // (driverEdgeLimit = 0 forces the distributed path)
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.nearDupClusters(chain, maxIter = 10)
+    val labels = Dedup.nearDupClusters(chain, maxIter = 10, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == 40)
     assert(labels.forall(_._2 == 1L), s"chain not collapsed: ${labels.toSeq.sortBy(_._1).take(8)}")
+  }
+
+  test("nearDupClusters: driver union-find and distributed propagation agree") {
+    val s = spark
+    import s.implicits._
+    // mixed shapes: chain, clique, star, singleton pair
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++ // chain
+      Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++      // clique
+      Seq((20L, 21L), (20L, 22L), (20L, 23L)) ++      // star
+      Seq((30L, 31L))).toDF("id_a", "id_b")
+    val fast = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.nearDupClusters(pairs, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast(4L) == 1L && fast(12L) == 10L && fast(23L) == 20L && fast(31L) == 30L)
   }
 
   test("nearDupClusters: 64-bit hash-scale ids don't overflow the convergence sum") {
@@ -107,7 +124,7 @@ class DedupSpec extends SparkSpec {
     val m = Long.MaxValue
     val pairs = Seq((m, m - 1), (m - 1, m - 2), (m - 3, m - 4))
       .toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(pairs)
+    val got = Dedup.nearDupClusters(pairs, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
       (m - 3) -> (m - 4), (m - 4) -> (m - 4)))
