@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{LogFunctions, TextFunctions}
 import graft.model.FilterDef
-import graft.operators.{Dedup, FilterFanout, Similarity, StatsRollup, Tail, TextAnalysis}
+import graft.operators.{Dedup, FilterFanout, Pack, Similarity, StatsRollup, Tail, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import graft.queries.GrepQL
 import graft.sources.Tables
@@ -848,6 +848,28 @@ object SparkEntry {
              |FROM base, (SELECT unnest(generate_series(0, (SELECT max(nc) FROM base))) AS i) i
              |WHERE i.i < nc""".stripMargin)),
 
+    ("q_pack_sequences", // concat-and-chunk sequence packing: global
+      // token prefix sum (two-phase, no single-partition window) ->
+      // fixed-budget context-window spans per document
+      (s: SparkSession, dir: String) =>
+        Pack.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          tokenBudget = 512),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
+             |                                 x -> len(x) > 0)) AS n
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, n,
+             |         sum(n) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+             |  FROM tok)
+             |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+             |       CAST(st AS BIGINT) AS start_token,
+             |       CAST(st // 512 AS BIGINT) AS pack_first,
+             |       CAST((st + greatest(n - 1, 0)) // 512 AS BIGINT) AS pack_last,
+             |       CAST(st % 512 AS BIGINT) AS pack_offset
+             |FROM cum""".stripMargin)),
+
     ("q_repetition", // Gopher-style repetition quality metrics
       (s: SparkSession, dir: String) =>
         TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id", "text"),
@@ -1064,12 +1086,44 @@ object SparkEntry {
           .select("doc_id"),
       None),
     ("q_dedup_clusters", // exact near-dup clustering: LSH pairs →
-      // connected components → one representative per component
+      // connected components → one representative per component.
+      // Oracle: brute-force 3-shingle Jaccard pairs (LSH banding at
+      // these settings has full recall — verified vs brute force in
+      // DedupSpec) + recursive-CTE transitive closure, keep min id.
       (s: SparkSession, dir: String) =>
         Dedup.dropNearDuplicatesExact(t(s, dir, "documents"),
           "doc_id", "text", threshold = 0.5)
           .select("doc_id"),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    list_transform(generate_series(1, greatest(1, len(t) - 2)),
+             |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+             |  FROM tok WHERE len(t) > 0),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b
+             |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |             JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+             |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE rr(id, r) AS (
+             |    SELECT id, r FROM edges
+             |    UNION
+             |    SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
+             |  ) SELECT * FROM rr),
+             |labels AS (SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin)),
     ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first)
       (s: SparkSession, dir: String) =>
         Dedup.dropEmbeddingNearDuplicates(t(s, dir, "embeddings"),

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Pack
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: global-order prefix sum and window spans. */
+class PackSpec extends SparkSpec {
+
+  test("packSequences: contiguous global token stream, exact window spans") {
+    val s = spark
+    import s.implicits._
+    // token counts 3, 5, 4, 0, 6 in id order; budget 4
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g h"),
+      (3L, "i j k l"),
+      (4L, "   "),
+      (5L, "m n o p q r")).toDF("doc_id", "text")
+    val got = Pack.packSequences(docs, "doc_id", "text", tokenBudget = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // starts: 0, 3, 8, 12, 12 — exclusive prefix sums
+    assert(got.toSeq == Seq(
+      (1L, 3, 0L, 0L, 0L, 0L),   // tokens 0..2   -> window 0
+      (2L, 5, 3L, 0L, 1L, 3L),   // tokens 3..7   -> windows 0-1, offset 3
+      (3L, 4, 8L, 2L, 2L, 0L),   // tokens 8..11  -> window 2 exactly
+      (4L, 0, 12L, 3L, 3L, 0L),  // empty doc sits at its start position
+      (5L, 6, 12L, 3L, 4L, 0L))) // tokens 12..17 -> windows 3-4
+  }
+
+  test("packSequences: prefix sum is partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // enough rows to span many range partitions; compare against the
+    // single-partition truth
+    val docs = (1 to 3000)
+      .map(i => (i.toLong, (1 to (i % 7 + 1)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Pack.packSequences(docs, "doc_id", "text", tokenBudget = 64)
+      .orderBy("doc_id").select("doc_id", "start_token")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (1 to 3000).scanLeft(0L)((acc, i) => acc + (i % 7 + 1))
+      .init.zipWithIndex.map { case (st, i) => ((i + 1).toLong, st) }
+    assert(got.toSeq == expected)
+  }
+}
