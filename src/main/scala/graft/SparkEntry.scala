@@ -1033,6 +1033,33 @@ object SparkEntry {
   }
 
   // --- dedup (builder brief: exact + near-dup as first-class ops) ---
+  /** DuckDB CTE yielding `pairs(id_a, id_b)` — brute-force distinct
+    * 3-shingle Jaccard pairs over `documents` at `threshold`. The
+    * LSH/banding Spark side must find exactly these pairs (full recall
+    * at engine settings — verified vs brute force in DedupSpec, and by
+    * these oracles at every gate sf).
+    */
+  private def shinglePairsSql(threshold: Double): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |                             x -> len(x) > 0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(generate_series(1, greatest(1, len(t) - 2)),
+       |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+       |  FROM tok WHERE len(t) > 0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |             JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold)""".stripMargin
+
   private def dedupDefs: Seq[(String, Q, Option[String])] = Seq(
     ("q_dedup_exact",
       (s: SparkSession, dir: String) =>
@@ -1069,22 +1096,29 @@ object SparkEntry {
     // MinHash-LSH and SimHash near-dup: not SQL-expressible (banding +
     // xxhash64) → rows-only driver check; correctness vs brute force is
     // covered by DedupSpec.
-    ("q_dedup_minhash_lsh",
+    ("q_dedup_minhash_lsh", // LSH candidate pairs, exact-verified —
+      // must equal brute-force 3-shingle Jaccard pairs (pair SET is
+      // the oracle surface; the jaccard VALUES are spec-checked)
       (s: SparkSession, dir: String) =>
         Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5),
-      None),
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          .select("id_a", "id_b"),
+      Some(s"""${shinglePairsSql(0.5)}
+              |SELECT id_a, id_b FROM pairs""".stripMargin)),
     ("q_dedup_simhash",
       (s: SparkSession, dir: String) =>
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3),
       None),
-    ("q_dedup_drop_near", // LSH pairs → deduplicated corpus (keep-first)
+    ("q_dedup_drop_near", // LSH pairs → deduplicated corpus (keep-first
+      // greedy: drop every doc that is the larger id of any pair)
       (s: SparkSession, dir: String) =>
         Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
           .select("doc_id"),
-      None),
+      Some(s"""${shinglePairsSql(0.5)}
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin)),
     ("q_dedup_clusters", // exact near-dup clustering: LSH pairs →
       // connected components → one representative per component.
       // Oracle: brute-force 3-shingle Jaccard pairs (LSH banding at
@@ -1094,25 +1128,7 @@ object SparkEntry {
         Dedup.dropNearDuplicatesExact(t(s, dir, "documents"),
           "doc_id", "text", threshold = 0.5)
           .select("doc_id"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-             |                             x -> len(x) > 0) AS t
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id, unnest(list_distinct(
-             |    list_transform(generate_series(1, greatest(1, len(t) - 2)),
-             |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-             |  FROM tok WHERE len(t) > 0),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |inter AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT id_a, id_b
-             |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
-             |             JOIN sizes sb ON sb.doc_id = id_b
-             |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+      Some(s"""${shinglePairsSql(0.5)},
              |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
              |          UNION SELECT id_b, id_a FROM pairs),
              |reach AS (
@@ -1124,12 +1140,29 @@ object SparkEntry {
              |labels AS (SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id)
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin)),
-    ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first)
+    ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first
+      // greedy over hyperplane-LSH-blocked, exact-verified pairs; the
+      // oracle is brute-force all-pairs cosine — the blocking must
+      // have full recall at engine settings)
       (s: SparkSession, dir: String) =>
         Dedup.dropEmbeddingNearDuplicates(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.98)
           .select("vec_id"),
-      None)
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+             |d AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+             |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b
+             |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+             |  WHERE na.nrm > 0 AND nb.nrm > 0 AND dot / (na.nrm * nb.nrm) >= 0.98)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin))
   )
 
   // --- similarity search (builder brief) ---
