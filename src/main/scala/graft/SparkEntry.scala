@@ -536,16 +536,54 @@ object SparkEntry {
     ("q_multimodal_features",
       // Scalar projection of the per-row feature vector (the driver's
       // result dump sorts every column, so no raw array<float> output).
+      // Oracle-able because the stub decode is a byte histogram and the
+      // fixture is ASCII (byte ≡ char code, the invariant
+      // MultimodalSpec pins): DuckDB replays the float32 accumulation
+      // order-exactly via REAL-cast list_reduce folds, so the floor-
+      // scaled sums are bit-identical, not approximately equal.
       (s: SparkSession, dir: String) =>
         graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMediaTable(t(s, dir, "documents")))
           .select(col("media_id"), size(col("features")).as("n_dims"),
-            round(aggregate(col("features"), lit(0.0d),
-              (acc, x) => acc + x.cast("double")), 4).as("feat_sum"),
-            round(sqrt(aggregate(col("features"), lit(0.0d),
-              (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
-              .as("feat_norm")),
-      None)
+            floor(aggregate(col("features"), lit(0.0d),
+              (acc, x) => acc + x.cast("double")) * 10000)
+              .cast("bigint").as("feat_sum_s"),
+            floor(sqrt(aggregate(col("features"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))) * 10000)
+              .cast("bigint").as("feat_norm_s")),
+      // Float32 emulation: every partial sum is CAST back to REAL so
+      // DuckDB reproduces the JVM's binary32 rounding at each step; the
+      // per-dim element order (positions i ≡ j mod 16, ascending) and
+      // the dim-order double folds match StubCodec.decodeImage +
+      // functions.aggregate exactly.
+      Some("""WITH codes AS (
+             |  SELECT doc_id, len(text) AS n,
+             |         list_transform(generate_series(1, len(text)),
+             |                        i -> ord(substr(text, i, 1))) AS cs
+             |  FROM documents),
+             |dims AS (SELECT unnest(generate_series(0, 15)) AS j),
+             |hist AS (
+             |  SELECT doc_id, n, j,
+             |    list_reduce(
+             |      list_prepend(CAST(0.0 AS REAL),
+             |        list_transform(
+             |          list_filter(generate_series(1, n), i -> (i - 1) % 16 = j),
+             |          i -> CAST(CAST(cs[i] AS REAL) / CAST(255.0 AS REAL) AS REAL))),
+             |      (a, b) -> CAST(a + b AS REAL)) AS s
+             |  FROM codes CROSS JOIN dims),
+             |feat AS (
+             |  SELECT doc_id,
+             |         list(CAST(CASE WHEN n = 0 THEN 0.0 ELSE s / CAST(n AS REAL) END AS REAL)
+             |              ORDER BY j) AS v
+             |  FROM hist GROUP BY doc_id)
+             |SELECT doc_id AS media_id, CAST(16 AS INT) AS n_dims,
+             |  CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |        list_transform(v, x -> CAST(x AS DOUBLE))),
+             |      (a, b) -> a + b) * 10000) AS BIGINT) AS feat_sum_s,
+             |  CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |        list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             |      (a, b) -> a + b)) * 10000) AS BIGINT) AS feat_norm_s
+             |FROM feat""".stripMargin))
   )
 
   // --- relational surface: joins / windows / set ops / rollup (SURVEY

@@ -68,8 +68,35 @@ object ErrorClassifier {
     (State(model, state.seen + 1), predicted)
   }
 
+  /** Streaming per-filter fold over a partition whose rows arrive
+    * clustered by filter_id and sorted by ord within each filter (the
+    * secondary-sort contract [[classifyBatch]] establishes). State
+    * resets at each filter boundary; one row in, one row out — nothing
+    * is materialized, so a single dominant filter_id costs memory
+    * O(model), not O(rows).
+    */
+  def foldSortedPartition(it: Iterator[(String, Long, String)],
+      cfg: Config): Iterator[Classified] = {
+    var curFid: String = null
+    var state: State = null
+    it.map { case (fid, ord, raw) =>
+      if (fid != curFid) { curFid = fid; state = State.empty(cfg.memoryCapacity) }
+      val (next, predicted) = step(state, raw, cfg)
+      state = next
+      Classified(fid, ord, raw, predicted)
+    }
+  }
+
   /** Batch classification: rows (filter_id, ord, _raw) → one
     * `Classified` per row, processed in `ord` order per filter.
+    *
+    * Secondary sort, not group materialization: hash-repartition on
+    * filter_id (the reference's fieldsGrouping), sort each partition by
+    * (filter_id, ord) — Spark's external sorter spills, so a skewed
+    * filter never has to fit in memory — then stream the fold with
+    * [[foldSortedPartition]]. The earlier `flatMapGroups` formulation
+    * buffered an entire filter's rows per group; one dominant filter at
+    * 100× data meant executor OOM.
     */
   def classifyBatch(rows: DataFrame, cfg: Config = Config())(
       implicit spark: SparkSession): Dataset[Classified] = {
@@ -78,19 +105,10 @@ object ErrorClassifier {
         col("filter_id").cast("string"),
         col("ord").cast("long"),
         col("_raw").cast("string"))
+      .repartition(col("filter_id"))
+      .sortWithinPartitions(col("filter_id"), col("ord"))
       .as[(String, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (fid, it) =>
-        // Sort inside the group to get deterministic stream order; at
-        // 100 TB this is a per-filter sort of that filter's slice only.
-        val sorted = it.toIndexedSeq.sortBy(_._2)
-        var state = State.empty(cfg.memoryCapacity)
-        sorted.iterator.map { case (_, ord, raw) =>
-          val (next, predicted) = step(state, raw, cfg)
-          state = next
-          Classified(fid, ord, raw, predicted)
-        }
-      }
+      .mapPartitions(it => foldSortedPartition(it, cfg))
   }
 
   /** Fit per-filter models on a (bounded) sample collected to the

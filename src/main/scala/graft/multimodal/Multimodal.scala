@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -90,23 +90,28 @@ object Multimodal {
     * float vector per row. Batch shape matches what a columnar
     * (Arrow-style) UDF would see: the iterator is consumed in chunks
     * so a real codec can amortize per-batch setup.
+    *
+    * Typed `Dataset.mapPartitions`, not `.rdd`: the transform stays a
+    * SQL-plan node (MapPartitions between Serialize/Deserialize), so
+    * upstream column pruning and downstream optimization still apply —
+    * an RDD hop would sever the plan at an ExistingRDD scan.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16,
       batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    val rdd = media.select("media_id", "media").rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // per-batch codec setup would go here (model load, etc.)
-        batch.iterator.map { r =>
-          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-          Row(r.getLong(0), StubCodec.decodeImage(bytes, dim).toSeq)
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch codec setup would go here (model load, etc.)
+          batch.iterator.map { case (id, m) =>
+            val bytes = Option(m).getOrElse(Array.emptyByteArray)
+            (id, StubCodec.decodeImage(bytes, dim))
+          }
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("media_id", "features")
   }
 
   /** Metadata-only projection — must prune the binary column at scan
@@ -126,12 +131,18 @@ object Multimodal {
     */
   def resizeMedia(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "media").rdd.map { r =>
-      val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-      Row(r.getLong(0), StubCodec.resize(bytes, w, h),
-        Row("fake/raw", w, h, 0L))
-    }
-    spark.createDataFrame(rdd, MediaSchema)
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, m) =>
+        (id, StubCodec.resize(Option(m).getOrElse(Array.emptyByteArray), w, h))
+      })
+      .toDF("media_id", "media")
+      // metadata is plan-side: constant per the target dimensions, so it
+      // never rides through the codec closure
+      .withColumn("meta", struct(
+        lit("fake/raw").as("format"), lit(w).as("width"),
+        lit(h).as("height"), lit(0L).as("duration_ms")))
   }
 
   /** Frame sampling: one output row per sampled frame — the generator
@@ -140,16 +151,15 @@ object Multimodal {
     */
   def sampleFrameRows(media: DataFrame, n: Int): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("frame_idx", IntegerType),
-      StructField("frame", BinaryType)))
-    val rdd = media.select("media_id", "media").rdd.flatMap { r =>
-      val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-      StubCodec.sampleFrames(bytes, n).zipWithIndex.map { case (f, i) =>
-        Row(r.getLong(0), i, f)
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, m) =>
+        val bytes = Option(m).getOrElse(Array.emptyByteArray)
+        StubCodec.sampleFrames(bytes, n).zipWithIndex.map { case (f, i) =>
+          (id, i, f)
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("media_id", "frame_idx", "frame")
   }
 }

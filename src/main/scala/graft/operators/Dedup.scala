@@ -292,26 +292,70 @@ object Dedup {
   }
 
   /** All-pairs n-gram token Jaccard via token-inverted-index join —
-    * the exact (non-approximate) near-dup reference path. Quadratic in
-    * the worst case, so callers bound the input (the LSH variant is the
-    * scale path). Output: (id_a, id_b, jaccard) for pairs ≥ threshold.
+    * the exact (non-approximate) near-dup reference path. Output:
+    * (id_a, id_b, jaccard) for pairs ≥ threshold.
+    *
+    * Skew control: a corpus-frequent token (a stop-token with document
+    * frequency f) alone contributes O(f²) rows to the index self-join —
+    * the quadratic hot-key shape that kills this plan at scale.
+    * `maxTokenDf > 0` drops such tokens from the CANDIDATE index only;
+    * surviving pairs are verified on the full token sets, so every
+    * emitted Jaccard is exact. The (documented) recall cost: a pair
+    * whose shared tokens are ALL above the cap is never considered —
+    * at near-dup thresholds such pairs share only corpus-stopwords, so
+    * in practice the cap trades nothing for the quadratic bound.
+    * `maxTokenDf = 0` (default) keeps the fully-exact uncapped path.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = toks.as("a").join(toks.as("b"),
+      threshold: Double, maxTokenDf: Long = 0L): DataFrame = {
+    if (maxTokenDf <= 0L) {
+      val toks = df.select(col(idCol).as("id"),
+          explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+      val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+      val inter = toks.as("a").join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("j",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    } else {
+      val sets = df.select(col(idCol).as("id"),
+        TextFunctions.tokenSet(col(textCol)).as("_ts"))
+      val cand = jaccardCandidates(sets, maxTokenDf)
+      cand
+        .join(sets.select(col("id").as("id_a"), col("_ts").as("_ta")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("_ts").as("_tb")), "id_b")
+        .withColumn("inter",
+          size(array_intersect(col("_ta"), col("_tb"))).cast("double"))
+        .withColumn("j", col("inter") /
+          (size(col("_ta")) + size(col("_tb")) - col("inter")))
+        .filter(col("j") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    }
+  }
+
+  /** Candidate pairs from the df-capped token inverted index: ids
+    * sharing at least one token with document frequency ≤ `maxTokenDf`.
+    * Exposed for DedupSpec's skew assertion (a 100%-df token must not
+    * produce quadratic candidates).
+    */
+  private[graft] def jaccardCandidates(sets: DataFrame,
+      maxTokenDf: Long): DataFrame = {
+    val toks = sets.select(col("id"), explode(col("_ts")).as("tok"))
+    // hot-token relation is tiny (tokens ABOVE the cap); broadcast the
+    // anti-join so the prune costs no shuffle of the token stream
+    val hot = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxTokenDf).select("tok")
+    val idx = toks.join(broadcast(hot), Seq("tok"), "left_anti")
+    idx.as("a").join(idx.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("j",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** 64-bit SimHash over the token multiset — one compiled pass per

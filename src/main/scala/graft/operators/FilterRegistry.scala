@@ -53,8 +53,12 @@ final class FilterRegistry(persistPath: Option[String] = None,
     removed
   }
 
+  /** Lookup through [[list]] so expired temp filters are never
+    * resolvable — `select` against a >1 h-old `__tmp__` name fails the
+    * same way the reference's expired-filter lookup does.
+    */
   def byName(name: String): Option[FilterDef] =
-    filters.values.find(_.name == name)
+    list().find(_.name == name)
 
   /** Live filters after expiring stale temp ones —
     * `cli/supervisorcon.go:258-280`.

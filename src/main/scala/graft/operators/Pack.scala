@@ -37,6 +37,11 @@ object Pack {
     // come from sampling, so a lazily re-executed exchange can assign
     // boundary rows to different partitions across the totals job and
     // the window job (observed: off-by-one-document offsets).
+    // Lifecycle: the checkpoint blocks are released by the
+    // ContextCleaner once the returned plan is dereferenced; callers
+    // holding many packed frames in one long-lived session should
+    // materialize (write/collect) and drop them, or sweep
+    // sparkContext.getPersistentRDDs and unpersist, as Bench does.
     val counted = df
       .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
       .repartitionByRange(parallelism, col(idCol))
@@ -50,10 +55,14 @@ object Pack {
       .sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
       (pid, acc + tot)
-    }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }.toMap
-    val offCol = totals.foldLeft(lit(0L)) { case (acc, (pid, _)) =>
-      when(col("_pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }
+    // The (pid → exclusive offset) relation is O(parallelism) rows;
+    // broadcast-join it back onto the data. (The previous when-chain
+    // over every partition id built an O(parallelism)-deep Column tree
+    // — a Janino-hostile expression at thousands of partitions.)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("_pid", "_poff"))
     // phase 2: partition-local running sum; start = global exclusive
     // prefix of this document's tokens
     val w = Window.partitionBy("_pid").orderBy(idCol)
@@ -61,7 +70,8 @@ object Pack {
     val lastTok = col("start_token") +
       when(col("n_tokens") > 0, col("n_tokens") - 1).otherwise(lit(0))
     counted
-      .withColumn("start_token", offCol + sum(col("n_tokens")).over(w)
+      .join(offsetDf, Seq("_pid"))
+      .withColumn("start_token", col("_poff") + sum(col("n_tokens")).over(w)
         - col("n_tokens"))
       .select(col(idCol), col("n_tokens"), col("start_token"),
         floor(col("start_token") / tokenBudget).as("pack_first"),

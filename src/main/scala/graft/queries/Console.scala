@@ -111,6 +111,29 @@ object Console {
     Stats(toks(1), window, rollup)
   }
 
+  /** Reference parity (`cli/cloudpelican-lsd.go:500-524`): a
+    * select/tail whose FROM target the catalog doesn't know is
+    * auto-served by creating a TEMPORARY filter `__tmp__<unixts>`
+    * holding the WHERE regex (empty = match-all) and retargeting the
+    * command at it. The reference spells the unknown target
+    * `stream:default` (any other `stream:` name errors, `:508-511`); a
+    * plain unknown name with a WHERE regex gets the same treatment.
+    * Temp filters expire after 1 h via [[graft.operators.FilterRegistry]].
+    */
+  def autoCreateTemp(cmd: Command,
+      registry: graft.operators.FilterRegistry,
+      known: String => Boolean): Command = cmd match {
+    case Select(src, _, _, _)
+        if src.startsWith("stream:") && src != "stream:default" =>
+      throw new IllegalArgumentException(
+        "Can not create temporary filter from stream, try 'select * from stream:default'")
+    case s @ Select(src, where, _, _)
+        if src == "stream:default" || (!known(src) && where.nonEmpty) =>
+      val f = registry.createTemp(where.getOrElse(""))
+      s.copy(source = f.name, whereRegex = None)
+    case other => other
+  }
+
   /** Compile a parsed command against the catalog. `nowEpochSec` pins
     * the stats window for determinism (tests/oracle).
     */

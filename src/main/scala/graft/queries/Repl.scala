@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object Repl {
 
+  /** Metric-2 (error) series for the stats chart: the same
+    * window/rollup pipeline over the rows the error lexicon labels as
+    * errors — the batch face of the classifier's metric-2 counters
+    * (`cli/stats.go:69-90` draws them as `*` over the `o` series).
+    * Empty when the source has no error-labeled rows.
+    */
+  private[graft] def errorSeries(base: DataFrame,
+      st: Console.Stats): Seq[(Long, Long)] = {
+    if (!base.columns.contains("ts") || !base.columns.contains("_raw"))
+      return Seq.empty
+    val isErr = graft.functions.LogFunctions.ErrorWords
+      .map(w => lower(col("_raw")).contains(lit(w)))
+      .reduce(_ || _)
+    // pin `now` the same way Console.compile does so both series share
+    // bucket alignment
+    val now = base.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val errBase = base.filter(isErr)
+    if (errBase.isEmpty) return Seq.empty
+    graft.operators.StatsRollup
+      .statsQuery(errBase, "ts", Seq.empty, st.windowSec, st.rollupSec, now)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getAs[Long]("bucket_start"), r.getAs[Long]("cnt")))
+      .toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val regPath = args.lift(1)
@@ -75,14 +100,21 @@ object Repl {
               case None => println(s"ERR no filter named '$name'")
             }
           } else {
-            val cmd = Console.parse(t)
+            // unknown select/tail target with a WHERE regex (or the
+            // reference's `stream:default`) auto-creates a temp filter
+            val known = (n: String) =>
+              n == "docs" || n == "ev" || registry.byName(n).isDefined
+            val cmd = Console.autoCreateTemp(Console.parse(t), registry, known)
             val df = Console.compile(cmd, catalog, spark)
             cmd match {
-              case _: Console.Stats =>
-                // render the ASCII chart like the reference CLI
+              case st: Console.Stats =>
+                // render the ASCII chart like the reference CLI —
+                // metric-1 (match) as `o` and metric-2 (error) as `*`
+                // drawn together (cli/stats.go:69-90)
                 val series = df.orderBy("bucket_start").collect()
                   .map(r => (r.getAs[Long]("bucket_start"), r.getAs[Long]("cnt")))
-                print(Chart.render(series.toSeq))
+                val errSeries = errorSeries(catalog.resolve(spark, st.source), st)
+                print(Chart.render(series.toSeq, errSeries))
               case _ =>
                 val rows = df.limit(20).collect()
                 rows.foreach(r => println(r.toSeq.mkString("\t")))

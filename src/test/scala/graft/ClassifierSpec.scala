@@ -82,6 +82,54 @@ class ClassifierSpec extends SparkSpec {
     assert(other.head.predicted == "")
   }
 
+  test("classifyBatch matches the sequential reference fold under heavy skew") {
+    implicit val s = spark
+    import s.implicits._
+    // one dominant filter (50× the others) — the shape that OOM'd the
+    // old group-materializing formulation at scale
+    val rows = (1 to 4000).map(i => ("big", i.toLong,
+        if (i % 3 == 0) s"disk error $i" else s"request ok $i")) ++
+      (1 to 80).map(i => ("s1", i.toLong, s"write failure $i")) ++
+      (1 to 80).map(i => ("s2", i.toLong, s"served fine $i"))
+    val cfg = ErrorClassifier.Config(minTrained = 50)
+    val got = ErrorClassifier.classifyBatch(
+        rows.toDF("filter_id", "ord", "_raw"), cfg)
+      .collect().map(c => (c.filter_id, c.ord) -> c.predicted).toMap
+    assert(got.size == rows.size)
+    rows.groupBy(_._1).foreach { case (fid, rs) =>
+      var st = ErrorClassifier.State.empty(cfg.memoryCapacity)
+      rs.sortBy(_._2).foreach { case (_, ord, raw) =>
+        val (next, p) = ErrorClassifier.step(st, raw, cfg)
+        st = next
+        assert(got((fid, ord)) == p, s"diverged at ($fid, $ord)")
+      }
+    }
+  }
+
+  test("foldSortedPartition streams one-in-one-out (no group materialization)") {
+    val cfg = ErrorClassifier.Config(minTrained = 10)
+    var consumed = 0
+    val src = Iterator.tabulate(1000000) { i =>
+      consumed += 1; ("f", i.toLong, s"msg $i")
+    }
+    val out = ErrorClassifier.foldSortedPartition(src, cfg)
+    out.next()
+    assert(consumed <= 2,
+      s"fold pulled $consumed input rows before emitting the first output")
+  }
+
+  test("foldSortedPartition resets state at filter boundaries") {
+    val cfg = ErrorClassifier.Config(minTrained = 5)
+    val rows = (1 to 20).map(i => ("f1", i.toLong,
+        if (i % 2 == 0) s"disk error $i" else s"request ok $i")) ++
+      (1 to 3).map(i => ("f2", i.toLong, s"disk error $i"))
+    val out = ErrorClassifier.foldSortedPartition(rows.iterator, cfg).toVector
+    // f1 has trained past minTrained by its end; f2 must start cold
+    assert(out.filter(_.filter_id == "f1").takeRight(3).forall(_.predicted.nonEmpty))
+    assert(out.filter(_.filter_id == "f2").forall(_.predicted == ""),
+      "state leaked across the filter boundary")
+  }
+
   test("classifyBatch: per-filter isolation and ord-ordered processing") {
     implicit val s = spark
     import s.implicits._

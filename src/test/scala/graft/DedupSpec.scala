@@ -185,6 +185,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !(kept(a) && kept(b)) })
   }
 
+  test("jaccardPairs df-cap: a 100%-df token stops producing quadratic candidates; results stay exact") {
+    import spark.implicits._
+    // 40 docs all share the stop-token "common"; only (2k, 2k+1) pairs
+    // share real content
+    val docs40 = (0 until 40).map { i =>
+      val content = (1 to 8).map(j => s"w${i / 2}x$j").mkString(" ")
+      (i.toLong, s"common $content")
+    }.toDF("doc_id", "text")
+    // uncapped index: every one of the C(40,2)=780 doc pairs collides on
+    // "common"; capped at df≤20 only the 20 true pairs remain candidates
+    val sets = docs40.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.tokenSet(col("text")).as("_ts"))
+    val candCount = Dedup.jaccardCandidates(sets, maxTokenDf = 20).count()
+    assert(candCount == 20,
+      s"df-cap failed to bound candidates: got $candCount, want 20")
+    // and the capped path emits the same exact-jaccard result set
+    val u = Dedup.jaccardPairs(docs40, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val c = Dedup.jaccardPairs(docs40, "doc_id", "text", 0.8, maxTokenDf = 20)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(u.nonEmpty && c == u)
+  }
+
   test("jaccardPairs values match direct set computation") {
     import spark.implicits._
     val small = docs.filter(col("doc_id") < 100)

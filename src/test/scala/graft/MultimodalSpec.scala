@@ -36,9 +36,30 @@ class MultimodalSpec extends SparkSpec {
       s"binary column not pruned:\n$plan")
   }
 
+  test("media transforms stay inside the SQL plan (no ExistingRDD scan-break)") {
+    Seq(
+      "features" -> Multimodal.extractFeatures(media),
+      "resize" -> Multimodal.resizeMedia(media, 64, 48),
+      "frames" -> Multimodal.sampleFrameRows(media, 4)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ExistingRDD"),
+        s"$name breaks the plan at an RDD scan:\n$plan")
+      assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+        s"$name lost its typed-transform node:\n$plan")
+    }
+  }
+
   test("resize rewrites payload and metadata to the target dimensions") {
     val resized = Multimodal.resizeMedia(media, 64, 48)
-    assert(resized.schema == Multimodal.MediaSchema)
+    // names + types match the contract (nullability differs: the typed
+    // transform proves media_id/meta non-null, which is strictly tighter)
+    assert(resized.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Multimodal.MediaSchema.map(f => (f.name, f.dataType.typeName)))
+    val metaFields = resized.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .map(f => (f.name, f.dataType))
+    assert(metaFields == Multimodal.MediaMetaType.map(f => (f.name, f.dataType)))
     val rows = resized.select(length(col("media")),
       col("meta.width"), col("meta.height")).distinct().collect()
     assert(rows.length == 1)
@@ -51,8 +72,7 @@ class MultimodalSpec extends SparkSpec {
     val perMedia = frames.groupBy("media_id").count().collect()
     assert(perMedia.forall(_.getLong(1) <= 4))
     assert(frames.count() > media.count()) // genuine fan-out on this fixture
-    // generator shape: the RDD lineage (where the work actually lives —
-    // the SQL plan only shows Scan ExistingRDD) has no shuffle stage
+    // generator shape: no shuffle anywhere in the lineage
     // "Shuffled" catches both ShuffledRDD (RDD API) and ShuffledRowRDD (SQL)
     val lineage = frames.rdd.toDebugString
     assert(!lineage.contains("Shuffled"),

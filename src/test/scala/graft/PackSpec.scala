@@ -30,6 +30,24 @@ class PackSpec extends SparkSpec {
       (5L, 6, 12L, 3L, 4L, 0L))) // tokens 12..17 -> windows 3-4
   }
 
+  test("packSequences holds at shuffle.partitions=200 (offsets broadcast-joined, not a when-chain)") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    try {
+      val docs = (1 to 2000)
+        .map(i => (i.toLong, (1 to (i % 5 + 1)).map(j => s"w$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = Pack.packSequences(docs, "doc_id", "text", tokenBudget = 64)
+        .orderBy("doc_id").select("doc_id", "start_token")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (1 to 2000).scanLeft(0L)((acc, i) => acc + (i % 5 + 1))
+        .init.zipWithIndex.map { case (st, i) => ((i + 1).toLong, st) }
+      assert(got.toSeq == expected)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("packSequences: prefix sum is partitioning-independent") {
     val s = spark
     import s.implicits._
