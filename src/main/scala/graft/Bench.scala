@@ -66,8 +66,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
-      finally spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(false))
+      finally GraftSession.releaseCachedBlocks(spark)
     }
 
     // Best-of-2: min of two full evaluations. Cold-start cost (codegen,

@@ -27,4 +27,16 @@ object GraftSession {
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
+
+  /** Release every pinned storage block (persist + localCheckpoint
+    * RDDs). The eager-LSH operators (Dedup.minhashLsh,
+    * Similarity.lshPairs/buildIvf, Pack.packSequences) return
+    * localCheckpoint'ed frames whose blocks the ContextCleaner frees
+    * only after the frame is garbage-collected; a long-lived session
+    * that keeps references accumulates pinned blocks. Call this between
+    * logical units of work (Bench calls the equivalent sweep after
+    * every query).
+    */
+  def releaseCachedBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 }

@@ -132,6 +132,9 @@ object Dedup {
     // when unreferenced) so the persisted signature relation can be
     // released here instead of leaking across invocations. Note this
     // makes the call eager — the LSH job runs now, not at first action.
+    // Lifecycle: the checkpoint's blocks stay pinned while the caller
+    // holds the returned frame; long-lived sessions should drop the
+    // reference or sweep via GraftSession.releaseCachedBlocks.
     try verified
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
       .localCheckpoint(true)

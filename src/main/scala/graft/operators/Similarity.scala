@@ -50,7 +50,9 @@ object Similarity {
     // one per Lloyd step, final assignment) — persist it once instead
     // of re-reading the source each pass. The assignment materializes
     // eagerly so the persist can be released here; durable indexes go
-    // through writeIvf (cell-partitioned parquet) instead.
+    // through writeIvf (cell-partitioned parquet) instead. The
+    // checkpointed `assigned` frame pins blocks until dropped —
+    // GraftSession.releaseCachedBlocks sweeps them in long sessions.
     val input = df.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -221,7 +223,9 @@ object Similarity {
           (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
     // eager materialization so the persist can be released (see
-    // Dedup.minhashLsh — same lifecycle, same eagerness tradeoff)
+    // Dedup.minhashLsh — same lifecycle, same eagerness tradeoff;
+    // blocks pinned until the caller drops the frame or sweeps via
+    // GraftSession.releaseCachedBlocks)
     try verified
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .localCheckpoint(true)

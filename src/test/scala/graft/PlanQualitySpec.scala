@@ -89,6 +89,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
   }
 
+  test("classifier batch: secondary sort feeds a streaming MapPartitions (no group buffering)") {
+    val p = plan("q_classifier_errors")
+    assert(p.contains("MapPartitions"), s"fold not a mapPartitions:\n$p")
+    assert(p.contains("Sort "), s"no within-partition secondary sort:\n$p")
+    assert(p.contains("hashpartitioning(filter_id"),
+      s"not partitioned by filter_id:\n$p")
+    // the group-materializing shape would appear as FlatMapGroups
+    assert(!p.contains("FlatMapGroups"), s"group materialization crept back:\n$p")
+  }
+
+  test("pack: partition offsets join is broadcast (no O(parallelism) expression chain)") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset relation not broadcast-joined:\n$p")
+    assert(!p.contains("CASE WHEN (_pid"),
+      s"when-chain over partition ids still in plan:\n$p")
+  }
+
+  test("multimodal transforms carry no ExistingRDD scan-break") {
+    Seq("q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("ExistingRDD"), s"$q leaves the SQL engine:\n$p")
+      }
+  }
+
   test("bloom join: might_contain filter sits under the join, before its exchange") {
     val p = plan("q_bloom_join")
     val joinAt = p.indexOf("Join")
