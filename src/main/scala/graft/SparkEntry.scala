@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{LogFunctions, TextFunctions}
 import graft.model.FilterDef
-import graft.operators.{Dedup, FilterFanout, Pack, Similarity, StatsRollup, Tail, TextAnalysis}
+import graft.operators.{Curate, Dedup, FilterFanout, Pack, Similarity, StatsRollup, Tail, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import graft.queries.GrepQL
 import graft.sources.Tables
@@ -206,7 +206,7 @@ object SparkEntry {
              |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
              |       count(*) AS cnt
              |FROM lineitem GROUP BY 1, 2""".stripMargin))
-  ) ++ relationalDefs ++ textDefs ++ dedupDefs ++ similarityDefs ++ mlDefs ++ consoleDefs
+  ) ++ relationalDefs ++ textDefs ++ curateDefs ++ dedupDefs ++ similarityDefs ++ mlDefs ++ consoleDefs
 
   /** Catalog mapping console names onto the fixtures: `docs` = document
     * text as `_raw`; `ev` = event stream with ts + monotonic id.
@@ -1037,6 +1037,68 @@ object SparkEntry {
              |FROM documents""".stripMargin))
   )
 
+  // --- corpus curation (training-data assembly: budgeted selection +
+  // mixture balancing; builder brief: first-class extension ops) ---
+  private def curateDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_token_budget", // keep the highest-quality docs until a 20k-token
+      // budget is spent: two-phase prefix sum over (quality DESC, id),
+      // budget-pruned before the window runs
+      (s: SparkSession, dir: String) => {
+        val prof = TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "quality", "n_tokens")
+        Curate.selectByTokenBudget(prof, "doc_id", "n_tokens", "quality",
+          tokenBudget = 20000L)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk,
+              |         text
+              |  FROM documents),
+              |prof AS (
+              |  SELECT doc_id,
+              |    CAST(floor((least(len(text)/200.0, 1.0)
+              |      + (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+              |           ELSE (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / len(text) END) * 4.0, 1.0))
+              |      + least((CASE WHEN len(tk) = 0 THEN 0.0
+              |           ELSE len(list_filter(tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len(tk) END) * 5.0, 1.0)
+              |    ) / 3.0 * 10000) AS BIGINT) AS quality,
+              |    CAST(len(tk) AS BIGINT) AS n_tokens
+              |  FROM toks),
+              |cum AS (
+              |  SELECT doc_id, quality, n_tokens,
+              |         CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |  FROM prof)
+              |SELECT doc_id, quality, n_tokens, cum_tokens
+              |FROM cum WHERE cum_tokens <= 20000""".stripMargin)),
+
+    ("q_domain_mix", // equalize per-language token mass: deterministic
+      // md5 downsample of every language to the smallest language's
+      // token count; threshold computed in-plan, broadcast-joined
+      (s: SparkSession, dir: String) => {
+        val withTok = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Curate.mixtureBalance(withTok, "lang", "doc_id", "n_tokens")
+          .select("doc_id", "lang", "n_tokens", "dom_tokens")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |dom AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens
+             |        FROM tok GROUP BY 1),
+             |m AS (SELECT min(dom_tokens) AS min_tok FROM dom),
+             |ann AS (SELECT lang, dom_tokens,
+             |               least(1.0, CAST(min_tok AS DOUBLE) / CAST(dom_tokens AS DOUBLE)) AS keep_frac
+             |        FROM dom, m)
+             |SELECT t.doc_id, t.lang, t.n_tokens, a.dom_tokens
+             |FROM tok t JOIN ann a USING (lang)
+             |WHERE a.keep_frac >= 1.0
+             |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+             |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin))
+  )
+
   /** DuckDB CASE chain mirroring [[TextFunctions.langId]]. */
   private def langIdSql(c: String): String = {
     def score(ms: Seq[String]) =
@@ -1245,7 +1307,45 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           nTables = 4, planesPerTable = 6, threshold = 0.3),
-      None)
+      None),
+
+    ("q_embed_kmeans", // deterministic quantized k-means (k=4, 2 Lloyd
+      // steps): integer-exact at every step, so DuckDB replays the
+      // whole fit bit-for-bit — a clustering fit with a hash-match
+      // oracle, not a rows-only check
+      (s: SparkSession, dir: String) =>
+        Similarity.kmeansQuantized(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iterations = 2),
+      Some {
+        val dim = 64
+        def assignSql(src: String, cents: String) =
+          s"""(SELECT vec_id, qv, cl, d2 FROM (
+             |  SELECT q.vec_id, q.qv, c.cl,
+             |         list_sum(list_transform(generate_series(1, $dim),
+             |           i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))) AS d2,
+             |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |           list_sum(list_transform(generate_series(1, $dim),
+             |             i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
+             |  FROM $src q, $cents c) WHERE rk = 1)""".stripMargin
+        def updateSql(assigned: String, prev: String) =
+          s"""(SELECT p.cl, coalesce(u.qv, p.qv) AS qv FROM $prev p LEFT JOIN (
+             |  SELECT cl, list(s ORDER BY i) AS qv FROM (
+             |    SELECT cl, d.i,
+             |      CAST((sum(a.qv[d.i]) - (((sum(a.qv[d.i]) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS s
+             |    FROM $assigned a, (SELECT unnest(generate_series(1, $dim)) AS i) d
+             |    GROUP BY 1, 2) GROUP BY 1) u ON p.cl = u.cl)""".stripMargin
+        s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           |             x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS qv
+           |           FROM embeddings),
+           |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, qv
+           |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT 4)),
+           |a1 AS ${assignSql("q", "seeds")},
+           |c1 AS ${updateSql("a1", "seeds")},
+           |a2 AS ${assignSql("q", "c1")},
+           |c2 AS ${updateSql("a2", "c1")},
+           |fin AS ${assignSql("q", "c2")}
+           |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin
+      })
   )
 
   private def qGrep(name: String, pipeline: String): (String, Q, Option[String]) = {

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators for training-data assembly: select the
+  * best documents up to a token budget, and rebalance a corpus to a
+  * target domain mixture. Both are deterministic (no RNG) and
+  * integer/IEEE-exact, so any SQL engine reproduces the kept set
+  * bit-for-bit — the property a reproducible data pipeline needs.
+  */
+object Curate {
+
+  /** Budgeted selection: order documents by (scoreCol desc, idCol) and
+    * keep the prefix whose cumulative token count stays within
+    * `tokenBudget` — "take the highest-quality documents until the
+    * budget is spent", the standard corpus-assembly shape.
+    *
+    * Scale design mirrors [[Pack.packSequences]]: a global window over
+    * `ORDER BY score DESC` would funnel 100 TB through one task, so the
+    * prefix sum is two-phase — range-repartition on the global order,
+    * per-partition totals (one row per partition) collected into
+    * exclusive offsets, then a partition-local running sum. On top of
+    * that, partitions whose exclusive offset already exceeds the budget
+    * are pruned BEFORE the window runs: the expensive part costs
+    * O(selected prefix), not O(corpus).
+    *
+    * Output: (idCol, scoreCol, tokensCol, cum_tokens), cum_tokens
+    * inclusive. Ties on the score break by idCol, so the kept set is
+    * total-order stable.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // Freeze partition assignment before both downstream jobs read the
+    // ids (range boundaries come from sampling — same rationale as
+    // Pack.packSequences; see the lifecycle note there).
+    val ranged = df
+      .select(col(idCol), col(scoreCol), col(tokensCol).cast("long").as(tokensCol))
+      .repartitionByRange(parallelism, col(scoreCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy("_pid")
+      .agg(sum(col(tokensCol)).as("_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("_pid", "_poff"))
+    val w = Window.partitionBy("_pid").orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(offsetDf, Seq("_pid"))
+      // partition prune: a partition whose exclusive offset is already
+      // past the budget cannot contribute a kept row
+      .filter(col("_poff") < tokenBudget)
+      .withColumn("cum_tokens", col("_poff") + sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col(idCol), col(scoreCol), col(tokensCol), col("cum_tokens"))
+  }
+
+  /** Mixture balancing: deterministically downsample every domain to
+    * the token count of the smallest domain, so all domains carry equal
+    * token weight (the "uniform mixture" rebalance; feed a pre-filtered
+    * frame to hit any other target ratio). Per-domain keep fraction is
+    * min(1, min_domain_tokens / domain_tokens); rows are kept by the
+    * same md5-threshold rule as [[Scale.deterministicSample]], with the
+    * threshold computed IN-PLAN (`format_string("%08x", …)`) from the
+    * domain aggregate — both the fraction arithmetic (IEEE double) and
+    * the hex compare reproduce exactly in any engine.
+    *
+    * Cost at scale: one map-side-combinable aggregate over the corpus
+    * (domain cardinality rows), a broadcast join of that tiny relation,
+    * and a scan-level filter — no data shuffle of the corpus itself.
+    *
+    * Output: input row + (domain token total, keep fraction) —
+    * `dom_tokens`, `keep_frac` — for auditability.
+    */
+  def mixtureBalance(df: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String): DataFrame = {
+    val perDom = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("dom_tokens"))
+    val minTok = perDom.agg(min(col("dom_tokens")).as("_min_tok"))
+    val ann = perDom.crossJoin(minTok)
+      .withColumn("keep_frac",
+        least(lit(1.0), col("_min_tok").cast("double") / col("dom_tokens").cast("double")))
+      .withColumn("_thr", format_string("%08x",
+        floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
+      .drop("_min_tok")
+    df.join(broadcast(ann), domainCol)
+      .filter(col("keep_frac") >= 1.0 ||
+        Scale.sampleBucket(col(idCol)) < col("_thr"))
+      .drop("_thr")
+  }
+}

@@ -177,6 +177,87 @@ object Similarity {
     centroids.sortBy { case (_, c) => -cos(c) }.take(nprobe).map(_._1).toSeq
   }
 
+  /** Deterministic quantized k-means over an embedding column — the
+    * clustering face of corpus curation (topic balancing, SemDeDup-style
+    * semantic grouping). Unlike float Lloyd iterations (whose centroid
+    * sums depend on partition/accumulation order), every step here is
+    * integer-exact and therefore bit-reproducible on any engine and any
+    * cluster size:
+    *
+    *  - vectors quantize to `floor(x * scale)` BIGINTs (float→double
+    *    is exact, one IEEE multiply + floor — same result everywhere);
+    *  - seeds are the `k` rows with the smallest id (no RNG);
+    *  - assignment is argmin of integer squared-L2, ties to the lowest
+    *    cluster id;
+    *  - centroid update is per-dimension exact floor-division
+    *    (`Math.floorDiv`) of Long sums; a cluster that loses all points
+    *    keeps its previous centroid.
+    *
+    * Scale: each iteration is one scan + one map-side-combinable
+    * aggregate whose shuffle carries k×dim partial sums per partition;
+    * centroids (k×dim Longs) ship back as plan literals. With 64-dim
+    * vectors quantized at 2^20 the per-element square is < 2^42 and a
+    * 10^12-row cluster's dimension sum stays < 2^63 — Long-safe at
+    * 100 TB.
+    *
+    * Output: (idCol, cluster: int, dist2: bigint) — final assignment
+    * and exact squared distance.
+    */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, scale: Double = 1048576.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val qvec = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    val q = df.select(col(idCol), qvec.as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = q.orderBy(col(idCol)).limit(k).collect()
+      require(seeds.nonEmpty, "kmeansQuantized: empty input")
+      var cents: Array[(Int, Array[Long])] = seeds.zipWithIndex.map {
+        case (r, i) => i -> r.getSeq[Long](1).toArray
+      }
+      val dim = cents.head._2.length
+      for (_ <- 0 until iterations) {
+        val sums = assignQuantized(q, "qv", cents)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(i =>
+              sum(element_at(col("qv"), i + 1))): _*).as("sums"))
+          .collect()
+        val updated = sums.map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> r.getSeq[Long](2).map(s => Math.floorDiv(s, n)).toArray
+        }.toMap
+        cents = cents.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
+      }
+      // eager checkpoint so the persisted input can be released now
+      assignQuantized(q, "qv", cents)
+        .select(col(idCol), col("cluster"), col("dist2"))
+        .localCheckpoint(true)
+    } finally q.unpersist(false)
+  }
+
+  /** Argmin assignment against literal quantized centroids: one
+    * struct-array min — (dist2, cluster) lexicographic order makes ties
+    * resolve to the lowest cluster id, matching `ORDER BY d2, cl` in
+    * the SQL oracle.
+    */
+  private def assignQuantized(df: DataFrame, qvCol: String,
+      cents: Array[(Int, Array[Long])]): DataFrame = {
+    val structs = cents.sortBy(_._1).map { case (cid, c) =>
+      val lits = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col(qvCol), lits, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cid).as("cl"))
+    }
+    df.withColumn("_mn", array_min(array(structs.toIndexedSeq: _*)))
+      .withColumn("cluster", col("_mn.cl"))
+      .withColumn("dist2", col("_mn.d2"))
+      .drop("_mn")
+  }
+
   /** All-pairs near-neighbors via random-hyperplane LSH: `nTables`
     * independent hash tables of `planesPerTable` sign bits each
     * (deterministic hyperplanes — no RNG). Candidates = pairs agreeing

