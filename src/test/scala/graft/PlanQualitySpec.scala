@@ -123,4 +123,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(joinAt >= 0 && bloomAt > joinAt,
       s"bloom filter not below the join in the plan tree:\n$p")
   }
+
+  test("token budget: offsets broadcast; budget prune sits below the window") {
+    val p = plan("q_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset relation not broadcast-joined:\n$p")
+    assert(p.contains("Window"), s"no running-sum window:\n$p")
+    // the O(selected) property: Catalyst constant-folds the
+    // `_poff < budget` prune into the broadcast build side's local
+    // relation, so over-budget partitions are dropped BY the inner
+    // join — no prune filter may survive above the window, and the
+    // corpus side must see exactly one exchange (the _pid hash)
+    val aboveWindow = p.substring(0, p.indexOf("Window"))
+    assert(!aboveWindow.contains("_poff <"),
+      s"budget prune floated above the window:\n$p")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange on _pid:\n$p")
+  }
+
+  test("domain mix: per-domain threshold relation is broadcast, corpus unshuffled") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain thresholds not broadcast-joined:\n$p")
+    // the corpus side reaches the join scan→filter only; its only
+    // exchanges belong to the tiny domain aggregate
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the mixture join:\n$p")
+  }
+
+  test("quantized k-means assignment is one codegen'd projection over literal centroids") {
+    val out = graft.operators.Similarity.kmeansQuantized(
+      graft.sources.Tables.load(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", k = 4, iterations = 0)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+  }
 }
