@@ -840,6 +840,17 @@ object SparkEntry {
   private def stopwordsSqlList: String =
     TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB mirror of [[TextAnalysis.profile]]'s floor-scaled quality
+    * score over a text column and its pre-split token list.
+    */
+  private def qualitySql(text: String, tk: String): String =
+    s"""CAST(floor((least(len($text)/200.0, 1.0)
+       |      + (1.0 - least((CASE WHEN len($text) = 0 THEN 0.0
+       |           ELSE (len($text) - len(regexp_replace($text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / len($text) END) * 4.0, 1.0))
+       |      + least((CASE WHEN len($tk) = 0 THEN 0.0
+       |           ELSE len(list_filter($tk, x -> list_contains($stopwordsSqlList, lower(x)))) * 1.0 / len($tk) END) * 5.0, 1.0)
+       |    ) / 3.0 * 10000) AS BIGINT)""".stripMargin
+
   private def textDefs: Seq[(String, Q, Option[String])] = Seq(
     ("q_text_profile",
       (s: SparkSession, dir: String) =>
@@ -1240,6 +1251,69 @@ object SparkEntry {
              |labels AS (SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id)
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin)),
+    ("q_dedup_simhash_md5", // md5-token-hash simhash: the fingerprint
+      // VALUE hash-matches DuckDB (integer-only reconstruction), so the
+      // simhash semantics — per-bit ±1 vote over token hashes — are
+      // oracle-verified end to end, not just property-tested
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+             |                                    x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 15),
+             |      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+             |           * (CAST(1 AS BIGINT) << (4*(15-i))))) AS BIGINT) AS hv
+             |  FROM toks),
+             |bits AS (
+             |  SELECT doc_id, b.b,
+             |         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+             |  GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+             |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash60
+             |  FROM bits GROUP BY 1)
+             |SELECT d.doc_id, coalesce(s.simhash60, 0) AS simhash60
+             |FROM documents d LEFT JOIN sig s USING (doc_id)""".stripMargin)),
+
+    ("q_dedup_canonical", // quality-aware canonical selection: LSH
+      // pairs → connected components → keep each cluster's
+      // highest-quality member (not its min id) — the
+      // "ship the best-written duplicate" curation rule
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val prof = TextAnalysis.profile(docs, "doc_id", "text")
+          .select("doc_id", "quality")
+        val labels = Dedup.nearDupClusters(
+          Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5))
+        Dedup.keepBestPerCluster(prof, "doc_id", "quality", labels)
+      },
+      Some(s"""${shinglePairsSql(0.5)},
+             |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE rr(id, r) AS (
+             |    SELECT id, r FROM edges
+             |    UNION
+             |    SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
+             |  ) SELECT * FROM rr),
+             |labels AS (SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id),
+             |prof AS (
+             |  SELECT doc_id, ${qualitySql("text", "tk")} AS quality
+             |  FROM (SELECT doc_id, text,
+             |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk
+             |        FROM documents)),
+             |lab2 AS (
+             |  SELECT p.doc_id, p.quality, coalesce(l.cluster, p.doc_id) AS cl
+             |  FROM prof p LEFT JOIN labels l ON p.doc_id = l.id)
+             |SELECT doc_id, quality FROM (
+             |  SELECT doc_id, quality,
+             |         row_number() OVER (PARTITION BY cl
+             |           ORDER BY quality DESC, doc_id) AS rk
+             |  FROM lab2) WHERE rk = 1""".stripMargin)),
     ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first
       // greedy over hyperplane-LSH-blocked, exact-verified pairs; the
       // oracle is brute-force all-pairs cosine — the blocking must

@@ -162,6 +162,62 @@ case class MultiRegexMatch(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over the token multiset with MD5 token hashes (the
+  * first 15 hex chars of `md5(token)` as a 60-bit integer) — same
+  * semantics as [[SimHash64]] but built ENTIRELY from operations every
+  * SQL engine shares (md5, integer shifts, signed sums), so the whole
+  * signature is reproducible in DuckDB and the oracle can hash-match
+  * the fingerprint itself. 60 bits (not 64) keeps the value and its
+  * bit tests inside a signed BIGINT in engines without unsigned types.
+  * One compiled pass per row, like [[SimHash64]].
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects string, got ${child.dataType}")
+
+  private val Bits = 60
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = top 60 bits of the first 7.5 bytes:
+        // bytes 0..6 in full plus the high nibble of byte 7
+        var h = 0L
+        var bIdx = 0
+        while (bIdx < 7) { h = (h << 8) | (d(bIdx) & 0xFFL); bIdx += 1 }
+        h = (h << 4) | ((d(7) & 0xF0L) >> 4)
+        var j = 0
+        while (j < Bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a string's whitespace-token multiset: per bit
   * position, sum +1/-1 over token-hash bits; bit j of the result is
   * set when the sum is positive. One compiled pass per row — no

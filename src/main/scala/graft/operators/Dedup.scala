@@ -258,6 +258,30 @@ object Dedup {
     } finally edges.unpersist(false)
   }
 
+  /** Quality-aware canonical selection: keep ONE representative per
+    * near-dup cluster — the member with the highest `scoreCol` (ties
+    * to the smallest id) — instead of [[dropNearDuplicatesExact]]'s
+    * min-id rule. This is the curation step after clustering: of N
+    * near-identical crawls, ship the best-written one.
+    *
+    * `labels` is [[nearDupClusters]] output (`id`, `cluster`); rows
+    * absent from it are singletons and always kept. Cost: one join
+    * against the label set (O(duplicates), broadcast-able) and one
+    * window whose partitions are cluster-sized — never a corpus-wide
+    * sort.
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id").as(idCol), col("cluster"))
+    val w = Window.partitionBy("_cl")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(lab, Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_cl", "_rk", "cluster")
+  }
+
   /** Drop near-duplicates with EXACT cluster semantics: LSH pairs →
     * connected components → keep only each component's min id. Unlike
     * the greedy [[dropNearDuplicates]], chain-shaped clusters keep
@@ -375,6 +399,20 @@ object Dedup {
       .select(col(idCol),
         GraftExprBridge.column(graft.functions.SimHash64(
           GraftExprBridge.expression(col(textCol)))).as("simhash"))
+  }
+
+  /** 60-bit MD5-based SimHash ([[graft.functions.SimHashMd5]]): same
+    * one-pass shape as [[simhash]], but the token hash is the first 15
+    * hex chars of md5 — an operation every SQL engine shares — so the
+    * fingerprint value itself is oracle-checkable (the xxhash-free
+    * variant trades a slower hash for end-to-end verifiability; use
+    * [[simhash]] when only Spark needs to agree with itself).
+    */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    df.select(col(idCol),
+      GraftExprBridge.column(graft.functions.SimHashMd5(
+        GraftExprBridge.expression(col(textCol)))).as("simhash60"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, blocked by

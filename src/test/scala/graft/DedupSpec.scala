@@ -208,6 +208,49 @@ class DedupSpec extends SparkSpec {
     assert(u.nonEmpty && c == u)
   }
 
+  test("md5 simhash matches a driver-side reference and is permutation-sensitive only to the multiset") {
+    import spark.implicits._
+    val sample = docs.filter(col("doc_id") < 20)
+    val got = Dedup.simhashMd5(sample, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val texts = sample.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val counts = new Array[Int](60)
+      text.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        (0 until 60).foreach(j =>
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+      }
+      val expect = (0 until 60).foldLeft(0L)((s, j) =>
+        if (counts(j) > 0) s | (1L << j) else s)
+      assert(got(id) == expect, s"doc $id")
+    }
+    // multiset property: token order does not change the signature
+    val shuffled = texts.map { case (id, t) =>
+      (id, t.split("\\s+").filter(_.nonEmpty).reverse.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    val got2 = Dedup.simhashMd5(shuffled, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
+  test("keepBestPerCluster keeps the highest-score member, ties to lowest id") {
+    import spark.implicits._
+    // clusters from explicit pairs: {1,2,3} (chain), {10,11}; 20 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(pairs)
+    val rows = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // tie on 9 -> keep id 2
+      (10L, 4L), (11L, 7L),         // keep 11
+      (20L, 1L)                     // singleton, always kept
+    ).toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(rows, "doc_id", "score", labels)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 20L))
+  }
+
   test("jaccardPairs values match direct set computation") {
     import spark.implicits._
     val small = docs.filter(col("doc_id") < 100)
