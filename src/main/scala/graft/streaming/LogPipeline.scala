@@ -228,6 +228,26 @@ object LogPipeline {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming corpus curation: the batch quality gates applied to the
+    * live stream — stateless projections (length, punct/stopword
+    * ratios, quality score, language guess are all per-row), so they
+    * compose with any trigger/watermark, followed by
+    * [[dedupStream]]'s watermark-bounded fingerprint dedup. The same
+    * thresholds a batch backfill would use, evaluated on arrival — the
+    * "filter at ingest, not after landing" shape that avoids storing
+    * 100 TB of spam to delete it later.
+    */
+  def curateStream(parsed: DataFrame, minQuality: Long = 3000L,
+      minChars: Int = 20, lang: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val profiled = parsed
+      .withColumn("_q", graft.functions.TextFunctions.qualityScoreScaled(col("_raw")))
+      .withColumn("_lang", graft.functions.TextFunctions.langId(col("_raw")))
+      .filter(col("_q") >= minQuality && length(col("_raw")) >= minChars)
+    val gated = lang.fold(profiled)(l => profiled.filter(col("_lang") === l))
+    dedupStream(gated.drop("_q", "_lang"), watermark)
+  }
+
   /** Online per-filter classifier state for flatMapGroupsWithState. */
   final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
 

@@ -96,6 +96,28 @@ class CurateSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("budget selection and mixture hold at shuffle.partitions=200") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    try {
+      val budget = 2000L
+      val kept200 = Curate.selectByTokenBudget(scored, "doc_id", "n_tokens",
+        "score", budget).collect().map(_.getLong(0)).toSet
+      val withTok = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val mix200 = Curate.mixtureBalance(withTok, "lang", "doc_id", "n_tokens")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      val keptDefault = Curate.selectByTokenBudget(scored, "doc_id",
+        "n_tokens", "score", budget).collect().map(_.getLong(0)).toSet
+      val mixDefault = Curate.mixtureBalance(withTok, "lang", "doc_id",
+        "n_tokens").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept200 == keptDefault)
+      assert(mix200 == mixDefault)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("budget selection prunes partitions past the budget before the window") {
     // plan shape: the pruning filter on the broadcast offset sits below
     // the window — assert no window over a partition whose offset

@@ -209,6 +209,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gates quality/length at ingest and dedups survivors") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[String](spark)
+    val curated = LogPipeline.curateStream(
+      LogPipeline.parse(input.toDF(), "value"),
+      minQuality = 3000L, minChars = 30)
+    val q = curated.writeStream.format("memory").queryName("curate_test")
+      .outputMode("append").start()
+    try {
+      val good = "2015-07-20T11:35:41.851+00:00 the server started and all the workers joined the cluster pool"
+      input.addData(
+        good,
+        good, // exact duplicate of a surviving line -> deduped
+        "2015-07-20T11:35:42.851+00:00 !!!???##$$",  // punct-heavy, low quality
+        "2015-07-20T11:35:43.851+00:00 ok")          // too short
+      q.processAllAvailable()
+      val got = spark.table("curate_test").select("_raw").as[String].collect()
+      assert(got.length == 1, s"expected only the good line, got ${got.toSeq}")
+      assert(got.head.contains("workers joined"))
+      // parity: the survivor passes the BATCH quality gate too
+      val batchQ = Seq(good).toDF("_raw")
+        .select(graft.functions.TextFunctions
+          .qualityScoreScaled(org.apache.spark.sql.functions.col("_raw"))
+          .as("q")).head().getLong(0)
+      assert(batchQ >= 3000L)
+    } finally q.stop()
+  }
+
   test("streaming session windows gap-merge and close past the watermark") {
     implicit val s = spark
     import s.implicits._
