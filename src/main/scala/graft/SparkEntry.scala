@@ -1083,6 +1083,26 @@ object SparkEntry {
               |SELECT doc_id, quality, n_tokens, cum_tokens
               |FROM cum WHERE cum_tokens <= 20000""".stripMargin)),
 
+    ("q_quality_topp", // exact top-30% by quality score: histogram
+      // threshold (ties kept), integer-ppm target — no float quantile
+      (s: SparkSession, dir: String) => {
+        val prof = TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "quality")
+        Curate.keepTopByScore(prof, "quality", keepPpm = 300000L)
+      },
+      Some(s"""WITH prof AS (
+              |  SELECT doc_id, ${qualitySql("text", "tk")} AS quality
+              |  FROM (SELECT doc_id, text,
+              |          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk
+              |        FROM documents)),
+              |n AS (SELECT count(*) AS n FROM prof),
+              |hist AS (SELECT quality, count(*) AS c FROM prof GROUP BY 1),
+              |cum AS (SELECT quality, sum(c) OVER (ORDER BY quality DESC
+              |          ROWS UNBOUNDED PRECEDING) AS cc FROM hist),
+              |thr AS (SELECT max(quality) AS t FROM cum, n
+              |        WHERE cc >= (n * 300000 + 999999) // 1000000)
+              |SELECT doc_id, quality FROM prof, thr WHERE quality >= t""".stripMargin)),
+
     ("q_domain_mix", // equalize per-language token mass: deterministic
       // md5 downsample of every language to the smallest language's
       // token count; threshold computed in-plan, broadcast-joined

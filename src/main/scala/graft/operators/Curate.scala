@@ -64,6 +64,40 @@ object Curate {
       .select(col(idCol), col(scoreCol), col(tokensCol), col("cum_tokens"))
   }
 
+  /** Exact top-fraction selection by score: keep the rows whose
+    * `scoreCol` is at or above the threshold that captures at least
+    * `keepPpm` parts-per-million of the corpus (ties at the threshold
+    * are all kept, so the rule is deterministic with no ordering
+    * dependence). The fraction ships as an integer ppm so the target
+    * count `ceil(N·ppm/10^6)` is exact integer arithmetic in any
+    * engine — no float quantile, no approx sketch.
+    *
+    * Scale design: the threshold comes from a score HISTOGRAM
+    * (`groupBy(score)`, one map-side-combinable aggregate), and the
+    * running-count window runs over that histogram — cardinality of
+    * distinct scores (≤10001 for the floor-scaled quality score), not
+    * corpus rows — so the single-partition window is safe at any
+    * corpus size. The threshold then broadcast-joins back as a scalar.
+    */
+  def keepTopByScore(df: DataFrame, scoreCol: String,
+      keepPpm: Long): DataFrame = {
+    require(keepPpm > 0 && keepPpm <= 1000000L,
+      s"keepPpm must be in (0, 1000000]: $keepPpm")
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val w = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cc", sum(col("_c")).over(w))
+    // threshold = the LARGEST score whose at-or-above count reaches the
+    // target (every lower score also qualifies — max picks the tightest)
+    val thr = cum.crossJoin(n)
+      .filter(col("_cc") >= expr(s"(_n * ${keepPpm}L + 999999L) div 1000000L"))
+      .agg(max(col(scoreCol)).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Mixture balancing: deterministically downsample every domain to
     * the token count of the smallest domain, so all domains carry equal
     * token weight (the "uniform mixture" rebalance; feed a pre-filtered

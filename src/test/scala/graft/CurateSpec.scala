@@ -96,6 +96,22 @@ class CurateSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("top-p by score keeps ceil(p*N) rows plus threshold ties, nothing below") {
+    val withScore = scored.select(col("doc_id"), col("score"))
+    val n = withScore.count()
+    val kept = Curate.keepTopByScore(withScore, "score", keepPpm = 250000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val target = (n * 250000L + 999999L) / 1000000L
+    assert(kept.length >= target)
+    val thr = kept.map(_._2).min
+    // nothing below the threshold is kept, and every row at/above it is
+    val all = withScore.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.forall(_._2 >= thr))
+    assert(kept.toSet == all.filter(_._2 >= thr).toSet)
+    // removing the threshold's tie-group drops below the target
+    assert(all.count(_._2 > thr) < target)
+  }
+
   test("budget selection and mixture hold at shuffle.partitions=200") {
     val s = spark
     val prev = s.conf.get("spark.sql.shuffle.partitions")
