@@ -1410,37 +1410,81 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         Similarity.kmeansQuantized(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 4, iterations = 2),
-      Some {
-        val dim = 64
-        def assignSql(src: String, cents: String) =
-          s"""(SELECT vec_id, qv, cl, d2 FROM (
-             |  SELECT q.vec_id, q.qv, c.cl,
-             |         list_sum(list_transform(generate_series(1, $dim),
-             |           i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))) AS d2,
-             |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             |           list_sum(list_transform(generate_series(1, $dim),
-             |             i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
-             |  FROM $src q, $cents c) WHERE rk = 1)""".stripMargin
-        def updateSql(assigned: String, prev: String) =
-          s"""(SELECT p.cl, coalesce(u.qv, p.qv) AS qv FROM $prev p LEFT JOIN (
-             |  SELECT cl, list(s ORDER BY i) AS qv FROM (
-             |    SELECT cl, d.i,
-             |      CAST((sum(a.qv[d.i]) - (((sum(a.qv[d.i]) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS s
-             |    FROM $assigned a, (SELECT unnest(generate_series(1, $dim)) AS i) d
-             |    GROUP BY 1, 2) GROUP BY 1) u ON p.cl = u.cl)""".stripMargin
-        s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-           |             x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS qv
-           |           FROM embeddings),
-           |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, qv
-           |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT 4)),
-           |a1 AS ${assignSql("q", "seeds")},
-           |c1 AS ${updateSql("a1", "seeds")},
-           |a2 AS ${assignSql("q", "c1")},
-           |c2 AS ${updateSql("a2", "c1")},
-           |fin AS ${assignSql("q", "c2")}
-           |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin
-      })
+      Some(s"""${kmeansCtesSql(k = 4, where = "")}
+              |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin)),
+
+    ("q_embed_ivf_q", // IVF probe with an oracle-checkable FIT: coarse
+      // quantizer = the integer-exact quantized k-means (8 cells,
+      // 2 steps), probe = 3 cells nearest the quantized query by
+      // integer L2, rank = exact cosine — the whole ANN path replays
+      // in DuckDB, unlike the float-Lloyd q_embed_ivf
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        Similarity.ivfQuantizedQuery(emb.filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, k = 20, nCells = 8, iterations = 2,
+          nprobe = 3)
+      },
+      Some(s"""${kmeansCtesSql(k = 8, where = " WHERE vec_id > 0")},
+              |qv AS (SELECT list_transform(embedding,
+              |         x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS q
+              |       FROM embeddings WHERE vec_id = 0),
+              |probe AS (
+              |  SELECT c.cl FROM c2 c, qv
+              |  ORDER BY list_sum(list_transform(generate_series(1, 64),
+              |    i -> (c.qv[i]-qv.q[i])*(c.qv[i]-qv.q[i]))), c.cl
+              |  LIMIT 3),
+              |cand AS (SELECT vec_id FROM fin WHERE cl IN (SELECT cl FROM probe)),
+              |v AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS xv,
+              |             generate_subscripts(e.embedding, 1) AS i
+              |      FROM embeddings e JOIN cand USING (vec_id)),
+              |qd AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS q2,
+              |              generate_subscripts(embedding, 1) AS i
+              |       FROM embeddings WHERE vec_id = 0),
+              |d AS (SELECT vec_id, sum(xv*q2) AS dot, sum(xv*xv) AS n2
+              |      FROM v JOIN qd USING (i) GROUP BY 1),
+              |qn AS (SELECT sum(q2*q2) AS qn2 FROM qd)
+              |SELECT vec_id, round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
+              |FROM d, qn
+              |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin))
   )
+
+  /** DuckDB CTE chain replaying [[Similarity.kmeansQuantizedFit]] (two
+    * Lloyd steps, 64-dim fixture vectors): quantize → smallest-id seeds
+    * → (assign argmin-L2² with lowest-cl ties, per-dim exact floor-div
+    * update, empty cells keep previous) ×2 → final assign as `fin`
+    * with columns (vec_id, qv, cl, d2) and centroids as `c2`.
+    */
+  private def kmeansCtesSql(k: Int, where: String): String = {
+    val dim = 64
+    def assignSql(src: String, cents: String) =
+      s"""(SELECT vec_id, qv, cl, d2 FROM (
+         |  SELECT q.vec_id, q.qv, c.cl,
+         |         list_sum(list_transform(generate_series(1, $dim),
+         |           i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))) AS d2,
+         |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |           list_sum(list_transform(generate_series(1, $dim),
+         |             i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
+         |  FROM $src q, $cents c) WHERE rk = 1)""".stripMargin
+    def updateSql(assigned: String, prev: String) =
+      s"""(SELECT p.cl, coalesce(u.qv, p.qv) AS qv FROM $prev p LEFT JOIN (
+         |  SELECT cl, list(s ORDER BY i) AS qv FROM (
+         |    SELECT cl, d.i,
+         |      CAST((sum(a.qv[d.i]) - (((sum(a.qv[d.i]) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS s
+         |    FROM $assigned a, (SELECT unnest(generate_series(1, $dim)) AS i) d
+         |    GROUP BY 1, 2) GROUP BY 1) u ON p.cl = u.cl)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS qv
+       |           FROM embeddings$where),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, qv
+       |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k)),
+       |a1 AS ${assignSql("q", "seeds")},
+       |c1 AS ${updateSql("a1", "seeds")},
+       |a2 AS ${assignSql("q", "c1")},
+       |c2 AS ${updateSql("a2", "c1")},
+       |fin AS ${assignSql("q", "c2")}""".stripMargin
+  }
 
   private def qGrep(name: String, pipeline: String): (String, Q, Option[String]) = {
     val parsed = GrepQL.parse(pipeline)

@@ -204,7 +204,15 @@ object Similarity {
     * and exact squared distance.
     */
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int, scale: Double = 1048576.0): DataFrame = {
+      k: Int, iterations: Int, scale: Double = 1048576.0): DataFrame =
+    kmeansQuantizedFit(df, idCol, vecCol, k, iterations, scale)._2
+
+  /** [[kmeansQuantized]] exposing the fitted centroids too — the form
+    * [[ivfQuantizedQuery]] needs to pick probe cells.
+    */
+  def kmeansQuantizedFit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, scale: Double = 1048576.0)
+      : (Array[(Int, Array[Long])], DataFrame) = {
     require(k > 0, s"k must be positive: $k")
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val qvec = transform(col(vecCol),
@@ -232,10 +240,47 @@ object Similarity {
         cents = cents.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
       }
       // eager checkpoint so the persisted input can be released now
-      assignQuantized(q, "qv", cents)
+      val assigned = assignQuantized(q, "qv", cents)
         .select(col(idCol), col("cluster"), col("dist2"))
         .localCheckpoint(true)
+      (cents, assigned)
     } finally q.unpersist(false)
+  }
+
+  /** IVF probe whose ENTIRE path — coarse-quantizer fit, cell
+    * assignment, probe-cell choice, and candidate ranking — is
+    * deterministic and SQL-replayable: the coarse quantizer is
+    * [[kmeansQuantizedFit]] (integer-exact), probe cells are the
+    * `nprobe` centroids nearest the quantized query by integer squared
+    * L2 (ties to the lowest cell id), and ranking is exact cosine
+    * rounded to 6 decimals (the established oracle-safe comparison).
+    * Unlike [[buildIvf]]/[[queryIvf]] (float Lloyd — faster per pass,
+    * self-consistent only), this variant's recall set can be
+    * hash-checked end to end by an external engine.
+    *
+    * Scale: the fit is the k-means cost above; the probe reads
+    * ~nprobe/k of the data once assignments are materialized
+    * (cell-partitioned on disk in a persisted deployment, as writeIvf).
+    */
+  def ivfQuantizedQuery(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nCells: Int, iterations: Int,
+      nprobe: Int, scale: Double = 1048576.0): DataFrame = {
+    val (cents, assigned) = kmeansQuantizedFit(df, idCol, vecCol,
+      nCells, iterations, scale)
+    val qq = query.map(x => math.floor(x * scale).toLong).toArray
+    def d2(c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < c.length) { val d = qq(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = cents.map { case (cid, c) => (d2(c), cid) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+    df.join(assigned.filter(col("cluster").isInCollection(probes))
+        .select(col(idCol)), Seq(idCol))
+      .withColumn("cos", cosineToQuery(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .select(col(idCol), round(col("cos"), 6).as("cos"))
+      .limit(k)
   }
 
   /** Argmin assignment against literal quantized centroids: one

@@ -126,6 +126,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._1).toSet == Set(0, 1, 2, 3))
   }
 
+  test("quantized IVF probe: ordered desc, deterministic, reasonable recall vs brute force") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") > 0)
+    val got = Similarity.ivfQuantizedQuery(corpus, "vec_id", "embedding",
+        query, k = 20, nCells = 8, iterations = 2, nprobe = 3)
+      .as[(Long, Double)].collect()
+    assert(got.length == 20)
+    assert(got.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    val exact = Similarity.topKByQuery(corpus, "vec_id", "embedding",
+        query, 20).as[(Long, Double)].collect().map(_._1).toSet
+    val recall = got.map(_._1).count(exact) / 20.0
+    assert(recall >= 0.5, s"recall $recall too low for 3/8 probed cells")
+    // deterministic across partitioning
+    val again = Similarity.ivfQuantizedQuery(corpus.repartition(9),
+        "vec_id", "embedding", query, k = 20, nCells = 8, iterations = 2,
+        nprobe = 3)
+      .as[(Long, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("quantized k-means is stable across input partitioning") {
     import spark.implicits._
     val a = Similarity.kmeansQuantized(emb, "vec_id", "embedding", 4, 2)
