@@ -833,7 +833,28 @@ object SparkEntry {
              |  FROM events WHERE event_type = 'error' GROUP BY 1),
              |st AS (SELECT avg(cnt) AS mu, stddev_samp(cnt) AS sigma FROM series)
              |SELECT bucket_start, cnt, round((cnt - mu)/sigma, 6) AS z
-             |FROM series, st WHERE abs((cnt - mu)/sigma) > 1.5""".stripMargin))
+             |FROM series, st WHERE abs((cnt - mu)/sigma) > 1.5""".stripMargin)),
+
+    ("q_outlier_mad", // robust median/MAD outlier flagging: integer
+      // medians land on the .5/.25 grid (exact doubles), so the flagged
+      // set is engine-exact — a second oracle-checked analyzer beside
+      // the z-score one (the float ensemble stays rows-only)
+      (s: SparkSession, dir: String) => {
+        val series = StatsRollup.rollup(
+          t(s, dir, "events").filter(col("event_type") === "error"),
+          "ts", 21600, Seq.empty)
+        graft.ml.Outliers.madOutliers(series, "bucket_start", "cnt", k = 2.0)
+      },
+      Some("""WITH series AS (
+             |  SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_start,
+             |         count(*) AS cnt
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |m AS (SELECT median(cnt) AS med FROM series),
+             |d AS (SELECT bucket_start, cnt, med, abs(cnt - med) AS dev
+             |      FROM series, m),
+             |md AS (SELECT median(dev) AS mad FROM d)
+             |SELECT bucket_start, cnt, med, mad
+             |FROM d, md WHERE dev > 2.0 * mad""".stripMargin))
   )
 
   // --- text analysis (builder brief: first-class extension ops) ---

@@ -323,6 +323,27 @@ object Outliers {
     new RandomWalk, new OneClassNovelty, new TimeBucketDeviation(),
     new MultipleRegression(), new ExponentialSmoothing(0.3))
 
+  /** Distributed robust outlier flagging over a bucketed count series:
+    * flag buckets whose |cnt − median| exceeds `k`× the median absolute
+    * deviation. The DataFrame face of the ensemble's robust analyzers —
+    * and, unlike the float ensemble, ENGINE-EXACT: medians of integer
+    * counts land on the .5 grid (middle-pair average), deviations on
+    * the .25 grid — all exactly representable doubles, so any SQL
+    * engine flags the identical bucket set (the property q_outlier_mad
+    * hash-checks). Two tiny aggregates broadcast back as scalars; the
+    * series itself never shuffles.
+    */
+  def madOutliers(series: DataFrame, bucketCol: String, cntCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = series.agg(expr(s"percentile($cntCol, 0.5)").as("med"))
+    val withDev = series.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col(cntCol) - col("med")))
+    val mad = withDev.agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col(bucketCol), col(cntCol), col("med"), col("mad"))
+  }
+
   final case class Config(
       resolutionSec: Long = 300,  // OutlierDetectionBolt.java:137
       windowSec: Long = 86400,    // :139

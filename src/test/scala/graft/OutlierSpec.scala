@@ -50,6 +50,31 @@ class OutlierSpec extends SparkSpec {
     assert(voting == Outliers.defaultEnsemble.size - 1)
   }
 
+  test("madOutliers flags exactly the buckets beyond k MADs (driver-side reference)") {
+    val s = spark
+    import s.implicits._
+    val series = Seq(
+      (0L, 10L), (1L, 11L), (2L, 9L), (3L, 10L), (4L, 12L),
+      (5L, 10L), (6L, 50L), (7L, 11L), (8L, 9L), (9L, 2L))
+      .toDF("bucket_start", "cnt")
+    val got = Outliers.madOutliers(series, "bucket_start", "cnt", k = 3.0)
+      .select("bucket_start").as[Long].collect().toSet
+    // reference: sorted cnts median, deviations, MAD
+    val cnts = Seq(10L, 11L, 9L, 10L, 12L, 10L, 50L, 11L, 9L, 2L)
+    def median(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      if (s0.size % 2 == 1) s0(s0.size / 2)
+      else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2.0
+    }
+    val med = median(cnts.map(_.toDouble))
+    val mad = median(cnts.map(c => math.abs(c - med)))
+    val expect = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
+      .zip(cnts).filter { case (_, c) => math.abs(c - med) > 3.0 * mad }
+      .map(_._1).toSet
+    assert(got == expect)
+    assert(got.contains(6L)) // the 50-spike must be flagged
+  }
+
   test("polyFit recovers an exact quadratic, leastSquares an exact plane") {
     val xs = (0 until 10).map(_.toDouble)
     val ys = xs.map(x => 2.0 + 3.0 * x - 0.5 * x * x)
