@@ -1142,7 +1142,8 @@ object SparkEntry {
              |        FROM tok GROUP BY 1),
              |m AS (SELECT min(dom_tokens) AS min_tok FROM dom),
              |ann AS (SELECT lang, dom_tokens,
-             |               least(1.0, CAST(min_tok AS DOUBLE) / CAST(dom_tokens AS DOUBLE)) AS keep_frac
+             |               CASE WHEN dom_tokens = 0 THEN 1.0
+             |                    ELSE least(1.0, CAST(min_tok AS DOUBLE) / CAST(dom_tokens AS DOUBLE)) END AS keep_frac
              |        FROM dom, m)
              |SELECT t.doc_id, t.lang, t.n_tokens, a.dom_tokens
              |FROM tok t JOIN ann a USING (lang)

@@ -121,8 +121,11 @@ object Curate {
       .agg(sum(col(tokensCol)).cast("long").as("dom_tokens"))
     val minTok = perDom.agg(min(col("dom_tokens")).as("_min_tok"))
     val ann = perDom.crossJoin(minTok)
-      .withColumn("keep_frac",
-        least(lit(1.0), col("_min_tok").cast("double") / col("dom_tokens").cast("double")))
+      // a domain with zero total tokens would make the ratio 0/0 = NaN;
+      // keeping such a (weightless) domain whole is the harmless choice
+      .withColumn("keep_frac", when(col("dom_tokens") === 0, lit(1.0))
+        .otherwise(
+          least(lit(1.0), col("_min_tok").cast("double") / col("dom_tokens").cast("double"))))
       .withColumn("_thr", format_string("%08x",
         floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
       .drop("_min_tok")

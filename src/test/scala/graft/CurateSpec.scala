@@ -112,6 +112,24 @@ class CurateSpec extends SparkSpec {
     assert(all.count(_._2 > thr) < target)
   }
 
+  test("budget and top-p selections are monotone: larger budgets keep supersets") {
+    val budgets = Seq(500L, 2000L, 8000L)
+    val keptByBudget = budgets.map(b =>
+      Curate.selectByTokenBudget(scored, "doc_id", "n_tokens", "score", b)
+        .collect().map(_.getLong(0)).toSet)
+    keptByBudget.sliding(2).foreach { case Seq(small, large) =>
+      assert(small.subsetOf(large),
+        s"smaller budget kept ${small.diff(large).size} rows the larger lost")
+    }
+    val ppms = Seq(100000L, 300000L, 700000L)
+    val keptByPpm = ppms.map(p =>
+      Curate.keepTopByScore(scored.select(col("doc_id"), col("score")),
+        "score", p).collect().map(_.getLong(0)).toSet)
+    keptByPpm.sliding(2).foreach { case Seq(small, large) =>
+      assert(small.subsetOf(large))
+    }
+  }
+
   test("budget selection and mixture hold at shuffle.partitions=200") {
     val s = spark
     val prev = s.conf.get("spark.sql.shuffle.partitions")
