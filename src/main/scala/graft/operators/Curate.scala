@@ -98,6 +98,30 @@ object Curate {
       .drop("_thr")
   }
 
+  /** Token-balanced shard export — the output side of the pipeline: a
+    * curated corpus written as `shard=N/` parquet partitions where each
+    * shard holds ~`tokensPerShard` tokens of documents in id order.
+    * Shard assignment is [[Pack.packSequences]]'s global prefix sum
+    * (a document belongs to the shard its FIRST token lands in, so a
+    * shard's token sum is bounded by `tokensPerShard` + one document's
+    * overhang) — deterministic, so re-running the export reproduces
+    * byte-identical shard membership. Returns the shard count.
+    *
+    * Scale: the prefix sum is the two-phase Pack shape; the write is
+    * one pass partitioned by shard — downstream trainers read
+    * shard-pruned paths.
+    */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Int, path: String): Long = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
+    val shards = Pack.packSequences(df, idCol, textCol, tokensPerShard)
+      .select(col(idCol), col("pack_first").as("shard"))
+    df.join(shards, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .select("shard").distinct().count()
+  }
+
   /** Mixture balancing: deterministically downsample every domain to
     * the token count of the smallest domain, so all domains carry equal
     * token weight (the "uniform mixture" rebalance; feed a pre-filtered

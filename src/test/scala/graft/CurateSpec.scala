@@ -112,6 +112,41 @@ class CurateSpec extends SparkSpec {
     assert(all.count(_._2 > thr) < target)
   }
 
+  test("shard export: every doc lands in exactly one shard, token sums bounded, deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val nShards = Curate.writeShards(docs, "doc_id", "text",
+      tokensPerShard = 4000, path = dir)
+    assert(nShards > 1, "fixture should span multiple shards")
+    val back = spark.read.parquet(dir)
+    // exactly-once membership
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // per-shard token sums bounded by budget + max single-doc overhang
+    val tokSums = back
+      .withColumn("_nt", TextFunctions.tokenCount(col("text")).cast("long"))
+      .groupBy("shard").agg(sum("_nt").as("tok"))
+      .collect().map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1))
+      .toMap
+    val maxDoc = docs.select(TextFunctions.tokenCount(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).max
+    tokSums.foreach { case (sh, tok) =>
+      assert(tok <= 4000L + maxDoc, s"shard $sh holds $tok tokens")
+    }
+    // every shard except possibly the last is at least nominally filled
+    val last = tokSums.keys.max
+    tokSums.filter(_._1 != last).foreach { case (sh, tok) =>
+      assert(tok >= 4000L - maxDoc, s"shard $sh underfilled at $tok")
+    }
+    // deterministic: a second export reproduces identical membership
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Curate.writeShards(docs.repartition(7), "doc_id", "text", 4000, dir2)
+    val a = back.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    val b = spark.read.parquet(dir2).select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    assert(a == b)
+  }
+
   test("budget and top-p selections are monotone: larger budgets keep supersets") {
     val budgets = Seq(500L, 2000L, 8000L)
     val keptByBudget = budgets.map(b =>
