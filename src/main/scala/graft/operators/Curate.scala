@@ -83,14 +83,21 @@ object Curate {
       keepPpm: Long): DataFrame = {
     require(keepPpm > 0 && keepPpm <= 1000000L,
       s"keepPpm must be in (0, 1000000]: $keepPpm")
+    // df is evaluated exactly twice (histogram pass + the final filter
+    // pass) — persist upstream if the input is expensive to recompute.
+    // Both the running count and the total come out of ONE window pass
+    // over the histogram, so no extra scan or join for N.
     val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
-    val n = df.agg(count(lit(1)).as("_n"))
-    val w = Window.orderBy(col(scoreCol).desc)
+    val wCum = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("_cc", sum(col("_c")).over(w))
+    val wAll = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("_cc", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
     // threshold = the LARGEST score whose at-or-above count reaches the
     // target (every lower score also qualifies — max picks the tightest)
-    val thr = cum.crossJoin(n)
+    val thr = cum
       .filter(col("_cc") >= expr(s"(_n * ${keepPpm}L + 999999L) div 1000000L"))
       .agg(max(col(scoreCol)).as("_thr"))
     df.crossJoin(broadcast(thr))
