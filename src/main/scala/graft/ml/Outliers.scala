@@ -335,8 +335,14 @@ object Outliers {
     */
   def madOutliers(series: DataFrame, bucketCol: String, cntCol: String,
       k: Double = 3.0): DataFrame = {
-    val med = series.agg(expr(s"percentile($cntCol, 0.5)").as("med"))
-    val withDev = series.crossJoin(broadcast(med))
+    // The median/MAD/filter branches each re-derive their input, which
+    // would re-run the upstream rollup (a corpus scan) four times —
+    // checkpoint the bucket-level series (tiny: one row per bucket) so
+    // the corpus is scanned once. Blocks are released by the
+    // GraftSession.releaseCachedBlocks sweep like the other eager sites.
+    val s = series.select(col(bucketCol), col(cntCol)).localCheckpoint(true)
+    val med = s.agg(expr(s"percentile($cntCol, 0.5)").as("med"))
+    val withDev = s.crossJoin(broadcast(med))
       .withColumn("dev", abs(col(cntCol) - col("med")))
     val mad = withDev.agg(expr("percentile(dev, 0.5)").as("mad"))
     withDev.crossJoin(broadcast(mad))
