@@ -820,6 +820,7 @@ object SparkEntry {
         val series = StatsRollup.rollup(
           t(s, dir, "events").filter(col("event_type") === "error"),
           "ts", 21600, Seq.empty)
+          .localCheckpoint(true) // stats branch must not re-scan events
         val stats0 = series.agg(
           avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sigma"))
         series.crossJoin(broadcast(stats0))

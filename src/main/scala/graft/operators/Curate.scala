@@ -148,8 +148,11 @@ object Curate {
     */
   def mixtureBalance(df: DataFrame, domainCol: String, idCol: String,
       tokensCol: String): DataFrame = {
+    // one row per domain — checkpoint so the min-branch doesn't re-run
+    // the corpus aggregate (corpus scans: 1 for the totals + 1 main pass)
     val perDom = df.groupBy(col(domainCol))
       .agg(sum(col(tokensCol)).cast("long").as("dom_tokens"))
+      .localCheckpoint(true)
     val minTok = perDom.agg(min(col("dom_tokens")).as("_min_tok"))
     val ann = perDom.crossJoin(minTok)
       // a domain with zero total tokens would make the ratio 0/0 = NaN;

@@ -59,13 +59,20 @@ object StatsRollup {
   def gapFill(stats: DataFrame, keyCols: Seq[String],
       bucketCol: String = "bucket_start", countCol: String = "cnt",
       stepSec: Long): DataFrame = {
-    val bounds = stats.agg(
+    // bounds, keys, and the final join each re-derive `stats` — for a
+    // rolled-up series that means re-running the upstream corpus scan
+    // three times. Checkpoint the bucket-level series (tiny) so the
+    // corpus is scanned once. (Streaming frames can't checkpoint; the
+    // streaming pipeline has its own gap-fill-free stats path.)
+    val statsOnce =
+      if (stats.isStreaming) stats else stats.localCheckpoint(true)
+    val bounds = statsOnce.agg(
       min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
     val series = bounds.select(
       explode(sequence(col("lo"), col("hi"), lit(stepSec))).as(bucketCol))
-    val keys = stats.select(keyCols.map(col): _*).distinct()
+    val keys = statsOnce.select(keyCols.map(col): _*).distinct()
     val grid = keys.crossJoin(broadcast(series))
-    grid.join(stats, keyCols :+ bucketCol, "left")
+    grid.join(statsOnce, keyCols :+ bucketCol, "left")
       .withColumn(countCol, coalesce(col(countCol), lit(0L)))
       .select((keyCols :+ bucketCol :+ countCol).map(col): _*)
   }
