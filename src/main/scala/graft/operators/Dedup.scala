@@ -336,33 +336,44 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenDf: Long = 0L): DataFrame = {
     if (maxTokenDf <= 0L) {
+      // the token stream feeds the self-join (both sides) and the size
+      // relation — persist it so the corpus is scanned + tokenized once,
+      // not four times (same lifecycle as minhashLsh's base)
       val toks = df.select(col(idCol).as("id"),
           explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
-      val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
-      val inter = toks.as("a").join(toks.as("b"),
-          col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn("j",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("j") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+        val inter = toks.as("a").join(toks.as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+          .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+          .withColumn("j",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("j") >= threshold)
+          .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+          .localCheckpoint(true)
+      } finally toks.unpersist(false)
     } else {
       val sets = df.select(col(idCol).as("id"),
-        TextFunctions.tokenSet(col(textCol)).as("_ts"))
-      val cand = jaccardCandidates(sets, maxTokenDf)
-      cand
-        .join(sets.select(col("id").as("id_a"), col("_ts").as("_ta")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("_ts").as("_tb")), "id_b")
-        .withColumn("inter",
-          size(array_intersect(col("_ta"), col("_tb"))).cast("double"))
-        .withColumn("j", col("inter") /
-          (size(col("_ta")) + size(col("_tb")) - col("inter")))
-        .filter(col("j") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+          TextFunctions.tokenSet(col(textCol)).as("_ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cand = jaccardCandidates(sets, maxTokenDf)
+        cand
+          .join(sets.select(col("id").as("id_a"), col("_ts").as("_ta")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("_ts").as("_tb")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("_ta"), col("_tb"))).cast("double"))
+          .withColumn("j", col("inter") /
+            (size(col("_ta")) + size(col("_tb")) - col("inter")))
+          .filter(col("j") >= threshold)
+          .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+          .localCheckpoint(true)
+      } finally sets.unpersist(false)
     }
   }
 
