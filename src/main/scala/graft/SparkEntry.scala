@@ -1125,6 +1125,72 @@ object SparkEntry {
               |        WHERE cc >= (n * 300000 + 999999) // 1000000)
               |SELECT doc_id, quality FROM prof, thr WHERE quality >= t""".stripMargin)),
 
+    ("q_curate_pipeline", // the full curation pipeline composed end to
+      // end — quality top-60% gate → exact dedup (fingerprint
+      // keep-first) → per-language mixture balance → 10k-token budget —
+      // and the WHOLE chain hash-matches one DuckDB query: the
+      // composition, not just the pieces, is oracle-verified
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val prof = TextAnalysis.profile(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"),
+            col("n_tokens").cast("long").as("n_tokens"), col("fp"))
+        val gated = Curate.keepTopByScore(prof, "quality", keepPpm = 600000L)
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val deduped = gated.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "fp")
+        // mixture (domain totals + main pass) and the budget's range
+        // phase each re-derive this frame — checkpoint so the
+        // profile→gate→dedup prefix runs once, not four times
+        val withLang = deduped.join(docs.select("doc_id", "lang"), "doc_id")
+          .localCheckpoint(true)
+        val mixed = Curate.mixtureBalance(withLang, "lang", "doc_id", "n_tokens")
+          .select("doc_id", "quality", "n_tokens")
+        Curate.selectByTokenBudget(mixed, "doc_id", "n_tokens", "quality",
+          tokenBudget = 10000L)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang, text,
+              |         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS tk
+              |  FROM documents),
+              |prof AS (
+              |  SELECT doc_id, lang,
+              |    ${qualitySql("text", "tk")} AS quality,
+              |    CAST(len(tk) AS BIGINT) AS n_tokens,
+              |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+              |  FROM toks),
+              |n AS (SELECT count(*) AS n FROM prof),
+              |hist AS (SELECT quality, count(*) AS c FROM prof GROUP BY 1),
+              |cum AS (SELECT quality, sum(c) OVER (ORDER BY quality DESC
+              |          ROWS UNBOUNDED PRECEDING) AS cc FROM hist),
+              |thr AS (SELECT max(quality) AS t FROM cum, n
+              |        WHERE cc >= (n * 600000 + 999999) // 1000000),
+              |gated AS (SELECT p.* FROM prof p, thr WHERE p.quality >= t),
+              |deduped AS (
+              |  SELECT doc_id, lang, quality, n_tokens FROM (
+              |    SELECT g.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM gated g) WHERE rn = 1),
+              |dom AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens
+              |        FROM deduped GROUP BY 1),
+              |m AS (SELECT min(dom_tokens) AS min_tok FROM dom),
+              |ann AS (SELECT lang,
+              |               CASE WHEN dom_tokens = 0 THEN 1.0
+              |                    ELSE least(1.0, CAST(min_tok AS DOUBLE) / CAST(dom_tokens AS DOUBLE)) END AS keep_frac
+              |        FROM dom, m),
+              |mixed AS (
+              |  SELECT d.doc_id, d.quality, d.n_tokens
+              |  FROM deduped d JOIN ann a USING (lang)
+              |  WHERE a.keep_frac >= 1.0
+              |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              |        < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))),
+              |cum2 AS (
+              |  SELECT doc_id, quality, n_tokens,
+              |         CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |  FROM mixed)
+              |SELECT doc_id, quality, n_tokens, cum_tokens
+              |FROM cum2 WHERE cum_tokens <= 10000""".stripMargin)),
+
     ("q_domain_mix", // equalize per-language token mass: deterministic
       // md5 downsample of every language to the smallest language's
       // token count; threshold computed in-plan, broadcast-joined
