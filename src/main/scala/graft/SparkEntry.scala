@@ -855,7 +855,112 @@ object SparkEntry {
              |      FROM series, m),
              |md AS (SELECT median(dev) AS mad FROM d)
              |SELECT bucket_start, cnt, med, mad
-             |FROM d, md WHERE dev > 2.0 * mad""".stripMargin))
+             |FROM d, md WHERE dev > 2.0 * mad""".stripMargin)),
+
+    ("q_outlier_moving_avg", // M2 ensemble member, oracle-checked: the
+      // trailing-6 moving-average residual in σ units (the ensemble's
+      // MovingAverage analyzer over the whole series instead of just
+      // the newest point). Engine-exact reasoning: the moving average
+      // is an exact integer sum / 6 (one IEEE division), residuals are
+      // therefore bit-identical in any engine, and the only
+      // order-sensitive float op — stddev over residuals — feeds a z
+      // that rounds to 6 decimals (the q_outlier_zscore precedent).
+      // The window is over the BUCKET series (bounded: windowSec /
+      // resolution rows), never the event corpus.
+      (s: SparkSession, dir: String) => {
+        val series = StatsRollup.rollup(
+          t(s, dir, "events").filter(col("event_type") === "error"),
+          "ts", 21600, Seq.empty)
+          .localCheckpoint(true) // stats branches must not re-scan events
+        val w = Window.orderBy("bucket_start").rowsBetween(-6, -1)
+        val withMa = series
+          .withColumn("ma", avg(col("cnt")).over(w))
+          .withColumn("k", count(lit(1)).over(w))
+          .filter(col("k") === 6)
+          .withColumn("resid", col("cnt") - col("ma"))
+        val sd = withMa.agg(stddev_samp(col("resid")).as("sd"))
+        withMa.crossJoin(broadcast(sd))
+          .withColumn("z", col("resid") / col("sd"))
+          .filter(abs(col("z")) > lit(1.5))
+          .select(col("bucket_start"), col("cnt"),
+            round(col("ma"), 6).as("ma"), round(col("z"), 6).as("z"))
+      },
+      Some("""WITH series AS (
+             |  SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_start,
+             |         count(*) AS cnt
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |w AS (
+             |  SELECT bucket_start, cnt,
+             |         avg(cnt) OVER (ORDER BY bucket_start
+             |                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS ma,
+             |         count(*) OVER (ORDER BY bucket_start
+             |                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS k
+             |  FROM series),
+             |r AS (SELECT bucket_start, cnt, ma, cnt - ma AS resid FROM w WHERE k = 6),
+             |sd AS (SELECT stddev_samp(resid) AS sd FROM r)
+             |SELECT bucket_start, cnt, round(ma, 6) AS ma, round((cnt - ma)/sd, 6) AS z
+             |FROM r, sd WHERE abs((cnt - ma)/sd) > 1.5""".stripMargin)),
+
+    ("q_outlier_regression", // M2 ensemble member, oracle-checked:
+      // least-squares linear-trend residuals in σ units (the ensemble's
+      // LinearRegression analyzer over the whole series). The fit is
+      // derived from EXACT integer sums (n, Σx, Σy, Σxy, Σx² — x is the
+      // small bucket ordinal, so every product stays far below 2^53),
+      // making slope/intercept single-rounding IEEE divisions that any
+      // engine reproduces bit-for-bit; the z rounds to 6 decimals.
+      (s: SparkSession, dir: String) => {
+        val series = StatsRollup.rollup(
+          t(s, dir, "events").filter(col("event_type") === "error"),
+          "ts", 21600, Seq.empty)
+          .localCheckpoint(true)
+        val b0 = broadcast(series.agg(min(col("bucket_start")).as("b0")))
+        val xy = series.crossJoin(b0)
+          .withColumn("x", expr("(bucket_start - b0) div 21600"))
+          .withColumn("y", col("cnt").cast("double"))
+        val sums = broadcast(xy.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("cnt")).as("sy"), sum(col("x") * col("cnt")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx")))
+        val co = sums
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .withColumn("icept",
+            (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+              col("n").cast("double"))
+          .select("slope", "icept")
+        val r = xy.crossJoin(broadcast(co))
+          .withColumn("resid",
+            col("y") - (col("slope") * col("x").cast("double") + col("icept")))
+        val sd = r.agg(sqrt(sum(col("resid") * col("resid")) /
+          count(lit(1)).cast("double")).as("sd"))
+        r.crossJoin(broadcast(sd))
+          .withColumn("z", col("resid") / col("sd"))
+          .filter(abs(col("z")) > lit(1.5))
+          .select(col("bucket_start"), col("cnt"), round(col("z"), 6).as("z"))
+      },
+      Some("""WITH series AS (
+             |  SELECT CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_start,
+             |         count(*) AS cnt
+             |  FROM events WHERE event_type = 'error' GROUP BY 1),
+             |mn AS (SELECT min(bucket_start) AS b0 FROM series),
+             |xy AS (SELECT bucket_start, cnt,
+             |              CAST((bucket_start - b0) // 21600 AS BIGINT) AS x,
+             |              CAST(cnt AS DOUBLE) AS y
+             |       FROM series, mn),
+             |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(cnt) AS sy,
+             |             sum(x*cnt) AS sxy, sum(x*x) AS sxx FROM xy),
+             |co AS (SELECT CAST(n*sxy - sx*sy AS DOUBLE) /
+             |              CAST(n*sxx - sx*sx AS DOUBLE) AS slope, sx, sy, n FROM s),
+             |co2 AS (SELECT slope,
+             |               (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+             |                 / CAST(n AS DOUBLE) AS icept
+             |        FROM co),
+             |r AS (SELECT bucket_start, cnt, y - (slope*CAST(x AS DOUBLE) + icept) AS resid
+             |      FROM xy, co2),
+             |sd AS (SELECT sqrt(sum(resid*resid)/count(*)) AS sd FROM r)
+             |SELECT bucket_start, cnt, round(resid/sd, 6) AS z
+             |FROM r, sd WHERE abs(resid/sd) > 1.5""".stripMargin))
   )
 
   // --- text analysis (builder brief: first-class extension ops) ---
@@ -1313,9 +1418,6 @@ object SparkEntry {
              |FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
              |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin)),
 
-    // MinHash-LSH and SimHash near-dup: not SQL-expressible (banding +
-    // xxhash64) → rows-only driver check; correctness vs brute force is
-    // covered by DedupSpec.
     ("q_dedup_minhash_lsh", // LSH candidate pairs, exact-verified —
       // must equal brute-force 3-shingle Jaccard pairs (pair SET is
       // the oracle surface; the jaccard VALUES are spec-checked)
@@ -1325,11 +1427,42 @@ object SparkEntry {
           .select("id_a", "id_b"),
       Some(s"""${shinglePairsSql(0.5)}
               |SELECT id_a, id_b FROM pairs""".stripMargin)),
-    ("q_dedup_simhash",
+    ("q_dedup_simhash", // simhash near-dup PAIR SET, hash-checked: the
+      // md5-token-hash fingerprint reconstructs in integer SQL (the
+      // same CTE q_dedup_simhash_md5 proves), and the pigeonhole
+      // blocking has provably full recall at hamming ≤ 3, so DuckDB's
+      // brute-force all-pairs hamming equals the engine's blocked
+      // output exactly. (The xxhash64 simhash variant stays engine-only
+      // — DedupSpec covers its blocking by property.)
       (s: SparkSession, dir: String) =>
-        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        Dedup.simhashMd5Pairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+             |                                    x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 15),
+             |      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+             |           * (CAST(1 AS BIGINT) << (4*(15-i))))) AS BIGINT) AS hv
+             |  FROM toks),
+             |bits AS (
+             |  SELECT doc_id, b.b,
+             |         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+             |  GROUP BY 1, 2),
+             |sg AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+             |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash60
+             |  FROM bits GROUP BY 1),
+             |allsig AS (
+             |  SELECT d.doc_id, coalesce(s.simhash60, 0) AS sg
+             |  FROM documents d LEFT JOIN sg s USING (doc_id))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.sg, b.sg)) AS INT) AS hamming
+             |FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin)),
     ("q_dedup_drop_near", // LSH pairs → deduplicated corpus (keep-first
       // greedy: drop every doc that is the larger id of any pair)
       (s: SparkSession, dir: String) =>
@@ -1393,11 +1526,18 @@ object SparkEntry {
       // highest-quality member (not its min id) — the
       // "ship the best-written duplicate" curation rule
       (s: SparkSession, dir: String) => {
-        val docs = t(s, dir, "documents")
-        val prof = TextAnalysis.profile(docs, "doc_id", "text")
-          .select("doc_id", "quality")
+        // one documents scan feeds BOTH the LSH signature build and the
+        // quality profile (the round-4 plan-audit sweep pattern):
+        // persist the projection; minhashLsh's eager checkpoint
+        // materializes it, so the profile branch reads the cache
+        // instead of re-scanning parquet. Blocks are swept by
+        // GraftSession.releaseCachedBlocks like the other eager sites.
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val labels = Dedup.nearDupClusters(
           Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5))
+        val prof = TextAnalysis.profile(docs, "doc_id", "text")
+          .select("doc_id", "quality")
         Dedup.keepBestPerCluster(prof, "doc_id", "quality", labels)
       },
       Some(s"""${shinglePairsSql(0.5)},
@@ -1448,6 +1588,42 @@ object SparkEntry {
              |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin))
   )
 
+  /** DuckDB replay of [[Similarity.lshPairs]]: the deterministic
+    * hyperplane components ([[graft.functions.HyperplaneSigs.component]])
+    * are inlined as literals, signatures rebuilt from dot-product signs,
+    * candidates re-derived by the same (table, signature) banding, and
+    * survivors verified with exact cosine at the engine threshold.
+    */
+  private def lshPairsOracleSql(nTables: Int, planesPerTable: Int,
+      dim: Int, threshold: Double): String = {
+    val lits = (for {
+      tb <- 0 until nTables
+      p <- 0 until planesPerTable
+      d <- 0 until dim
+    } yield s"($tb,$p,$d,${graft.functions.HyperplaneSigs.component(tb * 97 + p, d)})")
+      .mkString(",")
+    s"""WITH pl(t, p, d, w) AS (VALUES $lits),
+       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |             generate_subscripts(embedding, 1) - 1 AS d
+       |      FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM v GROUP BY 1),
+       |dots AS (SELECT v.vec_id, pl.t, pl.p, sum(v.x * pl.w) AS dot
+       |         FROM v JOIN pl USING (d) GROUP BY 1, 2, 3),
+       |sigs AS (SELECT vec_id, t,
+       |                sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+       |         FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sigs a JOIN sigs b
+       |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |pd AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
+       |       FROM cand c JOIN v va ON va.vec_id = c.id_a
+       |                   JOIN v vb ON vb.vec_id = c.id_b AND vb.d = va.d
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(dot / (na.n * nb.n), 6) AS cos
+       |FROM pd JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+       |WHERE na.n * nb.n <> 0 AND dot / (na.n * nb.n) >= $threshold""".stripMargin
+  }
+
   // --- similarity search (builder brief) ---
   private def similarityDefs: Seq[(String, Q, Option[String])] = Seq(
     ("q_embed_topk", // brute-force cosine top-k, exact baseline
@@ -1486,11 +1662,20 @@ object SparkEntry {
         Similarity.queryIvf(idx, "vec_id", "embedding", q, k = 20, nprobe = 3)
       },
       None),
-    ("q_embed_lsh_pairs",
+    ("q_embed_lsh_pairs", // hyperplane-LSH near-neighbor pairs — the
+      // ENTIRE path (deterministic hyperplanes → sign signatures →
+      // banding → exact-cosine verify) replays in DuckDB: the plane
+      // components are pure splitmix64 arithmetic, inlined into the
+      // oracle as literals (Double.toString round-trips). Blocking
+      // consumes only the SIGN of each plane dot, so summation-order
+      // float drift cannot change the candidate set (a sign flip needs
+      // |dot| ≈ 1e-15; the dots here are O(0.1)); the verify cosine
+      // rounds to 6 decimals like every other similarity oracle.
       (s: SparkSession, dir: String) =>
         Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           nTables = 4, planesPerTable = 6, threshold = 0.3),
-      None),
+      Some(lshPairsOracleSql(nTables = 4, planesPerTable = 6, dim = 64,
+        threshold = 0.3))),
 
     ("q_embed_kmeans", // deterministic quantized k-means (k=4, 2 Lloyd
       // steps): integer-exact at every step, so DuckDB replays the

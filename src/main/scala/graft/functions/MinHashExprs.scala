@@ -289,22 +289,13 @@ case class HyperplaneSigs(child: Expression, nTables: Int, planesPerTable: Int)
     case _ => false
   }
 
-  /** plane component ~ U[-0.5, 0.5), splitmix64((plane, dim)). */
-  private def component(plane: Int, d: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
-    (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 1000000.0) - 0.5
-  }
-
   @transient private var planeCache: Array[Array[Double]] = _
   private def planes(dim: Int): Array[Array[Double]] = {
     if (planeCache == null || planeCache(0).length != dim) {
       planeCache = Array.tabulate(nTables * planesPerTable) { i =>
         val table = i / planesPerTable
         val p = i % planesPerTable
-        Array.tabulate(dim)(d => component(table * 97 + p, d))
+        Array.tabulate(dim)(d => HyperplaneSigs.component(table * 97 + p, d))
       }
     }
     planeCache
@@ -339,6 +330,21 @@ case class HyperplaneSigs(child: Expression, nTables: Int, planesPerTable: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)
+}
+
+object HyperplaneSigs {
+  /** plane component ~ U[-0.5, 0.5), splitmix64((plane, dim)).
+    * Public so oracle builders can inline the exact plane values as SQL
+    * literals and replay the signature computation in another engine
+    * (the hyperplanes are pure arithmetic — no RNG state to ship).
+    */
+  def component(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (java.lang.Long.remainderUnsigned(z, 1000000L).toDouble / 1000000.0) - 0.5
+  }
 }
 
 /** Distinct word n-grams of a string as array<string> (space-joined,

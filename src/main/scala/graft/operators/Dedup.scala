@@ -331,10 +331,15 @@ object Dedup {
     * whose shared tokens are ALL above the cap is never considered —
     * at near-dup thresholds such pairs share only corpus-stopwords, so
     * in practice the cap trades nothing for the quadratic bound.
-    * `maxTokenDf = 0` (default) keeps the fully-exact uncapped path.
+    *
+    * The df-capped path is the DEFAULT (`maxTokenDf = 1000`): at scale
+    * the uncapped index self-join is a quadratic hot-key trap that no
+    * caller should fall into by accident. Pass `maxTokenDf = 0` to
+    * opt in to the fully-exhaustive uncapped path (small corpora,
+    * recall audits).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxTokenDf: Long = 0L): DataFrame = {
+      threshold: Double, maxTokenDf: Long = 1000L): DataFrame = {
     if (maxTokenDf <= 0L) {
       // the token stream feeds the self-join (both sides) and the size
       // relation — persist it so the corpus is scanned + tokenized once,
@@ -434,26 +439,46 @@ object Dedup {
     * `maxHamming` trades more candidate collisions for recall.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** [[simhashPairs]] over the md5-token-hash fingerprint
+    * ([[simhashMd5]]): same pigeonhole blocking and hamming verify, but
+    * the signature is reconstructible in plain integer SQL, so the PAIR
+    * SET — not just the fingerprint value — is oracle-checkable by an
+    * external engine (q_dedup_simhash's hash-match gate). The pigeonhole
+    * argument runs over the 64-bit representation; bits 60..63 are zero
+    * for every 60-bit signature, so recall is unaffected.
+    */
+  def simhashMd5Pairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashMd5(df, idCol, textCol), idCol, "simhash60", maxHamming)
+
+  /** Pigeonhole-blocked hamming pairs over any 64-bit-or-narrower
+    * signature relation: one shuffle on (chunk, chunk-value), candidates
+    * verified with an exact popcount — never the O(n²) cross join.
+    * Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max.
+    */
+  private[graft] def hammingPairs(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nChunks = maxHamming + 1
     val widths = Array.tabulate(nChunks)(i =>
       64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val sigs = simhash(df, idCol, textCol)
-    val chunks = sigs.select(col(idCol).as("id"), col("simhash"),
+    val chunks = sigs.select(col(idCol).as("id"), col(sigCol).as("_sig"),
       explode(array((0 until nChunks).map { c =>
         val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), offsets(c)).bitwiseAND(mask).as("v"))
+          shiftright(col(sigCol), offsets(c)).bitwiseAND(mask).as("v"))
       }: _*))
         .as("ck"))
     val cand = chunks.as("a").join(chunks.as("b"),
         col("a.ck.chunk") === col("b.ck.chunk") &&
         col("a.ck.v") === col("b.ck.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        col("a._sig").as("sa"), col("b._sig").as("sb"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)

@@ -200,12 +200,30 @@ class DedupSpec extends SparkSpec {
     val candCount = Dedup.jaccardCandidates(sets, maxTokenDf = 20).count()
     assert(candCount == 20,
       s"df-cap failed to bound candidates: got $candCount, want 20")
-    // and the capped path emits the same exact-jaccard result set
-    val u = Dedup.jaccardPairs(docs40, "doc_id", "text", 0.8)
+    // and the capped path emits the same exact-jaccard result set as
+    // the explicitly-uncapped (maxTokenDf = 0) exhaustive path
+    val u = Dedup.jaccardPairs(docs40, "doc_id", "text", 0.8, maxTokenDf = 0)
       .as[(Long, Long, Double)].collect().toSet
     val c = Dedup.jaccardPairs(docs40, "doc_id", "text", 0.8, maxTokenDf = 20)
       .as[(Long, Long, Double)].collect().toSet
     assert(u.nonEmpty && c == u)
+  }
+
+  test("default jaccardPairs path is df-capped: an above-cap token never enters the candidate index") {
+    import spark.implicits._
+    // 1100 docs share one corpus-stopword (df 1100 > default cap 1000);
+    // each doc's other token is unique, so EVERY candidate would come
+    // from the hot token alone. The default path must prune it: zero
+    // candidates instead of C(1100,2) ≈ 600k — the quadratic-skew trap
+    // a caller must not fall into by accident.
+    val docs1100 = (0 until 1100).map(i => (i.toLong, s"common u$i"))
+      .toDF("doc_id", "text")
+    val sets = docs1100.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.tokenSet(col("text")).as("_ts"))
+    assert(Dedup.jaccardCandidates(sets, maxTokenDf = 1000).count() == 0)
+    // and the public default resolves to the capped path (completes
+    // without the quadratic self-join and emits no pairs here)
+    assert(Dedup.jaccardPairs(docs1100, "doc_id", "text", 0.8).count() == 0)
   }
 
   test("md5 simhash matches a driver-side reference and is permutation-sensitive only to the multiset") {
