@@ -82,6 +82,20 @@ object Bench {
     // Warmup: exercise parquet reader, codegen, shuffle machinery once.
     SparkEntry.queries.get("q1_agg").foreach(onePass)
 
+    // Streaming cadence (BASELINE.md: 1 s results / 10 s stats without
+    // backlog) runs FIRST, right after warmup: measured per-trigger
+    // latencies belong to the engine, not to the GC/co-tenant state the
+    // 90-query sweep leaves behind (the calibration delta showed the
+    // end of a bench run is its most contended moment). Disable with
+    // SPARK_GRAFT_STREAM_SECS=0 for quick local loops.
+    val streamSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "35").toInt
+    val streamJson =
+      if (streamSecs <= 0) "null"
+      else try StreamBench.run(spark,
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "20000").toLong,
+        streamSecs).json
+      catch { case _: Throwable => "null" }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn)
     }
@@ -116,7 +130,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cores = Runtime.getRuntime.availableProcessors()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fanout_lines_per_sec":$fanoutRate%.0f,"sf":"$sfDir","cores":$cores,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fanout_lines_per_sec":$fanoutRate%.0f,"streaming":$streamJson,"sf":"$sfDir","cores":$cores,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f}""")
     spark.stop()
   }
 }
