@@ -1,0 +1,128 @@
+package graft.tools
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth-decade scale evidence (SURVEY §9): generate a seeded 10×
+  * replica of the sf0.1 documents/embeddings fixtures (bench-only —
+  * never oracle-checked, never committed; regenerate on demand) and
+  * time the dedup / similarity / curation / pack families across all
+  * four decades.
+  *
+  * Replication preserves the data's SIMILARITY STRUCTURE exactly —
+  * the property that drives those operators' cost — while making
+  * replicas mutually dissimilar:
+  *
+  *  - documents: replica k prefixes every token with `r<k>` (k=0 keeps
+  *    the original). Within a replica every pairwise Jaccard/shingle
+  *    relation is untouched; across replicas no token is shared, so
+  *    the near-dup pair count scales exactly 10×, not 100×.
+  *  - embeddings: replica k flips component signs by a splitmix64
+  *    parity per (k, dim). cos(s∘a, s∘b) = cos(a, b) for the same
+  *    flip s (s_d² = 1), so intra-replica cosines are bit-preserved;
+  *    cross-replica cosines decorrelate like random vectors.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [x10Dir]
+  */
+object ScaleProbe {
+
+  private def signFlip(k: Int, dim: Int): Seq[Float] = (0 until dim).map { d =>
+    var z = (k.toLong * dim + d) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  /** Write the 10× fixture (documents.parquet, embeddings.parquet). */
+  def generate(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val docs = Tables.load(spark, baseDir, "documents")
+    val docReplicas = (0 until 10).map { k =>
+      val text = if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "r" + k + "$1")
+      docs.select((col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }
+    docReplicas.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.load(spark, baseDir, "embeddings")
+    val embReplicas = (0 until 10).map { k =>
+      val vec = if (k == 0) col("embedding")
+        else zip_with(col("embedding"),
+          array(signFlip(k, 64).map(lit): _*), (x, s) => x * s)
+      emb.select((col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+    embReplicas.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The document/embedding-only queries whose cost is driven by the
+    * corpus (no fixed-slice filters), one or more per SURVEY family.
+    */
+  val probeQueries: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_dedup_drop_near", "q_dedup_canonical",            // dedup
+    "q_embed_topk", "q_embed_lsh_pairs", "q_embed_kmeans",
+    "q_embed_ivf_q",                                     // similarity
+    "q_quality_topp", "q_token_budget", "q_domain_mix",
+    "q_curate_pipeline",                                 // curation
+    "q_pack_sequences", "q_chunk_tokens",                // packing
+    "q_text_profile", "q_tfidf", "q_repetition")         // text analysis
+
+  def main(args: Array[String]): Unit = {
+    val x10Dir = args.headOption.getOrElse("/tmp/graft_x10")
+    val spark = graft.GraftSession.builder(graft.GraftSession.defaultCores)
+      .appName("scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$x10Dir/documents.parquet").exists())
+      generate(spark, "/root/testdata/sf0.1", x10Dir)
+
+    val dirs = Seq(
+      "sf0.001" -> "/root/testdata/sf0.001",
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "x10" -> x10Dir)
+
+    def onePass(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntryBridge.query(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] $name@$dir failed: ${e.getMessage}"); -1.0
+      } finally graft.GraftSession.releaseCachedBlocks(spark)
+    }
+
+    // warmup (codegen, parquet reader)
+    onePass("q_text_profile", "/root/testdata/sf0.001")
+
+    val rows = probeQueries.map { q =>
+      val times = dirs.map { case (label, dir) =>
+        val a = onePass(q, dir); val b = onePass(q, dir)
+        label -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
+      q -> times
+    }
+    rows.foreach { case (q, times) =>
+      val cells = times.map { case (l, t) => f""""$l":$t%.3f""" }.mkString(",")
+      val growth = {
+        val m = times.toMap
+        if (m("sf0.1") > 0 && m("x10") > 0) f"${m("x10") / m("sf0.1")}%.2f"
+        else "-1"
+      }
+      println(s"""{"query":"$q",$cells,"x10_growth":$growth}""")
+    }
+    spark.stop()
+  }
+
+  /** Indirection so this tool reuses SparkEntry's query definitions. */
+  private object SparkEntryBridge {
+    def query(name: String): (SparkSession, String) => DataFrame =
+      graft.SparkEntry.queries(name)
+  }
+}

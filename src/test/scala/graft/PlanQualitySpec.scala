@@ -159,4 +159,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
+
+  test("dedup canonical: one documents scan feeds both profile and LSH branches") {
+    // the LSH phase (eager, inside the query constructor) materializes
+    // the shared persisted projection — its single parquet read. The
+    // returned plan's profile branch must therefore read the CACHE: one
+    // InMemoryTableScan, and at most one "Scan parquet" string — the
+    // cache's own rebuild lineage printed beneath it, not a second live
+    // scan (the round-4 plan-audit sweep pattern).
+    val p = plan("q_dedup_canonical")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"profile branch does not read the persisted documents projection:\n$p")
+    val parquetScans = "Scan parquet".r.findAllIn(p).size
+    assert(parquetScans <= 1,
+      s"expected at most the cache-lineage parquet scan, found $parquetScans:\n$p")
+  }
 }
