@@ -186,7 +186,7 @@ case class SimHashMd5(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHashMd5.digests.get()
     val counts = new Array[Int](Bits)
     var i = 0
     while (i < toks.length) {
@@ -216,6 +216,17 @@ case class SimHashMd5(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
     copy(child = newChild)
+}
+
+object SimHashMd5 {
+  /** Per-thread MessageDigest: `getInstance` per ROW was ~30% of the
+    * signature pass (provider lookup + allocation). MessageDigest is
+    * not thread-safe, and one Expression instance can be evaluated
+    * from several task threads — thread-local is the safe reuse.
+    */
+  private[functions] val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** 64-bit SimHash of a string's whitespace-token multiset: per bit
