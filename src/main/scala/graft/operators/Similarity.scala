@@ -303,13 +303,35 @@ object Similarity {
       .drop("_mn")
   }
 
+  /** Bits per LSH table that hold the RANDOM-collision candidate rate
+    * flat as the corpus grows: a table's buckets hold ~n/2^bits rows,
+    * so each row draws ~n/2^bits chance candidates per table — bits
+    * must track log₂(n) to keep that constant (the fourth-decade scale
+    * probe measured the alternative: a fixed 6-bit table grew 8.6× on
+    * a 10× corpus as chance collisions took over). Default allowance
+    * ≈ 32 chance candidates per row per table (`log₂(n) − 5`). True
+    * near-dup pairs collide via geometry, not chance, so raising bits
+    * with n costs recall only on the far-from-duplicate fringe.
+    */
+  def planesForCorpus(n: Long, minPlanes: Int = 6,
+      candidatesPerRow: Int = 32): Int = {
+    require(n > 0, s"corpus size must be positive: $n")
+    require(candidatesPerRow > 0,
+      s"candidatesPerRow must be positive: $candidatesPerRow")
+    val bits = math.ceil(
+      (math.log(n.toDouble) - math.log(candidatesPerRow.toDouble)) /
+        math.log(2.0)).toInt
+    math.min(62, math.max(minPlanes, bits))
+  }
+
   /** All-pairs near-neighbors via random-hyperplane LSH: `nTables`
     * independent hash tables of `planesPerTable` sign bits each
     * (deterministic hyperplanes — no RNG). Candidates = pairs agreeing
     * on ALL bits of at least one table (union via explode + one
     * shuffle on (table, signature)); verified with exact cosine.
     * Recall/cost tune like MinHash banding: more tables = higher
-    * recall, more bits per table = fewer false candidates.
+    * recall, more bits per table = fewer false candidates — size bits
+    * with [[planesForCorpus]] when the corpus size is known.
     * Output: (id_a, id_b, cos) with cos ≥ threshold.
     */
   def lshPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -155,4 +155,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("planesForCorpus holds the chance-candidate rate flat across corpus decades") {
+    // bits track log2(n): each 10x decade adds ~3-4 bits, so the
+    // per-row chance-collision count n/2^bits stays ~candidatesPerRow
+    val decades = Seq(1000L, 10000L, 100000L, 1000000L, 1000000000L)
+    val bits = decades.map(n => Similarity.planesForCorpus(n))
+    assert(bits == bits.sorted, s"bits must be monotone in n: $bits")
+    decades.zip(bits).foreach { case (n, b) =>
+      val perRow = n.toDouble / math.pow(2.0, b)
+      assert(b >= 6 && perRow <= 32.0,
+        s"n=$n bits=$b leaves $perRow chance candidates/row")
+    }
+    // floor and ceiling respected
+    assert(Similarity.planesForCorpus(10) == 6)
+    assert(Similarity.planesForCorpus(Long.MaxValue / 2,
+      candidatesPerRow = 1) == 62)
+  }
 }
