@@ -254,6 +254,23 @@ class DedupSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("md5 simhash pair blocking has full recall vs brute force (pigeonhole)") {
+    import spark.implicits._
+    val slice = docs.filter(col("doc_id") < 150)
+    val sigs = Dedup.simhashMd5(slice, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      h = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
+      if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    val got = Dedup.simhashMd5Pairs(slice, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute.map { case (a, b, h) => (a, b, h) },
+      s"blocked pair set != brute force (got ${got.size}, brute ${brute.size})")
+  }
+
   test("keepBestPerCluster keeps the highest-score member, ties to lowest id") {
     import spark.implicits._
     // clusters from explicit pairs: {1,2,3} (chain), {10,11}; 20 singleton
