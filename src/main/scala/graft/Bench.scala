@@ -47,6 +47,13 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Env var as Long with a default — a malformed value falls back to
+    * the default instead of aborting the whole benchmark run.
+    */
+  private def envLong(name: String, default: Long): Long =
+    sys.env.get(name).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(default)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder(GraftSession.defaultCores)
@@ -87,14 +94,21 @@ object Bench {
     // latencies belong to the engine, not to the GC/co-tenant state the
     // 90-query sweep leaves behind (the calibration delta showed the
     // end of a bench run is its most contended moment). Disable with
-    // SPARK_GRAFT_STREAM_SECS=0 for quick local loops.
-    val streamSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "35").toInt
+    // SPARK_GRAFT_STREAM_SECS=0 for quick local loops. Default 130 s so
+    // the 10 s stats leg accumulates ≥12 triggers — a p95 over 3
+    // samples isn't a p95 (round-6 verdict).
+    val streamSecs = envLong("SPARK_GRAFT_STREAM_SECS", 130L).toInt
     val streamJson =
       if (streamSecs <= 0) "null"
       else try StreamBench.run(spark,
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "20000").toLong,
-        streamSecs).json
-      catch { case _: Throwable => "null" }
+        envLong("SPARK_GRAFT_STREAM_RATE", 20000L), streamSecs).json
+      catch { case e: Throwable =>
+        // a broken streaming path must be diagnosable from the run log,
+        // not silently published as streaming:null
+        System.err.println(s"[bench] StreamBench failed: $e")
+        e.printStackTrace()
+        "null"
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn)
@@ -130,7 +144,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cores = Runtime.getRuntime.availableProcessors()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fanout_lines_per_sec":$fanoutRate%.0f,"streaming":$streamJson,"sf":"$sfDir","cores":$cores,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fanout_lines_per_sec":$fanoutRate%.0f,"streaming":$streamJson,"sf":"$sfDir","cores":$cores,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f}"""
+    println(line)
+    // Also write the complete artifact to a file: the round driver's
+    // stdout tail-scrape truncated 28 of 90 per-query numbers in
+    // BENCH_r06 — a file the driver (or a human) picks up can't lose
+    // the head of the line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write to $outPath failed: $e")
+    }
     spark.stop()
   }
 }

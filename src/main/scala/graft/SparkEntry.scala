@@ -1244,11 +1244,10 @@ object SparkEntry {
         val w = Window.partitionBy("fp").orderBy("doc_id")
         val deduped = gated.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "fp")
-        // mixture (domain totals + main pass) and the budget's range
-        // phase each re-derive this frame — checkpoint so the
-        // profile→gate→dedup prefix runs once, not four times
+        // mixtureBalance persists its input, so the profile→gate→dedup
+        // prefix runs ONCE into that cache; the budget's range phase
+        // re-derives `mixed` from the cache (a broadcast join — cheap)
         val withLang = deduped.join(docs.select("doc_id", "lang"), "doc_id")
-          .localCheckpoint(true)
         val mixed = Curate.mixtureBalance(withLang, "lang", "doc_id", "n_tokens")
           .select("doc_id", "quality", "n_tokens")
         Curate.selectByTokenBudget(mixed, "doc_id", "n_tokens", "quality",

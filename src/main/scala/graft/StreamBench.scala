@@ -120,7 +120,16 @@ object StreamBench {
       .start()
     try Thread.sleep(runtimeSec * 1000L)
     finally {
-      results.stop(); stats.stop()
+      // stop each query independently: if results.stop() throws (e.g.
+      // the query already died), the stats query must still be stopped
+      // and the listener removed — otherwise both keep running in the
+      // shared session Bench continues to use
+      def quietStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        try q.stop()
+        catch { case e: Throwable =>
+          System.err.println(s"[streambench] stop(${q.name}) failed: $e")
+        }
+      quietStop(results); quietStop(stats)
       spark.streams.removeListener(listener)
     }
     def stat(name: String): (Seq[Double], Long) = {
@@ -148,6 +157,16 @@ object StreamBench {
     val rowsMatched = try {
       spark.read.parquet(s"$dir/results").count()
     } catch { case _: Throwable => 0L }
+    // the temp output + checkpoint dirs accumulate per bench run
+    // otherwise (tens of MB each at 20k lines/s)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] temp dir cleanup failed: $e")
+    }
     // Sustained = steady-state cadence held (p95 under each trigger
     // interval) AND the run absorbed ≥90% of the offered rows
     // (rate × runtime minus the first-trigger ramp) — i.e. no backlog

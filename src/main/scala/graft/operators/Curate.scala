@@ -142,15 +142,23 @@ object Curate {
     * Cost at scale: one map-side-combinable aggregate over the corpus
     * (domain cardinality rows), a broadcast join of that tiny relation,
     * and a scan-level filter — no data shuffle of the corpus itself.
+    * The input is persisted (MEMORY_AND_DISK) so the totals pass and
+    * the main pass share ONE evaluation — a computed tokens column
+    * (e.g. `tokenCount(text)`) must not tokenize the corpus twice.
+    * Pass a narrow projection (id, domain, tokens + carried columns),
+    * not the raw corpus with its text payload; the cache is released
+    * by [[graft.GraftSession.releaseCachedBlocks]] between queries.
     *
     * Output: input row + (domain token total, keep fraction) —
     * `dom_tokens`, `keep_frac` — for auditability.
     */
   def mixtureBalance(df: DataFrame, domainCol: String, idCol: String,
       tokensCol: String): DataFrame = {
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per domain — checkpoint so the min-branch doesn't re-run
-    // the corpus aggregate (corpus scans: 1 for the totals + 1 main pass)
-    val perDom = df.groupBy(col(domainCol))
+    // the corpus aggregate (corpus scans: 1 for the totals + 1 main pass,
+    // and the main pass reads the cache the totals pass populated)
+    val perDom = input.groupBy(col(domainCol))
       .agg(sum(col(tokensCol)).cast("long").as("dom_tokens"))
       .localCheckpoint(true)
     val minTok = perDom.agg(min(col("dom_tokens")).as("_min_tok"))
@@ -163,7 +171,7 @@ object Curate {
       .withColumn("_thr", format_string("%08x",
         floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
       .drop("_min_tok")
-    df.join(broadcast(ann), domainCol)
+    input.join(broadcast(ann), domainCol)
       .filter(col("keep_frac") >= 1.0 ||
         Scale.sampleBucket(col(idCol)) < col("_thr"))
       .drop("_thr")

@@ -149,6 +149,15 @@ class PlanQualitySpec extends SparkSpec {
     // exchanges belong to the tiny domain aggregate
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled for the mixture join:\n$p")
+    // scan-once: mixtureBalance persists the tokenized projection, so
+    // the main pass reads the cache the totals pass populated — the
+    // corpus must NOT be tokenized twice (round-6 verdict, What's-wrong
+    // #3). At most one live parquet scan (the cache's rebuild lineage).
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"main pass does not read the persisted tokenized projection:\n$p")
+    val parquetScans = "Scan parquet".r.findAllIn(p).size
+    assert(parquetScans <= 1,
+      s"expected at most the cache-lineage parquet scan, found $parquetScans:\n$p")
   }
 
   test("quantized k-means assignment is one codegen'd projection over literal centroids") {
