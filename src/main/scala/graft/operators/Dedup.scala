@@ -301,11 +301,15 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs (the brief's fifth dedup
     * modality): hyperplane-LSH blocked candidates, exact-cosine
     * verified — delegates to [[Similarity.lshPairs]] with a
-    * high-similarity default. Output: (id_a, id_b, cos), id_a < id_b.
+    * high-similarity default. Bits per table default to the
+    * corpus-sized [[Similarity.planesForCorpus]] rule (`≤ 0` = auto) —
+    * a deployment calling this with defaults on a growing corpus must
+    * not inherit the fixed-bits candidate blow-up the x10 probe
+    * measured. Output: (id_a, id_b, cos), id_a < id_b.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nTables: Int = 6,
-      planesPerTable: Int = 8): DataFrame =
+      planesPerTable: Int = 0): DataFrame =
     Similarity.lshPairs(df, idCol, vecCol, nTables, planesPerTable, threshold)
 
   /** Drop embedding-cosine near-duplicates keep-first (same greedy

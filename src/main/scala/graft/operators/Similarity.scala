@@ -324,24 +324,34 @@ object Similarity {
     math.min(62, math.max(minPlanes, bits))
   }
 
+  /** The bits-per-table [[lshPairs]] actually uses: a positive pinned
+    * value wins (oracle replays need stable signatures); otherwise the
+    * corpus-sized [[planesForCorpus]] default. `n` is by-name so the
+    * pinned path never pays the count.
+    */
+  def effectivePlanes(pinned: Int, n: => Long): Int =
+    if (pinned > 0) pinned else planesForCorpus(n)
+
   /** All-pairs near-neighbors via random-hyperplane LSH: `nTables`
     * independent hash tables of `planesPerTable` sign bits each
     * (deterministic hyperplanes — no RNG). Candidates = pairs agreeing
     * on ALL bits of at least one table (union via explode + one
     * shuffle on (table, signature)); verified with exact cosine.
     * Recall/cost tune like MinHash banding: more tables = higher
-    * recall, more bits per table = fewer false candidates — size bits
-    * with [[planesForCorpus]] when the corpus size is known.
+    * recall, more bits per table = fewer false candidates.
+    *
+    * `planesPerTable ≤ 0` (the DEFAULT) sizes bits from a corpus count
+    * via [[planesForCorpus]] — fixed bits are the measured scale-killer
+    * (the x10 probe saw 8.6× candidate growth on a 10× corpus at a
+    * pinned 6 bits). The count reads the persisted projection every
+    * downstream branch needs anyway, so auto-sizing costs no extra
+    * scan. Pass a positive value to pin (deterministic replays).
     * Output: (id_a, id_b, cos) with cos ≥ threshold.
     */
   def lshPairs(df: DataFrame, idCol: String, vecCol: String,
-      nTables: Int = 4, planesPerTable: Int = 6,
+      nTables: Int = 4, planesPerTable: Int = 0,
       threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.GraftExprBridge
-    // All table signatures in one compiled expression (HyperplaneSigs).
-    val sigsPerTable = GraftExprBridge.column(
-      graft.functions.HyperplaneSigs(
-        GraftExprBridge.expression(col(vecCol)), nTables, planesPerTable))
     // One persisted scan feeds the banding branch and both verification
     // sides (same recompute hazard minhashLsh documents). The vector is
     // stored ONCE per id (not per table row), with its norm precomputed
@@ -349,12 +359,17 @@ object Similarity {
     // copy of the vector, no per-pair sqrt.
     val base = df
       .select(col(idCol).as("id"), col(vecCol).as("v"),
-        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
-        sigsPerTable.as("sigs"))
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planes = effectivePlanes(planesPerTable, base.count())
+    // All table signatures in one compiled expression (HyperplaneSigs),
+    // evaluated once per row inside the banding projection.
+    val sigsPerTable = GraftExprBridge.column(
+      graft.functions.HyperplaneSigs(
+        GraftExprBridge.expression(col("v")), nTables, planes))
     // Banding self-join carries only (id, table, sig) — at 100 TB this
     // shuffle is ~dim× smaller than joining the vectors directly.
-    val banded = base.select(col("id"), posexplode(col("sigs")))
+    val banded = base.select(col("id"), posexplode(sigsPerTable))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&

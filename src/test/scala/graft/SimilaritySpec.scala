@@ -172,4 +172,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planesForCorpus(Long.MaxValue / 2,
       candidatesPerRow = 1) == 62)
   }
+
+  test("lshPairs auto-sizes bits from the corpus unless pinned") {
+    // the sizing decision at two corpus sizes: the 6-bit floor holds
+    // small corpora, and a 5000-row corpus gets log2(5000/32) → 8 bits
+    assert(Similarity.effectivePlanes(0, 500L) == 6)
+    assert(Similarity.effectivePlanes(0, 5000L) == 8)
+    // a pinned positive value wins, and never pays the count
+    assert(Similarity.effectivePlanes(6, sys.error("count must not run")) == 6)
+    // the default (no planesPerTable) IS the auto path: identical
+    // output to pinning the rule's answer for this corpus
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = collect(
+      Similarity.lshPairs(emb, "vec_id", "embedding", threshold = 0.25))
+    val pinned = collect(Similarity.lshPairs(emb, "vec_id", "embedding",
+      nTables = 4, planesPerTable = Similarity.planesForCorpus(emb.count()),
+      threshold = 0.25))
+    assert(auto == pinned && auto.nonEmpty)
+  }
 }
