@@ -251,9 +251,33 @@ object LogPipeline {
   /** Online per-filter classifier state for flatMapGroupsWithState. */
   final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
 
+  /** One group's streaming fold, ARRIVAL order, one-in-one-out: lazily
+    * maps the micro-batch slice, committing the advanced state through
+    * `commit` per element (Spark persists the last committed value when
+    * the returned iterator is exhausted — FlatMapGroupsWithStateExec
+    * wraps it in a completion iterator). Arrival order is the
+    * reference's semantics (`ErrorClassifierBolt.java:52-101` folds
+    * tuples as they arrive); the previous buffer-and-sort-by-ts
+    * materialized a dominant filter's whole micro-batch slice per
+    * trigger — the executor-OOM shape the batch path was rebuilt to
+    * avoid (see `ErrorClassifier.foldSortedPartition`).
+    */
+  private[graft] def foldArrival(fid: String, rows: Iterator[ClassifierEvent],
+      init: ErrorClassifier.State, commit: ErrorClassifier.State => Unit,
+      cfg: ErrorClassifier.Config): Iterator[ErrorClassifier.Classified] = {
+    var st = init
+    rows.map { ev =>
+      val (next, predicted) = ErrorClassifier.step(st, ev._raw, cfg)
+      st = next
+      commit(st)
+      ErrorClassifier.Classified(fid, ev.ts.getTime, ev._raw, predicted)
+    }
+  }
+
   /** Streaming classifier (reference M1): per-filter Bayes model held
     * in `GroupState`, trained/applied in arrival order within each
-    * micro-batch. Emits rows predicted as "error" (metric-2 source).
+    * micro-batch (see [[foldArrival]] — no group buffering). Emits rows
+    * predicted as "error" (metric-2 source).
     *
     * NOTE: the Kryo-serialized state shape is `ErrorClassifier.State`;
     * changing that class invalidates existing streaming checkpoints
@@ -270,16 +294,9 @@ object LogPipeline {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (fid: String, rows: Iterator[ClassifierEvent],
-            state: GroupState[ErrorClassifier.State]) => {
-          var st = state.getOption
-            .getOrElse(ErrorClassifier.State.empty(cfg.memoryCapacity))
-          val out = rows.toIndexedSeq.sortBy(_.ts.getTime).map { ev =>
-            val (next, predicted) = ErrorClassifier.step(st, ev._raw, cfg)
-            st = next
-            ErrorClassifier.Classified(fid, ev.ts.getTime, ev._raw, predicted)
-          }
-          state.update(st)
-          out.iterator
-        })
+            state: GroupState[ErrorClassifier.State]) =>
+          foldArrival(fid, rows,
+            state.getOption.getOrElse(ErrorClassifier.State.empty(cfg.memoryCapacity)),
+            state.update, cfg))
   }
 }

@@ -297,4 +297,25 @@ class StreamingSpec extends SparkSpec {
       assert(preds.count(_.nonEmpty) >= 3)
     } finally q.stop()
   }
+
+  test("classifier group fold streams one-in-one-out (no micro-batch slice buffering)") {
+    // one dominant filter_id: the fold must not materialize its whole
+    // micro-batch slice (mirror of ClassifierSpec's foldSortedPartition
+    // gate, for the streaming path)
+    val cfg = graft.ml.ErrorClassifier.Config(minTrained = 10)
+    var consumed = 0
+    var commits = 0
+    val src = Iterator.tabulate(1000000) { i =>
+      consumed += 1
+      LogPipeline.ClassifierEvent("dominant",
+        new java.sql.Timestamp(i.toLong), s"msg $i")
+    }
+    val out = LogPipeline.foldArrival("dominant", src,
+      graft.ml.ErrorClassifier.State.empty(cfg.memoryCapacity),
+      _ => commits += 1, cfg)
+    out.next()
+    assert(consumed <= 2,
+      s"fold pulled $consumed input rows before emitting the first output")
+    assert(commits >= 1, "state must be committed as the fold advances")
+  }
 }
