@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *
   *   create filter <name> <regex>
   *   show filters
+  *   show stats <filter>      (durable stats table, when configured)
   *   remove filter <name>
   *   cat/select/tail/stats/count ...
   *   quit
@@ -20,7 +21,7 @@ import org.apache.spark.sql.functions._
   * Reads stdin line-by-line, prints result rows (up to 20) — designed
   * to be driven by a human or a pipe.
   *
-  * Usage: runMain graft.queries.Repl <sfDir> [registryPath]
+  * Usage: runMain graft.queries.Repl <sfDir> [registryPath] [statsPath]
   */
 object Repl {
 
@@ -57,7 +58,7 @@ object Repl {
     * (`supervisor/supervisor.go:155-160`).
     */
   final class Session(spark: SparkSession, sfDir: String,
-      val registry: FilterRegistry) {
+      val registry: FilterRegistry, statsPath: Option[String] = None) {
 
     // The results "table": fixture docs as matched lines, fanned out
     // over the registered filters on demand (batch stand-in for the
@@ -96,6 +97,24 @@ object Repl {
           registry.list().foreach(f =>
             out ++= s"${f.name}\t${f.regex}\t${f.id}\n")
           out ++= s"${registry.list().size} filter(s)\n"
+        } else if (lower.startsWith("show stats ")) {
+          // the reference CLI's stats chart over the supervisor's
+          // PERSISTED store (BoltDB series, `cli/stats.go:59-201`) —
+          // reads the durable parquet stats table, metric-1 as `o`
+          // and metric-2 (classifier errors) as `*`
+          statsPath match {
+            case None =>
+              out ++= "ERR no durable stats table configured for this session\n"
+            case Some(p) =>
+              val name = t.drop("show stats ".length).trim
+              val fid = registry.byName(name).map(_.id).getOrElse(name)
+              val rows = graft.streaming.LogPipeline.readStatsTable(spark, p)
+                .filter(col("filter_id") === fid)
+                .orderBy("bucket").collect()
+              def series(m: Int) = rows.filter(_.getAs[Int]("metric") == m)
+                .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSeq
+              out ++= Chart.render(series(1), series(2))
+          }
         } else if (lower.startsWith("remove filter ")) {
           val name = t.drop("remove filter ".length).trim
           registry.byName(name) match {
@@ -137,7 +156,8 @@ object Repl {
     val regPath = args.lift(1)
     val spark = graft.GraftSession.builder(4).appName("graft-repl").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val session = new Session(spark, sfDir, new FilterRegistry(regPath))
+    val session = new Session(spark, sfDir, new FilterRegistry(regPath),
+      statsPath = args.lift(2))
 
     val in = scala.io.Source.stdin.getLines()
     print("> "); System.out.flush()

@@ -150,6 +150,56 @@ object LogPipeline {
       .trigger(trigger)
       .start()
 
+  /** DURABLE stats sink — the retention-bounded persistence the
+    * reference gives its stats series (supervisor BoltDB store +
+    * 7-day purge every 5 minutes, `filter_manager.go:519-576`): each
+    * update-mode micro-batch of windowed counts is APPENDED to a
+    * parquet table partitioned by (filter_id, date), stamped with its
+    * micro-batch id; [[readStatsTable]] resolves last-write-wins per
+    * (filter_id, metric, bucket). Append-with-stamp instead of
+    * partition overwrite because a batch carries only the buckets it
+    * UPDATED — overwriting a (filter_id, date) partition with just
+    * those would drop the date's other buckets. Replayed batches
+    * (failure recovery) rewrite identical rows under the same stamp,
+    * so the read view is idempotent. Retention: [[expireStats]];
+    * long-lived tables also get small-file compaction for free when
+    * the purge rewrites survivors.
+    */
+  def statsSinkQuery(matchedStream: DataFrame, path: String,
+      checkpoint: String, stepSec: Long = 60,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    statsFrame(matchedStream, stepSec)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch
+            .withColumn("_b", lit(batchId))
+            .withColumn("date",
+              LogFunctions.dateSuffix(timestamp_seconds(col("bucket"))))
+            .write.mode("append")
+            .partitionBy("filter_id", "date")
+            .parquet(path)
+      }
+      .start()
+
+  /** Read view of the durable stats table: the LAST write per
+    * (filter_id, metric, bucket) is the current count (update-mode
+    * batches re-emit a bucket's total whenever it grows). The window
+    * partitions by the series key — bounded groups at any table size.
+    */
+  def readStatsTable(spark: SparkSession, path: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("filter_id", "metric", "bucket")
+      .orderBy(col("_b").desc)
+    spark.read.parquet(path)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("filter_id", "metric", "bucket", "cnt")
+  }
+
   /** Tail sink: bounded in-memory table of recent matches with a
     * monotonic per-batch ordinal — the ring-buffer read path
     * (`filter_manager.go:298-346`). The cursor is (batch, ord).
@@ -216,6 +266,17 @@ object LogPipeline {
     }
     dropped.result()
   }
+
+  /** Stats-table purge — the twin of [[expireResults]] for the durable
+    * stats series (reference: entries older than 7 days dropped every
+    * 5 minutes, `supervisor/filter_manager.go:519-576`). The sink's
+    * layout is the same (filter_id=…/date=… partitions), so this IS
+    * the same partition-TTL walk with the reference's stats retention
+    * default.
+    */
+  def expireStats(spark: SparkSession, path: String, retentionDays: Int = 7,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] =
+    expireResults(spark, path, retentionDays, nowMillis)
 
   /** Streaming exact dedup: drop duplicate lines within the watermark
     * horizon (builder brief: dedup as a streaming citizen too). State
