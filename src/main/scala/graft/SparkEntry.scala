@@ -1605,9 +1605,14 @@ object SparkEntry {
        |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |             generate_subscripts(embedding, 1) - 1 AS d
        |      FROM embeddings),
+       |chk AS (SELECT CASE WHEN max(d) + 1 = $dim THEN 1
+       |               ELSE error('embedding dim <> $dim: the inlined hyperplane literals cover exactly $dim dims — regenerate the oracle') END AS ok
+       |        FROM v),
        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM v GROUP BY 1),
        |dots AS (SELECT v.vec_id, pl.t, pl.p, sum(v.x * pl.w) AS dot
-       |         FROM v JOIN pl USING (d) GROUP BY 1, 2, 3),
+       |         FROM v JOIN pl USING (d), chk
+       |         WHERE chk.ok = 1
+       |         GROUP BY 1, 2, 3),
        |sigs AS (SELECT vec_id, t,
        |                sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
        |         FROM dots GROUP BY 1, 2),

@@ -184,6 +184,19 @@ case class SimHashMd5(child: Expression)
 
   private val Bits = 60
 
+  /** NULL text hashes like empty text (signature 0): the dedup
+    * operators and their SQL oracles share the "no content = empty
+    * content" convention (documents LEFT JOIN sig + coalesce 0), so a
+    * NULL-text document must not silently vanish from pair blocking
+    * while the oracle still pairs it.
+    */
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) java.lang.Long.valueOf(0L) else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")
     val md = SimHashMd5.digests.get()
@@ -244,6 +257,16 @@ case class SimHash64(child: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"expects string, got ${child.dataType}")
+
+  /** NULL text → signature 0, like [[SimHashMd5]]: "no content" and
+    * "empty content" block identically across both simhash variants.
+    */
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) java.lang.Long.valueOf(0L) else nullSafeEval(v)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split("\\s+")

@@ -331,16 +331,26 @@ object Dedup {
     * the quadratic hot-key shape that kills this plan at scale.
     * `maxTokenDf > 0` drops such tokens from the CANDIDATE index only;
     * surviving pairs are verified on the full token sets, so every
-    * emitted Jaccard is exact. The (documented) recall cost: a pair
-    * whose shared tokens are ALL above the cap is never considered —
-    * at near-dup thresholds such pairs share only corpus-stopwords, so
-    * in practice the cap trades nothing for the quadratic bound.
+    * emitted Jaccard is exact.
     *
-    * The df-capped path is the DEFAULT (`maxTokenDf = 1000`): at scale
-    * the uncapped index self-join is a quadratic hot-key trap that no
+    * The df-capped path is the DEFAULT (`maxTokenDf = 1000`; before
+    * round 6 the default was the exact uncapped path): at scale the
+    * uncapped index self-join is a quadratic hot-key trap that no
     * caller should fall into by accident. Pass `maxTokenDf = 0` to
     * opt in to the fully-exhaustive uncapped path (small corpora,
     * recall audits).
+    *
+    * RECALL CONTRACT of the capped default — read before relying on
+    * it: a pair is considered if the two docs share a sub-cap token
+    * OR both docs consist entirely of hot tokens (such "orphans" are
+    * re-indexed by their least-frequent hot token, so a corpus with
+    * thousands of token-identical boilerplate copies still gets its
+    * — inherently quadratic — pair set). The one shape that remains
+    * out of reach: a pair sharing only hot tokens where ONE side also
+    * carries its own sub-cap token (e.g. a unique typo on top of
+    * boilerplate). Remove exact duplicates first ([[Dedup.exact]]) and
+    * that residue is near-empty in practice; demand it anyway and the
+    * uncapped path is the tool.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenDf: Long = 1000L): DataFrame = {
@@ -397,9 +407,27 @@ object Dedup {
     // hot-token relation is tiny (tokens ABOVE the cap); broadcast the
     // anti-join so the prune costs no shuffle of the token stream
     val hot = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxTokenDf).select("tok")
-    val idx = toks.join(broadcast(hot), Seq("tok"), "left_anti")
-    idx.as("a").join(idx.as("b"),
+      .filter(col("_df") > maxTokenDf)
+    val idx = toks.join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
+    // Orphan fallback: a document whose EVERY token is hot has no index
+    // entry above, so a cluster of >cap boilerplate copies would lose
+    // ALL its pairs. Re-index each such orphan by its least-frequent
+    // hot token ((df, tok)-min — deterministic), which groups
+    // token-identical boilerplate back together. The fallback group is
+    // quadratic only in the orphan-cluster size — proportional to the
+    // TRUE pair output, which is inherently quadratic for such
+    // clusters. One map-side-combinable aggregate over the token
+    // stream; docs with any sub-cap token contribute nothing here.
+    val orphanIdx = toks
+      .join(broadcast(hot), Seq("tok"), "left")
+      .groupBy("id")
+      .agg(max(when(col("_df").isNull, 1).otherwise(0)).as("_hasCold"),
+        min(when(col("_df").isNotNull, struct(col("_df"), col("tok"))))
+          .as("_minHot"))
+      .filter(col("_hasCold") === 0 && col("_minHot").isNotNull)
+      .select(col("id"), col("_minHot.tok").as("tok"))
+    val full = idx.select("id", "tok").unionByName(orphanIdx)
+    full.as("a").join(full.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

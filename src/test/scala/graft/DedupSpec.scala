@@ -226,6 +226,42 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(docs1100, "doc_id", "text", 0.8).count() == 0)
   }
 
+  test("capped jaccard keeps boilerplate-copy clusters: all-hot docs fall back to their min-df token") {
+    import spark.implicits._
+    // 150 token-identical copies of one short text (every token's df =
+    // 150 > cap 100) plus normal docs with unique content. Before the
+    // orphan fallback the copies had ZERO index entries, so the
+    // cluster's pairs — a real web-dedup scenario — silently vanished
+    // under the capped default.
+    val docs = ((0 until 150).map(i => (i.toLong, "lorem ipsum dolor sit")) ++
+      (150 until 160).map(i => (i.toLong, s"unique content u$i v$i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.99, maxTokenDf = 100L)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 150 * 149 / 2,
+      s"boilerplate cluster pairs lost: got ${pairs.length}")
+    assert(pairs.forall { case (a, b, j) => a < 150 && b < 150 && j == 1.0 })
+  }
+
+  test("NULL text hashes like empty text: signature 0, pairs with whitespace-only docs") {
+    import spark.implicits._
+    // the SQL oracles' convention (documents LEFT JOIN sig, coalesce 0)
+    // now holds by construction in the engine expressions too — a
+    // NULL-text doc must block and pair exactly like an empty one
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "real content here")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashMd5(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == 0L && sigs(2L) == 0L && sigs(3L) == 0L)
+    val pairs = Dedup.simhashMd5Pairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs), s"got $pairs")
+    val sig64 = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig64(1L) == 0L && sig64(2L) == 0L)
+  }
+
   test("md5 simhash matches a driver-side reference and is permutation-sensitive only to the multiset") {
     import spark.implicits._
     val sample = docs.filter(col("doc_id") < 20)
