@@ -1320,7 +1320,38 @@ object SparkEntry {
              |FROM tok t JOIN ann a USING (lang)
              |WHERE a.keep_frac >= 1.0
              |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
-             |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin))
+             |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin)),
+
+    ("q_write_shards", // token-balanced shard export, oracle-checked on
+      // the WRITTEN artifact: the shard=N parquet left on disk is read
+      // back and its (doc_id, shard) membership must equal a DuckDB
+      // replay of the Pack prefix sum — the export itself, not just
+      // the plan, is deterministic and engine-portable
+      (s: SparkSession, dir: String) => {
+        val out = java.nio.file.Files.createTempDirectory("q_write_shards")
+        Curate.writeShards(t(s, dir, "documents"), "doc_id", "text",
+          tokensPerShard = 2000, path = out.toString)
+        // materialize the read-back before the export dir is removed
+        val got = s.read.parquet(out.toString)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"))
+          .localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
+             |                                 x -> len(x) > 0)) AS n
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id,
+             |         sum(n) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+             |  FROM tok)
+             |SELECT doc_id, CAST(st // 2000 AS BIGINT) AS shard
+             |FROM cum""".stripMargin))
   )
 
   /** DuckDB CASE chain mirroring [[TextFunctions.langId]]. */
