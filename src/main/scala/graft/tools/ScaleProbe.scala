@@ -64,13 +64,32 @@ object ScaleProbe {
     */
   val probeQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
-    "q_dedup_drop_near", "q_dedup_canonical",            // dedup
-    "q_embed_topk", "q_embed_lsh_pairs", "q_embed_kmeans",
-    "q_embed_ivf_q",                                     // similarity
+    "q_dedup_drop_near", "q_dedup_canonical",
+    "q_dedup_embedding", "x_jaccard_capped",             // dedup
+    "q_embed_topk", "q_embed_lsh_pairs", "x_lsh_pairs_auto",
+    "q_embed_kmeans", "q_embed_ivf_q",                   // similarity
     "q_quality_topp", "q_token_budget", "q_domain_mix",
-    "q_curate_pipeline",                                 // curation
+    "q_stratified_sample", "q_curate_pipeline",          // curation
     "q_pack_sequences", "q_chunk_tokens",                // packing
     "q_text_profile", "q_tfidf", "q_repetition")         // text analysis
+
+  /** Probe-only variants that exercise the SCALE path where the
+    * oracle query pins a config or bounds its input:
+    *  - x_lsh_pairs_auto: lshPairs with the corpus-sized default bits
+    *    (q_embed_lsh_pairs pins 6 bits for oracle stability — the
+    *    configuration the x10 probe measured growing 8.6×);
+    *  - x_jaccard_capped: df-capped jaccardPairs over the FULL corpus
+    *    (q_dedup_jaccard runs a fixed 500-doc slice).
+    */
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_lsh_pairs_auto" -> ((s, dir) =>
+      graft.operators.Similarity.lshPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3)),
+    "x_jaccard_capped" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8)))
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.headOption.getOrElse("/tmp/graft_x10")
@@ -120,9 +139,11 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Indirection so this tool reuses SparkEntry's query definitions. */
+  /** Indirection so this tool reuses SparkEntry's query definitions,
+    * with the probe-only scale variants layered on top.
+    */
   private object SparkEntryBridge {
     def query(name: String): (SparkSession, String) => DataFrame =
-      graft.SparkEntry.queries(name)
+      extraQueries.getOrElse(name, graft.SparkEntry.queries(name))
   }
 }
