@@ -124,6 +124,12 @@ object Curate {
     val shards = Pack.packSequences(df, idCol, textCol, tokensPerShard)
       .select(col(idCol), col("pack_first").as("shard"))
     df.join(shards, Seq(idCol))
+      // co-locate each shard before the partitioned write: without
+      // this every task holds rows of many shards and emits one file
+      // per (task, shard) — a small-file explosion that at cluster
+      // scale floods the namenode and at any scale slows the commit.
+      // One exchange buys one file per shard.
+      .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     df.sparkSession.read.parquet(path)
       .select("shard").distinct().count()
