@@ -1593,6 +1593,35 @@ object SparkEntry {
              |         row_number() OVER (PARTITION BY cl
              |           ORDER BY quality DESC, doc_id) AS rk
              |  FROM lab2) WHERE rk = 1""".stripMargin)),
+    ("q_dedup_semantic", // SemDeDup-shaped semantic dedup: the
+      // integer-exact quantized k-means scopes an exact pairwise-cosine
+      // keep-first prune to WITHIN each cluster — the whole path,
+      // cluster fit included, replays in DuckDB (kmeansCtesSql is the
+      // same fit CTE q_embed_kmeans hash-matches)
+      (s: SparkSession, dir: String) =>
+        Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iterations = 2, threshold = 0.3)
+          .select("vec_id"),
+      Some(s"""${kmeansCtesSql(8, "")},
+              |vv AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              |              generate_subscripts(embedding, 1) AS i
+              |       FROM embeddings),
+              |nn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM vv GROUP BY 1),
+              |pd AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+              |              sum(va.x * vb.x) AS dot
+              |       FROM fin ca JOIN fin cb ON ca.cl = cb.cl
+              |                               AND ca.vec_id < cb.vec_id
+              |       JOIN vv va ON va.vec_id = ca.vec_id
+              |       JOIN vv vb ON vb.vec_id = cb.vec_id AND vb.i = va.i
+              |       GROUP BY 1, 2),
+              |drops AS (SELECT DISTINCT pd.id_b FROM pd
+              |          JOIN nn na ON na.vec_id = pd.id_a
+              |          JOIN nn nb ON nb.vec_id = pd.id_b
+              |          WHERE na.nrm * nb.nrm <> 0
+              |            AND pd.dot / (na.nrm * nb.nrm) >= 0.3)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT id_b FROM drops)""".stripMargin)),
+
     ("q_dedup_embedding", // embedding-cosine near-dup removal (keep-first
       // greedy over hyperplane-LSH-blocked, exact-verified pairs; the
       // oracle is brute-force all-pairs cosine — the blocking must

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -320,6 +320,41 @@ object Dedup {
     val dupIds = embeddingNearDups(df, idCol, vecCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings, compute exact pairwise
+    * cosine WITHIN each cluster only, and drop keep-first (every id
+    * that is the larger side of a pair at/above `threshold`, the
+    * [[dropNearDuplicates]] rule). Unlike [[dropEmbeddingNearDuplicates]]
+    * (hyperplane-LSH blocking — high-similarity near-dups), the
+    * cluster scope catches SEMANTIC redundancy at lower thresholds
+    * without an all-pairs pass.
+    *
+    * The clustering is [[Similarity.kmeansQuantized]] — integer-exact,
+    * so an external engine replays the assignment bit-for-bit and the
+    * whole operator is oracle-checkable. Cost shape is the published
+    * SemDeDup one: candidates never cross clusters, so the pair join
+    * shuffles on the cluster id and costs Σ cluster² ≈ n²/k — pick k
+    * proportional to n (constant expected cluster size) and the pass
+    * is linear in n at fixed redundancy.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 2, threshold: Double = 0.9): DataFrame = {
+    val assigned = Similarity.kmeansQuantized(df, idCol, vecCol, k, iterations)
+      .select(col(idCol).as("id"), col("cluster"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+    val withVec = assigned.join(vecs, "id")
+    val drops = withVec.as("a").join(withVec.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cos", when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+        .otherwise(VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))))
+      .filter(col("cos") >= threshold)
+      .select(col("b.id").as(idCol))
+      .distinct()
+    df.join(drops, Seq(idCol), "left_anti")
   }
 
   /** All-pairs n-gram token Jaccard via token-inverted-index join —

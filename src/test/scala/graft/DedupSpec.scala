@@ -244,6 +244,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, j) => a < 150 && b < 150 && j == 1.0 })
   }
 
+  test("semantic dedup drops exactly the larger ids of within-cluster pairs at/above threshold") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 8, iterations = 2, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    // driver-side reference: same deterministic cluster assignment,
+    // brute-force pairwise cosine inside each cluster
+    val assigned = graft.operators.Similarity
+      .kmeansQuantized(emb, "vec_id", "embedding", k = 8, iterations = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na * nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val drops = assigned.groupBy(_._2).values.flatMap { ms =>
+      val ids = ms.map(_._1).sorted.toIndexedSeq
+      for {
+        (a, i) <- ids.zipWithIndex
+        b <- ids.drop(i + 1)
+        if cos(vecs(a), vecs(b)) >= 0.3
+      } yield b
+    }.toSet
+    assert(drops.nonEmpty, "fixture should produce semantic drops at 0.3")
+    assert(kept == vecs.keySet -- drops)
+  }
+
   test("NULL text hashes like empty text: signature 0, pairs with whitespace-only docs") {
     import spark.implicits._
     // the SQL oracles' convention (documents LEFT JOIN sig, coalesce 0)

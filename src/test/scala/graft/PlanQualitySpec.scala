@@ -160,6 +160,15 @@ class PlanQualitySpec extends SparkSpec {
       s"expected at most the cache-lineage parquet scan, found $parquetScans:\n$p")
   }
 
+  test("semantic dedup: within-cluster pair join, no cartesian") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must not cross-join the corpus:\n$p")
+    // the pair join keys on the cluster id — candidates never cross
+    // clusters (the SemDeDup cost bound)
+    assert(p.contains("cluster"), s"pair join not scoped by cluster:\n$p")
+  }
+
   test("quantized k-means assignment is one codegen'd projection over literal centroids") {
     val out = graft.operators.Similarity.kmeansQuantized(
       graft.sources.Tables.load(spark, sfDir, "embeddings"),
