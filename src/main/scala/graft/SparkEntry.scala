@@ -1322,6 +1322,43 @@ object SparkEntry {
              |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
              |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin)),
 
+    ("q_mixture_target", // TARGET-ratio mixture (DoReMi-style domain
+      // weights): downsample every language so kept token mass lands
+      // at en:de:fr:es:zh = 4:2:2:1:1 — the scarcest domain relative
+      // to its weight binds the total; md5 rule, all-IEEE replay
+      (s: SparkSession, dir: String) => {
+        val withTok = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Curate.mixtureTarget(withTok, "lang", "doc_id", "n_tokens",
+          Seq("en" -> 400000L, "de" -> 200000L, "fr" -> 200000L,
+            "es" -> 100000L, "zh" -> 100000L))
+          .select("doc_id", "lang", "n_tokens", "dom_tokens")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang,
+             |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |w(lang, wppm) AS (VALUES ('en', 400000), ('de', 200000),
+             |                         ('fr', 200000), ('es', 100000),
+             |                         ('zh', 100000)),
+             |dom AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens
+             |        FROM tok GROUP BY 1),
+             |dw AS (SELECT d.lang, d.dom_tokens, w.wppm
+             |       FROM dom d JOIN w USING (lang)),
+             |m AS (SELECT min(CAST(dom_tokens AS DOUBLE) / CAST(wppm AS DOUBLE)) AS minr
+             |      FROM dw),
+             |ann AS (SELECT lang, dom_tokens,
+             |               CASE WHEN dom_tokens = 0 THEN 1.0
+             |                    ELSE least(1.0, minr * CAST(wppm AS DOUBLE)
+             |                                    / CAST(dom_tokens AS DOUBLE)) END AS keep_frac
+             |        FROM dw, m)
+             |SELECT t.doc_id, t.lang, t.n_tokens, a.dom_tokens
+             |FROM tok t JOIN ann a USING (lang)
+             |WHERE a.keep_frac >= 1.0
+             |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+             |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin)),
+
     ("q_write_shards", // token-balanced shard export, oracle-checked on
       // the WRITTEN artifact: the shard=N parquet left on disk is read
       // back and its (doc_id, shard) membership must equal a DuckDB

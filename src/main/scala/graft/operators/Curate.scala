@@ -182,4 +182,53 @@ object Curate {
         Scale.sampleBucket(col(idCol)) < col("_thr"))
       .drop("_thr")
   }
+
+  /** TARGET-ratio mixture (the DoReMi-style generalization of
+    * [[mixtureBalance]]'s uniform rule): downsample domains so kept
+    * token mass lands in the given proportions — `weightsPpm` are
+    * integer parts-per-million-style weights (only ratios matter; they
+    * need not sum to 10^6). The achievable total is bound by the
+    * scarcest domain relative to its weight: with r_d = dom_tokens_d /
+    * w_d, keep_frac_d = min(1, min_e(r_e) · w_d / dom_tokens_d). Rows
+    * are kept by the same md5-threshold rule as [[mixtureBalance]];
+    * every arithmetic step is plain IEEE double on integer inputs, so
+    * an external engine evaluating the same expressions reproduces the
+    * kept set exactly. Domains absent from `weightsPpm` are DROPPED
+    * (explicit targeting); a weight must be positive.
+    *
+    * Same scale shape as [[mixtureBalance]]: input persisted once, one
+    * map-side-combinable aggregate, broadcast threshold join, no
+    * corpus shuffle. Output: input row + (dom_tokens, keep_frac).
+    */
+  def mixtureTarget(df: DataFrame, domainCol: String, idCol: String,
+      tokensCol: String, weightsPpm: Seq[(String, Long)]): DataFrame = {
+    require(weightsPpm.nonEmpty, "weightsPpm must not be empty")
+    require(weightsPpm.forall(_._2 > 0),
+      s"weights must be positive: $weightsPpm")
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      s"duplicate domain in weights: $weightsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toDF(domainCol, "_w")
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDom = input.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("dom_tokens"))
+      .join(broadcast(w), domainCol) // inner: unlisted domains drop out
+      .localCheckpoint(true)
+    val minR = perDom.agg(
+      min(col("dom_tokens").cast("double") / col("_w").cast("double"))
+        .as("_minr"))
+    val ann = perDom.crossJoin(minR)
+      .withColumn("keep_frac", when(col("dom_tokens") === 0, lit(1.0))
+        .otherwise(least(lit(1.0),
+          col("_minr") * col("_w").cast("double") /
+            col("dom_tokens").cast("double"))))
+      .withColumn("_thr", format_string("%08x",
+        floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
+      .drop("_minr", "_w")
+    input.join(broadcast(ann), domainCol)
+      .filter(col("keep_frac") >= 1.0 ||
+        Scale.sampleBucket(col(idCol)) < col("_thr"))
+      .drop("_thr")
+  }
 }

@@ -96,6 +96,38 @@ class CurateSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("mixture target: binding domain kept whole, unlisted domains dropped, ratios hold") {
+    val withTok = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val weights = Seq("en" -> 400000L, "de" -> 200000L, "fr" -> 200000L,
+      "es" -> 100000L) // zh intentionally unlisted
+    val domTotals = withTok.groupBy("lang")
+      .agg(sum("n_tokens").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curate.mixtureTarget(withTok, "lang", "doc_id", "n_tokens",
+      weights)
+    val keptPerDom = kept.groupBy("lang").agg(sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted domain is dropped entirely
+    assert(!keptPerDom.contains("zh"), s"zh not dropped: $keptPerDom")
+    // the binding domain (min dom_tokens / weight) is kept in full
+    val wMap = weights.toMap
+    val binding = wMap.keys.minBy(l => domTotals(l).toDouble / wMap(l))
+    assert(keptPerDom(binding) == domTotals(binding),
+      s"binding domain $binding must be whole: ${keptPerDom(binding)} vs ${domTotals(binding)}")
+    // kept mass never exceeds the domain's supply, and the realized
+    // ratios sit near the target (loose bound — per-doc md5 sampling)
+    wMap.keys.foreach(l => assert(keptPerDom.getOrElse(l, 0L) <= domTotals(l)))
+    val perWeightUnit = wMap.keys.map(l => keptPerDom(l).toDouble / wMap(l))
+    assert(perWeightUnit.max / perWeightUnit.min < 1.6,
+      s"kept-per-weight spread too wide: $keptPerDom")
+    // partition-invariant (threshold computed in-plan)
+    val again = Curate.mixtureTarget(withTok.repartition(7), "lang",
+        "doc_id", "n_tokens", weights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("top-p by score keeps ceil(p*N) rows plus threshold ties, nothing below") {
     val withScore = scored.select(col("doc_id"), col("score"))
     val n = withScore.count()
