@@ -168,7 +168,20 @@ object LogPipeline {
   def statsSinkQuery(matchedStream: DataFrame, path: String,
       checkpoint: String, stepSec: Long = 60,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
-    statsFrame(matchedStream, stepSec)
+    statsFrameSinkQuery(statsFrame(matchedStream, stepSec), path,
+      checkpoint, trigger)
+
+  /** [[statsSinkQuery]] over a PRE-BUILT stats stream — feed
+    * [[combinedStatsFrame]] here to persist the classifier's metric-2
+    * error series alongside the match counts, the full pair the
+    * reference's supervisor stores (`RollupStatsBolt` consumes both
+    * `match_stats` and `error_stats`). Any update-mode
+    * (filter_id, metric, bucket, cnt) stream works.
+    */
+  def statsFrameSinkQuery(statsStream: DataFrame, path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    statsStream
       .writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)

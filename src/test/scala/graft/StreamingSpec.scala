@@ -339,8 +339,13 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[String](spark)
     val matched = LogPipeline.matches(
       LogPipeline.parse(input.toDF(), "value"), filters)
-    val q = LogPipeline.statsSinkQuery(matched, s"$dir/stats", s"$dir/ckpt",
-      stepSec = 60,
+    // the COMBINED frame (metric-1 match counts + metric-2 classifier
+    // errors) through the durable sink — the full pair the reference's
+    // supervisor persists
+    val q = LogPipeline.statsFrameSinkQuery(
+      LogPipeline.combinedStatsFrame(matched, stepSec = 60,
+        cfg = graft.ml.ErrorClassifier.Config(minTrained = 2)),
+      s"$dir/stats", s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
     try {
       // batch 1: two error lines in one 60 s bucket + one line 30 days
