@@ -1322,6 +1322,28 @@ object SparkEntry {
              |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
              |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin)),
 
+    ("q_source_overlap", // cross-source 8-gram contamination matrix:
+      // distinct shared n-grams per source pair — the corpus-audit
+      // view of decontamination (mirrors/scrape-pairs/benchmark leaks
+      // light up per source, before any dedup runs)
+      (s: SparkSession, dir: String) =>
+        graft.operators.Decontaminate.sourceOverlap(
+          t(s, dir, "documents"), "source", "text", n = 8),
+      Some("""WITH tok AS (
+             |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT source, unnest(list_distinct(
+             |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+             |         ELSE list_transform(generate_series(1, len(t)-7),
+             |                i -> array_to_string(list_slice(t, i, i+7), ' ')) END)) AS ng
+             |  FROM tok)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |       count(*) AS shared_ngrams
+             |FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin)),
+
     ("q_mixture_target", // TARGET-ratio mixture (DoReMi-style domain
       // weights): downsample every language so kept token mass lands
       // at en:de:fr:es:zh = 4:2:2:1:1 — the scarcest domain relative

@@ -63,4 +63,32 @@ object Decontaminate {
       .select(col(corpusId)).distinct()
     corpus.join(flagged, Seq(corpusId), "left_anti")
   }
+
+  /** Cross-source n-gram overlap matrix — the corpus-AUDIT view of
+    * contamination: for every pair of sources, the number of DISTINCT
+    * token n-grams both contain. A mirror/scrape pair lights up before
+    * any dedup runs; a benchmark leak shows as one source overlapping
+    * everything. Output: (src_a, src_b, shared_ngrams), src_a < src_b.
+    *
+    * Scale: the gram stream reduces to DISTINCT (source, gram) rows
+    * first (one shuffle, persisted so both self-join sides share the
+    * evaluation); the join key is the gram, and per-gram fan-out is
+    * bounded by the SOURCE-catalog size squared — sources are a small
+    * set by nature, so candidates are O(distinct grams · |sources|²)
+    * worst-case, not corpus². The matrix itself is |sources|² rows.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    val grams = df.select(col(srcCol).as("src"),
+        explode(ngramSet(col(textCol), n)).as("_ng"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try grams.as("a").join(grams.as("b"),
+        col("a._ng") === col("b._ng") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .localCheckpoint(true)
+    finally grams.unpersist(false)
+  }
 }

@@ -26,6 +26,21 @@ class DecontaminateSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 3L), (3L, 100L, 1L)))
   }
 
+  test("sourceOverlap counts distinct shared n-grams per source pair, ordered pairs only") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("mirror_a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("mirror_a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("mirror_b", "ALPHA beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("clean", "one two three four five six seven eight nine ten"))
+      .toDF("source", "text")
+    val got = Decontaminate.sourceOverlap(corpus, "source", "text", n = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the mirror pair shares all three case-folded 8-grams, counted
+    // once despite mirror_a holding two copies; clean shares nothing
+    assert(got == Set(("mirror_a", "mirror_b", 3L)))
+  }
+
   test("documents shorter than n tokens produce no n-grams (no descending sequence)") {
     val corpus = docs(1L -> "only three tokens", 2L -> "")
     val bench = docs(9L -> "only three tokens")
