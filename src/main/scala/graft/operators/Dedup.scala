@@ -345,8 +345,12 @@ object Dedup {
       .select(col(idCol).as("id"), col("cluster"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+    // both self-join sides read this once (persist, like lshPairs'
+    // base): without it each side re-scans the corpus and recomputes
+    // the norms
     val withVec = assigned.join(vecs, "id")
-    val drops = withVec.as("a").join(withVec.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = try withVec.as("a").join(withVec.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .withColumn("cos", when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
         .otherwise(VectorFunctions.dot(col("a.v"), col("b.v")) /
@@ -354,6 +358,8 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("b.id").as(idCol))
       .distinct()
+      .localCheckpoint(true) // materialize so the persist can release
+    finally withVec.unpersist(false)
     df.join(drops, Seq(idCol), "left_anti")
   }
 
