@@ -345,12 +345,14 @@ object Dedup {
       .select(col(idCol).as("id"), col("cluster"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
-    // both self-join sides read this once (persist, like lshPairs'
-    // base): without it each side re-scans the corpus and recomputes
-    // the norms
+    // both self-join sides read this once (persist, like
+    // mixtureBalance's input): without it each side re-scans the
+    // corpus and recomputes the norms. The cache is released by
+    // GraftSession.releaseCachedBlocks between queries (the plan stays
+    // LAZY so callers — and the plan gates — see the full tree).
     val withVec = assigned.join(vecs, "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drops = try withVec.as("a").join(withVec.as("b"),
+    val drops = withVec.as("a").join(withVec.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .withColumn("cos", when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
         .otherwise(VectorFunctions.dot(col("a.v"), col("b.v")) /
@@ -358,8 +360,6 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("b.id").as(idCol))
       .distinct()
-      .localCheckpoint(true) // materialize so the persist can release
-    finally withVec.unpersist(false)
     df.join(drops, Seq(idCol), "left_anti")
   }
 

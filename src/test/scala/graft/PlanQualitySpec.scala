@@ -160,13 +160,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected at most the cache-lineage parquet scan, found $parquetScans:\n$p")
   }
 
-  test("semantic dedup: within-cluster pair join, no cartesian") {
+  test("semantic dedup: within-cluster pair join, no cartesian, shared projection cached") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"),
       s"semantic dedup must not cross-join the corpus:\n$p")
     // the pair join keys on the cluster id — candidates never cross
     // clusters (the SemDeDup cost bound)
     assert(p.contains("cluster"), s"pair join not scoped by cluster:\n$p")
+    // both self-join sides read the persisted (id, cluster, v, nrm)
+    // projection — the corpus is scanned and normed once
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"pair join sides do not share the cached projection:\n$p")
   }
 
   test("quantized k-means assignment is one codegen'd projection over literal centroids") {
