@@ -291,6 +291,50 @@ object LogPipeline {
       nowMillis: Long = System.currentTimeMillis()): Seq[String] =
     expireResults(spark, path, retentionDays, nowMillis)
 
+  /** Small-file compaction for the streaming tables: a 1 s results
+    * trigger leaves one parquet file per micro-batch per partition, so
+    * a day of streaming is ~86k files per busy filter — the shape that
+    * slows every later scan (footer reads) and floods a namenode at
+    * cluster scale. Rewrites each (filter_id, date) leaf directory
+    * holding more than `maxFiles` data files into exactly one file,
+    * atomically per partition (write to a sibling temp dir, swap,
+    * delete). CLOSED partitions only by default: pass the current
+    * date's suffix via `skipDate` (or rely on the caller scheduling
+    * compaction for yesterday's partitions) so the job never races the
+    * live sink appending new files. Row content is preserved
+    * bit-for-bit — only file boundaries change. Returns the rewritten
+    * partition paths.
+    */
+  def compactResults(spark: SparkSession, path: String, maxFiles: Int = 8,
+      skipDate: Option[String] = None): Seq[String] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val done = Seq.newBuilder[String]
+    fs.listStatus(root).filter(_.isDirectory).foreach { filterDir =>
+      fs.listStatus(filterDir.getPath).filter(_.isDirectory).foreach { dateDir =>
+        val name = dateDir.getPath.getName
+        val isLive = skipDate.exists(d => name == s"date=$d")
+        if (name.startsWith("date=") && !isLive) {
+          val dataFiles = fs.listStatus(dateDir.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          if (dataFiles.length > maxFiles) {
+            val tmp = new org.apache.hadoop.fs.Path(
+              dateDir.getPath.getParent, s".compact-${dateDir.getPath.getName}")
+            spark.read.parquet(dateDir.getPath.toString)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(dateDir.getPath, true)
+            fs.rename(tmp, dateDir.getPath)
+            done += s"${filterDir.getPath.getName}/$name"
+          }
+        }
+      }
+    }
+    done.result()
+  }
+
   /** Streaming exact dedup: drop duplicate lines within the watermark
     * horizon (builder brief: dedup as a streaming citizen too). State
     * is bounded by the watermark — expired fingerprints age out.

@@ -311,6 +311,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("results compaction rewrites closed partitions to one file, preserving rows") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // simulate twelve 1 s micro-batch appends across two date partitions
+    (1 to 12).foreach { i =>
+      Seq(("f_err", s"2015_07_1${i % 2}", s"line $i"))
+        .toDF("filter_id", "date", "_raw")
+        .write.mode("append").partitionBy("filter_id", "date").parquet(dir)
+    }
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val closed = s"$dir/filter_id=f_err/date=2015_07_10"
+    val live = s"$dir/filter_id=f_err/date=2015_07_11"
+    assert(files(closed) == 6 && files(live) == 6)
+    val before = spark.read.parquet(dir)
+      .select("filter_id", "date", "_raw").as[(String, String, String)]
+      .collect().toSet
+    // the live partition (today) must be skipped — never race the sink
+    val done = LogPipeline.compactResults(spark, dir, maxFiles = 2,
+      skipDate = Some("2015_07_11"))
+    assert(done == Seq("filter_id=f_err/date=2015_07_10"), s"got $done")
+    assert(files(closed) == 1, "closed partition not compacted to one file")
+    assert(files(live) == 6, "live partition must be untouched")
+    val after = spark.read.parquet(dir)
+      .select("filter_id", "date", "_raw").as[(String, String, String)]
+      .collect().toSet
+    assert(after == before, "compaction changed row content")
+    // idempotent: nothing above the threshold remains
+    assert(LogPipeline.compactResults(spark, dir, maxFiles = 2,
+      skipDate = Some("2015_07_11")).isEmpty)
+  }
+
   test("classifier group fold streams one-in-one-out (no micro-batch slice buffering)") {
     // one dominant filter_id: the fold must not materialize its whole
     // micro-batch slice (mirror of ClassifierSpec's foldSortedPartition
