@@ -979,6 +979,30 @@ object SparkEntry {
        |    ) / 3.0 * 10000) AS BIGINT)""".stripMargin
 
   private def textDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_grep_indexed", // index-accelerated word grep: one inverted-index
+      // build (bucket-partitioned postings), then token lookups that
+      // read ONE bucket directory each (partition-pruned) and semi-join
+      // the corpus — the word grep a scan answers by reading everything
+      (s: SparkSession, dir: String) => {
+        val out = java.nio.file.Files.createTempDirectory("q_grep_indexed")
+        val docs = t(s, dir, "documents")
+        graft.sources.TextIndex.write(docs, "doc_id", "text", out.toString)
+        val got = graft.sources.TextIndex.grepTokens(docs, "doc_id",
+            out.toString, Seq("spark", "window"))
+          .select("doc_id")
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'spark')
+             |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'window')""".stripMargin)),
+
     ("q_text_profile",
       (s: SparkSession, dir: String) =>
         TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text"),

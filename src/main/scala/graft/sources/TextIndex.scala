@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted token index — the storage-layout answer to
+  * "grep 100 TB": the reference answers every query with a scan
+  * (BigQuery table scan per CLI call, `cli/cloudpelican-lsd.go`), which
+  * is also our default grep path; for a corpus queried repeatedly, one
+  * indexing pass amortizes into index-pruned lookups.
+  *
+  * Layout: (tok, id) rows partitioned by `bucket = pmod(hash(tok), B)`.
+  * The bucket is a PARTITION column, and a lookup filters on
+  * `bucket = pmod(hash(lit(token)), B)` — a foldable expression, so
+  * Catalyst prunes to ONE of the B directories before any IO
+  * (`PartitionFilters` in the scan node). Inside the bucket the `tok`
+  * equality is an ordinary pushed parquet filter. A lookup therefore
+  * reads ~1/B of the index regardless of corpus size; token postings
+  * then semi-join the corpus on its id (at a deployment the corpus
+  * side would be id-bucketed too, making the semi-join co-located).
+  *
+  * Tokens are lowercased whitespace tokens ([[TextFunctions.tokenSet]]
+  * over `lower(text)`), so a lookup is WORD search (grep's `-w` face),
+  * not substring search — the honest contract an inverted token index
+  * can keep. Compose multiple tokens with [[lookupAll]] (AND).
+  */
+object TextIndex {
+
+  /** One indexing pass: explode distinct lowercased tokens, co-locate
+    * by bucket, write one file per bucket directory.
+    */
+  def write(df: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokenSet(lower(col(textCol)))).as("tok"))
+      .withColumn("bucket", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Posting list of one token: ids of documents containing it as a
+    * whole (lowercased) token. Reads one bucket directory.
+    */
+  def lookup(spark: SparkSession, path: String, token: String,
+      buckets: Int = 64): DataFrame = {
+    val t = token.toLowerCase(java.util.Locale.ROOT)
+    spark.read.parquet(path)
+      .filter(col("bucket") === pmod(hash(lit(t)), lit(buckets)) &&
+        col("tok") === lit(t))
+      .select("id")
+  }
+
+  /** AND of several tokens: intersect the posting lists (joins run
+    * smallest-relation-first is left to AQE; lists are tiny relative
+    * to the corpus by construction).
+    */
+  def lookupAll(spark: SparkSession, path: String, tokens: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(tokens.nonEmpty, "tokens must not be empty")
+    tokens.map(lookup(spark, path, _, buckets)).reduce(_.join(_, "id"))
+  }
+
+  /** Index-accelerated word grep: the corpus rows whose text contains
+    * EVERY given token, resolved via posting-list semi-join instead of
+    * a full-text scan.
+    */
+  def grepTokens(corpus: DataFrame, idCol: String, indexPath: String,
+      tokens: Seq[String], buckets: Int = 64): DataFrame = {
+    val ids = lookupAll(corpus.sparkSession, indexPath, tokens, buckets)
+      .withColumnRenamed("id", idCol)
+    corpus.join(ids, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.sources.{Tables, TextIndex}
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  private def indexDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("textindex").toString
+    TextIndex.write(docs, "doc_id", "text", dir)
+    dir
+  }
+
+  test("index lookup equals the scan-based word filter, including AND of tokens") {
+    import spark.implicits._
+    val dir = indexDir()
+    def scanIds(tokens: Seq[String]): Set[Long] = docs
+      .filter(tokens.map(t =>
+        array_contains(TextFunctions.tokenSet(lower(col("text"))), t))
+        .reduce(_ && _))
+      .select("doc_id").as[Long].collect().toSet
+    val one = TextIndex.lookup(spark, dir, "SPARK") // case-folded
+      .as[Long].collect().toSet
+    assert(one == scanIds(Seq("spark")) && one.nonEmpty)
+    val both = TextIndex.grepTokens(docs, "doc_id", dir,
+        Seq("spark", "window"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(both == scanIds(Seq("spark", "window")) && both.nonEmpty)
+    // a token absent from the corpus resolves to the empty set, fast
+    assert(TextIndex.lookup(spark, dir, "zzz_not_a_token").isEmpty)
+  }
+
+  test("lookup prunes to one bucket directory before IO and pushes the token filter") {
+    val dir = indexDir()
+    val p = TextIndex.lookup(spark, dir, "spark")
+      .queryExecution.executedPlan.toString
+    // the bucket expression folds to a literal and prunes partitions:
+    // the scan must carry an equality PartitionFilter on bucket …
+    assert(p.contains("PartitionFilters: [isnotnull(bucket") &&
+      """\(bucket#\d+ = \d+\)""".r.findFirstIn(p).isDefined,
+      s"no folded bucket partition filter:\n$p")
+    // … and the token equality reaches parquet as a pushed filter
+    assert(p.contains("PushedFilters: [IsNotNull(tok), EqualTo(tok,spark)]"),
+      s"token filter not pushed:\n$p")
+  }
+}
