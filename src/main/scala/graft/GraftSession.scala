@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   *    rely on wrapping 64-bit arithmetic, as any native hash engine
   *    does; ANSI overflow errors would reject them
   *  - UTC session timezone for oracle parity
+  *  - FAIR scheduling: concurrent streaming queries (1 s results next
+  *    to 10 s stats) each run in their own pool so a long stats
+  *    micro-batch cannot starve the results cadence — single-query
+  *    batch work is unaffected (one pool, FIFO within it)
   */
 object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
@@ -22,7 +26,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
+
+  /** Run `start` with the thread-local scheduler pool set, so the
+    * streaming query it launches lands its micro-batch jobs in `pool`
+    * (StreamExecution threads inherit the property at query start).
+    */
+  def inPool[T](spark: SparkSession, pool: String)(start: => T): T = {
+    val sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try start finally sc.setLocalProperty("spark.scheduler.pool", null)
+  }
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

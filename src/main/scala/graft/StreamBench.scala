@@ -100,24 +100,44 @@ object StreamBench {
       }
     }
     spark.streams.addListener(listener)
+    // a 1 s trigger makes the file sink's default metadata-log compact
+    // interval (10 batches) fire every 10 SECONDS — each compaction
+    // rewrites the whole accumulated log inline in the micro-batch.
+    // 120 batches ≈ every 2 minutes is the cadence-appropriate setting.
+    spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "120")
     val parsed = LogPipeline.parse(generator(spark, ratePerSec))
     val matched = LogPipeline.matches(parsed, registry)
-    val results = matched
-      .withColumn("date", graft.functions.LogFunctions.dateSuffix(col("ts")))
-      .writeStream.queryName("bench_results")
-      .format("parquet")
-      .option("path", s"$dir/results")
-      .option("checkpointLocation", s"$dir/ckpt-results")
-      .partitionBy("filter_id", "date")
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .outputMode("append")
-      .start()
-    val stats = LogPipeline.statsFrame(matched, stepSec = 10)
-      .writeStream
-      .format("memory").queryName("bench_stats")
-      .outputMode("update")
-      .trigger(Trigger.ProcessingTime("10 seconds"))
-      .start()
+    // each query in its own FAIR pool: a multi-second stats micro-batch
+    // every 10 s otherwise starves the 1 s results cadence — the
+    // overlap showed up as a p95 tail (~1.1 s) at 40k+ lines/s
+    val results = GraftSession.inPool(spark, "stream_results") {
+      matched
+        .withColumn("date", graft.functions.LogFunctions.dateSuffix(col("ts")))
+        .writeStream.queryName("bench_results")
+        .format("parquet")
+        .option("path", s"$dir/results")
+        .option("checkpointLocation", s"$dir/ckpt-results")
+        .partitionBy("filter_id", "date")
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .outputMode("append")
+        .start()
+    }
+    val stats = GraftSession.inPool(spark, "stream_stats") {
+      // the stats state is keyed by (filter_id, window) — a handful of
+      // live keys, so 32 state-store partitions are pure per-trigger
+      // commit overhead; 8 is plenty and frees cores the results
+      // query's cadence needs. The conf is captured at query START, so
+      // scoping the set/restore here affects only this query.
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try LogPipeline.statsFrame(matched, stepSec = 10)
+        .writeStream
+        .format("memory").queryName("bench_stats")
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime("10 seconds"))
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     try Thread.sleep(runtimeSec * 1000L)
     finally {
       // stop each query independently: if results.stop() throws (e.g.

@@ -45,16 +45,18 @@ object LogPipeline {
   def resultsQuery(matchedStream: DataFrame, path: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    matchedStream
-      .withColumn("date", LogFunctions.dateSuffix(col("ts")))
-      .writeStream
-      .format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("filter_id", "date")
-      .trigger(trigger)
-      .outputMode(OutputMode.Append)
-      .start()
+    graft.GraftSession.inPool(matchedStream.sparkSession, "stream_results") {
+      matchedStream
+        .withColumn("date", LogFunctions.dateSuffix(col("ts")))
+        .writeStream
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("filter_id", "date")
+        .trigger(trigger)
+        .outputMode(OutputMode.Append)
+        .start()
+    }
 
   /** Results sink with a LIVE registry: the filter set is re-read at
     * every micro-batch (the reference's 1 s registry reload,
@@ -143,12 +145,14 @@ object LogPipeline {
   def statsQuery(matchedStream: DataFrame, queryName: String,
       stepSec: Long = 60,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
-    statsFrame(matchedStream, stepSec)
-      .writeStream
-      .format("memory").queryName(queryName)
-      .outputMode(OutputMode.Update)
-      .trigger(trigger)
-      .start()
+    graft.GraftSession.inPool(matchedStream.sparkSession, "stream_stats") {
+      statsFrame(matchedStream, stepSec)
+        .writeStream
+        .format("memory").queryName(queryName)
+        .outputMode(OutputMode.Update)
+        .trigger(trigger)
+        .start()
+    }
 
   /** DURABLE stats sink — the retention-bounded persistence the
     * reference gives its stats series (supervisor BoltDB store +
@@ -181,6 +185,7 @@ object LogPipeline {
   def statsFrameSinkQuery(statsStream: DataFrame, path: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    graft.GraftSession.inPool(statsStream.sparkSession, "stream_stats") {
     statsStream
       .writeStream
       .outputMode(OutputMode.Update)
@@ -197,6 +202,7 @@ object LogPipeline {
             .parquet(path)
       }
       .start()
+    }
 
   /** Read view of the durable stats table: the LAST write per
     * (filter_id, metric, bucket) is the current count (update-mode
