@@ -65,13 +65,16 @@ object ScaleProbe {
   val probeQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_dedup_drop_near", "q_dedup_canonical",
-    "q_dedup_embedding", "x_jaccard_capped",             // dedup
+    "q_dedup_embedding", "q_dedup_semantic", "x_jaccard_capped", // dedup
     "q_embed_topk", "q_embed_lsh_pairs", "x_lsh_pairs_auto",
     "q_embed_kmeans", "q_embed_ivf_q",                   // similarity
     "q_quality_topp", "q_token_budget", "q_domain_mix",
-    "q_stratified_sample", "q_curate_pipeline",          // curation
+    "q_mixture_target", "q_stratified_sample",
+    "q_curate_pipeline",                                 // curation
     "q_pack_sequences", "q_chunk_tokens",                // packing
-    "q_text_profile", "q_tfidf", "q_repetition")         // text analysis
+    "q_text_profile", "q_tfidf", "q_repetition",
+    "q_source_overlap",                                  // text analysis
+    "x_grep_scan", "x_grep_index_lookup")                // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the
     * oracle query pins a config or bounds its input:
@@ -79,17 +82,41 @@ object ScaleProbe {
     *    (q_embed_lsh_pairs pins 6 bits for oracle stability — the
     *    configuration the x10 probe measured growing 8.6×);
     *  - x_jaccard_capped: df-capped jaccardPairs over the FULL corpus
-    *    (q_dedup_jaccard runs a fixed 500-doc slice).
+    *    (q_dedup_jaccard runs a fixed 500-doc slice);
+    *  - x_grep_scan vs x_grep_index_lookup: the same word search as a
+    *    full-text scan and as a posting lookup on a pre-built
+    *    TextIndex (built once per fixture, memoized — the build is a
+    *    one-time linear pass a deployment amortizes; the LOOKUP must
+    *    track posting size, not corpus size).
     */
-  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_lsh_pairs_auto" -> ((s, dir) =>
-      graft.operators.Similarity.lshPairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3)),
-    "x_jaccard_capped" -> ((s, dir) =>
-      graft.operators.Dedup.jaccardPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.8)))
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val idxCache = scala.collection.concurrent.TrieMap[String, String]()
+    def index(s: SparkSession, dir: String): String =
+      idxCache.getOrElseUpdate(dir, {
+        val out = java.nio.file.Files.createTempDirectory("probeidx").toString
+        graft.sources.TextIndex.write(
+          Tables.load(s, dir, "documents"), "doc_id", "text", out)
+        out
+      })
+    Map(
+      "x_lsh_pairs_auto" -> ((s, dir) =>
+        graft.operators.Similarity.lshPairs(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3)),
+      "x_jaccard_capped" -> ((s, dir) =>
+        graft.operators.Dedup.jaccardPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)),
+      "x_grep_scan" -> ((s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(org.apache.spark.sql.functions.array_contains(
+            graft.functions.TextFunctions.tokenSet(
+              org.apache.spark.sql.functions.lower(
+                org.apache.spark.sql.functions.col("text"))), "spark"))
+          .select("doc_id")),
+      "x_grep_index_lookup" -> ((s, dir) =>
+        graft.sources.TextIndex.lookup(s, index(s, dir), "spark")))
+  }
 
   def main(args: Array[String]): Unit = {
     val x10Dir = args.headOption.getOrElse("/tmp/graft_x10")
