@@ -979,6 +979,25 @@ object SparkEntry {
        |    ) / 3.0 * 10000) AS BIGINT)""".stripMargin
 
   private def textDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_corpus_report", // per-(lang, source) corpus health summary —
+      // the dashboard a curation run reads before choosing budgets /
+      // mixtures / gates: doc counts, token mass, median quality,
+      // mean length; every statistic replays exactly in SQL
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.corpusReport(t(s, dir, "documents"), "text",
+          Seq("lang", "source")),
+      Some(s"""WITH base AS (
+              |  SELECT lang, source,
+              |         list_filter(string_split_regex(text, '\\s+'),
+              |                     x -> len(x) > 0) AS tk,
+              |         text
+              |  FROM documents)
+              |SELECT lang, source, count(*) AS n_docs,
+              |       CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+              |       round(quantile_cont(${qualitySql("text", "tk")}, 0.5), 6) AS med_quality,
+              |       round(avg(len(text)), 6) AS mean_chars
+              |FROM base GROUP BY 1, 2""".stripMargin)),
+
     ("q_grep_indexed", // index-accelerated word grep: one inverted-index
       // build (bucket-partitioned postings), then token lookups that
       // read ONE bucket directory each (partition-pruned) and semi-join

@@ -25,6 +25,31 @@ object TextAnalysis {
       TextFunctions.fingerprint(t).as("fp"))
   }
 
+  /** Corpus health report: per-group document counts, token mass,
+    * median quality, and mean length — the dashboard a curation
+    * pipeline reads BEFORE choosing budgets/mixtures/gates. One
+    * map-side-combinable aggregate over one projection; group
+    * cardinality (lang × source) bounds the output. All statistics
+    * replay exactly in SQL: counts and sums are integers, the mean is
+    * one IEEE division, and the median interpolates two integers
+    * (`percentile` ≡ `quantile_cont`), rounded to the engine's
+    * standard 6 decimals.
+    */
+  def corpusReport(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    val t = col(textCol)
+    df.select(groupCols.map(col) ++ Seq(
+        TextFunctions.tokenCount(t).cast("long").as("_tok"),
+        TextFunctions.qualityScoreScaled(t).as("_q"),
+        length(t).cast("long").as("_len")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        round(expr("percentile(_q, 0.5)"), 6).as("med_quality"),
+        round(avg(col("_len")), 6).as("mean_chars"))
+  }
+
   /** Corpus-wide heavy-hitter tokens: exact frequencies, top-k with a
     * deterministic tie order. Explode → one map-side-combinable
     * shuffle; the top-k is a TakeOrdered, not a full sort.

@@ -301,7 +301,9 @@ object LogPipeline {
     * trigger leaves one parquet file per micro-batch per partition, so
     * a day of streaming is ~86k files per busy filter — the shape that
     * slows every later scan (footer reads) and floods a namenode at
-    * cluster scale. Rewrites each (filter_id, date) leaf directory
+    * cluster scale. The durable STATS sink shares the
+    * (filter_id, date) layout, so this job compacts it too (the `_b`
+    * stamp column rides along; last-write-wins reads are unaffected). Rewrites each (filter_id, date) leaf directory
     * holding more than `maxFiles` data files into exactly one file,
     * atomically per partition (write to a sibling temp dir, swap,
     * delete). CLOSED partitions only by default: pass the current
