@@ -303,8 +303,10 @@ object LogPipeline {
     * slows every later scan (footer reads) and floods a namenode at
     * cluster scale. The durable STATS sink shares the
     * (filter_id, date) layout, so this job compacts it too (the `_b`
-    * stamp column rides along; last-write-wins reads are unaffected). Rewrites each (filter_id, date) leaf directory
-    * holding more than `maxFiles` data files into exactly one file,
+    * stamp column rides along; last-write-wins reads are unaffected).
+    * Rewrites each (filter_id, date) leaf directory holding more than
+    * `maxFiles` data files into `ceil(bytes / targetFileBytes)` files
+    * — a busy partition never collapses into one multi-GB file —
     * atomically per partition (write to a sibling temp dir, swap,
     * delete). CLOSED partitions only by default: pass the current
     * date's suffix via `skipDate` (or rely on the caller scheduling
@@ -314,8 +316,11 @@ object LogPipeline {
     * partition paths.
     */
   def compactResults(spark: SparkSession, path: String, maxFiles: Int = 8,
-      skipDate: Option[String] = None): Seq[String] = {
+      skipDate: Option[String] = None,
+      targetFileBytes: Long = 512L * 1024 * 1024): Seq[String] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive: $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -328,10 +333,13 @@ object LogPipeline {
           val dataFiles = fs.listStatus(dateDir.getPath)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           if (dataFiles.length > maxFiles) {
+            val bytes = dataFiles.map(_.getLen).sum
+            val nOut = math.max(1L,
+              (bytes + targetFileBytes - 1) / targetFileBytes).toInt
             val tmp = new org.apache.hadoop.fs.Path(
               dateDir.getPath.getParent, s".compact-${dateDir.getPath.getName}")
             spark.read.parquet(dateDir.getPath.toString)
-              .coalesce(1)
+              .coalesce(nOut)
               .write.mode("overwrite").parquet(tmp.toString)
             fs.delete(dateDir.getPath, true)
             fs.rename(tmp, dateDir.getPath)
