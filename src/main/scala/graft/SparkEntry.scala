@@ -1695,6 +1695,46 @@ object SparkEntry {
              |         row_number() OVER (PARTITION BY cl
              |           ORDER BY quality DESC, doc_id) AS rk
              |  FROM lab2) WHERE rk = 1""".stripMargin)),
+    ("q_dedup_spans", // exact duplicated-SPAN removal (Lee et al. 2022
+      // shape): every token covered by an 8-token span occurring more
+      // than once corpus-wide is removed except the span's corpus-first
+      // occurrence — boilerplate embedded inside otherwise-unique
+      // documents dissolves; full copies dissolve to ''
+      (s: SparkSession, dir: String) =>
+        Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text",
+          minSpan = 8),
+      Some("""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+             |         unnest(tk) AS tok
+             |  FROM base),
+             |grams AS (
+             |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g,
+             |         doc_id * 1048576 + pg['pos'] AS key
+             |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 7),
+             |          i -> {'pos': i - 1,
+             |                'g': md5(array_to_string(list_slice(tk, i, i + 7), ' '))})) AS pg
+             |        FROM base WHERE len(tk) >= 8)),
+             |firsts AS (SELECT g, min(key) AS fkey, count(*) AS c
+             |           FROM grams GROUP BY 1),
+             |dup AS (SELECT doc_id, pos FROM grams JOIN firsts USING (g)
+             |        WHERE c > 1 AND key <> fkey),
+             |cov AS (
+             |  SELECT t.doc_id, t.pos, t.tok,
+             |         max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+             |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+             |  FROM toks t LEFT JOIN dup d
+             |    ON d.doc_id = t.doc_id AND d.pos = t.pos),
+             |reb AS (SELECT doc_id,
+             |               array_to_string(list(tok ORDER BY pos), ' ') AS text_deduped
+             |        FROM cov WHERE covered = 0 GROUP BY 1)
+             |SELECT b.doc_id, coalesce(r.text_deduped, '') AS text_deduped
+             |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin)),
+
     ("q_dedup_semantic", // SemDeDup-shaped semantic dedup: the
       // integer-exact quantized k-means scopes an exact pairwise-cosine
       // keep-first prune to WITHIN each cluster — the whole path,

@@ -363,6 +363,67 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Exact duplicated-SPAN removal (the Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data" shape, n-gram
+    * anchored): every token covered by a `minSpan`-token span that
+    * occurs more than once corpus-wide is removed, EXCEPT the span's
+    * corpus-wide first occurrence (minimal (id, pos)). Unlike
+    * document-level dedup, this removes boilerplate embedded INSIDE
+    * otherwise-unique documents — headers, license blocks, templated
+    * fragments.
+    *
+    * Mechanics: positional `minSpan`-gram keys (md5 of the joined
+    * tokens — portable to any engine) → one corpus-wide aggregate for
+    * (first occurrence, count) per gram → duplicate span STARTS flag
+    * back onto token positions → a per-document window marks every
+    * position within `minSpan` rows of a flagged start → surviving
+    * tokens rejoin in order. Determinism: the first occurrence is
+    * picked by a total order (id·2^20 + pos — positions fit 2^20 by
+    * the parse truncation), so any engine reproduces the output.
+    *
+    * Scale: the gram stream is the token stream (one row per
+    * position); the aggregate is map-side-combinable on the gram key;
+    * the coverage window partitions by document (bounded by document
+    * length); no all-pairs anywhere. Output: (idCol, text_deduped) for
+    * EVERY input document — fully-removed text becomes the empty
+    * string.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int = 8): DataFrame = {
+    require(minSpan > 1, s"minSpan must be > 1: $minSpan")
+    require(minSpan <= 1024, s"minSpan unreasonably large: $minSpan")
+    val L = minSpan
+    val base = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("id"), posexplode(col("tk")))
+      .withColumnRenamed("col", "tok")
+    val grams = base.select(col("id"), posexplode(
+        when(size(col("tk")) >= L,
+          transform(sequence(lit(0), size(col("tk")) - L),
+            i => md5(array_join(slice(col("tk"), i + lit(1), lit(L)), " "))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("col", "g")
+      .withColumn("_key", col("id") * lit(1048576L) + col("pos"))
+    val firsts = grams.groupBy("g")
+      .agg(min(col("_key")).as("_fkey"), count(lit(1)).as("_c"))
+    val dupStarts = grams.join(firsts, "g")
+      .filter(col("_c") > 1 && col("_key") =!= col("_fkey"))
+      .select(col("id"), col("pos"), lit(1).as("_dup"))
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(L - 1), Window.currentRow)
+    val kept = toks.join(dupStarts, Seq("id", "pos"), "left")
+      .withColumn("_cov", max(coalesce(col("_dup"), lit(0))).over(w))
+      .filter(col("_cov") === 0)
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_deduped"))
+    base.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** All-pairs n-gram token Jaccard via token-inverted-index join —
     * the exact (non-approximate) near-dup reference path. Output:
     * (id_a, id_b, jaccard) for pairs ≥ threshold.

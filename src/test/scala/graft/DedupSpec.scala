@@ -244,6 +244,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, j) => a < 150 && b < 150 && j == 1.0 })
   }
 
+  test("dedupSpans removes repeated spans except the corpus-first occurrence") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again" // 10 tokens
+    val docs = Seq(
+      (1L, s"intro one two $boiler tail1 tailx"),
+      (2L, s"different opening words $boiler closing remark"),
+      (3L, "totally unique text with no repeated span at all"),
+      (4L, s"intro one two $boiler tail1 tailx")) // full copy of doc 1
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", minSpan = 8)
+      .as[(Long, String)].collect().toMap
+    // the corpus-first occurrence (doc 1) keeps everything
+    assert(out(1L) == s"intro one two $boiler tail1 tailx")
+    // doc 2 loses exactly the embedded boilerplate run
+    assert(out(2L) == "different opening words closing remark")
+    // a unique doc is untouched
+    assert(out(3L) == "totally unique text with no repeated span at all")
+    // a full copy dissolves to the empty string (all spans duplicated)
+    assert(out(4L) == "")
+  }
+
   test("semantic dedup drops exactly the larger ids of within-cluster pairs at/above threshold") {
     import spark.implicits._
     val emb = Tables.load(spark, sfDir, "embeddings")
