@@ -65,7 +65,8 @@ object ScaleProbe {
   val probeQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_dedup_drop_near", "q_dedup_canonical",
-    "q_dedup_embedding", "q_dedup_semantic", "x_jaccard_capped", // dedup
+    "q_dedup_embedding", "q_dedup_semantic", "q_dedup_spans",
+    "x_jaccard_capped",                                  // dedup
     "q_embed_topk", "q_embed_lsh_pairs", "x_lsh_pairs_auto",
     "q_embed_kmeans", "q_embed_ivf_q",                   // similarity
     "q_quality_topp", "q_token_budget", "q_domain_mix",
