@@ -1713,7 +1713,7 @@ object SparkEntry {
              |  FROM base),
              |grams AS (
              |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g,
-             |         doc_id * 1048576 + pg['pos'] AS key
+             |         {'id': doc_id, 'pos': pg['pos']} AS key
              |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 7),
              |          i -> {'pos': i - 1,
              |                'g': md5(array_to_string(list_slice(tk, i, i + 7), ' '))})) AS pg

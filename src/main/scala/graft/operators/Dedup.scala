@@ -378,8 +378,9 @@ object Dedup {
     * back onto token positions → a per-document window marks every
     * position within `minSpan` rows of a flagged start → surviving
     * tokens rejoin in order. Determinism: the first occurrence is
-    * picked by a total order (id·2^20 + pos — positions fit 2^20 by
-    * the parse truncation), so any engine reproduces the output.
+    * picked by the lexicographic (id, pos) total order (a struct min —
+    * no width assumptions on ids or positions), so any engine
+    * reproduces the output.
     *
     * Scale: the gram stream is the token stream (one row per
     * position); the aggregate is map-side-combinable on the gram key;
@@ -404,7 +405,7 @@ object Dedup {
             i => md5(array_join(slice(col("tk"), i + lit(1), lit(L)), " "))))
           .otherwise(array().cast("array<string>"))))
       .withColumnRenamed("col", "g")
-      .withColumn("_key", col("id") * lit(1048576L) + col("pos"))
+      .withColumn("_key", struct(col("id"), col("pos")))
     val firsts = grams.groupBy("g")
       .agg(min(col("_key")).as("_fkey"), count(lit(1)).as("_c"))
     val dupStarts = grams.join(firsts, "g")
