@@ -341,8 +341,22 @@ object LogPipeline {
             spark.read.parquet(dateDir.getPath.toString)
               .coalesce(nOut)
               .write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(dateDir.getPath, true)
-            fs.rename(tmp, dateDir.getPath)
+            // swap with no data-loss window: move the original ASIDE
+            // (restorable), move the compacted copy in, only then drop
+            // the original — a delete-then-rename order would lose the
+            // partition if the rename failed in between
+            val aside = new org.apache.hadoop.fs.Path(
+              dateDir.getPath.getParent, s".old-${dateDir.getPath.getName}")
+            fs.delete(aside, true) // stale leftover from a crashed run
+            if (!fs.rename(dateDir.getPath, aside))
+              throw new java.io.IOException(
+                s"compaction: cannot move ${dateDir.getPath} aside")
+            if (!fs.rename(tmp, dateDir.getPath)) {
+              fs.rename(aside, dateDir.getPath) // restore the original
+              throw new java.io.IOException(
+                s"compaction: swap failed for ${dateDir.getPath}; original restored")
+            }
+            fs.delete(aside, true)
             done += s"${filterDir.getPath.getName}/$name"
           }
         }
