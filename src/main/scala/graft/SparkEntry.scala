@@ -1695,6 +1695,37 @@ object SparkEntry {
              |         row_number() OVER (PARTITION BY cl
              |           ORDER BY quality DESC, doc_id) AS rk
              |  FROM lab2) WHERE rk = 1""".stripMargin)),
+    ("q_similar_to", // near-duplicate SEARCH: all docs with shingle
+      // Jaccard ≥ 0.2 against one query document's text — the query's
+      // shingles ship as a plan literal, so the search is one
+      // scan-side projection + filter (no join, no shuffle, no index)
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val qText = docs.filter(col("doc_id") === 44)
+          .head().getAs[String]("text")
+        Dedup.similarTo(docs.filter(col("doc_id") =!= 44), "doc_id",
+          "text", qText, shingleSize = 3, threshold = 0.2)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    list_transform(generate_series(1, greatest(1, len(t) - 2)),
+             |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+             |  FROM tok WHERE len(t) > 0),
+             |q AS (SELECT s FROM sh WHERE doc_id = 44),
+             |qn AS (SELECT count(*) AS n FROM q),
+             |cand AS (SELECT sh.doc_id, count(*) AS i
+             |         FROM sh JOIN q ON sh.s = q.s
+             |         WHERE sh.doc_id <> 44 GROUP BY 1),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+             |SELECT c.doc_id,
+             |       round(c.i * 1.0 / (sz.n + qn.n - c.i), 6) AS jaccard
+             |FROM cand c JOIN sz ON sz.doc_id = c.doc_id, qn
+             |WHERE c.i * 1.0 / (sz.n + qn.n - c.i) >= 0.2""".stripMargin)),
+
     ("q_dedup_spans", // exact duplicated-SPAN removal (Lee et al. 2022
       // shape): every token covered by an 8-token span occurring more
       // than once corpus-wide is removed except the span's corpus-first

@@ -363,6 +363,39 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Near-duplicate SEARCH — the lookup face of the dedup family: all
+    * corpus documents whose distinct-shingle Jaccard against ONE query
+    * text reaches `threshold` ("is this new document already in the
+    * corpus?"). The query's shingle hashes evaluate once driver-side
+    * (the same compiled expression the corpus rows use) and ship as a
+    * plan literal, so the search is a single scan-side projection +
+    * filter — no join, no shuffle, no index; one pass at scan speed at
+    * any corpus size. For BATCHES of queries use [[minhashLsh]] on the
+    * union instead. Output: (idCol, jaccard) ≥ threshold, descending.
+    */
+  def similarTo(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val qh = graft.functions.WordShingleHashes(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(queryText),
+          org.apache.spark.sql.types.StringType), shingleSize)
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    require(qh.nonEmpty, "query text yields no shingles")
+    df.select(col(idCol), shingleHashes(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("_i",
+        size(array_intersect(col("hs"), array(qh.toIndexedSeq.map(lit): _*)))
+          .cast("double"))
+      .withColumn("_j",
+        col("_i") / (size(col("hs")) + lit(qh.length) - col("_i")))
+      .filter(col("_j") >= threshold)
+      .select(col(idCol), round(col("_j"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col(idCol))
+  }
+
   /** Exact duplicated-SPAN removal (the Lee et al. 2022,
     * arXiv:2107.06499 "Deduplicating Training Data" shape, n-gram
     * anchored): every token covered by a `minSpan`-token span that

@@ -244,6 +244,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, j) => a < 150 && b < 150 && j == 1.0 })
   }
 
+  test("similarTo finds the planted near-dup and matches brute-force Jaccard") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta DIFFERENT"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.similarTo(corpus, "doc_id", "text",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        shingleSize = 3, threshold = 0.3)
+      .as[(Long, Double)].collect()
+    // doc 1 is the query itself (jaccard 1.0); doc 2 shares 5 of 7
+    // shingles (5/(6+6-5) = 5/7); doc 3 shares none
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.head._2 == 1.0)
+    assert(math.abs(got(1)._2 - 5.0 / 7.0) < 1e-6)
+  }
+
   test("dedupSpans removes repeated spans except the corpus-first occurrence") {
     import spark.implicits._
     val boiler = "the quick brown fox jumps over the lazy dog again" // 10 tokens

@@ -160,6 +160,15 @@ class PlanQualitySpec extends SparkSpec {
       s"expected at most the cache-lineage parquet scan, found $parquetScans:\n$p")
   }
 
+  test("near-dup search is one scan-side pass: no join, only the result-sort exchange") {
+    val p = plan("q_similar_to")
+    assert(!p.contains("Join"),
+      s"query shingles must ship as a literal, not a join side:\n$p")
+    // the only exchange allowed is the final (tiny) result sort
+    assert(p.split("Exchange").length <= 2,
+      s"unexpected shuffle in the scan-side search:\n$p")
+  }
+
   test("semantic dedup: within-cluster pair join, no cartesian, shared projection cached") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"),
