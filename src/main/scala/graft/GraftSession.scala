@@ -35,8 +35,9 @@ object GraftSession {
     */
   def inPool[T](spark: SparkSession, pool: String)(start: => T): T = {
     val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
     sc.setLocalProperty("spark.scheduler.pool", pool)
-    try start finally sc.setLocalProperty("spark.scheduler.pool", null)
+    try start finally sc.setLocalProperty("spark.scheduler.pool", prev)
   }
 
   def defaultCores: Int =

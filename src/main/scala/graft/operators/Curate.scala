@@ -215,7 +215,11 @@ object Curate {
       .agg(sum(col(tokensCol)).cast("long").as("dom_tokens"))
       .join(broadcast(w), domainCol) // inner: unlisted domains drop out
       .localCheckpoint(true)
-    val minR = perDom.agg(
+    // a listed domain with ZERO tokens must not drive the min to 0 and
+    // silently zero every other domain's keep fraction — it supplies
+    // no token mass, is kept whole by the dom_tokens=0 branch below,
+    // and is excluded from the binding-ratio min
+    val minR = perDom.filter(col("dom_tokens") > 0).agg(
       min(col("dom_tokens").cast("double") / col("_w").cast("double"))
         .as("_minr"))
     val ann = perDom.crossJoin(minR)

@@ -387,7 +387,10 @@ object Dedup {
     df.select(col(idCol), shingleHashes(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("_i",
-        size(array_intersect(col("hs"), array(qh.toIndexedSeq.map(lit): _*)))
+        // ONE array literal, not one Column per shingle: a large query
+        // document would otherwise inflate the plan with thousands of
+        // Literal children and break codegen method limits
+        size(array_intersect(col("hs"), typedlit(qh.toSeq)))
           .cast("double"))
       .withColumn("_j",
         col("_i") / (size(col("hs")) + lit(qh.length) - col("_i")))
@@ -477,16 +480,17 @@ object Dedup {
     * recall audits).
     *
     * RECALL CONTRACT of the capped default — read before relying on
-    * it: a pair is considered if the two docs share a sub-cap token
-    * OR both docs consist entirely of hot tokens (such "orphans" are
-    * re-indexed by their least-frequent hot token, so a corpus with
-    * thousands of token-identical boilerplate copies still gets its
-    * — inherently quadratic — pair set). The one shape that remains
-    * out of reach: a pair sharing only hot tokens where ONE side also
-    * carries its own sub-cap token (e.g. a unique typo on top of
-    * boilerplate). Remove exact duplicates first ([[Dedup.exact]]) and
-    * that residue is near-empty in practice; demand it anyway and the
-    * uncapped path is the tool.
+    * it: a pair is considered if the two docs share a sub-cap token,
+    * OR both docs consist entirely of hot tokens AND share the same
+    * least-frequent hot token (token-set-IDENTICAL boilerplate always
+    * does, so a corpus with thousands of identical copies still gets
+    * its — inherently quadratic — pair set). Out of reach: all-hot
+    * pairs whose token sets differ enough to pick different fallback
+    * tokens, and pairs sharing only hot tokens where one side carries
+    * its own sub-cap token (a unique typo on top of boilerplate).
+    * Remove exact duplicates first ([[Dedup.exact]]) and that residue
+    * is near-empty in practice; demand full recall anyway and the
+    * uncapped path (`maxTokenDf = 0`) is the tool.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenDf: Long = 1000L): DataFrame = {

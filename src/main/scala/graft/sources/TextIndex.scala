@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
 object TextIndex {
 
   /** One indexing pass: explode distinct lowercased tokens, co-locate
-    * by bucket, write one file per bucket directory.
+    * by bucket, write one file per bucket directory. The bucket count
+    * is persisted alongside the data (`_graft_buckets`, ignored by
+    * parquet readers) — a lookup MUST use the same modulus, and two
+    * call sites repeating a constant is how postings silently vanish
+    * (the wrong directory gets pruned).
     */
   def write(df: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 64): Unit = {
@@ -38,16 +42,34 @@ object TextIndex {
       .withColumn("bucket", pmod(hash(col("tok")), lit(buckets)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(buckets.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The bucket count the index at `path` was written with. */
+  def bucketsOf(spark: SparkSession, path: String): Int = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
   }
 
   /** Posting list of one token: ids of documents containing it as a
-    * whole (lowercased) token. Reads one bucket directory.
+    * whole (lowercased) token. Reads one bucket directory. `buckets ≤
+    * 0` (the default) reads the modulus the index was written with.
     */
   def lookup(spark: SparkSession, path: String, token: String,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets else bucketsOf(spark, path)
     val t = token.toLowerCase(java.util.Locale.ROOT)
     spark.read.parquet(path)
-      .filter(col("bucket") === pmod(hash(lit(t)), lit(buckets)) &&
+      .filter(col("bucket") === pmod(hash(lit(t)), lit(b)) &&
         col("tok") === lit(t))
       .select("id")
   }
@@ -57,9 +79,10 @@ object TextIndex {
     * to the corpus by construction).
     */
   def lookupAll(spark: SparkSession, path: String, tokens: Seq[String],
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     require(tokens.nonEmpty, "tokens must not be empty")
-    tokens.map(lookup(spark, path, _, buckets)).reduce(_.join(_, "id"))
+    val b = if (buckets > 0) buckets else bucketsOf(spark, path)
+    tokens.map(lookup(spark, path, _, b)).reduce(_.join(_, "id"))
   }
 
   /** Index-accelerated word grep: the corpus rows whose text contains
@@ -67,7 +90,7 @@ object TextIndex {
     * a full-text scan.
     */
   def grepTokens(corpus: DataFrame, idCol: String, indexPath: String,
-      tokens: Seq[String], buckets: Int = 64): DataFrame = {
+      tokens: Seq[String], buckets: Int = 0): DataFrame = {
     val ids = lookupAll(corpus.sparkSession, indexPath, tokens, buckets)
       .withColumnRenamed("id", idCol)
     corpus.join(ids, Seq(idCol), "left_semi")

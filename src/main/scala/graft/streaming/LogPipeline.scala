@@ -192,7 +192,11 @@ object LogPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        // persist around the emptiness check: isEmpty is its own
+        // action, and without the cache it would re-run the stateful
+        // micro-batch plan a second time every trigger
+        batch.persist()
+        try if (!batch.isEmpty)
           batch
             .withColumn("_b", lit(batchId))
             .withColumn("date",
@@ -200,6 +204,7 @@ object LogPipeline {
             .write.mode("append")
             .partitionBy("filter_id", "date")
             .parquet(path)
+        finally batch.unpersist()
       }
       .start()
     }
@@ -314,18 +319,52 @@ object LogPipeline {
     * live sink appending new files. Row content is preserved
     * bit-for-bit — only file boundaries change. Returns the rewritten
     * partition paths.
+    *
+    * TABLES WITH A FILE-SINK LOG: a live `writeStream.format("parquet")`
+    * table carries `_spark_metadata`, and root-path reads resolve the
+    * file list from that log — files this job renames would vanish
+    * from (or never appear in) such reads. The job therefore SKIPS a
+    * logged table unless `dropSinkLog = true`, which deletes the log
+    * first and converts the table to a plain parquet directory (do
+    * this only once the sink is stopped/retired; foreachBatch-written
+    * tables — the durable stats sink, dynamicResultsQuery — carry no
+    * log and compact freely). Crash recovery: a `.old-date=…` aside
+    * left by a crash mid-swap is restored when its partition is
+    * missing, and dropped only when the swapped-in copy exists.
     */
   def compactResults(spark: SparkSession, path: String, maxFiles: Int = 8,
       skipDate: Option[String] = None,
-      targetFileBytes: Long = 512L * 1024 * 1024): Seq[String] = {
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      dropSinkLog: Boolean = false): Seq[String] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive: $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val sinkLog = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) {
+      if (!dropSinkLog) {
+        System.err.println(s"[compact] $path has a streaming file-sink " +
+          "log; root reads resolve files from it, so compaction would " +
+          "orphan them. Stop the sink and pass dropSinkLog = true.")
+        return Seq.empty
+      }
+      fs.delete(sinkLog, true)
+    }
     val done = Seq.newBuilder[String]
     fs.listStatus(root).filter(_.isDirectory).foreach { filterDir =>
+      // crash recovery BEFORE compacting: an aside dir whose partition
+      // is missing holds the only copy — restore it; one whose
+      // partition exists is a completed swap's leftover — drop it
+      fs.listStatus(filterDir.getPath)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(".old-date="))
+        .foreach { asideDir =>
+          val target = new org.apache.hadoop.fs.Path(filterDir.getPath,
+            asideDir.getPath.getName.stripPrefix(".old-"))
+          if (!fs.exists(target)) fs.rename(asideDir.getPath, target)
+          else fs.delete(asideDir.getPath, true)
+        }
       fs.listStatus(filterDir.getPath).filter(_.isDirectory).foreach { dateDir =>
         val name = dateDir.getPath.getName
         val isLive = skipDate.exists(d => name == s"date=$d")
@@ -347,7 +386,6 @@ object LogPipeline {
             // partition if the rename failed in between
             val aside = new org.apache.hadoop.fs.Path(
               dateDir.getPath.getParent, s".old-${dateDir.getPath.getName}")
-            fs.delete(aside, true) // stale leftover from a crashed run
             if (!fs.rename(dateDir.getPath, aside))
               throw new java.io.IOException(
                 s"compaction: cannot move ${dateDir.getPath} aside")

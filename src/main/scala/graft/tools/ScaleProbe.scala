@@ -95,6 +95,15 @@ object ScaleProbe {
     def index(s: SparkSession, dir: String): String =
       idxCache.getOrElseUpdate(dir, {
         val out = java.nio.file.Files.createTempDirectory("probeidx").toString
+        // the x10 index is the largest artifact the probe writes —
+        // clean it up when the JVM exits rather than leaking per run
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          try java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: Throwable => () }
+        }))
         graft.sources.TextIndex.write(
           Tables.load(s, dir, "documents"), "doc_id", "text", out)
         out

@@ -128,6 +128,27 @@ class CurateSpec extends SparkSpec {
     assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixture target: a zero-token listed domain is kept whole and never zeroes the others") {
+    import spark.implicits._
+    // 'empty' supplies no tokens: it must not drive the binding min to
+    // zero (which would silently drop every other domain's documents)
+    val rows = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "b", 50L),
+      (4L, "empty", 0L), (5L, "empty", 0L))
+      .toDF("doc_id", "dom", "n_tokens")
+    val kept = Curate.mixtureTarget(rows, "dom", "doc_id", "n_tokens",
+        Seq("a" -> 500000L, "b" -> 500000L, "empty" -> 100000L))
+      .select("doc_id", "dom").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // b binds (50 tokens per 500k weight vs a's 200): b kept whole,
+    // a downsampled by rule, empty's token-less docs kept whole
+    assert(kept.count(_._2 == "b") == 1)
+    assert(kept.count(_._2 == "empty") == 2,
+      s"zero-token domain must be kept whole: ${kept.toSeq}")
+    // a is downsampled by the md5 rule (keep_frac 0.25 here) — the
+    // pre-fix behavior dropped ALL of a (keep_frac 0.0, thr 00000000)
+    assert(kept.count(_._2 == "a") <= 2)
+  }
+
   test("top-p by score keeps ceil(p*N) rows plus threshold ties, nothing below") {
     val withScore = scored.select(col("doc_id"), col("score"))
     val n = withScore.count()

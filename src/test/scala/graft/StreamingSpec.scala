@@ -342,6 +342,32 @@ class StreamingSpec extends SparkSpec {
     // idempotent: nothing above the threshold remains
     assert(LogPipeline.compactResults(spark, dir, maxFiles = 2,
       skipDate = Some("2015_07_11")).isEmpty)
+    // a table with a streaming file-sink log is REFUSED (root reads
+    // resolve files from the log — compaction would orphan them) …
+    val logDir = new java.io.File(s"$dir/_spark_metadata")
+    assert(logDir.mkdir())
+    (1 to 4).foreach { i =>
+      Seq(("f_err", "2015_07_09", s"late $i"))
+        .toDF("filter_id", "date", "_raw")
+        .write.mode("append").partitionBy("filter_id", "date").parquet(dir)
+    }
+    assert(LogPipeline.compactResults(spark, dir, maxFiles = 2,
+      skipDate = Some("2015_07_11")).isEmpty,
+      "logged table must be skipped without dropSinkLog")
+    // … unless dropSinkLog retires the log explicitly
+    val dropped2 = LogPipeline.compactResults(spark, dir, maxFiles = 2,
+      skipDate = Some("2015_07_11"), dropSinkLog = true)
+    assert(dropped2 == Seq("filter_id=f_err/date=2015_07_09"), s"got $dropped2")
+    assert(!logDir.exists(), "sink log must be removed when retired")
+    // crash recovery: an aside dir whose partition vanished mid-swap
+    // is restored on the next run
+    val part = new java.io.File(s"$dir/filter_id=f_err/date=2015_07_09")
+    val aside = new java.io.File(s"$dir/filter_id=f_err/.old-date=2015_07_09")
+    assert(part.renameTo(aside))
+    LogPipeline.compactResults(spark, dir, maxFiles = 2,
+      skipDate = Some("2015_07_11"))
+    assert(part.exists() && !aside.exists(),
+      "orphaned aside partition must be restored")
   }
 
   test("classifier group fold streams one-in-one-out (no micro-batch slice buffering)") {

@@ -33,6 +33,21 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.lookup(spark, dir, "zzz_not_a_token").isEmpty)
   }
 
+  test("lookup derives the bucket modulus from the index, not a repeated constant") {
+    import spark.implicits._
+    // write with a NON-default bucket count: a lookup that assumed the
+    // default 64 would prune the wrong directory and silently return
+    // an empty posting list
+    val dir = java.nio.file.Files.createTempDirectory("textindex16").toString
+    TextIndex.write(docs, "doc_id", "text", dir, buckets = 16)
+    assert(TextIndex.bucketsOf(spark, dir) == 16)
+    val viaDefault = TextIndex.lookup(spark, dir, "spark")
+      .as[Long].collect().toSet
+    val viaExplicit = TextIndex.lookup(spark, dir, "spark", buckets = 16)
+      .as[Long].collect().toSet
+    assert(viaDefault == viaExplicit && viaDefault.nonEmpty)
+  }
+
   test("lookup prunes to one bucket directory before IO and pushes the token filter") {
     val dir = indexDir()
     val p = TextIndex.lookup(spark, dir, "spark")
