@@ -13,15 +13,25 @@ import org.apache.spark.sql.SparkSession
   * Contention armor: a single timed pass on a shared box measures the
   * co-tenants as much as the engine (the round-3 artifact recorded a
   * 3.4× slowdown that a re-run on an idle machine showed was load, not
-  * the plan). Two defenses:
+  * the plan). Three defenses:
   *  - every query runs TWICE and reports the min — a transient load
   *    spike must cover both passes to corrupt the number;
   *  - the JSON carries load telemetry: `availableProcessors`, the OS
-  *    1-minute load average before and after the run, and `calib_sec` —
-  *    a fixed single-threaded arithmetic workload timed at start and
-  *    end. The calibration work never changes, so a contended run is
-  *    self-evident from the artifact (calib_sec inflated / load ≫
-  *    cores) without needing a re-run to adjudicate.
+  *    1-minute load average before and after the run, `calib_sec` — a
+  *    fixed single-threaded arithmetic workload timed at start and
+  *    end — and `calib_par_sec`, the SAME workload on every core at
+  *    once. The single-threaded probe is blind to co-tenant load below
+  *    full saturation (round 7: every query doubled while calib_sec
+  *    stayed at 0.390, because one free core is all it needs); the
+  *    all-cores probe is not: measured on this box, idle
+  *    parallel/serial ≈ 1.1–1.2, while a 24-thread co-tenant pushes it
+  *    to ≈ 2.5 with serial still flat.
+  *  - SELF-ADJUDICATION: if an attempt looks contended (parallel/serial
+  *    calib ratio > 1.6 on either endpoint, or streaming reports
+  *    sustained=false), the whole bench re-runs once and the better
+  *    attempt (lower query total, preferring sustained streaming)
+  *    becomes the artifact of record. Both attempts' telemetry is
+  *    published under `attempts` so nothing is hidden.
   */
 object Bench {
 
@@ -43,6 +53,46 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The same workload on every core simultaneously; wall time of the
+    * slowest thread. Idle this tracks the serial probe (~1.1×: all
+    * cores are free, each thread gets one); under co-tenant load it
+    * inflates with the oversubscription even when the serial probe
+    * still finds one free core and stays flat — which is exactly how
+    * the round-7 contended artifact slipped past the armor.
+    */
+  private def calibrateParallel(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = Array.fill(n)(new Thread(() => { calibrate(); () }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Contended when either endpoint's all-cores probe runs >1.6× its
+    * serial twin (idle ratio on this box: 1.1–1.2; a 24-thread
+    * co-tenant: ~2.5), or the streaming leg failed to sustain cadence —
+    * the two signals that invalidated the round-7 artifact.
+    */
+  final case class Attempt(
+      queries: Seq[(String, Double)], fanoutRate: Double,
+      streamJson: String, streamSustained: Option[Boolean],
+      loadBefore: Double, loadAfter: Double,
+      calibBefore: Double, calibAfter: Double,
+      calibParBefore: Double, calibParAfter: Double) {
+    def total: Double = queries.map(_._2).filter(_ >= 0).sum
+    def contended: Boolean =
+      calibParBefore > 1.6 * calibBefore ||
+        calibParAfter > 1.6 * calibAfter ||
+        streamSustained.contains(false)
+    def telemetryJson: String =
+      f"""{"total":$total%.3f,"contended":$contended,""" +
+        f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,""" +
+        f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
+        f""""calib_par_before":$calibParBefore%.3f,"calib_par_after":$calibParAfter%.3f,""" +
+        f""""stream_sustained":${streamSustained.map(_.toString).getOrElse("null")}}"""
+  }
+
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -59,9 +109,6 @@ object Bench {
     val spark = GraftSession.builder(GraftSession.defaultCores)
       .appName("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val loadBefore = loadAvg()
-    val calibBefore = calibrate()
 
     def onePass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -86,65 +133,103 @@ object Bench {
       if (a < 0) b else if (b < 0) a else math.min(a, b)
     }
 
-    // Warmup: exercise parquet reader, codegen, shuffle machinery once.
-    SparkEntry.queries.get("q1_agg").foreach(onePass)
+    def attempt(): Attempt = {
+      val loadBefore = loadAvg()
+      val calibBefore = calibrate()
+      val calibParBefore = calibrateParallel()
 
-    // Streaming cadence (BASELINE.md: 1 s results / 10 s stats without
-    // backlog) runs FIRST, right after warmup: measured per-trigger
-    // latencies belong to the engine, not to the GC/co-tenant state the
-    // 90-query sweep leaves behind (the calibration delta showed the
-    // end of a bench run is its most contended moment). Disable with
-    // SPARK_GRAFT_STREAM_SECS=0 for quick local loops. Default 130 s so
-    // the 10 s stats leg accumulates ≥12 triggers — a p95 over 3
-    // samples isn't a p95 (round-6 verdict).
-    val streamSecs = envLong("SPARK_GRAFT_STREAM_SECS", 130L).toInt
-    val streamJson =
-      if (streamSecs <= 0) "null"
-      else try StreamBench.run(spark,
-        envLong("SPARK_GRAFT_STREAM_RATE", 20000L), streamSecs).json
-      catch { case e: Throwable =>
-        // a broken streaming path must be diagnosable from the run log,
-        // not silently published as streaming:null
-        System.err.println(s"[bench] StreamBench failed: $e")
-        e.printStackTrace()
-        "null"
+      // Warmup: exercise parquet reader, codegen, shuffle machinery once.
+      SparkEntry.queries.get("q1_agg").foreach(onePass)
+
+      // Streaming cadence (BASELINE.md: 1 s results / 10 s stats without
+      // backlog) runs FIRST, right after warmup: measured per-trigger
+      // latencies belong to the engine, not to the GC/co-tenant state the
+      // 90-query sweep leaves behind (the calibration delta showed the
+      // end of a bench run is its most contended moment). Disable with
+      // SPARK_GRAFT_STREAM_SECS=0 for quick local loops. Default 130 s so
+      // the 10 s stats leg accumulates ≥12 triggers — a p95 over 3
+      // samples isn't a p95 (round-6 verdict).
+      val streamSecs = envLong("SPARK_GRAFT_STREAM_SECS", 130L).toInt
+      val stream: Option[StreamBench.Result] =
+        if (streamSecs <= 0) None
+        else try Some(StreamBench.run(spark,
+          envLong("SPARK_GRAFT_STREAM_RATE", 20000L), streamSecs))
+        catch { case e: Throwable =>
+          // a broken streaming path must be diagnosable from the run log,
+          // not silently published as streaming:null
+          System.err.println(s"[bench] StreamBench failed: $e")
+          e.printStackTrace()
+          None
+        }
+      val streamJson = stream.map(_.json).getOrElse("null")
+
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> run(fn)
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(fn)
-    }
-
-    // Fan-out throughput (BASELINE.md: ≥50k lines/s at sf0.1): lines =
-    // the event stream rendered as log text, matched against the
-    // standard registry. Best-of-2 after a JIT-absorbing warmup pass.
-    val fanoutRate = {
-      import org.apache.spark.sql.functions._
-      val lines = graft.sources.Tables.load(spark, sfDir, "events")
-        .select(concat_ws(" ", col("event_type"), col("props")).as("_raw"))
-      val filters = Seq(
-        graft.model.FilterDef("f1", "errors", "error"),
-        graft.model.FilterDef("f2", "clickview", "(click|view)"),
-        graft.model.FilterDef("f3", "ci", "(?i)PURCHASE"),
-        graft.model.FilterDef("f4", "re", "\"k\": [0-9]"))
-      val n = lines.count()
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        graft.operators.FilterFanout.explodeMatches(lines, "_raw", filters)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      // Fan-out throughput (BASELINE.md: ≥50k lines/s at sf0.1): lines =
+      // the event stream rendered as log text, matched against the
+      // standard registry. Best-of-2 after a JIT-absorbing warmup pass.
+      val fanoutRate = {
+        import org.apache.spark.sql.functions._
+        val lines = graft.sources.Tables.load(spark, sfDir, "events")
+          .select(concat_ws(" ", col("event_type"), col("props")).as("_raw"))
+        val filters = Seq(
+          graft.model.FilterDef("f1", "errors", "error"),
+          graft.model.FilterDef("f2", "clickview", "(click|view)"),
+          graft.model.FilterDef("f3", "ci", "(?i)PURCHASE"),
+          graft.model.FilterDef("f4", "re", "\"k\": [0-9]"))
+        val n = lines.count()
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          graft.operators.FilterFanout.explodeMatches(lines, "_raw", filters)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass() // absorb codegen/JIT so the rate measures the operator
+        n / math.min(pass(), pass())
       }
-      pass() // absorb codegen/JIT so the rate measures the operator
-      n / math.min(pass(), pass())
+
+      val calibAfter = calibrate()
+      val calibParAfter = calibrateParallel()
+      val loadAfter = loadAvg()
+      Attempt(results, fanoutRate, streamJson,
+        stream.map(_.sustained), loadBefore, loadAfter,
+        calibBefore, calibAfter, calibParBefore, calibParAfter)
     }
 
-    val calibAfter = calibrate()
-    val loadAfter = loadAvg()
+    // Self-adjudication: a contended first attempt triggers ONE re-run,
+    // and the better attempt (sustained streaming first, then lower
+    // query total) is published. Round 7 shipped a 2×-inflated artifact
+    // that five same-night clean runs contradicted; this closes that
+    // failure mode at the source — the artifact adjudicates itself
+    // before it exists. SPARK_GRAFT_BENCH_RETRIES=0 disables.
+    val a1 = attempt()
+    val chosen =
+      if (!a1.contended || envLong("SPARK_GRAFT_BENCH_RETRIES", 1L) <= 0) (a1, Seq(a1), 1)
+      else {
+        System.err.println(
+          s"[bench] attempt 1 adjudicated CONTENDED (${a1.telemetryJson}); re-running once")
+        val a2 = attempt()
+        def rank(a: Attempt) =
+          (if (a.streamSustained.contains(false)) 1 else 0, a.total)
+        val best = if (Ordering[(Int, Double)].lt(rank(a2), rank(a1))) (a2, 2) else (a1, 1)
+        (best._1, Seq(a1, a2), best._2)
+      }
+    val (a, attempts, chosenIdx) = chosen
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = a.queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = a.total
     val cores = Runtime.getRuntime.availableProcessors()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"fanout_lines_per_sec":$fanoutRate%.0f,"streaming":$streamJson,"sf":"$sfDir","cores":$cores,"load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f}"""
+    val attemptsJson = attempts.map(_.telemetryJson).mkString("[", ",", "]")
+    // Key order is deliberate: per-query map FIRST, aggregates + verdict
+    // LAST. The round driver captures a bounded TAIL of stdout (BENCH_r06
+    // lost 28 per-query numbers from the head; BENCH_r07 lost the
+    // aggregates because they led the line) — with totals at the end, a
+    // tail-scrape always keeps the headline numbers, and the file
+    // artifact below keeps everything regardless.
+    val line = f"""{"queries":$qs,"fanout_lines_per_sec":${a.fanoutRate}%.0f,"streaming":${a.streamJson},"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Also write the complete artifact to a file: the round driver's
     // stdout tail-scrape truncated 28 of 90 per-query numbers in

@@ -998,23 +998,43 @@ object SparkEntry {
               |       round(avg(len(text)), 6) AS mean_chars
               |FROM base GROUP BY 1, 2""".stripMargin)),
 
-    ("q_grep_indexed", // index-accelerated word grep: one inverted-index
-      // build (bucket-partitioned postings), then token lookups that
-      // read ONE bucket directory each (partition-pruned) and semi-join
-      // the corpus — the word grep a scan answers by reading everything
+    ("q_grep_index_build", // inverted-index BUILD, timed and verified on
+      // its own: one indexing pass writes bucket-partitioned postings,
+      // and the check reads the WRITTEN artifact back and summarizes it
+      // — postings = Σ per-doc distinct tokens, replayed in SQL. The
+      // round-7 bench charged this build (plus temp cleanup) to the
+      // lookup query's number; split, each side measures what it says.
       (s: SparkSession, dir: String) => {
-        val out = java.nio.file.Files.createTempDirectory("q_grep_indexed")
         val docs = t(s, dir, "documents")
-        graft.sources.TextIndex.write(docs, "doc_id", "text", out.toString)
-        val got = graft.sources.TextIndex.grepTokens(docs, "doc_id",
-            out.toString, Seq("spark", "window"))
-          .select("doc_id")
-          .localCheckpoint(true) // materialize before the index dir goes
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(out)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        got
+        val out = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_index_build_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+        graft.sources.TextIndex.write(docs, "doc_id", "text", out)
+        s.read.parquet(out).agg(
+          count(lit(1)).as("postings"),
+          countDistinct(col("tok")).as("n_tokens"),
+          countDistinct(col("id")).as("n_docs"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS postings,
+             |       CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM (SELECT doc_id,
+             |             unnest(list_distinct(list_filter(
+             |               string_split_regex(lower(text), '\s+'),
+             |               x -> len(x) > 0))) AS tok
+             |      FROM documents)""".stripMargin)),
+
+    ("q_grep_index_lookup", // index-accelerated word grep LOOKUP: token
+      // lookups read ONE bucket directory each (partition-pruned,
+      // `PartitionFilters` in the scan) and semi-join the corpus — the
+      // word grep a scan answers by reading everything. The index is
+      // built once per JVM (ensureIndex); the timed work is the lookup.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val idx = graft.sources.TextIndex.ensureIndex(
+          docs, "doc_id", "text", cacheKey = dir)
+        graft.sources.TextIndex.grepTokens(docs, "doc_id", idx,
+          Seq("spark", "window")).select("doc_id")
       },
       Some("""SELECT doc_id FROM documents
              |WHERE list_contains(list_filter(string_split_regex(lower(text), '\s+'),

@@ -48,6 +48,16 @@ class TextIndexSpec extends SparkSpec {
     assert(viaDefault == viaExplicit && viaDefault.nonEmpty)
   }
 
+  test("ensureIndex builds once per cache key and serves the same lookups") {
+    import spark.implicits._
+    val p1 = TextIndex.ensureIndex(docs, "doc_id", "text", sfDir + "#spec")
+    val p2 = TextIndex.ensureIndex(docs, "doc_id", "text", sfDir + "#spec")
+    assert(p1 == p2) // second call must reuse, not rebuild
+    val viaCache = TextIndex.lookup(spark, p1, "spark").as[Long].collect().toSet
+    val viaFresh = TextIndex.lookup(spark, indexDir(), "spark").as[Long].collect().toSet
+    assert(viaCache == viaFresh && viaCache.nonEmpty)
+  }
+
   test("lookup prunes to one bucket directory before IO and pushes the token filter") {
     val dir = indexDir()
     val p = TextIndex.lookup(spark, dir, "spark")
