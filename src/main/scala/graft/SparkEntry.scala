@@ -1579,6 +1579,31 @@ object SparkEntry {
           .select("id_a", "id_b"),
       Some(s"""${shinglePairsSql(0.5)}
               |SELECT id_a, id_b FROM pairs""".stripMargin)),
+    ("q_stream_dedup_index", // incrementally-built near-dup index: the
+      // corpus arrives in TWO batches through the streaming upsert path
+      // (StreamDedup.upsertBatch — probe history, emit pairs, append to
+      // the persistent band/signature index); the union of emitted
+      // pairs must equal the batch operator over the whole corpus, so
+      // the brute-force shingle-Jaccard oracle replays it unchanged
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_dedup_index").toString
+        val docs = t(s, dir, "documents")
+        val cfg = graft.streaming.StreamDedup.Config(threshold = 0.5)
+        val p1 = graft.streaming.StreamDedup.upsertBatch(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, cfg)
+        val p2 = graft.streaming.StreamDedup.upsertBatch(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", root, cfg)
+        val got = p1.union(p2).select("id_a", "id_b")
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(s"""${shinglePairsSql(0.5)}
+              |SELECT id_a, id_b FROM pairs""".stripMargin)),
     ("q_dedup_simhash", // simhash near-dup PAIR SET, hash-checked: the
       // md5-token-hash fingerprint reconstructs in integer SQL (the
       // same CTE q_dedup_simhash_md5 proves), and the pigeonhole

@@ -62,55 +62,59 @@ object Dedup {
       GraftExprBridge.expression(textCol), shingleSize))
   }
 
-  /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
-    * `numHashes/bands` rows), shuffle once on (band, banded slice),
-    * emit intra-bucket pairs, then verify with exact Jaccard over the
-    * shingle-hash sets and keep pairs ≥ `threshold`.
-    *
-    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+  /** Per-doc signature relation (id, hs, sig): distinct shingle hashes
+    * plus the minhash signature, the unit every LSH-family operator
+    * (batch [[minhashLsh]], streaming
+    * [[graft.streaming.StreamDedup]]) computes per document. Shared so
+    * batch and incremental paths agree by construction.
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+  private[graft] def signatureRelation(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numHashes: Int): DataFrame = {
     // Repartition before the per-row signature compute: a small input
     // (one parquet file) would otherwise pin the whole O(rows×shingles)
     // stage to a single task; at real scale the scan already has many
     // partitions and this is a cheap round-robin.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // The signature relation feeds FOUR plan branches (both banding
-    // sides + both verification sides); persist it or Spark recomputes
-    // the signature scan per branch. (id, hs, sig) is a small fraction
-    // of the corpus size, so MEMORY_AND_DISK is safe at scale.
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(parallelism)
       .withColumn("hs", shingleHashes(col("text"), shingleSize))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
       .drop("text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSig.select(
+  }
+
+  /** Band rows (id, band, bucket) of a signature relation: `bands`
+    * bands of `numHashes/bands` signature positions, bucket = hash of
+    * the slice. Two docs are LSH candidates iff they share a (band,
+    * bucket) row.
+    */
+  private[graft] def bandBuckets(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sig.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))).as("bb"))
-      .select(col("id"), col("bb.band"), hash(col("bb.slice")).as("bucket"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verification reuses the per-doc shingle-HASH arrays (never the
-    // raw text — no re-tokenizing per pair) in two tiers:
-    //  1. signature-estimate prefilter: matching minhash rows / numHashes
-    //     approximates Jaccard within ~1/sqrt(numHashes); cheap 64-long
-    //     zip per pair kills the bulk of low-similarity candidates.
-    //  2. exact Jaccard on the distinct shingle-hash sets for survivors.
-    val sides = withSig.select(col("id"), col("hs"), col("sig"))
+      .select(col("id"), col("bb.band").as("band"),
+        hash(col("bb.slice")).as("bucket"))
+  }
+
+  /** Exact verification of candidate pairs against per-id `sides`
+    * (the (id, hs, sig) signature relation) in two tiers:
+    *  1. signature-estimate prefilter: matching minhash rows /
+    *     numHashes approximates Jaccard within ~1/sqrt(numHashes);
+    *     cheap 64-long zip per pair kills the bulk of low-similarity
+    *     candidates.
+    *  2. exact Jaccard on the distinct shingle-hash sets (never the
+    *     raw text — no re-tokenizing per pair) for survivors.
+    * Output: (id_a, id_b, jaccard) for pairs ≥ `threshold`.
+    */
+  private[graft] def verifyCandidates(cand: DataFrame, sides: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
     val slack = 2.5 / math.sqrt(numHashes.toDouble)
-    val verified = cand
+    cand
       .join(sides.select(col("id").as("id_a"), col("hs").as("hs_a"),
         col("sig").as("sig_a")), "id_a")
       .join(sides.select(col("id").as("id_b"), col("hs").as("hs_b"),
@@ -128,6 +132,32 @@ object Dedup {
       .withColumn("j",
         col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), shuffle once on (band, banded slice),
+    * emit intra-bucket pairs, then verify with exact Jaccard over the
+    * shingle-hash sets and keep pairs ≥ `threshold`.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    // The signature relation feeds FOUR plan branches (both banding
+    // sides + both verification sides); persist it or Spark recomputes
+    // the signature scan per branch. (id, hs, sig) is a small fraction
+    // of the corpus size, so MEMORY_AND_DISK is safe at scale.
+    val withSig = signatureRelation(df, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandBuckets(withSig, numHashes, bands)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
     // Materialize eagerly (localCheckpoint RDDs are context-cleaned
     // when unreferenced) so the persisted signature relation can be
     // released here instead of leaking across invocations. Note this
@@ -135,8 +165,7 @@ object Dedup {
     // Lifecycle: the checkpoint's blocks stay pinned while the caller
     // holds the returned frame; long-lived sessions should drop the
     // reference or sweep via GraftSession.releaseCachedBlocks.
-    try verified
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    try verifyCandidates(cand, withSig, numHashes, threshold)
       .localCheckpoint(true)
     finally withSig.unpersist(false)
   }

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incrementally-maintained MinHash near-dup index: new documents dedup
+  * against the ENTIRE historical corpus without rescanning it — the
+  * at-ingest analogue of [[graft.operators.Dedup.minhashLsh]], and the
+  * Spark shape of the reference's always-on match topology (every
+  * arriving line runs against all registered filters,
+  * `storm/src/main/java/nl/us2/cloudpelican/stormprocessor/MatchBolt.java:189-202`
+  * — here "filters" are the accumulated band buckets of every document
+  * ever ingested).
+  *
+  * Index layout under `root` (both tables plain parquet, appendable):
+  *  - `bands/` — (id, band, bucket) rows partitioned by
+  *    `pb = pmod(bucket, dirBuckets)`: a batch's candidate probe
+  *    filters on its own pb values, so Catalyst partition-prunes the
+  *    historical read to the directories the batch can collide with —
+  *    the probe reads O(batch) index, never O(corpus).
+  *  - `sigs/` — one (id, hs, sig) row per document for exact
+  *    verification, partitioned by `pid = pmod(hash(id), dirBuckets)`
+  *    so the per-pair verify join reads a bounded slice.
+  *
+  * Parity contract: upserting a corpus in ANY batch split yields
+  * exactly the pairs of one batch [[Dedup.minhashLsh]] over the union —
+  * banding does not depend on batch membership, so intra-batch pairs
+  * (self-join) plus cross pairs (probe against history) partition the
+  * union's pair set. The signature, banding, and verification code IS
+  * the batch operator's ([[Dedup.signatureRelation]] /
+  * [[Dedup.bandBuckets]] / [[Dedup.verifyCandidates]]), not a copy.
+  *
+  * Delivery: foreachBatch is at-least-once — a retried micro-batch can
+  * append its rows twice. Readers are duplicate-proof (candidates go
+  * through `distinct`, verification sides through
+  * `dropDuplicates(id)`), so a retry costs space, not correctness;
+  * [[compact]] reclaims the space by rewriting both tables deduped.
+  */
+object StreamDedup {
+
+  /** `dirBuckets` is the on-disk partition fan-out of both index
+    * tables, independent of the LSH `bands`: more dirs = finer probe
+    * pruning, more small files. 64 matches the text-index default.
+    */
+  final case class Config(
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, dirBuckets: Int = 64)
+
+  private def bandsPath(root: String): String = s"$root/bands"
+  private def sigsPath(root: String): String = s"$root/sigs"
+
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** Ingest one batch of documents: emit the near-dup pairs the batch
+    * forms (within itself AND against every previously-ingested
+    * document), then append the batch's band buckets + signatures to
+    * the index. Returns the verified pairs (id_a, id_b, jaccard),
+    * id_a < id_b, eagerly materialized — callers write or collect it;
+    * the index on disk is already updated when this returns.
+    */
+  def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
+      root: String, cfg: Config = Config()): DataFrame = {
+    val spark = batch.sparkSession
+    // the batch's signature relation feeds banding, verification, and
+    // the index append — persist or it recomputes per branch
+    val sig = Dedup.signatureRelation(batch, idCol, textCol,
+        cfg.shingleSize, cfg.numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = Dedup.bandBuckets(sig, cfg.numHashes, cfg.bands)
+        .withColumn("pb", pmod(col("bucket"), lit(cfg.dirBuckets)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // intra-batch candidates: the batch operator's self-join
+        val intra = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        // cross candidates: probe the historical bands, reading only
+        // the pb directories this batch's buckets hash into. The pb
+        // list is ≤ dirBuckets ints — a bounded driver collect that
+        // buys partition pruning on the probe scan.
+        val cross =
+          if (!hasData(spark, bandsPath(root))) None
+          else {
+            val pbs = banded.select("pb").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val hist = spark.read.parquet(bandsPath(root))
+              .filter(col("pb").isin(pbs: _*))
+            Some(banded.as("a").join(hist.as("b"),
+                col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.id") =!= col("b.id"))
+              .select(
+                least(col("a.id"), col("b.id")).as("id_a"),
+                greatest(col("a.id"), col("b.id")).as("id_b")))
+          }
+        val cand = cross.fold(intra)(intra.union).distinct()
+        // verification sides: this batch's signatures plus the
+        // historical ones the candidates touch (semi-join bounds the
+        // read to O(candidates)); dropDuplicates absorbs retry appends
+        val sides =
+          if (!hasData(spark, sigsPath(root))) sig
+          else {
+            val wanted = cand.select(col("id_a").as("id"))
+              .union(cand.select(col("id_b").as("id"))).distinct()
+            sig.unionByName(
+              spark.read.parquet(sigsPath(root))
+                .select("id", "hs", "sig")
+                .join(wanted, Seq("id"), "left_semi"))
+              .dropDuplicates("id")
+          }
+        val pairs = Dedup.verifyCandidates(cand, sides,
+            cfg.numHashes, cfg.threshold)
+          .localCheckpoint(true) // materialize BEFORE the appends below
+        // append AFTER the probe: the batch must not collide with its
+        // own just-written rows
+        banded.write.mode("append").partitionBy("pb")
+          .parquet(bandsPath(root))
+        sig.withColumn("pid", pmod(hash(col("id")), lit(cfg.dirBuckets)))
+          .write.mode("append").partitionBy("pid")
+          .parquet(sigsPath(root))
+        pairs
+      } finally banded.unpersist(false)
+    } finally sig.unpersist(false)
+  }
+
+  /** All near-dup pairs derivable from the index as it stands — the
+    * batch-query face of the incrementally-built index. Equals
+    * [[Dedup.minhashLsh]] over every ingested document, computed from
+    * the stored bands + signatures without touching document text.
+    */
+  def indexPairs(spark: SparkSession, root: String,
+      cfg: Config = Config()): DataFrame = {
+    val banded = spark.read.parquet(bandsPath(root))
+      .select("id", "band", "bucket").distinct()
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sides = spark.read.parquet(sigsPath(root))
+      .select("id", "hs", "sig").dropDuplicates("id")
+    Dedup.verifyCandidates(cand, sides, cfg.numHashes, cfg.threshold)
+  }
+
+  /** Rewrite both index tables with duplicates (from at-least-once
+    * retries) removed, preserving the partition layout. Offline
+    * maintenance — run while no ingest stream is writing.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    def rewrite(path: String, keyCols: Seq[String], partCol: String): Unit = {
+      if (!hasData(spark, path)) return
+      val deduped = spark.read.parquet(path)
+        .dropDuplicates(keyCols)
+        .localCheckpoint(true) // materialize before overwriting source
+      deduped.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    }
+    rewrite(bandsPath(root), Seq("id", "band", "bucket"), "pb")
+    rewrite(sigsPath(root), Seq("id"), "pid")
+  }
+
+  /** Attach the ingest-and-match flow to a streaming document source:
+    * every micro-batch upserts into the index and appends the pairs it
+    * discovered to `pairsOut` (parquet). The emitted stream over time =
+    * the full [[Dedup.minhashLsh]] pair set of everything ingested.
+    */
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+      root: String, pairsOut: String, checkpoint: String,
+      cfg: Config = Config()): StreamingQuery =
+    docs.writeStream
+      .queryName("stream_dedup_index")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, idCol, textCol, root, cfg)
+          .write.mode("append").parquet(pairsOut)
+        ()
+      }
+      .start()
+}

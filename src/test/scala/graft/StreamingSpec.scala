@@ -222,6 +222,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup index: batch-2 docs match batch-1 history without a corpus rescan") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamDedup
+    val root = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamDedup.attach(docs, "doc_id", "text", s"$root/idx",
+      s"$root/pairs", s"$root/ckpt", cfg)
+    try {
+      // batch 1: one future-dup template and one unrelated doc
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy sleeping dog"),
+        (2L, "completely different content about spark query planning"))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$root/pairs")
+      assert(afterB1.count() == 0) // nothing similar within batch 1
+      // batch 2: a near-dup of doc 1 (one trailing token changed:
+      // 8 of 9 shingles shared, jaccard 0.8) and another unrelated doc
+      input.addData(
+        (3L, "the quick brown fox jumps over the lazy sleeping cat"),
+        (4L, "yet another unrelated document mentioning stream windows"))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L))) // history matched, nothing spurious
+    } finally q.stop()
+  }
+
+  test("streaming near-dup index parity: any batch split replays the batch operator exactly") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamDedup
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("sdedup_par").toString
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = ids(StreamDedup.upsertBatch(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, cfg))
+    val p2 = ids(StreamDedup.upsertBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", root, cfg))
+    val want = ids(Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5))
+    assert(want.nonEmpty)
+    assert((p1 ++ p2) == want) // emitted pairs across batches = batch op
+    assert(p1.intersect(p2).isEmpty) // each pair discovered exactly once
+    // the stored index answers the same pair set as a batch query, and
+    // stays correct after a duplicate-absorbing compaction
+    assert(ids(StreamDedup.indexPairs(spark, root, cfg)) == want)
+    StreamDedup.compact(spark, root)
+    assert(ids(StreamDedup.indexPairs(spark, root, cfg)) == want)
+  }
+
   test("streaming curation gates quality/length at ingest and dedups survivors") {
     implicit val s = spark
     import s.implicits._
