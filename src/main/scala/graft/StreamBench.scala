@@ -104,7 +104,12 @@ object StreamBench {
     // interval (10 batches) fire every 10 SECONDS — each compaction
     // rewrites the whole accumulated log inline in the micro-batch.
     // 120 batches ≈ every 2 minutes is the cadence-appropriate setting.
-    spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "120")
+    // Scoped to this run (captured at query start, restored in the
+    // finally below) — streaming queries started later in the shared
+    // session must not inherit a bench-tuned value.
+    val compactKey = "spark.sql.streaming.fileSink.log.compactInterval"
+    val prevCompact = spark.conf.getOption(compactKey)
+    spark.conf.set(compactKey, "120")
     val parsed = LogPipeline.parse(generator(spark, ratePerSec))
     val matched = LogPipeline.matches(parsed, registry)
     // each query in its own FAIR pool: a multi-second stats micro-batch
@@ -151,6 +156,10 @@ object StreamBench {
         }
       quietStop(results); quietStop(stats)
       spark.streams.removeListener(listener)
+      prevCompact match {
+        case Some(v) => spark.conf.set(compactKey, v)
+        case None    => spark.conf.unset(compactKey)
+      }
     }
     def stat(name: String): (Seq[Double], Long) = {
       val q = durations.get(name)

@@ -198,7 +198,10 @@ object Curate {
     *
     * Same scale shape as [[mixtureBalance]]: input persisted once, one
     * map-side-combinable aggregate, broadcast threshold join, no
-    * corpus shuffle. Output: input row + (dom_tokens, keep_frac).
+    * corpus shuffle — and the same CACHING contract: the lazy result
+    * holds a MEMORY_AND_DISK cache of the input; long-lived sessions
+    * sweep with [[graft.GraftSession.releaseCachedBlocks]] between
+    * invocations. Output: input row + (dom_tokens, keep_frac).
     */
   def mixtureTarget(df: DataFrame, domainCol: String, idCol: String,
       tokensCol: String, weightsPpm: Seq[(String, Long)]): DataFrame = {

@@ -367,6 +367,14 @@ object Dedup {
     * shuffles on the cluster id and costs Σ cluster² ≈ n²/k — pick k
     * proportional to n (constant expected cluster size) and the pass
     * is linear in n at fixed redundancy.
+    *
+    * CACHING: the returned frame is LAZY and holds a MEMORY_AND_DISK
+    * cache of the (id, cluster, vector, norm) relation that both
+    * self-join sides read. A long-lived session that calls this
+    * repeatedly must sweep between invocations —
+    * [[graft.GraftSession.releaseCachedBlocks]] — or the caches
+    * accumulate; one-shot jobs can ignore this (session teardown
+    * releases them).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 2, threshold: Double = 0.9): DataFrame = {
@@ -453,6 +461,11 @@ object Dedup {
     * length); no all-pairs anywhere. Output: (idCol, text_deduped) for
     * EVERY input document — fully-removed text becomes the empty
     * string.
+    *
+    * CACHING: lazy result over a MEMORY_AND_DISK cache of the
+    * tokenized corpus (read by the gram and rejoin branches); sweep
+    * with [[graft.GraftSession.releaseCachedBlocks]] between
+    * invocations in long-lived sessions.
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       minSpan: Int = 8): DataFrame = {

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *   show filters
   *   show stats <filter>      (durable stats table, when configured)
   *   remove filter <name>
+  *   maintain [root]          (TTL + compaction, [[graft.streaming.Maintenance]])
   *   cat/select/tail/stats/count ...
   *   quit
   *
@@ -114,6 +115,21 @@ object Repl {
               def series(m: Int) = rows.filter(_.getAs[Int]("metric") == m)
                 .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSeq
               out ++= Chart.render(series(1), series(2))
+          }
+        } else if (lower == "maintain" || lower.startsWith("maintain ")) {
+          // one-verb upkeep: TTL + compaction over a pipeline root
+          // (results + stats tables) — `maintain <root>`, or bare
+          // `maintain` when a durable stats table is configured (its
+          // parent is the root by convention)
+          val arg = t.drop("maintain".length).trim
+          val root =
+            if (arg.nonEmpty) Some(arg)
+            else statsPath.map(p => new java.io.File(p).getParent)
+          root match {
+            case None =>
+              out ++= "ERR maintain <pipeline-root> (no durable tables configured)\n"
+            case Some(r) =>
+              out ++= graft.streaming.Maintenance.run(spark, r).render
           }
         } else if (lower.startsWith("remove filter ")) {
           val name = t.drop("remove filter ".length).trim

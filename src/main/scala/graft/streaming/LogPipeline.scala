@@ -313,10 +313,14 @@ object LogPipeline {
     * `maxFiles` data files into `ceil(bytes / targetFileBytes)` files
     * — a busy partition never collapses into one multi-GB file —
     * atomically per partition (write to a sibling temp dir, swap,
-    * delete). CLOSED partitions only by default: pass the current
-    * date's suffix via `skipDate` (or rely on the caller scheduling
-    * compaction for yesterday's partitions) so the job never races the
-    * live sink appending new files. Row content is preserved
+    * delete). CLOSED partitions only, BY DEFAULT: with `skipDate` unset
+    * the job skips the CURRENT date's partitions (session timezone) —
+    * the ones a live sink is appending to — and additionally any
+    * partition holding a file modified within `graceMillis` (default
+    * 10 min), which covers a sink still draining into yesterday's
+    * partition just after midnight. Pass `skipDate` to pin a different
+    * live date; pass `graceMillis = 0` only when no writer can be
+    * active (tests, decommissioned tables). Row content is preserved
     * bit-for-bit — only file boundaries change. Returns the rewritten
     * partition paths.
     *
@@ -324,18 +328,23 @@ object LogPipeline {
     * table carries `_spark_metadata`, and root-path reads resolve the
     * file list from that log — files this job renames would vanish
     * from (or never appear in) such reads. The job therefore SKIPS a
-    * logged table unless `dropSinkLog = true`, which deletes the log
-    * first and converts the table to a plain parquet directory (do
-    * this only once the sink is stopped/retired; foreachBatch-written
-    * tables — the durable stats sink, dynamicResultsQuery — carry no
-    * log and compact freely). Crash recovery: a `.old-date=…` aside
+    * logged table unless `dropSinkLog = true`, which retires the log
+    * and converts the table to a plain parquet directory (do this only
+    * once the sink is stopped; foreachBatch-written tables — the
+    * durable stats sink, dynamicResultsQuery — carry no log and
+    * compact freely). Retiring first PRUNES data files the log never
+    * committed (leftovers of failed micro-batches, which a log-resolved
+    * read hides but a plain read would surface as duplicate rows); if
+    * the log contains no committed batch at all it is treated as
+    * vestigial and only removed. Crash recovery: a `.old-date=…` aside
     * left by a crash mid-swap is restored when its partition is
     * missing, and dropped only when the swapped-in copy exists.
     */
   def compactResults(spark: SparkSession, path: String, maxFiles: Int = 8,
       skipDate: Option[String] = None,
       targetFileBytes: Long = 512L * 1024 * 1024,
-      dropSinkLog: Boolean = false): Seq[String] = {
+      dropSinkLog: Boolean = false,
+      graceMillis: Long = 10L * 60 * 1000): Seq[String] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive: $targetFileBytes")
@@ -350,8 +359,49 @@ object LogPipeline {
           "orphan them. Stop the sink and pass dropSinkLog = true.")
         return Seq.empty
       }
+      // Retire the log: first prune data files it never committed —
+      // failed/uncommitted micro-batch leftovers that a log-resolved
+      // read hides but a plain parquet read would count as rows. An
+      // empty manifest (no committed batch) means the data did not
+      // come through this log; prune nothing, just drop the dir.
+      val committed: Set[String] =
+        try {
+          import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+          new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+              sinkLog.toString, scala.None)
+            .allFiles()
+            .map(s => new org.apache.hadoop.fs.Path(
+              java.net.URI.create(s.path)).toUri.getPath)
+            .toSet
+        } catch { case e: Throwable =>
+          System.err.println(s"[compact] sink-log read failed ($e); " +
+            "treating the log as vestigial — no files pruned")
+          Set.empty
+        }
+      if (committed.nonEmpty) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val p = f.getPath
+          if (p.getName.endsWith(".parquet") &&
+              !p.toString.contains("/_spark_metadata/") &&
+              !p.toString.contains("/.compact-") &&
+              !p.toString.contains("/.old-") &&
+              !committed.contains(p.toUri.getPath)) {
+            System.err.println(s"[compact] pruning uncommitted $p")
+            fs.delete(p, false)
+          }
+        }
+      }
       fs.delete(sinkLog, true)
     }
+    val liveDate = skipDate.getOrElse {
+      val tz = spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)
+      java.time.LocalDate.now(java.time.ZoneId.of(tz))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd"))
+    }
+    val freshCutoff = System.currentTimeMillis() - graceMillis
     val done = Seq.newBuilder[String]
     fs.listStatus(root).filter(_.isDirectory).foreach { filterDir =>
       // crash recovery BEFORE compacting: an aside dir whose partition
@@ -367,11 +417,13 @@ object LogPipeline {
         }
       fs.listStatus(filterDir.getPath).filter(_.isDirectory).foreach { dateDir =>
         val name = dateDir.getPath.getName
-        val isLive = skipDate.exists(d => name == s"date=$d")
+        val isLive = name == s"date=$liveDate"
         if (name.startsWith("date=") && !isLive) {
           val dataFiles = fs.listStatus(dateDir.getPath)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          if (dataFiles.length > maxFiles) {
+          val quiesced = dataFiles.isEmpty ||
+            dataFiles.map(_.getModificationTime).max < freshCutoff
+          if (dataFiles.length > maxFiles && quiesced) {
             val bytes = dataFiles.map(_.getLen).sum
             val nOut = math.max(1L,
               (bytes + targetFileBytes - 1) / targetFileBytes).toInt

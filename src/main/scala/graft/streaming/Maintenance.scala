@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call upkeep for a pipeline root — the Spark face of the
+  * reference's background maintenance loop (7-day purge every 5
+  * minutes, `supervisor/filter_manager.go:519-576`), plus the
+  * small-file compaction a 1 s parquet sink makes necessary at scale.
+  *
+  * Conventions: `root/results` is the streaming results table,
+  * `root/stats` the durable stats table (both `filter_id=…/date=…`
+  * partitioned). Either may be absent — each step no-ops on a missing
+  * table. Order matters: TTL first (don't compact bytes about to be
+  * deleted), then compaction of the surviving closed partitions.
+  *
+  * Retiring a results sink: a stopped `writeStream.format("parquet")`
+  * sink leaves a `_spark_metadata` log that pins root-path reads to
+  * the committed file set. `retireResultsSink = true` converts the
+  * table to a plain parquet directory — pruning files the log never
+  * committed, then dropping the log — after which compaction (this
+  * run and every later one) proceeds normally. Run it only once the
+  * sink is STOPPED; a live logged sink is skipped (and reported) by
+  * [[LogPipeline.compactResults]]'s guard otherwise.
+  */
+object Maintenance {
+
+  final case class Report(
+      expiredResults: Seq[String], expiredStats: Seq[String],
+      compactedResults: Seq[String], compactedStats: Seq[String]) {
+    def render: String =
+      s"expired results partitions: ${expiredResults.size}" +
+        (if (expiredResults.isEmpty) "" else expiredResults.mkString(" (", ", ", ")")) +
+        s"\nexpired stats partitions: ${expiredStats.size}" +
+        (if (expiredStats.isEmpty) "" else expiredStats.mkString(" (", ", ", ")")) +
+        s"\ncompacted results partitions: ${compactedResults.size}" +
+        (if (compactedResults.isEmpty) "" else compactedResults.mkString(" (", ", ", ")")) +
+        s"\ncompacted stats partitions: ${compactedStats.size}" +
+        (if (compactedStats.isEmpty) "" else compactedStats.mkString(" (", ", ", ")")) +
+        "\n"
+  }
+
+  def run(spark: SparkSession, root: String,
+      retentionDays: Int = 7, maxFiles: Int = 8,
+      skipDate: Option[String] = None,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      retireResultsSink: Boolean = false,
+      graceMillis: Long = 10L * 60 * 1000,
+      nowMillis: Long = System.currentTimeMillis()): Report = {
+    val results = s"$root/results"
+    val stats = s"$root/stats"
+    val expiredResults =
+      LogPipeline.expireResults(spark, results, retentionDays, nowMillis)
+    val expiredStats =
+      LogPipeline.expireStats(spark, stats, retentionDays, nowMillis)
+    val compactedResults = LogPipeline.compactResults(spark, results,
+      maxFiles, skipDate, targetFileBytes,
+      dropSinkLog = retireResultsSink, graceMillis = graceMillis)
+    // the stats table is foreachBatch-written (never carries a sink
+    // log), so retirement does not apply to it
+    val compactedStats = LogPipeline.compactResults(spark, stats,
+      maxFiles, skipDate, targetFileBytes,
+      dropSinkLog = false, graceMillis = graceMillis)
+    Report(expiredResults, expiredStats, compactedResults, compactedStats)
+  }
+}

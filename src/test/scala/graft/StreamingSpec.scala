@@ -385,7 +385,7 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     // the live partition (today) must be skipped — never race the sink
     val done = LogPipeline.compactResults(spark, dir, maxFiles = 2,
-      skipDate = Some("2015_07_11"))
+      skipDate = Some("2015_07_11"), graceMillis = 0L)
     assert(done == Seq("filter_id=f_err/date=2015_07_10"), s"got $done")
     assert(files(closed) == 1, "closed partition not compacted to one file")
     assert(files(live) == 6, "live partition must be untouched")
@@ -395,7 +395,7 @@ class StreamingSpec extends SparkSpec {
     assert(after == before, "compaction changed row content")
     // idempotent: nothing above the threshold remains
     assert(LogPipeline.compactResults(spark, dir, maxFiles = 2,
-      skipDate = Some("2015_07_11")).isEmpty)
+      skipDate = Some("2015_07_11"), graceMillis = 0L).isEmpty)
     // a table with a streaming file-sink log is REFUSED (root reads
     // resolve files from the log — compaction would orphan them) …
     val logDir = new java.io.File(s"$dir/_spark_metadata")
@@ -406,11 +406,11 @@ class StreamingSpec extends SparkSpec {
         .write.mode("append").partitionBy("filter_id", "date").parquet(dir)
     }
     assert(LogPipeline.compactResults(spark, dir, maxFiles = 2,
-      skipDate = Some("2015_07_11")).isEmpty,
+      skipDate = Some("2015_07_11"), graceMillis = 0L).isEmpty,
       "logged table must be skipped without dropSinkLog")
     // … unless dropSinkLog retires the log explicitly
     val dropped2 = LogPipeline.compactResults(spark, dir, maxFiles = 2,
-      skipDate = Some("2015_07_11"), dropSinkLog = true)
+      skipDate = Some("2015_07_11"), dropSinkLog = true, graceMillis = 0L)
     assert(dropped2 == Seq("filter_id=f_err/date=2015_07_09"), s"got $dropped2")
     assert(!logDir.exists(), "sink log must be removed when retired")
     // crash recovery: an aside dir whose partition vanished mid-swap
@@ -419,9 +419,93 @@ class StreamingSpec extends SparkSpec {
     val aside = new java.io.File(s"$dir/filter_id=f_err/.old-date=2015_07_09")
     assert(part.renameTo(aside))
     LogPipeline.compactResults(spark, dir, maxFiles = 2,
-      skipDate = Some("2015_07_11"))
+      skipDate = Some("2015_07_11"), graceMillis = 0L)
     assert(part.exists() && !aside.exists(),
       "orphaned aside partition must be restored")
+  }
+
+  test("maintenance run: retire a stopped sink, prune uncommitted files, TTL, compact — reads stay correct") {
+    implicit val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("maint").toString
+    // a REAL file-sink results table (carries _spark_metadata): three
+    // micro-batches across one old and one recent date partition
+    val input = MemoryStream[(String, String, String)](spark)
+    val q = input.toDF().toDF("filter_id", "date", "_raw")
+      .writeStream.format("parquet")
+      .option("path", s"$root/results")
+      .option("checkpointLocation", s"$root/ckpt")
+      .partitionBy("filter_id", "date")
+      .outputMode("append").start()
+    try {
+      (1 to 3).foreach { i =>
+        input.addData(
+          ("f1", "2024_01_01", s"expired $i"),
+          ("f1", "2024_06_01", s"kept $i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // plant an UNCOMMITTED data file (failed-micro-batch leftover): a
+    // log-resolved read hides it; a plain read after a naive log drop
+    // would surface its rows as duplicates
+    val keptDir = new java.io.File(s"$root/results/filter_id=f1/date=2024_06_01")
+    val src = keptDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      keptDir.toPath.resolve("part-99999-deadbeef.c000.snappy.parquet"))
+    val beforeRetire = spark.read.parquet(s"$root/results")
+      .filter(col("date") === "2024_06_01")
+      .select("_raw").as[String].collect().toSet
+    assert(beforeRetire == Set("kept 1", "kept 2", "kept 3"))
+    val rep = graft.streaming.Maintenance.run(spark, root,
+      retentionDays = 7, maxFiles = 1, skipDate = Some("1900_01_01"),
+      retireResultsSink = true, graceMillis = 0L,
+      nowMillis = java.time.Instant.parse("2024-06-05T00:00:00Z").toEpochMilli)
+    assert(rep.expiredResults == Seq("filter_id=f1/date=2024_01_01"))
+    assert(rep.compactedResults == Seq("filter_id=f1/date=2024_06_01"))
+    assert(rep.expiredStats.isEmpty && rep.compactedStats.isEmpty) // no stats table
+    assert(!new java.io.File(s"$root/results/_spark_metadata").exists(),
+      "sink log must be retired")
+    // the retired table reads as plain parquet: same rows as the
+    // log-resolved read (planted file pruned, compaction lossless,
+    // expired partition gone)
+    val after = spark.read.parquet(s"$root/results")
+      .select("date", "_raw").as[(String, String)].collect().toSet
+    assert(after == Set(("2024_06_01", "kept 1"), ("2024_06_01", "kept 2"),
+      ("2024_06_01", "kept 3")))
+    assert(keptDir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      "kept partition must be compacted to one file")
+    // idempotent second run: nothing left to do
+    val rep2 = graft.streaming.Maintenance.run(spark, root,
+      retentionDays = 7, maxFiles = 1, skipDate = Some("1900_01_01"),
+      graceMillis = 0L,
+      nowMillis = java.time.Instant.parse("2024-06-05T00:00:00Z").toEpochMilli)
+    assert(rep2 == graft.streaming.Maintenance.Report(Nil, Nil, Nil, Nil))
+  }
+
+  test("compaction defaults leave live-looking partitions alone (current date + fresh files)") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graceskip").toString
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val today = java.time.LocalDate.now(java.time.ZoneId.of(tz))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd"))
+    (1 to 4).foreach { i =>
+      Seq(("f1", today, s"today $i"), ("f1", "2024_01_02", s"old $i"))
+        .toDF("filter_id", "date", "_raw")
+        .write.mode("append").partitionBy("filter_id", "date").parquet(dir)
+    }
+    // default args: today's partition is skipped by the session-tz date
+    // rule, and the closed 2024 partition is skipped because its files
+    // were written seconds ago (grace window) — nothing compacts even
+    // though both exceed maxFiles
+    assert(LogPipeline.compactResults(spark, dir, maxFiles = 2).isEmpty,
+      "defaults must not race a potentially-live partition")
+    // with the grace window waived, the closed date compacts and the
+    // current date STILL doesn't
+    val done = LogPipeline.compactResults(spark, dir, maxFiles = 2,
+      graceMillis = 0L)
+    assert(done == Seq("filter_id=f1/date=2024_01_02"), s"got $done")
   }
 
   test("classifier group fold streams one-in-one-out (no micro-batch slice buffering)") {
@@ -496,6 +580,13 @@ class StreamingSpec extends SparkSpec {
         new graft.operators.FilterRegistry(None), statsPath = Some(s"$dir/stats"))
       val chart = repl.exec("show stats f_err")
       assert(chart.nonEmpty && !chart.startsWith("ERR"), s"chart: $chart")
+      // the `maintain` verb runs the unified upkeep over the stats
+      // table's parent root: the fixture's 2015 partitions are long
+      // past the 7-day TTL and expire; nothing compacts (fresh files
+      // sit inside the default grace window — the safe default)
+      val maint = repl.exec("maintain")
+      assert(maint.contains("expired stats partitions: 2") &&
+        maint.contains("compacted stats partitions: 0"), s"maintain: $maint")
     } finally q.stop()
   }
 }
