@@ -960,7 +960,99 @@ object SparkEntry {
              |      FROM xy, co2),
              |sd AS (SELECT sqrt(sum(resid*resid)/count(*)) AS sd FROM r)
              |SELECT bucket_start, cnt, round(resid/sd, 6) AS z
-             |FROM r, sd WHERE abs(resid/sd) > 1.5""".stripMargin))
+             |FROM r, sd WHERE abs(resid/sd) > 1.5""".stripMargin)),
+
+    ("q_outlier_votes", // M2 ensemble DECISION surface, oracle-checked:
+      // the same grouping / windowing / skip-newest evaluation as the
+      // full ensemble (Outliers.detect), run over the four
+      // engine-exact members (normal deviation, interval band, random
+      // walk, trailing-6 moving average); emits 4-decimal member
+      // scores, the vote count at the 0.25 threshold, and the
+      // majority decision. Converts the ensemble's decisions (not its
+      // float scores) into a hash-checkable set, the way
+      // q_embed_ivf_q's integer quantization did for IVF; the
+      // 12-member ensemble itself stays rows-only because its
+      // solver-dependent members (Gaussian-elimination fits) can't be
+      // independently replayed in SQL.
+      (s: SparkSession, dir: String) => {
+        implicit val spark: SparkSession = s
+        val stats = StatsRollup.rollup(t(s, dir, "events"), "ts", 300,
+            Seq("event_type"))
+          .select(col("event_type").as("filter_id"),
+            col("bucket_start").as("bucket"), col("cnt").as("count"))
+        graft.ml.Outliers.voteScores(stats,
+          graft.ml.Outliers.Config(windowSec = 86400L * 365))
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type AS filter_id,
+             |         CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket,
+             |         CAST(count(*) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |ord AS (
+             |  SELECT filter_id, bucket, v,
+             |         row_number() OVER (PARTITION BY filter_id ORDER BY bucket) AS rn,
+             |         count(*) OVER (PARTITION BY filter_id) AS n
+             |  FROM st),
+             |hist AS (SELECT filter_id, bucket, v, rn, n FROM ord
+             |         WHERE rn <= n - 2 AND n - 1 >= 10),
+             |ev   AS (SELECT filter_id, bucket, v FROM ord
+             |         WHERE rn = n - 1 AND n - 1 >= 10),
+             |ns AS (SELECT filter_id, avg(v) AS mu, stddev_samp(v) AS sd
+             |       FROM hist GROUP BY 1),
+             |iv AS (SELECT filter_id, min(v) AS lo, max(v) AS hi,
+             |              greatest(max(v) - min(v), 1e-9) AS w
+             |       FROM hist GROUP BY 1),
+             |stp AS (SELECT filter_id,
+             |               v - lag(v) OVER (PARTITION BY filter_id ORDER BY rn) AS s
+             |        FROM hist),
+             |rw AS (SELECT filter_id, sqrt(sum(s*s)/count(s)) AS sd
+             |       FROM stp WHERE s IS NOT NULL GROUP BY 1),
+             |lh AS (SELECT filter_id, v AS lastv FROM hist WHERE rn = n - 2),
+             |ma6 AS (SELECT filter_id, sum(v)/6 AS ma FROM hist
+             |        WHERE rn >= n - 7 GROUP BY 1),
+             |mwin AS (SELECT filter_id, v,
+             |           sum(v) OVER (PARTITION BY filter_id ORDER BY rn
+             |                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS s6,
+             |           count(*) OVER (PARTITION BY filter_id ORDER BY rn
+             |                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS k6
+             |         FROM hist),
+             |mres AS (SELECT filter_id, v - s6/6 AS r FROM mwin WHERE k6 = 6),
+             |msd AS (SELECT filter_id, sqrt(sum(r*r)/count(*)) AS sd
+             |        FROM mres GROUP BY 1),
+             |sc AS (
+             |  SELECT e.filter_id, e.bucket,
+             |    CASE WHEN ns.sd = 0 THEN (CASE WHEN e.v = ns.mu THEN 0.0 ELSE 1.0 END)
+             |         ELSE least(1.0, greatest(0.0, abs(e.v - ns.mu)/ns.sd/4.0)) END AS s_normal,
+             |    CASE WHEN e.v >= iv.lo - 0.1*iv.w AND e.v <= iv.hi + 0.1*iv.w THEN 0.0
+             |         ELSE least(1.0, greatest(0.0,
+             |           (CASE WHEN e.v > iv.hi + 0.1*iv.w THEN e.v - (iv.hi + 0.1*iv.w)
+             |                 ELSE (iv.lo - 0.1*iv.w) - e.v END) / iv.w)) END AS s_interval,
+             |    CASE WHEN rw.sd = 0 THEN (CASE WHEN e.v = lh.lastv THEN 0.0 ELSE 1.0 END)
+             |         ELSE least(1.0, greatest(0.0, abs(e.v - lh.lastv)/rw.sd/4.0)) END AS s_random_walk,
+             |    CASE WHEN msd.sd = 0 THEN (CASE WHEN e.v = ma6.ma THEN 0.0 ELSE 1.0 END)
+             |         ELSE least(1.0, greatest(0.0, abs(e.v - ma6.ma)/msd.sd/4.0)) END AS s_moving_avg
+             |  FROM ev e
+             |  JOIN ns USING (filter_id) JOIN iv USING (filter_id)
+             |  JOIN rw USING (filter_id) JOIN lh USING (filter_id)
+             |  JOIN ma6 USING (filter_id) JOIN msd USING (filter_id)),
+             |r AS (SELECT filter_id, bucket,
+             |        round(s_normal, 4) AS s_normal,
+             |        round(s_interval, 4) AS s_interval,
+             |        round(s_random_walk, 4) AS s_random_walk,
+             |        round(s_moving_avg, 4) AS s_moving_avg
+             |      FROM sc)
+             |SELECT filter_id, bucket, s_normal, s_interval, s_random_walk,
+             |  s_moving_avg,
+             |  (CASE WHEN s_normal >= 0.25 THEN 1 ELSE 0 END
+             |   + CASE WHEN s_interval >= 0.25 THEN 1 ELSE 0 END
+             |   + CASE WHEN s_random_walk >= 0.25 THEN 1 ELSE 0 END
+             |   + CASE WHEN s_moving_avg >= 0.25 THEN 1 ELSE 0 END) AS votes,
+             |  CASE WHEN (CASE WHEN s_normal >= 0.25 THEN 1 ELSE 0 END
+             |   + CASE WHEN s_interval >= 0.25 THEN 1 ELSE 0 END
+             |   + CASE WHEN s_random_walk >= 0.25 THEN 1 ELSE 0 END
+             |   + CASE WHEN s_moving_avg >= 0.25 THEN 1 ELSE 0 END) >= 2
+             |    THEN 1 ELSE 0 END AS is_outlier
+             |FROM r""".stripMargin))
   )
 
   // --- text analysis (builder brief: first-class extension ops) ---

@@ -357,6 +357,27 @@ object Outliers {
       scoreThreshold: Double = 0.5,
       skipNewest: Boolean = true) // :140-141
 
+  /** Series prep shared by [[detect]] and [[voteScores]]: re-bucket to
+    * resolution, apply the trailing window, drop the still-filling
+    * newest bucket, enforce minPoints; yields the evaluation point and
+    * its strict history, or None when the series is too short.
+    */
+  private def evalPoint(raw: IndexedSeq[(String, Long, Double)],
+      cfg: Config): Option[(Long, Double, IndexedSeq[(Long, Double)])] = {
+    val maxB = raw.map(_._2).max
+    val series = raw
+      .filter { case (_, b, _) => b > maxB - cfg.windowSec }
+      .groupBy { case (_, b, _) => b - b % cfg.resolutionSec }
+      .map { case (b, rows) => (b, rows.map(_._3).sum) }
+      .toIndexedSeq.sortBy(_._1)
+    val trimmed = if (cfg.skipNewest && series.size > 1) series.init else series
+    if (trimmed.size < cfg.minPoints) None
+    else {
+      val (evalBucket, evalValue) = trimmed.last
+      Some((evalBucket, evalValue, trimmed.init))
+    }
+  }
+
   /** Detect outliers over a stats table (filter_id, bucket, count).
     * One shuffle on filter_id; per-filter series are bounded
     * (windowSec / resolutionSec points ≤ 288) so group memory is O(1).
@@ -373,19 +394,9 @@ object Outliers {
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (fid, it) =>
-        val raw = it.toIndexedSeq
-        val maxB = raw.map(_._2).max
-        // re-bucket to resolution, window, drop still-filling newest
-        val series = raw
-          .filter { case (_, b, _) => b > maxB - cfg.windowSec }
-          .groupBy { case (_, b, _) => b - b % cfg.resolutionSec }
-          .map { case (b, rows) => (b, rows.map(_._3).sum) }
-          .toIndexedSeq.sortBy(_._1)
-        val trimmed = if (cfg.skipNewest && series.size > 1) series.init else series
-        if (trimmed.size < cfg.minPoints) Iterator.empty
-        else {
-          val (evalBucket, evalValue) = trimmed.last
-          val history = trimmed.init
+        evalPoint(it.toIndexedSeq, cfg) match {
+          case None => Iterator.empty
+          case Some((evalBucket, evalValue, history)) =>
           val scores = analyzers.map(a => a.name -> a.score(history, evalValue))
           val voting = scores.filterNot(_._2.isNaN)
           val avg = if (voting.isEmpty) 0.0
@@ -402,5 +413,61 @@ object Outliers {
           }
         }
       }
+  }
+
+  /** The ensemble members whose scores an external SQL engine can
+    * replay bit-stably: each is built from exact integer aggregates
+    * (sums, min/max, lagged differences of counts) followed by
+    * single-rounding IEEE divisions, so a 4-decimal rounding absorbs
+    * the only order-sensitive step (the float sum of squared
+    * residuals). The solver-dependent members (polynomial / multiple
+    * regression via Gaussian elimination, seasonal bucketing,
+    * smoothing recursions) are deliberately excluded — an "oracle"
+    * that re-implemented the solver would not be an independent check.
+    */
+  def deterministicMembers: Seq[TimeseriesAnalyzer] = Seq(
+    new NormalDeviation, new IntervalBand(0.1), new RandomWalk,
+    new MovingAverage(6))
+
+  /** The ensemble's DECISION surface, hash-checkable: run the same
+    * per-filter grouping, windowing, and skip-newest evaluation as
+    * [[detect]] over [[deterministicMembers]], emit each member's
+    * score rounded to 4 decimals, the member vote count (rounded
+    * score ≥ `voteThreshold`), and the majority decision. Votes are
+    * compared on the ROUNDED scores so any engine replaying the
+    * member formulas reaches the identical flagged set — the
+    * ensemble analogue of what q_embed_ivf_q's integer quantization
+    * does for IVF.
+    *
+    * Scale shape is [[detect]]'s: one shuffle on filter_id, bounded
+    * per-group series, output = one row per filter.
+    */
+  def voteScores(stats: DataFrame, cfg: Config = Config(),
+      voteThreshold: Double = 0.25, majority: Int = 2)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val members = deterministicMembers
+    val scored = stats.select(
+        col("filter_id").cast("string"),
+        col("bucket").cast("long"),
+        col("count").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (fid, it) =>
+        evalPoint(it.toIndexedSeq, cfg) match {
+          case None => Iterator.empty
+          case Some((evalBucket, evalValue, history)) =>
+            val s = members.map(_.score(history, evalValue))
+            Iterator.single(graft.model.MemberScores(fid, evalBucket,
+              s(0), s(1), s(2), s(3)))
+        }
+      }.toDF()
+    val cols = Seq("s_normal", "s_interval", "s_random_walk", "s_moving_avg")
+    val rounded = cols.foldLeft(scored)((d, c) => d.withColumn(c, round(col(c), 4)))
+    val votes = cols.map(c => when(col(c) >= voteThreshold, 1).otherwise(0))
+      .reduce(_ + _)
+    rounded.withColumn("votes", votes)
+      .withColumn("is_outlier",
+        when(col("votes") >= majority, 1).otherwise(0))
   }
 }

@@ -46,3 +46,15 @@ final case class Outlier(
     timestamp: Long,
     score: Double,
     details: String)
+
+/** Per-member scores from the deterministic outlier-ensemble vote
+  * surface ([[graft.ml.Outliers.voteScores]]); top-level so the
+  * Dataset encoder stays codegen-compatible.
+  */
+final case class MemberScores(
+    filter_id: String,
+    bucket: Long,
+    s_normal: Double,
+    s_interval: Double,
+    s_random_walk: Double,
+    s_moving_avg: Double)

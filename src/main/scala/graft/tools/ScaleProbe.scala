@@ -34,10 +34,14 @@ object ScaleProbe {
     if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
   }
 
-  /** Write the 10× fixture (documents.parquet, embeddings.parquet). */
-  def generate(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  /** Write a `reps`× replica of the documents table alone (the x100
+    * decade only probes document-scan-bound queries, so the
+    * embeddings replica is skipped there).
+    */
+  def generateDocs(spark: SparkSession, baseDir: String, outDir: String,
+      reps: Int): Unit = {
     val docs = Tables.load(spark, baseDir, "documents")
-    val docReplicas = (0 until 10).map { k =>
+    val docReplicas = (0 until reps).map { k =>
       val text = if (k == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", "r" + k + "$1")
       docs.select((col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
@@ -46,6 +50,11 @@ object ScaleProbe {
     }
     docReplicas.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Write the 10× fixture (documents.parquet, embeddings.parquet). */
+  def generate(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    generateDocs(spark, baseDir, outDir, 10)
 
     val emb = Tables.load(spark, baseDir, "embeddings")
     val embReplicas = (0 until 10).map { k =>
@@ -129,7 +138,9 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val x10Dir = args.headOption.getOrElse("/tmp/graft_x10")
+    val x100Mode = args.contains("x100")
+    val dirArgs = args.filterNot(_ == "x100")
+    val x10Dir = dirArgs.headOption.getOrElse("/tmp/graft_x10")
     val spark = graft.GraftSession.builder(graft.GraftSession.defaultCores)
       .appName("scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -137,12 +148,40 @@ object ScaleProbe {
     if (!new java.io.File(s"$x10Dir/documents.parquet").exists())
       generate(spark, "/root/testdata/sf0.1", x10Dir)
 
+    // Sixth decade, scan-bound families only: the x10 step measured
+    // q_quality_topp at 7.5× and q_text_profile at 6.2× — consistent
+    // with fixed-cost amortization approaching linear, but claimed,
+    // not shown. One 100× cell each (500k docs) pins the asymptote:
+    // growth between x10 and x100 should settle near 10×/decade.
+    if (x100Mode) {
+      val x100Dir = dirArgs.drop(1).headOption.getOrElse("/tmp/graft_x100")
+      if (!new java.io.File(s"$x100Dir/documents.parquet").exists())
+        generateDocs(spark, "/root/testdata/sf0.1", x100Dir, 100)
+      val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1",
+        "x10" -> x10Dir, "x100" -> x100Dir)
+      runSweep(spark, Seq("q_quality_topp", "q_token_budget",
+        "q_text_profile", "q_repetition"), dirs, growthFrom = "x10",
+        growthTo = "x100")
+      spark.stop()
+      return
+    }
+
     val dirs = Seq(
       "sf0.001" -> "/root/testdata/sf0.001",
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
       "x10" -> x10Dir)
 
+    runSweep(spark, probeQueries, dirs, growthFrom = "sf0.1", growthTo = "x10")
+    spark.stop()
+  }
+
+  /** Best-of-2 timing sweep of `queries` over `dirs`, printing one
+    * JSON line per query with a growth ratio between the two named
+    * decade cells.
+    */
+  private def runSweep(spark: SparkSession, queries: Seq[String],
+      dirs: Seq[(String, String)], growthFrom: String, growthTo: String): Unit = {
     def onePass(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -157,7 +196,7 @@ object ScaleProbe {
     // warmup (codegen, parquet reader)
     onePass("q_text_profile", "/root/testdata/sf0.001")
 
-    val rows = probeQueries.map { q =>
+    val rows = queries.map { q =>
       val times = dirs.map { case (label, dir) =>
         val a = onePass(q, dir); val b = onePass(q, dir)
         label -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
@@ -168,12 +207,12 @@ object ScaleProbe {
       val cells = times.map { case (l, t) => f""""$l":$t%.3f""" }.mkString(",")
       val growth = {
         val m = times.toMap
-        if (m("sf0.1") > 0 && m("x10") > 0) f"${m("x10") / m("sf0.1")}%.2f"
+        if (m(growthFrom) > 0 && m(growthTo) > 0)
+          f"${m(growthTo) / m(growthFrom)}%.2f"
         else "-1"
       }
-      println(s"""{"query":"$q",$cells,"x10_growth":$growth}""")
+      println(s"""{"query":"$q",$cells,"${growthTo}_growth":$growth}""")
     }
-    spark.stop()
   }
 
   /** Indirection so this tool reuses SparkEntry's query definitions,

@@ -27,6 +27,33 @@ class OutlierSpec extends SparkSpec {
     assert(Outliers.detect(stats, Outliers.Config(scoreThreshold = 0.4)).isEmpty)
   }
 
+  test("voteScores: spike wins a member majority, flat series gets zero votes") {
+    implicit val s = spark
+    import s.implicits._
+    val spike = series(Seq.fill(30)(10.0) :+ 100.0 :+ 10.0)
+      .toDF("filter_id", "bucket", "count")
+    val flagged = Outliers.voteScores(spike).collect()
+    assert(flagged.length == 1)
+    val row = flagged.head
+    assert(row.getAs[Int]("votes") >= 2 && row.getAs[Int]("is_outlier") == 1)
+    // every member score is already rounded to the 4-decimal grid
+    Seq("s_normal", "s_interval", "s_random_walk", "s_moving_avg").foreach { c =>
+      val v = row.getAs[Double](c)
+      assert(math.abs(v * 10000 - math.round(v * 10000)) < 1e-9, c)
+    }
+
+    val flat = series(Seq.fill(32)(10.0)).toDF("filter_id", "bucket", "count")
+    val calm = Outliers.voteScores(flat).collect()
+    assert(calm.length == 1)
+    assert(calm.head.getAs[Int]("votes") == 0 &&
+      calm.head.getAs[Int]("is_outlier") == 0)
+
+    // min-points gate carries over from detect's shared series prep
+    val short = series(Seq.fill(5)(10.0) :+ 99.0)
+      .toDF("filter_id", "bucket", "count")
+    assert(Outliers.voteScores(short).isEmpty)
+  }
+
   test("min-points gate: short series emits nothing (OutlierDetectionBolt.java:159-162)") {
     implicit val s = spark
     import s.implicits._
