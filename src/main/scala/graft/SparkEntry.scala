@@ -1071,6 +1071,40 @@ object SparkEntry {
        |    ) / 3.0 * 10000) AS BIGINT)""".stripMargin
 
   private def textDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_lm_quality", // CCNet-style LM quality scoring: add-one
+      // char-trigram model trained on the English slice, every doc
+      // scored by integer micro-nat cost — floor(-ln p · 1e6) per
+      // VOCABULARY entry, BIGINT sums per doc, integer-division mean —
+      // so the whole train-and-score chain replays exactly in SQL.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.LangModel.lmTrain(
+          docs.filter(col("lang") === "en"), "text")
+        graft.operators.LangModel.lmScore(docs, "doc_id", "text", model)
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+             |pos AS (SELECT doc_id, lang, s,
+             |               unnest(generate_series(1, len(s)-2)) AS i FROM t),
+             |g AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+             |      FROM pos),
+             |model AS (SELECT gram, count(*) AS c FROM g
+             |          WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT sum(c) AS total, count(*) AS v FROM model),
+             |cost AS (SELECT gram,
+             |           CAST(floor(-ln(CAST(c+1 AS DOUBLE)/CAST(total+v AS DOUBLE))
+             |                      *1000000) AS BIGINT) AS cost
+             |         FROM model, tot),
+             |ov AS (SELECT CAST(floor(-ln(1.0/CAST(total+v AS DOUBLE))*1000000)
+             |              AS BIGINT) AS oov_cost FROM tot),
+             |dg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+             |sc AS (SELECT dg.doc_id,
+             |              sum(dg.n * coalesce(cost.cost, ov.oov_cost)) AS nll_micro,
+             |              sum(dg.n) AS n_tri
+             |       FROM dg LEFT JOIN cost USING (gram), ov GROUP BY 1)
+             |SELECT doc_id, n_tri, nll_micro,
+             |       nll_micro // n_tri AS mean_nll_micro
+             |FROM sc""".stripMargin)),
+
     ("q_corpus_report", // per-(lang, source) corpus health summary —
       // the dashboard a curation run reads before choosing budgets /
       // mixtures / gates: doc counts, token mass, median quality,
@@ -2022,6 +2056,36 @@ object SparkEntry {
              |SELECT vec_id, round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
              |FROM d, qn
              |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin)),
+
+    ("q_embed_knn", // exact k-NN join (the k-NN graph semantic dedup
+      // and hard-negative mining consume): every vector's 5 nearest
+      // by cosine, ranked on the 6-decimal grid with an id tiebreak
+      // so the neighbor set replays exactly. O(n²) by design — the
+      // verification twin for the LSH-bucketed scale path (probed as
+      // x_knn_lsh; recall gated in SimilaritySpec).
+      (s: SparkSession, dir: String) =>
+        Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 5),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+             |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |             sum(a.x*b.x) AS dot
+             |      FROM v a JOIN v b USING (i) WHERE a.vec_id <> b.vec_id
+             |      GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b,
+             |        round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+             |                   ELSE dot/(na.nrm*nb.nrm) END, 6) AS cos_s
+             |      FROM d JOIN n na ON na.vec_id = d.id_a
+             |             JOIN n nb ON nb.vec_id = d.id_b),
+             |r AS (SELECT id_a, id_b, cos_s,
+             |        row_number() OVER (PARTITION BY id_a
+             |          ORDER BY cos_s DESC, id_b) AS rank
+             |      FROM c)
+             |SELECT id_a AS vec_id, id_b AS neighbor_id, cos_s, rank
+             |FROM r WHERE rank <= 5""".stripMargin)),
 
     // IVF probe + hyperplane-LSH pairs: not SQL-expressible (centroid
     // fit / banding) → rows-only check; recall vs brute force covered

@@ -394,4 +394,92 @@ object Similarity {
       .localCheckpoint(true)
     finally base.unpersist(false)
   }
+
+  /** Exact k-nearest-neighbor join: every vector's `k` nearest
+    * neighbors by cosine — the k-NN graph that semantic-dedup
+    * clustering and hard-negative mining consume. Ranking happens on
+    * the 6-decimal-rounded cosine with an id tiebreak, so the
+    * neighbor SET is engine-stable (any SQL engine replaying the
+    * arithmetic ranks identically).
+    *
+    * This is the VERIFICATION TWIN: inherently O(n²) pairs (one
+    * broadcast-nested-loop of ids×vectors against itself), the
+    * correctness baseline to hold [[knnJoinLsh]] against — run it on
+    * a corpus sample, never 100 TB. The scale path is
+    * [[knnJoinLsh]], whose candidate generation is the banding
+    * shuffle, not all pairs.
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val pairs = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+    rankNeighbors(scoreCosine(pairs), idCol, k)
+  }
+
+  /** Approximate k-NN join: candidates from [[lshPairs]]-style
+    * hyperplane banding (pairs sharing ANY table signature), exact
+    * cosine on candidates only, top-k per source id. Recall < 1 by
+    * construction (a true neighbor landing in no shared bucket is
+    * missed — more tables buy recall); the exact twin [[knnJoin]]
+    * measures it on samples. Cost: one banding shuffle of
+    * (id, table, sig) rows — ~dim× smaller than shuffling vectors —
+    * plus the candidate join; bits auto-size via [[planesForCorpus]]
+    * to hold per-row candidates flat as the corpus grows.
+    */
+  def knnJoinLsh(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nTables: Int = 8, planesPerTable: Int = 0): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planes = effectivePlanes(planesPerTable, base.count())
+      val sigsPerTable = GraftExprBridge.column(
+        graft.functions.HyperplaneSigs(
+          GraftExprBridge.expression(col("v")), nTables, planes))
+      val banded = base.select(col("id"), posexplode(sigsPerTable))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+      // directed candidates: knn is per-source, so keep both (a,b)
+      // and (b,a) — unlike lshPairs' undirected id_a < id_b
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val pairs = cand
+        .join(base.select(col("id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "id_b")
+      rankNeighbors(scoreCosine(pairs), idCol, k).localCheckpoint(true)
+    } finally base.unpersist(false)
+  }
+
+  /** cos = dot/(norm·norm) over (va, na, vb, nb) pair columns, rounded
+    * to the 6-decimal grid every similarity oracle uses.
+    */
+  private def scoreCosine(pairs: DataFrame): DataFrame =
+    pairs.withColumn("cos_s",
+      round(when(col("na") * col("nb") === 0.0, lit(0.0))
+        .otherwise(VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))), 6))
+
+  /** row_number over (rounded cos desc, neighbor id) per source,
+    * keep rank ≤ k.
+    */
+  private def rankNeighbors(scored: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cos_s").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
+        col("cos_s"), col("rank"))
+  }
 }

@@ -77,7 +77,7 @@ object ScaleProbe {
     "q_dedup_embedding", "q_dedup_semantic", "q_dedup_spans",
     "x_jaccard_capped",                                  // dedup
     "q_embed_topk", "q_embed_lsh_pairs", "x_lsh_pairs_auto",
-    "q_embed_kmeans", "q_embed_ivf_q",                   // similarity
+    "x_knn_lsh", "q_embed_kmeans", "q_embed_ivf_q",      // similarity
     "q_quality_topp", "q_token_budget", "q_domain_mix",
     "q_mixture_target", "q_stratified_sample",
     "q_curate_pipeline",                                 // curation
@@ -122,6 +122,10 @@ object ScaleProbe {
         graft.operators.Similarity.lshPairs(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.3)),
+      "x_knn_lsh" -> ((s, dir) =>
+        graft.operators.Similarity.knnJoinLsh(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5)),
       "x_jaccard_capped" -> ((s, dir) =>
         graft.operators.Dedup.jaccardPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text",

@@ -89,6 +89,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
   }
 
+  test("lm quality: cost table broadcast, corpus never sort-merge-joins on gram") {
+    val p = plan("q_lm_quality")
+    assert(p.contains("BroadcastHashJoin"), s"cost join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
+  }
+
   test("classifier batch: secondary sort feeds a streaming MapPartitions (no group buffering)") {
     val p = plan("q_classifier_errors")
     assert(p.contains("MapPartitions"), s"fold not a mapPartitions:\n$p")

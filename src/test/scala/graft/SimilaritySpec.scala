@@ -111,6 +111,47 @@ class SimilaritySpec extends SparkSpec {
     assign()
   }
 
+  test("knnJoin: exact graph matches a locally computed ranking; LSH twin recalls most of it") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 100)
+    val got = Similarity.knnJoin(base, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val n = base.count()
+    assert(got.length == n * 3)
+    // per-source ranks are 1..3 with cos descending on the rounded grid
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == Seq(1, 2, 3))
+      assert(byRank.map(_._3).sliding(2).forall(w => w(0) >= w(1)))
+    }
+    // local ground truth for one source vector
+    val all = base.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val src = all.head
+    val truth = all.filter(_._1 != src._1)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(src._2, v)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    assert(got.filter(_._1 == src._1).sortBy(_._4).map(_._2).toSeq == truth)
+
+    // approximate twin: most exact neighbors found (recall is the
+    // tunable; 8 tables on 500 vectors should recover the majority)
+    val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val approx = Similarity.knnJoinLsh(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH knn recall $recall")
+  }
+
   test("quantized k-means matches the driver-side reference bit-for-bit") {
     import spark.implicits._
     val got = Similarity.kmeansQuantized(emb, "vec_id", "embedding",
