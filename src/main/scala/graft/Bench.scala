@@ -163,9 +163,16 @@ object Bench {
         }
       val streamJson = stream.map(_.json).getOrElse("null")
 
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> run(fn)
-      }
+      // Scenario queries drive a whole streaming pipeline inside the
+      // query body (start real sinks, replay micro-batches, stop) —
+      // CORRECTNESS exercises them; in a latency table they would
+      // measure trigger scheduling, not operator cost, and drown the
+      // total (24 s of sleep-adjacent wait at sf0.1). The streaming
+      // leg above is the cadence measurement of record.
+      val excluded = Set("q_stream_dedup_index")
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => excluded(q._1))
+        .map { case (name, fn) => name -> run(fn) }
 
       // Fan-out throughput (BASELINE.md: ≥50k lines/s at sf0.1): lines =
       // the event stream rendered as log text, matched against the

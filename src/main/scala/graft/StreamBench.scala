@@ -156,10 +156,6 @@ object StreamBench {
         }
       quietStop(results); quietStop(stats)
       spark.streams.removeListener(listener)
-      prevCompact match {
-        case Some(v) => spark.conf.set(compactKey, v)
-        case None    => spark.conf.unset(compactKey)
-      }
     }
     def stat(name: String): (Seq[Double], Long) = {
       val q = durations.get(name)
@@ -183,9 +179,22 @@ object StreamBench {
     val rd = if (rdAll.size > warmupN) rdAll.drop(warmupN) else rdAll
     val warmupMax = if (rdAll.isEmpty) -1.0 else rdAll.take(warmupN).max
     val rowsIn = rRows // results-query source rows = generated lines
+    // Count matched rows BEFORE restoring the compact-interval conf:
+    // FileStreamSinkLog interprets the sink's metadata log with the
+    // CURRENT session conf, so a log written at interval 120 but read
+    // back at the default 10 looks for a "*.compact" file that was
+    // never due — the read throws and the metric silently zeroes
+    // (exactly what the first self-adjudicating bench run published).
     val rowsMatched = try {
       spark.read.parquet(s"$dir/results").count()
-    } catch { case _: Throwable => 0L }
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] matched-rows read failed: $e")
+      0L
+    }
+    prevCompact match {
+      case Some(v) => spark.conf.set(compactKey, v)
+      case None    => spark.conf.unset(compactKey)
+    }
     // the temp output + checkpoint dirs accumulate per bench run
     // otherwise (tens of MB each at 20k lines/s)
     try {

@@ -43,6 +43,52 @@ object LangModel {
     ref.select(explode(charTrigrams(col(textCol))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
 
+  /** The model as driver-side lookup state for PER-ROW scoring:
+    * (gram → cost) map plus the OOV cost, same micro-nat arithmetic
+    * as [[lmScore]]. Bounded collect — the vocabulary is capped by
+    * the charset cubed (tens of thousands of entries for any text
+    * corpus), the same bound that lets [[lmScore]] broadcast it.
+    */
+  def collectCosts(model: DataFrame, scale: Long = 1000000L)
+      : (Map[String, Long], Long) = {
+    val totals = model.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
+    val denom = (col("total") + col("v")).cast("double")
+    val costs = model.crossJoin(broadcast(totals))
+      .select(col("gram"),
+        floor(-log((col("c") + 1).cast("double") / denom) * scale)
+          .as("cost"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oov = totals.select(floor(-log(lit(1.0) / denom) * scale))
+      .head().getLong(0)
+    (costs, oov)
+  }
+
+  /** Per-row (n_tri, nll_micro) struct of `c` under a collected
+    * model — the STATELESS face of [[lmScore]] (identical arithmetic,
+    * asserted by LangModelSpec): one compiled pass, O(1) hash lookup
+    * per trigram ([[graft.functions.LmDocCost]]). NULL below 3 chars.
+    */
+  def docCost(c: Column, costs: Map[String, Long], oovCost: Long): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.LmDocCost(
+      GraftExprBridge.expression(c), costs, oovCost))
+  }
+
+  /** Per-row mean micro-nat cost — [[docCost]]'s nll_micro div n_tri,
+    * computed as exact integer arithmetic ((a − a mod b) / b: every
+    * step is an exactly representable double, so the quotient matches
+    * [[lmScore]]'s SQL `div` bit-for-bit). Because it is one
+    * projection with no join or aggregation, it composes with any
+    * streaming trigger/watermark — the at-ingest LM quality gate.
+    */
+  def meanNllColumn(c: Column, costs: Map[String, Long],
+      oovCost: Long): Column = {
+    val st = docCost(c, costs, oovCost)
+    val a = st.getField("nll_micro")
+    val b = st.getField("n_tri")
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
   /** Score each document against a trained model: per-doc trigram
     * count `n_tri`, total cost `nll_micro` (micro-nats under add-one
     * smoothing: seen grams cost floor(-ln((c+1)/(total+V))·1e6),
@@ -63,16 +109,17 @@ object LangModel {
     val oov = totals.select(
       floor(-log(lit(1.0) / denom) * scale).as("oov_cost"))
 
-    val docGrams = docs
-      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
-      .groupBy(idCol, "gram").agg(count(lit(1)).as("n"))
-    docGrams
+    // exploded grams go STRAIGHT through the broadcast join into the
+    // per-doc aggregate — a (doc, gram) pre-aggregation would add a
+    // full shuffle of the exploded corpus to dedup grams that are
+    // mostly unique within a document anyway; the per-doc sum is
+    // map-side combinable either way
+    docs.select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
       .join(broadcast(costs), Seq("gram"), "left")
       .crossJoin(broadcast(oov))
-      .withColumn("cost", coalesce(col("cost"), col("oov_cost")))
       .groupBy(idCol)
-      .agg(sum(col("n") * col("cost")).as("nll_micro"),
-        sum(col("n")).as("n_tri"))
+      .agg(sum(coalesce(col("cost"), col("oov_cost"))).as("nll_micro"),
+        count(lit(1)).as("n_tri"))
       .withColumn("mean_nll_micro", expr("nll_micro div n_tri"))
       .select(col(idCol), col("n_tri"), col("nll_micro"),
         col("mean_nll_micro"))

@@ -486,6 +486,25 @@ object LogPipeline {
     dedupStream(gated.drop("_q", "_lang"), watermark)
   }
 
+  /** At-ingest LM perplexity gate — [[curateStream]]'s CCNet-grade
+    * sibling: rows whose mean micro-nat cost under a trained
+    * char-trigram model ([[graft.operators.LangModel]]) exceeds
+    * `maxMeanNll` are dropped on arrival, as are rows too short to
+    * score (under 3 chars — nothing to attest quality with). One
+    * stateless compiled projection (O(1) lookup per trigram), so it
+    * composes with any trigger/watermark and costs no state store.
+    * Train offline with `lmTrain` + `collectCosts`, ship the bounded
+    * (gram → cost) map into the query.
+    */
+  def lmGateStream(parsed: DataFrame, costs: Map[String, Long],
+      oovCost: Long, maxMeanNll: Long, textCol: String = "_raw"): DataFrame = {
+    val mean = graft.operators.LangModel.meanNllColumn(
+      col(textCol), costs, oovCost)
+    parsed.withColumn("_nll", mean)
+      .filter(col("_nll").isNotNull && col("_nll") <= maxMeanNll)
+      .drop("_nll")
+  }
+
   /** Online per-filter classifier state for flatMapGroupsWithState. */
   final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
 

@@ -83,7 +83,7 @@ object ScaleProbe {
     "q_curate_pipeline",                                 // curation
     "q_pack_sequences", "q_chunk_tokens",                // packing
     "q_text_profile", "q_tfidf", "q_repetition",
-    "q_source_overlap",                                  // text analysis
+    "q_lm_quality", "q_source_overlap",                  // text analysis
     "x_grep_scan", "x_grep_index_lookup")                // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the
@@ -143,7 +143,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val x100Mode = args.contains("x100")
-    val dirArgs = args.filterNot(_ == "x100")
+    // `only:name1,name2` restricts the sweep (new-operator iteration)
+    val only = args.find(_.startsWith("only:"))
+      .map(_.stripPrefix("only:").split(',').toSet)
+    val dirArgs = args.filterNot(a => a == "x100" || a.startsWith("only:"))
     val x10Dir = dirArgs.headOption.getOrElse("/tmp/graft_x10")
     val spark = graft.GraftSession.builder(graft.GraftSession.defaultCores)
       .appName("scale-probe").getOrCreate()
@@ -176,7 +179,8 @@ object ScaleProbe {
       "sf0.1" -> "/root/testdata/sf0.1",
       "x10" -> x10Dir)
 
-    runSweep(spark, probeQueries, dirs, growthFrom = "sf0.1", growthTo = "x10")
+    val qs = only.fold(probeQueries)(o => probeQueries.filter(o))
+    runSweep(spark, qs, dirs, growthFrom = "sf0.1", growthTo = "x10")
     spark.stop()
   }
 

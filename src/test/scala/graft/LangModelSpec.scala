@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.LangModel
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 class LangModelSpec extends SparkSpec {
@@ -41,6 +42,23 @@ class LangModelSpec extends SparkSpec {
     assert(got.getAs[Long]("n_tri") == 2L)
     assert(got.getAs[Long]("nll_micro") == 1098612L)
     assert(got.getAs[Long]("mean_nll_micro") == 549306L)
+  }
+
+  test("docCost/meanNllColumn: compiled per-row path equals the join-based lmScore exactly") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val model = LangModel.lmTrain(
+      docs.filter(col("lang") === "en"), "text")
+    val (costs, oov) = LangModel.collectCosts(model)
+
+    val joined = LangModel.lmScore(docs, "doc_id", "text", model)
+      .select("doc_id", "n_tri", "nll_micro", "mean_nll_micro")
+    val perRow = docs.select(col("doc_id"),
+        LangModel.docCost(col("text"), costs, oov).as("st"),
+        LangModel.meanNllColumn(col("text"), costs, oov).as("mean_nll_micro"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n_tri").as("n_tri"),
+        col("st.nll_micro").as("nll_micro"), col("mean_nll_micro"))
+    assert(joined.exceptAll(perRow).isEmpty && perRow.exceptAll(joined).isEmpty)
   }
 
   test("lmScore: documents shorter than 3 chars are absent") {

@@ -140,16 +140,22 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
     assert(got.filter(_._1 == src._1).sortBy(_._4).map(_._2).toSeq == truth)
 
-    // approximate twin: most exact neighbors found (recall is the
-    // tunable; 8 tables on 500 vectors should recover the majority)
+    // Approximate twin. This fixture is LSH's ADVERSARIAL case: its
+    // vectors are near-random, so the true 5-NN sit at cos ≈ 0.32
+    // (nearly orthogonal) where sign-bit collision odds per table are
+    // low — measured recall here is 0.33/0.56/0.80 at 8/16/32 tables,
+    // exactly the (1−θ/π)^bits curve. A real embedding corpus puts
+    // near-dups at cos ≥ 0.9 where a handful of tables suffices; the
+    // spec gates the hard case at 32 tables.
     val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
       .as[(Long, Long, Double, Int)].collect()
       .map(r => (r._1, r._2)).toSet
-    val approx = Similarity.knnJoinLsh(emb, "vec_id", "embedding", k = 5)
+    val approx = Similarity.knnJoinLsh(emb, "vec_id", "embedding", k = 5,
+        nTables = 32)
       .as[(Long, Long, Double, Int)].collect()
       .map(r => (r._1, r._2)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"LSH knn recall $recall")
+    assert(recall >= 0.75, s"LSH knn recall $recall")
   }
 
   test("quantized k-means matches the driver-side reference bit-for-bit") {

@@ -305,6 +305,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM gate drops high-perplexity and unscorable lines at ingest") {
+    implicit val s = spark
+    import s.implicits._
+    // model trained on the in-domain phrasebook
+    val ref = Seq.tabulate(10)(i =>
+      (i, "the server started and the workers joined the cluster"))
+      .toDF("id", "text")
+    val model = graft.operators.LangModel.lmTrain(ref, "text")
+    val (costs, oov) = graft.operators.LangModel.collectCosts(model)
+
+    val inDomain = "2015-07-20T11:35:41.851+00:00 the workers joined the cluster"
+    val garbage = "2015-07-20T11:35:42.851+00:00 zzqx wvvj qqkk xxyyzz jjqq wwvv"
+    // threshold from the batch scores: the gate must separate the two
+    val batchMeans = Seq(inDomain, garbage).toDF("_raw")
+      .select(graft.operators.LangModel
+        .meanNllColumn(org.apache.spark.sql.functions.col("_raw"), costs, oov)
+        .as("m")).as[Long].collect()
+    assert(batchMeans(0) < batchMeans(1),
+      s"in-domain must score below garbage: ${batchMeans.toSeq}")
+    val threshold = (batchMeans(0) + batchMeans(1)) / 2
+
+    val input = MemoryStream[String](spark)
+    val gated = LogPipeline.lmGateStream(
+      LogPipeline.parse(input.toDF(), "value"), costs, oov,
+      maxMeanNll = threshold)
+    val q = gated.writeStream.format("memory").queryName("lm_gate_test")
+      .outputMode("append").start()
+    try {
+      input.addData(inDomain, garbage,
+        "x") // unscorable: under 3 chars after parse
+      q.processAllAvailable()
+      val got = spark.table("lm_gate_test").select("_raw").as[String].collect()
+      assert(got.length == 1, s"expected only the in-domain line, got ${got.toSeq}")
+      assert(got.head.contains("workers joined"))
+    } finally q.stop()
+  }
+
   test("streaming session windows gap-merge and close past the watermark") {
     implicit val s = spark
     import s.implicits._
