@@ -1076,34 +1076,62 @@ object SparkEntry {
       // scored by integer micro-nat cost — floor(-ln p · 1e6) per
       // VOCABULARY entry, BIGINT sums per doc, integer-division mean —
       // so the whole train-and-score chain replays exactly in SQL.
+      // Scoring runs the compiled per-row path (lmScoreCompiled: the
+      // bounded cost table collected once, one projection over the
+      // corpus, zero shuffle) — the join-based lmScore is its
+      // spec-asserted reference twin.
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val model = graft.operators.LangModel.lmTrain(
           docs.filter(col("lang") === "en"), "text")
-        graft.operators.LangModel.lmScore(docs, "doc_id", "text", model)
+        graft.operators.LangModel.lmScoreCompiled(docs, "doc_id", "text",
+          model)
       },
-      Some("""WITH t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
-             |pos AS (SELECT doc_id, lang, s,
-             |               unnest(generate_series(1, len(s)-2)) AS i FROM t),
-             |g AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
-             |      FROM pos),
-             |model AS (SELECT gram, count(*) AS c FROM g
-             |          WHERE lang = 'en' GROUP BY 1),
-             |tot AS (SELECT sum(c) AS total, count(*) AS v FROM model),
-             |cost AS (SELECT gram,
-             |           CAST(floor(-ln(CAST(c+1 AS DOUBLE)/CAST(total+v AS DOUBLE))
-             |                      *1000000) AS BIGINT) AS cost
-             |         FROM model, tot),
-             |ov AS (SELECT CAST(floor(-ln(1.0/CAST(total+v AS DOUBLE))*1000000)
-             |              AS BIGINT) AS oov_cost FROM tot),
-             |dg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
-             |sc AS (SELECT dg.doc_id,
-             |              sum(dg.n * coalesce(cost.cost, ov.oov_cost)) AS nll_micro,
-             |              sum(dg.n) AS n_tri
-             |       FROM dg LEFT JOIN cost USING (gram), ov GROUP BY 1)
+      Some(s"""WITH $lmScoreCtesSql
              |SELECT doc_id, n_tri, nll_micro,
              |       nll_micro // n_tri AS mean_nll_micro
              |FROM sc""".stripMargin)),
+
+    ("q_ccnet_buckets", // CCNet's defining move downstream of the LM
+      // scorer (Wenzek et al. 2019): split each language into
+      // head/middle/tail perplexity terciles and let the mixture pick
+      // buckets. Thresholds are integer score VALUES read off a
+      // per-language histogram (smallest score reaching n/3 resp.
+      // 2n/3 of the mass) — the corpus never sorts; the histogram +
+      // broadcast-threshold plan is the 100 TB shape and the whole
+      // chain (train → score → threshold → label) replays in SQL.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.LangModel.lmTrain(
+          docs.filter(col("lang") === "en"), "text")
+        val scored = graft.operators.LangModel.lmScoreCompiled(
+          docs, "doc_id", "text", model)
+        Curate.perplexityBuckets(
+            scored.join(docs.select("doc_id", "lang"), "doc_id"),
+            "lang", "mean_nll_micro")
+          .select(col("doc_id"), col("lang"), col("mean_nll_micro"),
+            col("bucket"))
+      },
+      Some(s"""WITH $lmScoreCtesSql,
+             |m AS (SELECT doc_id, nll_micro // n_tri AS mean_nll_micro
+             |      FROM sc),
+             |ml AS (SELECT m.doc_id, d.lang, m.mean_nll_micro
+             |       FROM m JOIN documents d USING (doc_id)),
+             |hist AS (SELECT lang, mean_nll_micro AS v, count(*) AS c
+             |         FROM ml GROUP BY 1, 2),
+             |cum AS (SELECT lang, v,
+             |               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
+             |               sum(c) OVER (PARTITION BY lang) AS n
+             |        FROM hist),
+             |thr AS (SELECT lang,
+             |          min(CASE WHEN cc*3 >= n THEN v END) AS t1,
+             |          min(CASE WHEN cc*3 >= 2*n THEN v END) AS t2
+             |        FROM cum GROUP BY 1)
+             |SELECT ml.doc_id, ml.lang, ml.mean_nll_micro,
+             |  CASE WHEN mean_nll_micro <= t1 THEN 'head'
+             |       WHEN mean_nll_micro <= t2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM ml JOIN thr USING (lang)""".stripMargin)),
 
     ("q_corpus_report", // per-(lang, source) corpus health summary —
       // the dashboard a curation run reads before choosing budgets /
@@ -1602,6 +1630,33 @@ object SparkEntry {
              |FROM cum""".stripMargin))
   )
 
+  /** The LM train-and-score CTE chain shared by q_lm_quality and
+    * q_ccnet_buckets: lowercased char trigrams, add-one model over the
+    * English slice, integer micro-nat costs, per-doc BIGINT sums —
+    * ends at `sc(doc_id, nll_micro, n_tri)`. Mirrors
+    * [[graft.operators.LangModel]] exactly.
+    */
+  private def lmScoreCtesSql: String =
+    """t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+      |pos AS (SELECT doc_id, lang, s,
+      |               unnest(generate_series(1, len(s)-2)) AS i FROM t),
+      |g AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+      |      FROM pos),
+      |model AS (SELECT gram, count(*) AS c FROM g
+      |          WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT sum(c) AS total, count(*) AS v FROM model),
+      |cost AS (SELECT gram,
+      |           CAST(floor(-ln(CAST(c+1 AS DOUBLE)/CAST(total+v AS DOUBLE))
+      |                      *1000000) AS BIGINT) AS cost
+      |         FROM model, tot),
+      |ov AS (SELECT CAST(floor(-ln(1.0/CAST(total+v AS DOUBLE))*1000000)
+      |              AS BIGINT) AS oov_cost FROM tot),
+      |dg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+      |sc AS (SELECT dg.doc_id,
+      |              sum(dg.n * coalesce(cost.cost, ov.oov_cost)) AS nll_micro,
+      |              sum(dg.n) AS n_tri
+      |       FROM dg LEFT JOIN cost USING (gram), ov GROUP BY 1)""".stripMargin
+
   /** DuckDB CASE chain mirroring [[TextFunctions.langId]]. */
   private def langIdSql(c: String): String = {
     def score(ms: Seq[String]) =
@@ -2062,9 +2117,11 @@ object SparkEntry {
       // by cosine, ranked on the 6-decimal grid with an id tiebreak
       // so the neighbor set replays exactly. O(n²) by design — the
       // verification twin for the LSH-bucketed scale path (probed as
-      // x_knn_lsh; recall gated in SimilaritySpec).
+      // x_knn_lsh; recall gated in SimilaritySpec). Runs the compiled
+      // broadcast-scan form (knnJoinCompiled — no n² join rows, no
+      // shuffle); the DataFrame knnJoin is its spec-asserted twin.
       (s: SparkSession, dir: String) =>
-        Similarity.knnJoin(t(s, dir, "embeddings"), "vec_id",
+        Similarity.knnJoinCompiled(t(s, dir, "embeddings"), "vec_id",
           "embedding", k = 5),
       Some("""WITH v AS (
              |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

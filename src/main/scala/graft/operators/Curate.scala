@@ -238,4 +238,44 @@ object Curate {
         Scale.sampleBucket(col(idCol)) < col("_thr"))
       .drop("_thr")
   }
+
+  /** CCNet-style head/middle/tail split (Wenzek et al. 2019 bucket a
+    * corpus by per-language LM perplexity terciles and train on the
+    * "head"): label every document with the tercile of its integer LM
+    * score within its language. Thresholds are VALUES, not row ranks —
+    * t1 = the smallest score whose cumulative count reaches n/3, t2
+    * likewise at 2n/3 — so ties at a boundary land in one bucket and
+    * the labeling replays exactly in SQL.
+    *
+    * Scale: one map-side-combinable (group, score) histogram over the
+    * corpus (bounded by distinct integer scores per group), a window
+    * over that small histogram, and a broadcast threshold join back —
+    * the corpus itself never sorts or shuffles, unlike the textbook
+    * `ntile() OVER (PARTITION BY lang ORDER BY score)` which funnels
+    * each language through one task.
+    *
+    * Output: the input plus a `bucket` column ('head' ≤ t1 < 'middle'
+    * ≤ t2 < 'tail').
+    */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val hist = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("_cc", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val thr = cum.groupBy(col(groupCol)).agg(
+      min(when(col("_cc") * 3 >= col("_n"), col(scoreCol))).as("_t1"),
+      min(when(col("_cc") * 3 >= col("_n") * 2, col(scoreCol))).as("_t2"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("_t1"), lit("head"))
+          .when(col(scoreCol) <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_t1", "_t2")
+  }
 }

@@ -51,15 +51,21 @@ object LangModel {
     */
   def collectCosts(model: DataFrame, scale: Long = 1000000L)
       : (Map[String, Long], Long) = {
-    val totals = model.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
-    val denom = (col("total") + col("v")).cast("double")
-    val costs = model.crossJoin(broadcast(totals))
-      .select(col("gram"),
-        floor(-log((col("c") + 1).cast("double") / denom) * scale)
-          .as("cost"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val oov = totals.select(floor(-log(lit(1.0) / denom) * scale))
-      .head().getLong(0)
+    // ONE execution of the model aggregate; totals, per-gram costs and
+    // the OOV cost all derive from the collected counts with the same
+    // double arithmetic the SQL form uses (Math.log, double division,
+    // floor), so values are bit-identical to lmScore's cost table —
+    // re-deriving them through Spark plans instead would re-run the
+    // corpus-wide training scan once per derived value.
+    val rows = model.select(col("gram"), col("c").cast("long")).collect()
+    val total = rows.foldLeft(0L)(_ + _.getLong(1))
+    val denom = (total + rows.length).toDouble
+    val costs = rows.map { r =>
+      r.getString(0) ->
+        math.floor(-math.log((r.getLong(1) + 1).toDouble / denom) * scale)
+          .toLong
+    }.toMap
+    val oov = math.floor(-math.log(1.0 / denom) * scale).toLong
     (costs, oov)
   }
 
@@ -87,6 +93,26 @@ object LangModel {
     val a = st.getField("nll_micro")
     val b = st.getField("n_tri")
     ((a - pmod(a, b)) / b).cast("long")
+  }
+
+  /** [[lmScore]] by the compiled per-row path: collect the bounded
+    * cost table once ([[collectCosts]] — O(charset³) driver state, the
+    * same bound that lets [[lmScore]] broadcast it), then score the
+    * corpus in ONE projection via [[docCost]] — no exploded corpus, no
+    * join, and no shuffle at all beyond [[lmTrain]]'s model aggregate.
+    * Output schema and every integer are [[lmScore]]'s exactly
+    * (LangModelSpec asserts parity), so the two share an oracle. This
+    * is the shape the 100 TB scorer takes: the corpus is touched once,
+    * row by row, embarrassingly parallel.
+    */
+  def lmScoreCompiled(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val (costs, oov) = collectCosts(model, scale)
+    docs.select(col(idCol), docCost(col(textCol), costs, oov).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col(idCol), col("st.n_tri").as("n_tri"),
+        col("st.nll_micro").as("nll_micro"))
+      .withColumn("mean_nll_micro", expr("nll_micro div n_tri"))
   }
 
   /** Score each document against a trained model: per-doc trigram

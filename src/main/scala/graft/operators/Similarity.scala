@@ -421,6 +421,106 @@ object Similarity {
     rankNeighbors(scoreCosine(pairs), idCol, k)
   }
 
+  /** The compiled fast path of [[knnJoin]] for numeric ids: collect
+    * the (id, vector, norm) corpus once, broadcast it, and give every
+    * row one tight scan over it keeping a k-bounded selection — the
+    * n² pair rows (each hauling two embedding arrays through a
+    * nested-loop join) never materialize, and nothing shuffles.
+    * Arithmetic is [[knnJoin]]'s bit-for-bit: the same left-to-right
+    * double summation as [[graft.functions.VecDot]], HALF_UP rounding
+    * to the 6-decimal grid (what `functions.round` does to a double),
+    * (cos desc, id asc) ranking — SimilaritySpec asserts set equality
+    * against [[knnJoin]] on the fixtures. Same sample-scale contract
+    * as knnJoin's broadcast side (the corpus must fit an executor);
+    * the 100 TB path remains [[knnJoinLsh]].
+    */
+  def knnJoinCompiled(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val corpus = vecs.collect()
+    val norms = corpus.map { case (_, v) => math.sqrt(dotArr(v, v)) }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    // the source is typically a handful of parquet files — spread the
+    // O(n·m·dim) scan across every core (the rows are tiny; the work
+    // is per-row)
+    val spread = vecs.repartition(graft.GraftSession.defaultCores)
+    spread.mapPartitions { it =>
+      val (cor, nrm) = bc.value
+      val m = cor.length
+      val kk = math.min(k, math.max(m - 1, 0))
+      val raw = new Array[Double](m) // reused per row
+      it.flatMap { case (id, v) =>
+        val na = math.sqrt(dotArr(v, v))
+        // pass 1: raw cosines + the k-th largest raw value. Rounding
+        // to the 6-decimal grid moves a value by ≤ 5e-7, so only
+        // candidates with raw ≥ kthRaw − 1e-6 can place in the
+        // rounded-grid top k — everything below is strictly under the
+        // k-th candidate's rounded value. BigDecimal rounding then
+        // touches ~k values per row, not all m.
+        var j = 0
+        while (j < m) {
+          raw(j) =
+            if (cor(j)._1 == id) -2.0 // self: below any real cosine
+            else {
+              val denom = na * nrm(j)
+              if (denom == 0.0) 0.0 else dotArr(v, cor(j)._2) / denom
+            }
+          j += 1
+        }
+        val kth = {
+          val sel = new Array[Double](kk)
+          var filled = 0
+          var i = 0
+          while (i < m) {
+            val c = raw(i)
+            if (cor(i)._1 != id) {
+              var pos = filled
+              while (pos > 0 && sel(pos - 1) < c) pos -= 1
+              if (pos < kk) {
+                var q = math.min(filled, kk - 1)
+                while (q > pos) { sel(q) = sel(q - 1); q -= 1 }
+                sel(pos) = c
+                if (filled < kk) filled += 1
+              }
+            }
+            i += 1
+          }
+          if (filled < kk) Double.NegativeInfinity else sel(filled - 1)
+        }
+        // pass 2: round the survivors, rank on (rounded desc, id asc)
+        val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        j = 0
+        while (j < m) {
+          if (cor(j)._1 != id && raw(j) >= kth - 1e-6)
+            cand += ((round6(raw(j)), cor(j)._1))
+          j += 1
+        }
+        cand.sortBy { case (c, cid) => (-c, cid) }
+          .take(kk).iterator.zipWithIndex
+          .map { case ((c, cid), r) => (id, cid, c, r + 1) }
+      }
+    }.toDF(idCol, "neighbor_id", "cos_s", "rank")
+  }
+
+  /** Left-to-right double dot — [[graft.functions.VecDot]]'s exact
+    * summation order, driver/executor-side.
+    */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** What `functions.round(c, 6)` does to a non-null double. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Approximate k-NN join: candidates from [[lshPairs]]-style
     * hyperplane banding (pairs sharing ANY table signature), exact
     * cosine on candidates only, top-k per source id. Recall < 1 by

@@ -251,4 +251,34 @@ class CurateSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("broadcast"),
       s"offsets must broadcast-join, not shuffle:\n$plan")
   }
+
+  test("perplexity buckets: value terciles per group, boundary ties share a bucket") {
+    import spark.implicits._
+    // group a: scores 1..9 → t1=3, t2=6; group b: all equal → all head
+    val in = ((1 to 9).map(i => ("a", i.toLong, i.toLong)) ++
+      (20 to 23).map(i => ("b", i.toLong, 7L))).toDF("g", "id", "s")
+    val out = Curate.perplexityBuckets(in, "g", "s")
+      .select("g", "id", "bucket").as[(String, Long, String)].collect()
+    val a = out.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    assert((1L to 3L).forall(a(_) == "head"))
+    assert((4L to 6L).forall(a(_) == "middle"))
+    assert((7L to 9L).forall(a(_) == "tail"))
+    assert(out.filter(_._1 == "b").forall(_._3 == "head"))
+
+    // boundary tie: mass heaped ON the threshold value stays together
+    val tied = Seq(("c", 1L, 5L), ("c", 2L, 5L), ("c", 3L, 5L),
+      ("c", 4L, 9L)).toDF("g", "id", "s")
+    val tb = Curate.perplexityBuckets(tied, "g", "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    // t1 = t2 = 5 (the tied value absorbs both tercile points), so the
+    // remaining value falls past the middle band entirely
+    assert(Seq(1L, 2L, 3L).forall(tb(_) == "head") && tb(4L) == "tail")
+
+    // the corpus itself must not sort/shuffle: label side is one
+    // broadcast join over the histogram thresholds
+    val plan = Curate.perplexityBuckets(in, "g", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast:\n$plan")
+  }
 }

@@ -59,6 +59,11 @@ class LangModelSpec extends SparkSpec {
       .select(col("doc_id"), col("st.n_tri").as("n_tri"),
         col("st.nll_micro").as("nll_micro"), col("mean_nll_micro"))
     assert(joined.exceptAll(perRow).isEmpty && perRow.exceptAll(joined).isEmpty)
+
+    // the packaged fast path (what q_lm_quality runs) is the same rows
+    val packaged = LangModel.lmScoreCompiled(docs, "doc_id", "text", model)
+    assert(joined.exceptAll(packaged).isEmpty &&
+      packaged.exceptAll(joined).isEmpty)
   }
 
   test("lmScore: documents shorter than 3 chars are absent") {

@@ -89,10 +89,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
   }
 
-  test("lm quality: cost table broadcast, corpus never sort-merge-joins on gram") {
+  test("lm quality: compiled scoring is one projection — no join, no exchange") {
+    // the cost table rides inside the LmDocCost expression (collected
+    // once, bounded by charset³); the returned scoring plan must touch
+    // the corpus exactly once with zero data movement
     val p = plan("q_lm_quality")
-    assert(p.contains("BroadcastHashJoin"), s"cost join not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
+    assert(!p.contains("Join"), s"scoring should not join:\n$p")
+    assert(!p.contains("Exchange"), s"scoring should not shuffle:\n$p")
+  }
+
+  test("exact knn: broadcast-scan form — the n² pair join never materializes") {
+    val p = plan("q_embed_knn")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"n² join rows back in the plan:\n$p")
   }
 
   test("classifier batch: secondary sort feeds a streaming MapPartitions (no group buffering)") {

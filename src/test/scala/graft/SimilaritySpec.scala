@@ -158,6 +158,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"LSH knn recall $recall")
   }
 
+  test("knnJoinCompiled: broadcast-scan fast path equals knnJoin row-for-row") {
+    import spark.implicits._
+    val reference = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val compiled = Similarity.knnJoinCompiled(emb, "vec_id", "embedding",
+        k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(compiled == reference)
+  }
+
   test("quantized k-means matches the driver-side reference bit-for-bit") {
     import spark.implicits._
     val got = Similarity.kmeansQuantized(emb, "vec_id", "embedding",
