@@ -374,6 +374,31 @@ object SparkEntry {
              |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
              |  FROM documents) WHERE rk <= 3""".stripMargin)),
 
+    ("q_shuffle_shards", // reproducible global shuffle — the training-
+      // order primitive: shard = equal slice of the md5 hex space,
+      // pos = full-md5 rank within the shard (id tiebreak). Re-running
+      // on any engine reproduces shard membership AND order exactly;
+      // nothing global ever sorts (one shuffle on shard, per-shard
+      // sorts of n/S rows).
+      (s: SparkSession, dir: String) =>
+        graft.operators.Scale.shuffleShards(
+          t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 4),
+      Some {
+        def th(i: Int) = graft.operators.Scale.hexThreshold(i / 4.0)
+        s"""WITH h AS (SELECT doc_id,
+           |             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
+           |           FROM documents),
+           |s AS (SELECT doc_id, hh, CASE
+           |        WHEN substr(hh, 1, 8) < '${th(1)}' THEN 0
+           |        WHEN substr(hh, 1, 8) < '${th(2)}' THEN 1
+           |        WHEN substr(hh, 1, 8) < '${th(3)}' THEN 2
+           |        ELSE 3 END AS shard FROM h)
+           |SELECT doc_id, shard,
+           |       row_number() OVER (PARTITION BY shard
+           |         ORDER BY hh, doc_id) AS pos
+           |FROM s""".stripMargin
+      }),
+
     ("q_correlated_sub", // correlated scalar subquery (same text both engines)
       (s: SparkSession, dir: String) => {
         Tables.registerAll(s, dir)
@@ -2181,6 +2206,22 @@ object SparkEntry {
           "vec_id", "embedding", k = 4, iterations = 2),
       Some(s"""${kmeansCtesSql(k = 4, where = "")}
               |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin""".stripMargin)),
+
+    ("q_cluster_sample", // cluster-balanced subsample (the diversity
+      // prune of SemDeDup-style pipelines): the integer-exact k-means
+      // fit scopes a deterministic md5-order cap per cluster, so no
+      // dense embedding region dominates the kept set. Fit + cap both
+      // replay in SQL (kmeansCtesSql + the stratified hash-rank rule).
+      (s: SparkSession, dir: String) =>
+        Similarity.clusterSample(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, iterations = 2, perCluster = 20),
+      Some(s"""${kmeansCtesSql(8, "")},
+              |r AS (SELECT vec_id, cl AS cluster,
+              |        row_number() OVER (PARTITION BY cl
+              |          ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+              |                   vec_id) AS rk
+              |      FROM fin)
+              |SELECT vec_id, cluster FROM r WHERE rk <= 20""".stripMargin)),
 
     ("q_embed_ivf_q", // IVF probe with an oracle-checkable FIT: coarse
       // quantizer = the integer-exact quantized k-means (8 cells,

@@ -99,6 +99,39 @@ object Scale {
     df.withColumn(labelCol, chain)
   }
 
+  /** Deterministic global shuffle into training shards: every row gets
+    * a `shard` (equal slice of the md5 hex space — [[hashSplit]] with
+    * uniform weights) and a `pos` (its rank within the shard by full
+    * md5 order, id tiebreak). Together they define a reproducible
+    * random permutation of the corpus — the training-order primitive:
+    * re-running the pipeline, on any engine, yields byte-identical
+    * shard membership AND intra-shard order, so a training run can be
+    * resumed or replicated exactly. The salt gives each epoch/run its
+    * own permutation.
+    *
+    * Scale: one shuffle on `shard` (each holds ~n/nShards rows) and a
+    * per-shard sort — pick nShards so a shard fits an executor's sort
+    * buffer (at 100 TB that's just "more shards", the same knob as
+    * output file count). No global sort ever runs.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val bucket = substring(col("_h"), 1, 8)
+    val chain = (0 until nShards - 1).foldRight(
+      lit(nShards - 1): Column) { case (i, els) =>
+      when(bucket < lit(hexThreshold((i + 1).toDouble / nShards)),
+        lit(i)).otherwise(els)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", chain)
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   /** Stratified deterministic sample: keep at most `perGroup` rows per
     * stratum, chosen by md5(id) order (with the id itself as the final
     * tiebreak), so the kept set is stable across runs, partitionings,

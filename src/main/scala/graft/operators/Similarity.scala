@@ -561,6 +561,28 @@ object Similarity {
     } finally base.unpersist(false)
   }
 
+  /** Cluster-balanced subsample: fit the integer-exact quantized
+    * k-means, then keep at most `perCluster` vectors per cluster by
+    * the deterministic md5-order rule ([[Scale.stratifiedSample]] over
+    * the LEARNED cluster label instead of a stored column) — the
+    * diversity-preserving prune a curation pipeline runs so one dense
+    * region of embedding space cannot dominate the kept corpus (the
+    * cluster-balanced selection step of SemDeDup-style pipelines).
+    * Every stage replays in SQL: the fit is [[kmeansQuantized]]'s
+    * integer chain, the cap the same hash-rank rule as every sampler
+    * here.
+    *
+    * Scale: the k-means cost plus ONE shuffle on the cluster label
+    * with a rank-limit per partition — no global sort, no pairwise
+    * work.
+    */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, perCluster: Int): DataFrame = {
+    val assigned = kmeansQuantized(df, idCol, vecCol, k, iterations)
+    Scale.stratifiedSample(assigned.select(col(idCol), col("cluster")),
+      Seq("cluster"), idCol, perCluster)
+  }
+
   /** cos = dot/(norm·norm) over (va, na, vb, nb) pair columns, rounded
     * to the 6-decimal grid every similarity oracle uses.
     */

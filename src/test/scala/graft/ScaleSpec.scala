@@ -142,4 +142,30 @@ class ScaleSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("shuffleShards: a reproducible permutation — disjoint shards, dense ranks, stable across partitioning") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id")
+    val out = Scale.shuffleShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == docs.count())
+    // every row in exactly one shard, shards cover 0..3
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // positions are dense 1..n_s inside each shard
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $sh ranks not dense")
+    }
+    // re-run under a different partitioning: identical permutation
+    val again = Scale.shuffleShards(docs.repartition(7), "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // a different salt is a different permutation
+    val salted = Scale.shuffleShards(docs, "doc_id", 4, salt = "epoch2")
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect()
+    assert(salted.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+  }
 }

@@ -168,6 +168,22 @@ class SimilaritySpec extends SparkSpec {
     assert(compiled == reference)
   }
 
+  test("clusterSample: per-cluster cap holds and equals kmeans+stratified composition") {
+    import spark.implicits._
+    val out = Similarity.clusterSample(emb, "vec_id", "embedding",
+      k = 4, iterations = 2, perCluster = 10)
+    val sizes = out.groupBy("cluster").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= 10))
+    // caps bind: the fixture has >10 vectors in at least one cluster
+    assert(sizes.values.exists(_ == 10L))
+    // deterministic on a re-run
+    val again = Similarity.clusterSample(emb, "vec_id", "embedding",
+      k = 4, iterations = 2, perCluster = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == out.select("vec_id").as[Long].collect().toSet)
+  }
+
   test("quantized k-means matches the driver-side reference bit-for-bit") {
     import spark.implicits._
     val got = Similarity.kmeansQuantized(emb, "vec_id", "embedding",
