@@ -2137,6 +2137,64 @@ object SparkEntry {
              |FROM d, qn
              |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin)),
 
+    ("q_embed_quantize", // int8 max-abs quantization — the 4× IO lever
+      // of a 100 TB similarity pipeline (banding / clustering /
+      // first-pass ranking read a quarter of the bytes; exact re-rank
+      // touches full precision only for candidates). Deterministic
+      // floor arithmetic, replayed component-by-component in SQL.
+      (s: SparkSession, dir: String) =>
+        Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
+            "embedding")
+          .select(col("vec_id"), posexplode(col("qvec")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            col("col").as("q")),
+      Some("""WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                 generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings),
+             |m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1)
+             |SELECT v.vec_id, v.i,
+             |       CASE WHEN m.maxabs = 0 THEN 0
+             |            ELSE CAST(floor(v.x * 127.0 / m.maxabs) AS INT) END AS q
+             |FROM v JOIN m USING (vec_id)""".stripMargin)),
+
+    ("q_embed_topk_q8", // first-pass ranking over the int8 corpus:
+      // integer dot products (exact in doubles — dim·127² ≪ 2⁵³),
+      // same 6-decimal grid and id tiebreak as the float baseline;
+      // recall vs q_embed_topk gated in SimilaritySpec. The whole
+      // quantize→rank path replays in SQL.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        Similarity.topKByQueryInt8(
+          Similarity.quantizeInt8(emb.filter(col("vec_id") > 0),
+            "vec_id", "embedding"),
+          "vec_id", q, 20)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                 generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings),
+             |m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM v GROUP BY 1),
+             |qq AS (SELECT i, CASE WHEN m.maxabs = 0 THEN 0
+             |                 ELSE CAST(floor(v.x * 127.0 / m.maxabs) AS BIGINT) END AS q
+             |       FROM v JOIN m USING (vec_id) WHERE v.vec_id = 0),
+             |cq AS (SELECT v.vec_id, i, CASE WHEN m.maxabs = 0 THEN 0
+             |                 ELSE CAST(floor(v.x * 127.0 / m.maxabs) AS BIGINT) END AS q
+             |       FROM v JOIN m USING (vec_id) WHERE v.vec_id > 0),
+             |d AS (SELECT cq.vec_id, sum(cq.q * qq.q) AS dot,
+             |             sum(cq.q * cq.q) AS na2
+             |      FROM cq JOIN qq USING (i) GROUP BY 1),
+             |nb AS (SELECT sqrt(CAST(sum(q*q) AS DOUBLE)) AS nb FROM qq)
+             |SELECT vec_id,
+             |  round(CASE WHEN sqrt(CAST(na2 AS DOUBLE)) * nb = 0 THEN 0.0
+             |        ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * nb)
+             |        END, 6) AS cos_q
+             |FROM d, nb
+             |ORDER BY CASE WHEN sqrt(CAST(na2 AS DOUBLE)) * nb = 0 THEN 0.0
+             |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * nb)
+             |         END DESC, vec_id
+             |LIMIT 20""".stripMargin)),
+
     ("q_embed_knn", // exact k-NN join (the k-NN graph semantic dedup
       // and hard-negative mining consume): every vector's 5 nearest
       // by cosine, ranked on the 6-decimal grid with an id tiebreak

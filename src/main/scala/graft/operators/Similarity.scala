@@ -561,6 +561,53 @@ object Similarity {
     } finally base.unpersist(false)
   }
 
+  /** Max-abs int8 quantization of an embedding column — the storage /
+    * IO lever for 100 TB candidate generation: a quantized copy of the
+    * corpus is 4× smaller than float32, so LSH banding, cluster
+    * assignment, and first-pass ranking read a quarter of the bytes;
+    * exact re-ranking then touches full precision only for the
+    * candidates. Deterministic and engine-replayable: per-vector
+    * `maxabs` (exact float→double), each component
+    * `floor(x·127/maxabs)` (IEEE double ops in a fixed order), all-zero
+    * vectors quantize to zeros.
+    *
+    * Output: (idCol, maxabs double, qvec array&lt;int&gt; in [-127, 127]).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = VectorFunctions.toDouble(col(vecCol))
+    val maxabs = array_max(transform(vd, x => abs(x)))
+    df.select(col(idCol), maxabs.as("maxabs"), vd.as("_vd"))
+      .withColumn("qvec", when(col("maxabs") === 0.0,
+          transform(col("_vd"), _ => lit(0)))
+        .otherwise(transform(col("_vd"),
+          x => floor(x * lit(127.0) / col("maxabs")).cast("int"))))
+      .drop("_vd")
+  }
+
+  /** Top-k by cosine over the int8-quantized corpus: integer dot
+    * products (exact — |q|≤127, dim·127² ≪ 2⁶³) ranked on the same
+    * 6-decimal grid with id tiebreak. The first-pass ranking of the
+    * quantize-then-rerank pipeline; recall vs the float path is gated
+    * in SimilaritySpec.
+    */
+  def topKByQueryInt8(quantized: DataFrame, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val qmax = query.map(math.abs).max
+    val qq =
+      if (qmax == 0.0) query.map(_ => 0L)
+      else query.map(x => math.floor(x * 127.0 / qmax).toLong)
+    val qlit = array(qq.map(lit): _*)
+    val dot = VectorFunctions.dot(col("qvec"), qlit)
+    val na = sqrt(VectorFunctions.dot(col("qvec"), col("qvec")))
+    val nb = math.sqrt(qq.map(x => (x * x).toDouble).sum)
+    quantized
+      .withColumn("cos_q", when(na * lit(nb) === 0.0, lit(0.0))
+        .otherwise(dot / (na * lit(nb))))
+      .orderBy(col("cos_q").desc, col(idCol))
+      .select(col(idCol), round(col("cos_q"), 6).as("cos_q"))
+      .limit(k)
+  }
+
   /** Cluster-balanced subsample: fit the integer-exact quantized
     * k-means, then keep at most `perCluster` vectors per cluster by
     * the deterministic md5-order rule ([[Scale.stratifiedSample]] over

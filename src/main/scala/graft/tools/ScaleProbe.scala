@@ -80,7 +80,8 @@ object ScaleProbe {
     "x_knn_lsh", "q_embed_kmeans", "q_embed_ivf_q",      // similarity
     "q_quality_topp", "q_token_budget", "q_domain_mix",
     "q_mixture_target", "q_stratified_sample",
-    "q_curate_pipeline",                                 // curation
+    "q_curate_pipeline", "q_ccnet_buckets",
+    "q_cluster_sample", "q_shuffle_shards",              // curation
     "q_pack_sequences", "q_chunk_tokens",                // packing
     "q_text_profile", "q_tfidf", "q_repetition",
     "q_lm_quality", "q_source_overlap",                  // text analysis

@@ -168,6 +168,38 @@ class SimilaritySpec extends SparkSpec {
     assert(compiled == reference)
   }
 
+  test("int8 quantization: components bounded, zero vectors safe, top-k recall holds") {
+    import spark.implicits._
+    val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val comps = qz.select(explode(col("qvec"))).as[Int].collect()
+    // pure floor arithmetic: the ideal range is [-127, 127], with a
+    // one-ulp slack on the negative max-magnitude component
+    // (floor((-maxabs*127)/maxabs) can land on -128)
+    assert(comps.forall(c => c >= -128 && c <= 127))
+    // every vector keeps a near-full-magnitude component
+    val maxPer = qz.select(array_max(transform(col("qvec"),
+      c => abs(c))).as("m")).as[Int].collect()
+    assert(maxPer.forall(m => m >= 126 && m <= 128))
+
+    val zero = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(zero, "vec_id", "embedding")
+      .select(explode(col("qvec"))).as[Int].collect()
+    assert(zq.toSeq == Seq(0, 0, 0))
+
+    // quantized first-pass ranking recalls most of the float top-20
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val base = emb.filter(col("vec_id") > 0)
+    val floatTop = Similarity.topKByQuery(base, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val int8Top = Similarity.topKByQueryInt8(
+        Similarity.quantizeInt8(base, "vec_id", "embedding"),
+        "vec_id", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert((floatTop & int8Top).size >= 14,
+      s"int8 recall ${(floatTop & int8Top).size}/20")
+  }
+
   test("clusterSample: per-cluster cap holds and equals kmeans+stratified composition") {
     import spark.implicits._
     val out = Similarity.clusterSample(emb, "vec_id", "embedding",
