@@ -121,6 +121,47 @@ object SparkEntry {
              |WHERE floor(epoch(ts)) >= n - 172800
              |GROUP BY 1, 2""".stripMargin)),
 
+    ("q_series_corr", // series similarity between filters' stats
+      // series — "which alerts co-move" (one incident, not two): exact
+      // BIGINT moments per pair, one explicitly-associated double
+      // expression for Pearson r on the 6-decimal grid. Self-join
+      // fan-out bounded by the filter catalog squared, never the
+      // corpus.
+      (s: SparkSession, dir: String) => {
+        val stats = StatsRollup.rollup(t(s, dir, "events"), "ts", 300,
+            Seq("event_type"))
+          .select(col("event_type").as("filter_id"),
+            col("bucket_start").as("bucket"), col("cnt").as("count"))
+        StatsRollup.seriesCorrelation(stats)
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type AS fid,
+             |         CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.fid AS filter_a, b.fid AS filter_b,
+             |             count(*) AS n,
+             |             sum(a.x) AS sx, sum(b.x) AS sy,
+             |             sum(a.x*b.x) AS sxy,
+             |             sum(a.x*a.x) AS sxx, sum(b.x*b.x) AS syy
+             |      FROM st a JOIN st b
+             |        ON a.bucket = b.bucket AND a.fid < b.fid
+             |      GROUP BY 1, 2 HAVING count(*) >= 10)
+             |SELECT filter_a, filter_b, n,
+             |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0
+             |         OR CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             |            - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) = 0
+             |       THEN 0.0
+             |       ELSE round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |         / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |            * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             |                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+             |  END AS corr
+             |FROM p""".stripMargin)),
+
     ("q_sliding_window", // §2.9: sliding windows (beyond the reference's tumbling-only)
       (s: SparkSession, dir: String) =>
         t(s, dir, "events")

@@ -88,4 +88,53 @@ object StatsRollup {
     val rolled = rollup(windowed, tsCol, stepSec, keyCols)
     gapFill(rolled, keyCols, "bucket_start", "cnt", stepSec)
   }
+
+  /** Pearson correlation between every pair of filters' count series —
+    * "which alerts co-move": the series-similarity companion to the
+    * outlier ensemble (a correlated pair firing together is one
+    * incident, not two). Input is a stats table (filter_id, bucket,
+    * count); output one row per unordered filter pair with ≥
+    * `minOverlap` shared buckets.
+    *
+    * Engine-exact: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * BIGINT aggregate of integer counts; the single double expression
+    * assembling r is written with explicit association, so any SQL
+    * engine reproduces the 6-decimal value bit-for-bit. Degenerate
+    * (constant) series correlate as 0.
+    *
+    * Scale: one self-join on bucket — per-bucket fan-out is bounded by
+    * the FILTER CATALOG squared (the [[graft.operators.Decontaminate]]
+    * sourceOverlap contract), never by the corpus; the pair aggregate
+    * is map-side combinable.
+    */
+  def seriesCorrelation(stats: DataFrame, minOverlap: Int = 10)
+      : DataFrame = {
+    val a = stats.select(col("filter_id").cast("string").as("filter_a"),
+      col("bucket").cast("long").as("bucket"),
+      col("count").cast("long").as("xa"))
+    val b = stats.select(col("filter_id").cast("string").as("filter_b"),
+      col("bucket").cast("long").as("bucket"),
+      col("count").cast("long").as("xb"))
+    val m = a.join(b, Seq("bucket"))
+      .filter(col("filter_a") < col("filter_b"))
+      .groupBy("filter_a", "filter_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .filter(col("n") >= minOverlap)
+    // moments cast to double BEFORE combining: Spark longs would wrap
+    // where DuckDB widens to int128, so the portable contract is IEEE
+    // doubles over exact integer-valued sums (bit-equal below 2⁵³,
+    // identically-rounded beyond)
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    m.withColumn("corr",
+        when(vx === 0.0 || vy === 0.0, lit(0.0))
+          .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6)))
+      .select(col("filter_a"), col("filter_b"), col("n"), col("corr"))
+  }
 }

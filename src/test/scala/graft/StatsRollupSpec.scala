@@ -46,4 +46,23 @@ class StatsRollupSpec extends SparkSpec {
     val minTs = kept.agg(min(unix_timestamp(col("ts")))).head().getLong(0)
     assert(minTs >= nowSec - 3600)
   }
+
+  test("seriesCorrelation: co-moving pairs hit ±1, constants are 0, short overlap gated") {
+    import spark.implicits._
+    def series(fid: String, xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (fid, i.toLong * 60, x) }
+    val up = (1L to 20L)
+    val stats = (series("a", up) ++ series("b", up.map(_ * 3 + 5)) ++
+      series("c", up.reverse) ++ series("flat", Seq.fill(20)(7L)) ++
+      series("short", Seq(1L, 2L)))
+      .toDF("filter_id", "bucket", "count")
+    val got = StatsRollup.seriesCorrelation(stats)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("a", "b")) == 1.0)   // exact linear relation
+    assert(got(("a", "c")) == -1.0)  // exact inverse
+    assert(got(("a", "flat")) == 0.0 && got(("b", "flat")) == 0.0)
+    // the 2-bucket series never reaches the minOverlap gate
+    assert(!got.keySet.exists(p => p._1 == "short" || p._2 == "short"))
+  }
 }
