@@ -17,8 +17,10 @@ object Probe {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     // absorb session-wide startup so run1 measures the query's own
-    // cold cost (its codegen + IO), not the JVM's
-    SparkEntry.queries("q1_agg")(spark, dir)
+    // cold cost (its codegen + IO), not the JVM's. Warm on sf0.001,
+    // not `dir` — probe fixtures like the x10/x100 replicas carry only
+    // the documents/embeddings tables.
+    SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()

@@ -1199,6 +1199,58 @@ object SparkEntry {
              |       ELSE 'tail' END AS bucket
              |FROM ml JOIN thr USING (lang)""".stripMargin)),
 
+    ("q_curate_lm_pipeline", // the round's operators COMPOSED as one
+      // training-data assembly: train the LM, score every doc, drop
+      // each language's worst perplexity tercile (CCNet keep
+      // head+middle), then deal the survivors into reproducible
+      // training shards with a deterministic order. The entire chain
+      // — train → score → threshold → filter → permute — hash-matches
+      // one DuckDB query.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.LangModel.lmTrain(
+          docs.filter(col("lang") === "en"), "text")
+        val scored = graft.operators.LangModel.lmScoreCompiled(
+          docs, "doc_id", "text", model)
+        val kept = Curate.perplexityBuckets(
+            scored.join(docs.select("doc_id", "lang"), "doc_id"),
+            "lang", "mean_nll_micro")
+          .filter(col("bucket") =!= "tail")
+          .select("doc_id")
+        graft.operators.Scale.shuffleShards(kept, "doc_id", nShards = 4)
+      },
+      Some {
+        def th(i: Int) = graft.operators.Scale.hexThreshold(i / 4.0)
+        s"""WITH $lmScoreCtesSql,
+           |m AS (SELECT doc_id, nll_micro // n_tri AS mean_nll_micro
+           |      FROM sc),
+           |ml AS (SELECT m.doc_id, d.lang, m.mean_nll_micro
+           |       FROM m JOIN documents d USING (doc_id)),
+           |hist AS (SELECT lang, mean_nll_micro AS v, count(*) AS c
+           |         FROM ml GROUP BY 1, 2),
+           |cum AS (SELECT lang, v,
+           |               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
+           |               sum(c) OVER (PARTITION BY lang) AS n
+           |        FROM hist),
+           |thr AS (SELECT lang,
+           |          min(CASE WHEN cc*3 >= 2*n THEN v END) AS t2
+           |        FROM cum GROUP BY 1),
+           |kept AS (SELECT ml.doc_id FROM ml JOIN thr USING (lang)
+           |         WHERE mean_nll_micro <= t2),
+           |h AS (SELECT doc_id,
+           |             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
+           |      FROM kept),
+           |sh AS (SELECT doc_id, hh, CASE
+           |         WHEN substr(hh, 1, 8) < '${th(1)}' THEN 0
+           |         WHEN substr(hh, 1, 8) < '${th(2)}' THEN 1
+           |         WHEN substr(hh, 1, 8) < '${th(3)}' THEN 2
+           |         ELSE 3 END AS shard FROM h)
+           |SELECT doc_id, shard,
+           |       row_number() OVER (PARTITION BY shard
+           |         ORDER BY hh, doc_id) AS pos
+           |FROM sh""".stripMargin
+      }),
+
     ("q_corpus_report", // per-(lang, source) corpus health summary —
       // the dashboard a curation run reads before choosing budgets /
       // mixtures / gates: doc counts, token mass, median quality,
