@@ -2110,6 +2110,56 @@ object SparkEntry {
              |SELECT b.doc_id, coalesce(r.text_deduped, '') AS text_deduped
              |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin)),
 
+    ("q_scrub_spans", // SPAN-level decontamination: cut the
+      // benchmark-overlapping 8-gram spans and keep the document (the
+      // modern pipeline behavior; q_decontaminate's whole-doc drop is
+      // the blunt instrument). Same coverage-window chain as
+      // q_dedup_spans with the duplicate test replaced by membership
+      // in the benchmark's broadcast gram set; matching is
+      // case-insensitive, the rebuilt text preserves original case.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 3)
+          .select(substring(col("text"), 20, 120).as("phrase"))
+        graft.operators.Decontaminate.scrubSpans(
+          docs, "doc_id", "text", bench, "phrase", 8)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             x -> len(x) > 0) AS tk
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+             |         unnest(tk) AS tok
+             |  FROM base),
+             |grams AS (
+             |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g
+             |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 7),
+             |          i -> {'pos': i - 1,
+             |                'g': md5(lower(array_to_string(list_slice(tk, i, i + 7), ' ')))})) AS pg
+             |        FROM base WHERE len(tk) >= 8)),
+             |btok AS (
+             |  SELECT list_filter(string_split_regex(substr(text, 20, 120), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents WHERE doc_id % 97 = 3),
+             |bg AS (
+             |  SELECT DISTINCT md5(lower(array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+             |  FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+             |        FROM btok WHERE len(t) >= 8)),
+             |hit AS (SELECT DISTINCT doc_id, pos FROM grams JOIN bg USING (g)),
+             |cov AS (
+             |  SELECT t.doc_id, t.pos, t.tok,
+             |         max(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+             |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+             |  FROM toks t LEFT JOIN hit h
+             |    ON h.doc_id = t.doc_id AND h.pos = t.pos),
+             |reb AS (SELECT doc_id,
+             |               array_to_string(list(tok ORDER BY pos), ' ') AS text_scrubbed
+             |        FROM cov WHERE covered = 0 GROUP BY 1)
+             |SELECT b.doc_id, coalesce(r.text_scrubbed, '') AS text_scrubbed
+             |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin)),
+
     ("q_dedup_semantic", // SemDeDup-shaped semantic dedup: the
       // integer-exact quantized k-means scopes an exact pairwise-cosine
       // keep-first prune to WITHIN each cluster — the whole path,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Train/test decontamination: find training documents that share
@@ -62,6 +63,59 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
       .select(col(corpusId)).distinct()
     corpus.join(flagged, Seq(corpusId), "left_anti")
+  }
+
+  /** Span-level decontamination — remove the CONTAMINATED SPANS and
+    * keep the document (the modern pipeline behavior, vs
+    * [[decontaminate]]'s whole-document drop): every corpus token
+    * covered by a case-insensitive `n`-token gram that also occurs in
+    * the benchmark set is cut, and the survivors are rejoined in
+    * order. Same positional-gram + trailing-coverage-window chain as
+    * [[graft.operators.Dedup.dedupSpans]], with the duplicate test
+    * replaced by membership in the benchmark's (distinct, broadcast)
+    * gram set. Fully deterministic — the chain replays in SQL.
+    *
+    * Scale: grams stream straight through a broadcast semi-join
+    * (benchmark sets are small by nature); the coverage window is
+    * bounded by document length; the one corpus shuffle is the
+    * per-document rebuild. Lazy like dedupSpans — the persisted token
+    * base releases via `GraftSession.releaseCachedBlocks` (README
+    * cache-lifecycle note).
+    */
+  def scrubSpans(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    require(n > 1, s"n-gram size must be > 1: $n")
+    require(n <= 1024, s"n-gram size unreasonably large: $n")
+    val base = corpus
+      .select(col(corpusId).as("id"),
+        TextFunctions.tokens(col(corpusText)).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("id"), posexplode(col("tk")))
+      .withColumnRenamed("col", "tok")
+    def gramsOf(tk: Column): Column =
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => md5(lower(array_join(slice(tk, i + lit(1), lit(n)), " ")))))
+        .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("id"), posexplode(gramsOf(col("tk"))))
+      .withColumnRenamed("col", "g")
+    val benchGrams = bench.select(explode(gramsOf(
+        TextFunctions.tokens(col(benchText)))).as("g"))
+      .distinct()
+    val hits = grams.join(broadcast(benchGrams), "g")
+      .select(col("id"), col("pos"), lit(1).as("_hit"))
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val kept = toks.join(hits, Seq("id", "pos"), "left")
+      .withColumn("_cov", max(coalesce(col("_hit"), lit(0))).over(w))
+      .filter(col("_cov") === 0)
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_scrubbed"))
+    base.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(corpusId),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
   }
 
   /** Cross-source n-gram overlap matrix — the corpus-AUDIT view of

@@ -62,6 +62,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("scrubSpans cuts the contaminated span, keeps the rest, case-insensitively") {
+    // 16 tokens: the bench 8-gram sits at positions 4..11 (uppercased
+    // in the corpus — matching must fold case, output must keep it).
+    // A hit START at 4 covers exactly the 8 span tokens via the
+    // trailing window, so the lead-in (0..3) and tail (12..15) survive.
+    val corpus = docs(
+      1L -> ("lead1 lead2 lead3 lead4 ALPHA beta gamma delta epsilon " +
+        "zeta eta THETA tail1 tail2 tail3 tail4"),
+      2L -> "totally unrelated text with nothing shared at all whatsoever",
+      3L -> "short")
+    val bench = docs(
+        100L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .select(col("text").as("phrase"))
+    val got = Decontaminate.scrubSpans(corpus, "doc_id", "text",
+        bench, "phrase", 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "lead1 lead2 lead3 lead4 tail1 tail2 tail3 tail4")
+    assert(got(2L) == "totally unrelated text with nothing shared at all whatsoever")
+    assert(got(3L) == "short")
+    // a full-copy document dissolves entirely
+    val full = docs(9L -> "alpha beta gamma delta epsilon zeta eta theta")
+    assert(Decontaminate.scrubSpans(full, "doc_id", "text", bench,
+      "phrase", 8).collect().map(_.getString(1)).toSeq == Seq(""))
+  }
+
   test("decontamination plan broadcasts the benchmark side") {
     val corpus = docs(1L -> "a b c d e f g h i j")
     val bench = docs(9L -> "a b c d e f g h")
