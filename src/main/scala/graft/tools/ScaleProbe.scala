@@ -81,10 +81,11 @@ object ScaleProbe {
     "q_quality_topp", "q_token_budget", "q_domain_mix",
     "q_mixture_target", "q_stratified_sample",
     "q_curate_pipeline", "q_ccnet_buckets",
-    "q_cluster_sample", "q_shuffle_shards",              // curation
+    "q_cluster_sample", "q_shuffle_shards",
+    "q_curate_lm_pipeline",                              // curation
     "q_pack_sequences", "q_chunk_tokens",                // packing
     "q_text_profile", "q_tfidf", "q_repetition",
-    "q_lm_quality", "q_source_overlap",                  // text analysis
+    "q_lm_quality", "q_source_overlap", "q_scrub_spans", // text analysis
     "x_grep_scan", "x_grep_index_lookup")                // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the
