@@ -346,7 +346,36 @@ object SparkEntry {
              |  FROM m)
              |SELECT user_id, session_seq, count(*) AS n_events,
              |       min(event_id) AS first_id, max(event_id) AS last_id
-             |FROM s GROUP BY 1, 2""".stripMargin))
+             |FROM s GROUP BY 1, 2""".stripMargin)),
+    ("q_range_join", // interval join via BIN EQUI-JOIN: events inside
+      // derived business-hours windows (06:00–18:00 of every day in
+      // the fixture span). The semantic is `ts BETWEEN start AND end`
+      // — which Spark would plan as a nested loop — but the operator
+      // meets on floor(ts/bin) with a residual filter, the big-big-
+      // safe hash-join shape (PlanQualitySpec gates the nested loop
+      // out). The oracle states the plain BETWEEN join: binning is
+      // invisible to the result.
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+        val wins = ev
+          .select(((col("es") - pmod(col("es"), lit(86400L))))
+            .as("day")).distinct()
+          .select((col("day") + 21600L).as("win_start"),
+            (col("day") + 64800L).as("win_end"))
+        graft.operators.Temporal.rangeJoin(ev, "es", wins,
+            "win_start", "win_end", binSec = 3600)
+          .select(col("event_id"), col("win_start"))
+      },
+      Some("""WITH ev AS (SELECT event_id,
+             |                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+             |            FROM events),
+             |win AS (SELECT day + 21600 AS win_start, day + 64800 AS win_end
+             |        FROM (SELECT DISTINCT (es // 86400) * 86400 AS day
+             |              FROM ev))
+             |SELECT e.event_id, w.win_start
+             |FROM ev e JOIN win w
+             |  ON e.es BETWEEN w.win_start AND w.win_end""".stripMargin))
   )
 
   /** Orders strictly above 1.5× their customer's average — Catalyst

@@ -86,4 +86,38 @@ object Temporal {
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
   }
+
+  /** Range (interval) join — every (point, interval) pair with
+    * `start ≤ point ≤ end`, both in epoch seconds — via BIN EQUI-JOIN:
+    * points map to `floor(ts / binSec)`, intervals explode to every
+    * bin they cover, the sides meet on the bin key, and a residual
+    * range filter keeps the true matches. Each matching pair meets in
+    * exactly ONE bin (the point's own), so no dedup pass is needed.
+    *
+    * The point: Spark plans a raw `ON ts BETWEEN start AND end` as a
+    * broadcast-nested-loop (small side) or a cartesian (big-big) —
+    * O(|points|·|intervals|) either way. Binning turns it into a hash
+    * equi-join whose cost is O(points + Σ interval spans / binSec +
+    * matches), shuffled on the bin key with AQE skew handling —
+    * the big-big-safe shape (PlanQualitySpec gates the nested loop
+    * out). Pick `binSec` near the typical interval length: each
+    * interval explodes to ~span/binSec rows (one exploded row per
+    * covered bin), while an over-wide bin inflates the residual
+    * filter's candidate set.
+    */
+  def rangeJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSec: Long): DataFrame = {
+    require(binSec > 0, s"binSec must be positive: $binSec")
+    val p = points.withColumn("_bin",
+      floor(col(tsCol) / binSec).cast("long"))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(startCol) / binSec).cast("long"),
+        floor(col(endCol) / binSec).cast("long"))))
+    p.join(iv, Seq("_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
 }
