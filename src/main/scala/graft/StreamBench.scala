@@ -110,90 +110,103 @@ object StreamBench {
     val compactKey = "spark.sql.streaming.fileSink.log.compactInterval"
     val prevCompact = spark.conf.getOption(compactKey)
     spark.conf.set(compactKey, "120")
-    val parsed = LogPipeline.parse(generator(spark, ratePerSec))
-    val matched = LogPipeline.matches(parsed, registry)
-    // each query in its own FAIR pool: a multi-second stats micro-batch
-    // every 10 s otherwise starves the 1 s results cadence — the
-    // overlap showed up as a p95 tail (~1.1 s) at 40k+ lines/s
-    val results = GraftSession.inPool(spark, "stream_results") {
-      matched
-        .withColumn("date", graft.functions.LogFunctions.dateSuffix(col("ts")))
-        .writeStream.queryName("bench_results")
-        .format("parquet")
-        .option("path", s"$dir/results")
-        .option("checkpointLocation", s"$dir/ckpt-results")
-        .partitionBy("filter_id", "date")
-        .trigger(Trigger.ProcessingTime("1 second"))
-        .outputMode("append")
-        .start()
-    }
-    val stats = GraftSession.inPool(spark, "stream_stats") {
-      // the stats state is keyed by (filter_id, window) — a handful of
-      // live keys, so 32 state-store partitions are pure per-trigger
-      // commit overhead; 8 is plenty and frees cores the results
-      // query's cadence needs. The conf is captured at query START, so
-      // scoping the set/restore here affects only this query.
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try LogPipeline.statsFrame(matched, stepSec = 10)
-        .writeStream
-        .format("memory").queryName("bench_stats")
-        .outputMode("update")
-        .trigger(Trigger.ProcessingTime("10 seconds"))
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
-    try Thread.sleep(runtimeSec * 1000L)
-    finally {
-      // stop each query independently: if results.stop() throws (e.g.
-      // the query already died), the stats query must still be stopped
-      // and the listener removed — otherwise both keep running in the
-      // shared session Bench continues to use
-      def quietStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-        try q.stop()
-        catch { case e: Throwable =>
-          System.err.println(s"[streambench] stop(${q.name}) failed: $e")
+    // everything through the matched-rows read runs under the tuned
+    // conf; the finally restores it on EVERY exit path (a throw
+    // anywhere here must not leak interval 120 into the shared session)
+    val (rd, sd, warmupMax, rowsIn, rowsMatched) = try {
+      val parsed = LogPipeline.parse(generator(spark, ratePerSec))
+      val matched = LogPipeline.matches(parsed, registry)
+      var results: org.apache.spark.sql.streaming.StreamingQuery = null
+      var stats: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        // each query in its own FAIR pool: a multi-second stats
+        // micro-batch every 10 s otherwise starves the 1 s results
+        // cadence — the overlap showed up as a p95 tail (~1.1 s) at
+        // 40k+ lines/s
+        results = GraftSession.inPool(spark, "stream_results") {
+          matched
+            .withColumn("date",
+              graft.functions.LogFunctions.dateSuffix(col("ts")))
+            .writeStream.queryName("bench_results")
+            .format("parquet")
+            .option("path", s"$dir/results")
+            .option("checkpointLocation", s"$dir/ckpt-results")
+            .partitionBy("filter_id", "date")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .outputMode("append")
+            .start()
         }
-      quietStop(results); quietStop(stats)
-      spark.streams.removeListener(listener)
-    }
-    def stat(name: String): (Seq[Double], Long) = {
-      val q = durations.get(name)
-      if (q == null) (Seq.empty, 0L)
-      else {
-        val xs = scala.jdk.CollectionConverters.CollectionHasAsScala(q).asScala.toSeq
-        (xs.map(_._1), xs.map(_._2).sum)
+        stats = GraftSession.inPool(spark, "stream_stats") {
+          // the stats state is keyed by (filter_id, window) — a
+          // handful of live keys, so 32 state-store partitions are
+          // pure per-trigger commit overhead; 8 is plenty and frees
+          // cores the results query's cadence needs. The conf is
+          // captured at query START, so scoping the set/restore here
+          // affects only this query.
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          try LogPipeline.statsFrame(matched, stepSec = 10)
+            .writeStream
+            .format("memory").queryName("bench_stats")
+            .outputMode("update")
+            .trigger(Trigger.ProcessingTime("10 seconds"))
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        Thread.sleep(runtimeSec * 1000L)
+      } finally {
+        // stop each query independently, null-safe: if the stats
+        // start() itself threw, the already-running results query must
+        // still be stopped and the listener removed — otherwise it
+        // keeps writing in the shared session Bench continues to use
+        def quietStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+          if (q != null)
+            try q.stop()
+            catch { case e: Throwable =>
+              System.err.println(s"[streambench] stop(${q.name}) failed: $e")
+            }
+        quietStop(results); quietStop(stats)
       }
-    }
-    val (rdAll, rRows) = stat("bench_results")
-    val (sd, _) = stat("bench_stats")
-    // The first few results triggers pay one-time costs (whole-stage
-    // codegen compile, parquet sink/committer init) that exist at any
-    // rate — the reference's Storm workers pay the same JIT ramp before
-    // its 1 s flush cadence settles. Cadence is a steady-state property:
-    // gate on triggers after the warmup, but publish the warmup max too
-    // so the artifact hides nothing. Queue order = listener insertion
-    // order (single listener thread), so the first entries ARE the
-    // earliest triggers.
-    val warmupN = 5
-    val rd = if (rdAll.size > warmupN) rdAll.drop(warmupN) else rdAll
-    val warmupMax = if (rdAll.isEmpty) -1.0 else rdAll.take(warmupN).max
-    val rowsIn = rRows // results-query source rows = generated lines
-    // Count matched rows BEFORE restoring the compact-interval conf:
-    // FileStreamSinkLog interprets the sink's metadata log with the
-    // CURRENT session conf, so a log written at interval 120 but read
-    // back at the default 10 looks for a "*.compact" file that was
-    // never due — the read throws and the metric silently zeroes
-    // (exactly what the first self-adjudicating bench run published).
-    val rowsMatched = try {
-      spark.read.parquet(s"$dir/results").count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[streambench] matched-rows read failed: $e")
-      0L
-    }
-    prevCompact match {
-      case Some(v) => spark.conf.set(compactKey, v)
-      case None    => spark.conf.unset(compactKey)
+      def stat(name: String): (Seq[Double], Long) = {
+        val q = durations.get(name)
+        if (q == null) (Seq.empty, 0L)
+        else {
+          val xs = scala.jdk.CollectionConverters.CollectionHasAsScala(q).asScala.toSeq
+          (xs.map(_._1), xs.map(_._2).sum)
+        }
+      }
+      val (rdAll, rRows) = stat("bench_results")
+      val (sdAll, _) = stat("bench_stats")
+      // The first few results triggers pay one-time costs (whole-stage
+      // codegen compile, parquet sink/committer init) that exist at any
+      // rate — the reference's Storm workers pay the same JIT ramp
+      // before its 1 s flush cadence settles. Cadence is a steady-state
+      // property: gate on triggers after the warmup, but publish the
+      // warmup max too so the artifact hides nothing. Queue order =
+      // listener insertion order (single listener thread), so the first
+      // entries ARE the earliest triggers.
+      val warmupN = 5
+      val rdSteady = if (rdAll.size > warmupN) rdAll.drop(warmupN) else rdAll
+      val wMax = if (rdAll.isEmpty) -1.0 else rdAll.take(warmupN).max
+      // Count matched rows BEFORE restoring the compact-interval conf:
+      // FileStreamSinkLog interprets the sink's metadata log with the
+      // CURRENT session conf, so a log written at interval 120 but read
+      // back at the default 10 looks for a "*.compact" file that was
+      // never due — the read throws and the metric silently zeroes
+      // (exactly what the first self-adjudicating bench run published).
+      val matchedRows = try {
+        spark.read.parquet(s"$dir/results").count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[streambench] matched-rows read failed: $e")
+        0L
+      }
+      (rdSteady, sdAll, wMax, rRows, matchedRows)
+    } finally {
+      spark.streams.removeListener(listener)
+      prevCompact match {
+        case Some(v) => spark.conf.set(compactKey, v)
+        case None    => spark.conf.unset(compactKey)
+      }
     }
     // the temp output + checkpoint dirs accumulate per bench run
     // otherwise (tens of MB each at 20k lines/s)

@@ -26,6 +26,11 @@ case class LmDocCost(child: Expression, costs: Map[String, Long],
     StructField("n_tri", LongType, nullable = false),
     StructField("nll_micro", LongType, nullable = false)))
 
+  // NULL for sub-3-char inputs even when the CHILD is non-nullable —
+  // without this override the optimizer folds a downstream IsNotNull
+  // guard to true and the null struct leaks through
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case StringType =>

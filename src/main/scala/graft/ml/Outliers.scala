@@ -457,7 +457,14 @@ object Outliers {
         evalPoint(it.toIndexedSeq, cfg) match {
           case None => Iterator.empty
           case Some((evalBucket, evalValue, history)) =>
+            // a NaN score is a member ABSTAINING (detect() filters
+            // them out of its average); map it to 0.0 — Spark orders
+            // NaN above every number, so a raw NaN would count as an
+            // automatic vote AND diverge from any SQL replay of the
+            // member formulas. Only reachable with minPoints below a
+            // member's own history need (e.g. IntervalBand under 5).
             val s = members.map(_.score(history, evalValue))
+              .map(v => if (v.isNaN) 0.0 else v)
             Iterator.single(graft.model.MemberScores(fid, evalBucket,
               s(0), s(1), s(2), s(3)))
         }

@@ -489,7 +489,8 @@ object Similarity {
             }
             i += 1
           }
-          if (filled < kk) Double.NegativeInfinity else sel(filled - 1)
+          if (kk == 0 || filled < kk) Double.NegativeInfinity
+          else sel(filled - 1)
         }
         // pass 2: round the survivors, rank on (rounded desc, id asc)
         val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]

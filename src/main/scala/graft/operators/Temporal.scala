@@ -107,15 +107,28 @@ object Temporal {
     */
   def rangeJoin(points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      binSec: Long): DataFrame = {
+      binSec: Long, maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binSec > 0, s"binSec must be positive: $binSec")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive: $maxBinsPerInterval")
     val p = points.withColumn("_bin",
       floor(col(tsCol) / binSec).cast("long"))
+    val startBin = floor(col(startCol) / binSec).cast("long")
+    val endBin = floor(col(endCol) / binSec).cast("long")
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
-      .withColumn("_bin", explode(sequence(
-        floor(col(startCol) / binSec).cast("long"),
-        floor(col(endCol) / binSec).cast("long"))))
+      // fail FAST with a named error on a runaway interval (an
+      // open-ended sentinel end, a unit mix-up): one such row would
+      // otherwise drive sequence() into the array-size limit or an
+      // executor OOM and kill the whole join
+      .withColumn("_bin", explode(sequence(startBin,
+        when(endBin - startBin < maxBinsPerInterval, endBin)
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval spans >= $maxBinsPerInterval bins " +
+              s"of $binSec s (start="), col(startCol),
+            lit(", end="), col(endCol),
+            lit("); widen binSec or raise maxBinsPerInterval")))
+            .cast("long")))))
     p.join(iv, Seq("_bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bin")

@@ -122,9 +122,13 @@ object Repl {
           // `maintain` when a durable stats table is configured (its
           // parent is the root by convention)
           val arg = t.drop("maintain".length).trim
+          // hadoop Path, not java.io.File: File.getParent mangles URI
+          // paths (s3a://bucket/pipe/stats -> s3a:/bucket/pipe) and is
+          // null for a bare relative segment
           val root =
             if (arg.nonEmpty) Some(arg)
-            else statsPath.map(p => new java.io.File(p).getParent)
+            else statsPath.flatMap(p => Option(
+              new org.apache.hadoop.fs.Path(p).getParent).map(_.toString))
           root match {
             case None =>
               out ++= "ERR maintain <pipeline-root> (no durable tables configured)\n"

@@ -65,9 +65,15 @@ object TextIndex {
   def ensureIndex(df: DataFrame, idCol: String, textCol: String,
       cacheKey: String, buckets: Int = 64): String =
     builtIndexes.computeIfAbsent(cacheKey, _ => {
+      // md5 of the key, not String.hashCode: two distinct keys with
+      // colliding 32-bit hashes would share a directory and the second
+      // build would silently overwrite the first key's live index
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val path = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        "graft_index_" + java.lang.Integer.toHexString(cacheKey.hashCode)).toString
+        "graft_index_" + digest).toString
       write(df, idCol, textCol, path, buckets)
       path
     })

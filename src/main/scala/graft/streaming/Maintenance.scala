@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * `root/stats` the durable stats table (both `filter_id=…/date=…`
   * partitioned). Either may be absent — each step no-ops on a missing
   * table. Order matters: TTL first (don't compact bytes about to be
-  * deleted), then compaction of the surviving closed partitions.
+  * deleted), then compaction of the surviving closed partitions. A
+  * results table still carrying a `_spark_metadata` sink log skips
+  * BOTH steps unless `retireResultsSink = true` — the log owns the
+  * file set, so a TTL delete would orphan committed entries just like
+  * compaction would; retirement drops the log before the TTL walk.
   *
   * Retiring a results sink: a stopped `writeStream.format("parquet")`
   * sink leaves a `_spark_metadata` log that pins root-path reads to
@@ -48,13 +52,37 @@ object Maintenance {
       nowMillis: Long = System.currentTimeMillis()): Report = {
     val results = s"$root/results"
     val stats = s"$root/stats"
-    val expiredResults =
-      LogPipeline.expireResults(spark, results, retentionDays, nowMillis)
+    val sinkLog = new org.apache.hadoop.fs.Path(results, "_spark_metadata")
+    val resultsLogged = sinkLog
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sinkLog)
+    val (expiredResults, compactedResults) =
+      if (resultsLogged && !retireResultsSink) {
+        // the sink log still owns the results file set: a TTL delete
+        // would orphan committed log entries exactly like compaction
+        // would, so BOTH steps skip until the caller retires the sink
+        System.err.println(s"[maintain] $results has a streaming " +
+          "file-sink log; partition TTL would orphan committed entries " +
+          "— stop the sink and pass retireResultsSink = true")
+        (Seq.empty[String], Seq.empty[String])
+      } else {
+        if (resultsLogged) {
+          // retire the log FIRST (prune uncommitted files, drop the
+          // log — maxFiles = MaxValue makes this a no-compaction
+          // pass), so the TTL below deletes partitions only once
+          // nothing references them
+          LogPipeline.compactResults(spark, results, Int.MaxValue,
+            skipDate, targetFileBytes, dropSinkLog = true,
+            graceMillis = graceMillis)
+        }
+        val expired =
+          LogPipeline.expireResults(spark, results, retentionDays, nowMillis)
+        val compacted = LogPipeline.compactResults(spark, results,
+          maxFiles, skipDate, targetFileBytes,
+          dropSinkLog = false, graceMillis = graceMillis)
+        (expired, compacted)
+      }
     val expiredStats =
       LogPipeline.expireStats(spark, stats, retentionDays, nowMillis)
-    val compactedResults = LogPipeline.compactResults(spark, results,
-      maxFiles, skipDate, targetFileBytes,
-      dropSinkLog = retireResultsSink, graceMillis = graceMillis)
     // the stats table is foreachBatch-written (never carries a sink
     // log), so retirement does not apply to it
     val compactedStats = LogPipeline.compactResults(spark, stats,

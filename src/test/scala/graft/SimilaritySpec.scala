@@ -166,6 +166,14 @@ class SimilaritySpec extends SparkSpec {
         k = 5)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(compiled == reference)
+
+    // degenerate corpora: a single vector has no neighbors (kk = 0
+    // must not index sel(-1)), and k = 0 is an empty graph
+    val one = emb.limit(1)
+    assert(Similarity.knnJoinCompiled(one, "vec_id", "embedding", 5)
+      .isEmpty)
+    assert(Similarity.knnJoinCompiled(emb.limit(10), "vec_id",
+      "embedding", 0).isEmpty)
   }
 
   test("int8 quantization: components bounded, zero vectors safe, top-k recall holds") {

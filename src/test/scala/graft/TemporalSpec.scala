@@ -43,5 +43,17 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.rangeJoin(pts, "es", iv, "s", "e", binSec = 50)
       .select("id", "name").as[(Long, String)].collect().toSet
     assert(got == Set((1L, "w1"), (2L, "w1"), (3L, "w1")))
+
+    // a runaway interval (open-ended sentinel) fails fast with a named
+    // error instead of driving sequence() into the array-size limit
+    val runaway = Seq((0L, 9999999999L, "oops")).toDF("s", "e", "name")
+    val err = intercept[Exception] {
+      Temporal.rangeJoin(pts, "es", runaway, "s", "e", binSec = 1,
+        maxBinsPerInterval = 1000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("rangeJoin")), s"got: $err")
   }
 }
