@@ -27,11 +27,14 @@ import org.apache.spark.sql.SparkSession
   *    parallel/serial ≈ 1.1–1.2, while a 24-thread co-tenant pushes it
   *    to ≈ 2.5 with serial still flat.
   *  - SELF-ADJUDICATION: if an attempt looks contended (parallel/serial
-  *    calib ratio > 1.6 on either endpoint, or streaming reports
-  *    sustained=false), the whole bench re-runs once and the better
-  *    attempt (lower query total, preferring sustained streaming)
-  *    becomes the artifact of record. Both attempts' telemetry is
-  *    published under `attempts` so nothing is hidden.
+  *    calib ratio > 1.6 on either endpoint, the SERIAL probe drifting
+  *    > 1.3× between the run's endpoints — an all-cores co-tenant
+  *    inflates both probes together and hides from the ratio, but not
+  *    from the drift — or streaming reports sustained=false), the
+  *    whole bench re-runs once and the better attempt (lower query
+  *    total, preferring sustained streaming) becomes the artifact of
+  *    record. Both attempts' telemetry is published under `attempts`
+  *    so nothing is hidden.
   */
 object Bench {
 
@@ -84,6 +87,14 @@ object Bench {
     def contended: Boolean =
       calibParBefore > 1.6 * calibBefore ||
         calibParAfter > 1.6 * calibAfter ||
+        // a co-tenant loading EVERY core inflates the serial and
+        // parallel probes together, hiding from the ratio tests above
+        // — but the serial probe drifting between the run's endpoints
+        // exposes it (observed: 0.47 → 0.63 across a run whose
+        // untouched queries ran 15-25× slow while both ratios stayed
+        // under 1.6; clean runs drift ≤ ~1.17)
+        calibAfter > 1.3 * calibBefore ||
+        calibBefore > 1.3 * calibAfter ||
         streamSustained.contains(false)
     def telemetryJson: String =
       f"""{"total":$total%.3f,"contended":$contended,""" +
