@@ -1343,6 +1343,26 @@ object SparkEntry {
              |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
              |                                x -> len(x) > 0), 'window')""".stripMargin)),
 
+    ("q_phrase_index_lookup", // positional-index PHRASE grep: each
+      // phrase token reads one pruned bucket of (tok, id, pos)
+      // postings, shifts to a common start (pos - i), and the
+      // equi-join chain on (id, start) keeps exactly the consecutive
+      // runs — word-boundary phrase search without a corpus scan.
+      // "table table" also proves the adjacency logic on a repeated
+      // token (AND-of-words can't even pose that query).
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val idx = graft.sources.TextIndex.ensurePositional(
+          docs, "doc_id", "text", cacheKey = dir)
+        graft.sources.TextIndex.grepPhrase(docs, "doc_id", idx,
+          "table table").select("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE strpos(' ' || array_to_string(
+             |    list_filter(string_split_regex(lower(text), '\s+'),
+             |                x -> len(x) > 0), ' ') || ' ',
+             |  ' table table ') > 0""".stripMargin)),
+
     ("q_text_profile",
       (s: SparkSession, dir: String) =>
         TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text"),
@@ -1488,6 +1508,46 @@ object SparkEntry {
              |  FROM btok)
              |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
              |FROM cng c JOIN bng b USING (ng) GROUP BY 1, 2""".stripMargin)),
+
+    ("q_decontaminate_bloom", // bloom-prefiltered decontamination ≡ exact
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id").as("bench_id"),
+            substring(col("text"), 20, 120).as("phrase"))
+        graft.operators.Decontaminate.bloomDecontaminate(
+            docs, "doc_id", "text", bench, "bench_id", "phrase",
+            n = 8, minShared = 3L)
+          .select("doc_id", "source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> len(x) > 0) AS t
+             |  FROM documents),
+             |cng AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+             |         ELSE list_transform(generate_series(1, len(t)-7),
+             |                i -> array_to_string(list_slice(t, i, i+7), ' ')) END)) AS ng
+             |  FROM tok),
+             |btok AS (
+             |  SELECT doc_id AS bench_id,
+             |         list_filter(string_split_regex(lower(substr(text, 20, 120)), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents WHERE doc_id % 97 = 3),
+             |bng AS (
+             |  SELECT bench_id, unnest(list_distinct(
+             |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+             |         ELSE list_transform(generate_series(1, len(t)-7),
+             |                i -> array_to_string(list_slice(t, i, i+7), ' ')) END)) AS ng
+             |  FROM btok),
+             |flagged AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+             |    FROM cng c JOIN bng b USING (ng) GROUP BY 1, 2)
+             |  WHERE n_shared >= 3)
+             |SELECT doc_id, source FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin)),
 
     ("q_top_tokens", // corpus heavy hitters, exact counts
       (s: SparkSession, dir: String) =>

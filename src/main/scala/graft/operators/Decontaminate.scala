@@ -118,6 +118,65 @@ object Decontaminate {
         coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter on the corpus
+    * side — the same result, bit-for-bit, at a fraction of the join
+    * traffic. The benchmark's distinct grams aggregate into an m-bit
+    * Bloom bitmap (Catalyst's own `BloomFilterAggregate`, the
+    * machinery behind Spark's runtime join filters); the corpus gram
+    * stream probes it with the codegen'd `BloomFilterMightContain`
+    * predicate, and only bloom-positive grams — the contaminated ones
+    * plus an `fpp` sliver of false positives — reach the exact
+    * broadcast join that assigns (doc, bench) pair counts. False
+    * positives die in that join; Bloom filters have no false
+    * negatives; so the output EQUALS [[decontaminate]]'s exactly and
+    * shares its oracle.
+    *
+    * Why this matters at 100 TB: the exact path's broadcast map holds
+    * every benchmark gram as a string (~50 B each — 10 M grams is a
+    * 500 MB broadcast), while the bitmap holds ~10 BITS per gram at
+    * fpp 1% (~12 MB for those same 10 M) — a ~400× smaller executor
+    * footprint, so far larger decontamination sets stay broadcastable,
+    * and the full string map is only materialized against the
+    * prefiltered trickle instead of every corpus gram.
+    */
+  def bloomDecontaminate(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchId: String,
+      benchText: String, n: Int, minShared: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    require(n > 0, s"n-gram size must be positive: $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val bg = bench.select(col(benchId),
+      explode(ngramSet(col(benchText), n)).as("_ng"))
+    val distinctGrams = bg.select("_ng").distinct()
+    // The count is one job over the SMALL side (eval suites, not the
+    // corpus) and sizes the bitmap; 64 bits floors the degenerate case.
+    val est = distinctGrams.count()
+    if (est == 0L) return corpus
+    val numBits = math.max(64L,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, fpp))
+    val bloom = distinctGrams
+      .select(GraftExprBridge.column(new BloomFilterAggregate(
+          GraftExprBridge.expression(xxhash64(col("_ng"))),
+          Literal(est), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftExprBridge.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      GraftExprBridge.expression(xxhash64(col("_ng")))))
+    val flagged = corpus
+      .select(col(corpusId), explode(ngramSet(col(corpusText), n)).as("_ng"))
+      .filter(mightContain)
+      .join(broadcast(bg), "_ng")
+      .groupBy(col(corpusId), col(benchId))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(corpusId)).distinct()
+    corpus.join(flagged, Seq(corpusId), "left_anti")
+  }
+
   /** Cross-source n-gram overlap matrix — the corpus-AUDIT view of
     * contamination: for every pair of sources, the number of DISTINCT
     * token n-grams both contain. A mirror/scrape pair lights up before

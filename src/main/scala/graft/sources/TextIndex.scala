@@ -122,4 +122,84 @@ object TextIndex {
       .withColumnRenamed("id", idCol)
     corpus.join(ids, Seq(idCol), "left_semi")
   }
+
+  // ---- positional index: PHRASE search, not just AND-of-words ----
+
+  /** Positional index pass: (tok, id, pos) for EVERY token occurrence
+    * (vs [[write]]'s distinct-token postings), same bucket layout and
+    * marker. Costs the duplicate occurrences in index bytes; buys
+    * phrase queries — AND-of-words can't distinguish "slow scan" from
+    * "scan slow".
+    */
+  def writePositional(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("bucket", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(buckets.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** [[ensureIndex]]'s build-once memoization for the positional
+    * layout (the key space is shared — callers prefix the cache key,
+    * and the two writers never race on one directory because the key
+    * hash IS the directory name).
+    */
+  def ensurePositional(df: DataFrame, idCol: String, textCol: String,
+      cacheKey: String, buckets: Int = 64): String =
+    builtIndexes.computeIfAbsent("pos:" + cacheKey, _ => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(("pos:" + cacheKey).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_index_" + digest).toString
+      writePositional(df, idCol, textCol, path, buckets)
+      path
+    })
+
+  /** Start positions of a multi-token phrase: the i-th phrase token's
+    * postings shift to `pos - i`, and a phrase occurrence is a (id,
+    * start) present in EVERY shifted list — an equi-join chain on
+    * (id, start), each leg reading one bucket directory. Output:
+    * (id, start), one row per occurrence.
+    *
+    * Scale: each leg is a pruned ~1/B index read with the `tok`
+    * equality pushed to parquet; the joins carry posting lists (corpus
+    * frequency of one word), not the corpus, and AQE picks
+    * broadcast/shuffle per leg by actual size.
+    */
+  def phraseStarts(spark: SparkSession, path: String, phrase: String,
+      buckets: Int = 0): DataFrame = {
+    val toks = phrase.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, "phrase must contain at least one token")
+    val b = if (buckets > 0) buckets else bucketsOf(spark, path)
+    toks.zipWithIndex.map { case (t, i) =>
+      spark.read.parquet(path)
+        .filter(col("bucket") === pmod(hash(lit(t)), lit(b)) &&
+          col("tok") === lit(t))
+        .select(col("id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("id", "start")))
+  }
+
+  /** Index-accelerated phrase grep: corpus rows whose text contains
+    * the tokens of `phrase` CONSECUTIVELY (the `grep "a b"` face,
+    * word-boundary semantics).
+    */
+  def grepPhrase(corpus: DataFrame, idCol: String, indexPath: String,
+      phrase: String, buckets: Int = 0): DataFrame = {
+    val ids = phraseStarts(corpus.sparkSession, indexPath, phrase, buckets)
+      .select(col("id").as(idCol))
+    corpus.join(ids, Seq(idCol), "left_semi")
+  }
 }

@@ -87,6 +87,48 @@ class DecontaminateSpec extends SparkSpec {
       "phrase", 8).collect().map(_.getString(1)).toSeq == Seq(""))
   }
 
+  test("bloomDecontaminate equals exact decontaminate, including at minShared > 1") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta different tail",
+      4L -> "clean document with no benchmark overlap at all here")
+    val bench = docs(7L -> "ALPHA beta gamma delta epsilon zeta eta theta iota kappa")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    for (minShared <- Seq(1L, 2L)) {
+      val exact = Decontaminate.decontaminate(corpus, "doc_id", "text",
+          bench, "bench_id", "phrase", 8, minShared)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloomed = Decontaminate.bloomDecontaminate(corpus, "doc_id", "text",
+          bench, "bench_id", "phrase", 8, minShared)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed == exact, s"minShared=$minShared")
+    }
+    // doc 3 shares exactly one 8-gram: dropped at minShared=1, kept at 2
+    assert(Decontaminate.bloomDecontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "phrase", 8, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+  }
+
+  test("bloomDecontaminate with an empty or too-short benchmark keeps the whole corpus") {
+    val corpus = docs(1L -> "a b c d e f g h i j")
+    val bench = docs(9L -> "too short")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    assert(Decontaminate.bloomDecontaminate(corpus, "doc_id", "text",
+      bench, "bench_id", "phrase", 8).count() == 1)
+  }
+
+  test("bloom prefilter plan probes the bitmap predicate, not a first join") {
+    val corpus = docs(1L -> "a b c d e f g h i j")
+    val bench = docs(9L -> "a b c d e f g h")
+      .select(col("doc_id").as("bench_id"), col("text").as("phrase"))
+    val plan = Decontaminate.bloomDecontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "phrase", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"corpus grams should probe the bloom bitmap before any join:\n$plan")
+  }
+
   test("decontamination plan broadcasts the benchmark side") {
     val corpus = docs(1L -> "a b c d e f g h i j")
     val bench = docs(9L -> "a b c d e f g h")

@@ -58,6 +58,52 @@ class TextIndexSpec extends SparkSpec {
     assert(viaCache == viaFresh && viaCache.nonEmpty)
   }
 
+  test("phrase search equals the scan-based consecutive-token filter, not AND-of-words") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textindexpos").toString
+    TextIndex.writePositional(docs, "doc_id", "text", dir)
+    // scan truth: consecutive tokens = substring of the space-joined
+    // token stream with token boundaries
+    def scanIds(phrase: String): Set[Long] = docs
+      .filter(concat(lit(" "),
+          array_join(TextFunctions.tokens(lower(col("text"))), " "),
+          lit(" ")).contains(" " + phrase + " "))
+      .select("doc_id").as[Long].collect().toSet
+    val phrase = "table table"
+    val got = TextIndex.grepPhrase(docs, "doc_id", dir, "TABLE table")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == scanIds(phrase) && got.nonEmpty)
+    // AND-of-words is strictly weaker: every phrase doc has the word,
+    // but some docs hold both occurrences non-adjacently — guard that
+    // the fixture actually exercises the distinction
+    val withBothApart = docs
+      .filter(concat(lit(" "),
+          array_join(TextFunctions.tokens(lower(col("text"))), " "),
+          lit(" ")).contains(" table ") &&
+        !concat(lit(" "),
+          array_join(TextFunctions.tokens(lower(col("text"))), " "),
+          lit(" ")).contains(" " + phrase + " "))
+      .count()
+    assert(withBothApart > 0, "fixture has no non-adjacent counterexample")
+    // 3-token phrase and an absent phrase
+    val three = "key agg row"
+    assert(TextIndex.grepPhrase(docs, "doc_id", dir, three)
+      .select("doc_id").as[Long].collect().toSet == scanIds(three))
+    assert(TextIndex.grepPhrase(docs, "doc_id", dir,
+      "zzz_not_a_token spark").isEmpty)
+  }
+
+  test("phrase legs prune to one bucket each and join on (id, start)") {
+    val dir = java.nio.file.Files.createTempDirectory("textindexpos2").toString
+    TextIndex.writePositional(docs, "doc_id", "text", dir)
+    val p = TextIndex.phraseStarts(spark, dir, "table window")
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[isnotnull\(bucket#\d+\), \(bucket#\d+ = \d+\)\]""".r
+      .findAllIn(p).size >= 2, s"each phrase leg should prune its bucket:\n$p")
+    assert(p.contains("EqualTo(tok,table)") && p.contains("EqualTo(tok,window)"),
+      s"token filters not pushed per leg:\n$p")
+  }
+
   test("lookup prunes to one bucket directory before IO and pushes the token filter") {
     val dir = indexDir()
     val p = TextIndex.lookup(spark, dir, "spark")
