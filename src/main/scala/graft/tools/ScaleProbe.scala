@@ -85,8 +85,9 @@ object ScaleProbe {
     "q_curate_lm_pipeline",                              // curation
     "q_pack_sequences", "q_chunk_tokens",                // packing
     "q_text_profile", "q_tfidf", "q_repetition",
-    "q_lm_quality", "q_source_overlap", "q_scrub_spans", // text analysis
-    "x_grep_scan", "x_grep_index_lookup")                // index vs scan
+    "q_lm_quality", "q_source_overlap", "q_scrub_spans",
+    "q_decontaminate_bloom",                             // text analysis
+    "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the
     * oracle query pins a config or bounds its input:
@@ -103,19 +104,30 @@ object ScaleProbe {
     */
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val idxCache = scala.collection.concurrent.TrieMap[String, String]()
+    def tempIndexDir(): String = {
+      val out = java.nio.file.Files.createTempDirectory("probeidx").toString
+      // the x10 indexes are the largest artifacts the probe writes —
+      // clean them up when the JVM exits rather than leaking per run
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Throwable => () }
+      }))
+      out
+    }
     def index(s: SparkSession, dir: String): String =
       idxCache.getOrElseUpdate(dir, {
-        val out = java.nio.file.Files.createTempDirectory("probeidx").toString
-        // the x10 index is the largest artifact the probe writes —
-        // clean it up when the JVM exits rather than leaking per run
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          import scala.jdk.CollectionConverters._
-          try java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-          catch { case _: Throwable => () }
-        }))
+        val out = tempIndexDir()
         graft.sources.TextIndex.write(
+          Tables.load(s, dir, "documents"), "doc_id", "text", out)
+        out
+      })
+    def posIndex(s: SparkSession, dir: String): String =
+      idxCache.getOrElseUpdate("pos:" + dir, {
+        val out = tempIndexDir()
+        graft.sources.TextIndex.writePositional(
           Tables.load(s, dir, "documents"), "doc_id", "text", out)
         out
       })
@@ -140,7 +152,11 @@ object ScaleProbe {
                 org.apache.spark.sql.functions.col("text"))), "spark"))
           .select("doc_id")),
       "x_grep_index_lookup" -> ((s, dir) =>
-        graft.sources.TextIndex.lookup(s, index(s, dir), "spark")))
+        graft.sources.TextIndex.lookup(s, index(s, dir), "spark")),
+      "x_phrase_lookup" -> ((s, dir) =>
+        graft.sources.TextIndex.grepPhrase(
+          Tables.load(s, dir, "documents"), "doc_id", posIndex(s, dir),
+          "table table").select("doc_id")))
   }
 
   def main(args: Array[String]): Unit = {
