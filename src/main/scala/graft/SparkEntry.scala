@@ -1363,6 +1363,40 @@ object SparkEntry {
              |                x -> len(x) > 0), ' ') || ' ',
              |  ' table table ') > 0""".stripMargin)),
 
+    ("q_bpe_learn", // BPE tokenizer training as a corpus operator:
+      // corpus reduces to its frequency-weighted word vocab once, then
+      // 6 merge rounds run vocab-scale (pair-count agg + one collected
+      // winner row each); greedy merge application is the declarative
+      // gaps-and-islands form, so the whole iterative chain — ties
+      // included — replays in unrolled SQL
+      (s: SparkSession, dir: String) =>
+        graft.operators.Bpe.learn(t(s, dir, "documents"), "text", rounds = 6),
+      Some(s"""${bpeCtesSql(6)}
+             |SELECT * FROM (
+             |${(1 to 6).map(r =>
+                 s"  SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, " +
+                 s"lhs || rhs AS merged, cnt AS weight FROM w$r")
+                .mkString("\n  UNION ALL\n")}
+             |)""".stripMargin)),
+
+    ("q_bpe_encode", // per-doc token/piece counts under the learned
+      // merges: the vocab is encoded once and broadcast-joined back —
+      // the corpus pays one scan, one join, one aggregate, regardless
+      // of merge-round count
+      (s: SparkSession, dir: String) =>
+        graft.operators.Bpe.encode(t(s, dir, "documents"), "doc_id",
+          "text", rounds = 6),
+      Some(s"""${bpeCtesSql(6)},
+             |pieces AS (SELECT word, len(syms) AS n_pieces FROM v6)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+             |FROM (SELECT doc_id, unnest(list_filter(
+             |        string_split_regex(lower(text), '\\s+'),
+             |        x -> len(x) > 0)) AS word
+             |      FROM documents) tk
+             |JOIN pieces USING (word)
+             |GROUP BY 1""".stripMargin)),
+
     ("q_text_profile",
       (s: SparkSession, dir: String) =>
         TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text"),
@@ -2549,6 +2583,56 @@ object SparkEntry {
               |FROM d, qn
               |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin))
   )
+
+  /** DuckDB CTE chain replaying [[graft.operators.Bpe.learn]]'s first
+    * `rounds` merge rounds over the documents word vocabulary: v0 =
+    * weighted vocab with char symbols; per round r, p{r} counts
+    * adjacent pairs, w{r} picks the (cnt DESC, lhs, rhs) winner, and
+    * v{r} applies it via the same gaps-and-islands greedy-non-overlap
+    * logic the Spark side uses (runs of an identical pair merge at
+    * even offsets only; the right half of each applied merge drops
+    * via lag).
+    */
+  private def bpeCtesSql(rounds: Int): String = {
+    val v0 = """v0 AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS weight,
+      |         regexp_extract_all(word, '.') AS syms
+      |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                  x -> len(x) > 0)) AS word
+      |        FROM documents)
+      |  GROUP BY 1)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT u.sym AS lhs, u.nxt AS rhs, CAST(sum(weight) AS BIGINT) AS cnt
+         |  FROM (SELECT weight, unnest(list_transform(generate_series(1, len(syms)-1),
+         |          i -> {'sym': syms[i], 'nxt': syms[i+1]})) AS u
+         |        FROM v${r - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |w$r AS (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |e$r AS (
+         |  SELECT word, weight, u.pos AS pos, u.sym AS sym, u.nxt AS nxt,
+         |         CASE WHEN w.lhs IS NOT NULL THEN 1 ELSE 0 END AS raw
+         |  FROM (SELECT word, weight, unnest(list_transform(generate_series(1, len(syms)),
+         |          i -> {'pos': i, 'sym': syms[i],
+         |                'nxt': CASE WHEN i < len(syms) THEN syms[i+1] END})) AS u
+         |        FROM v${r - 1}) t
+         |  LEFT JOIN w$r w ON u.sym = w.lhs AND u.nxt = w.rhs),
+         |k$r AS (
+         |  SELECT word, weight, pos, sym, nxt, raw,
+         |         (raw = 1 AND (pos - min(pos) OVER (PARTITION BY word,
+         |            CASE WHEN raw = 1 THEN pos - cum END)) % 2 = 0) AS keep
+         |  FROM (SELECT *, sum(raw) OVER (PARTITION BY word ORDER BY pos) AS cum
+         |        FROM e$r)),
+         |v$r AS (
+         |  SELECT word, weight,
+         |         list(CASE WHEN keep THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+         |  FROM (SELECT *, coalesce(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+         |                           false) AS dropright
+         |        FROM k$r)
+         |  WHERE NOT dropright GROUP BY word, weight)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $v0,\n$roundCtes"
+  }
 
   /** DuckDB CTE chain replaying [[Similarity.kmeansQuantizedFit]] (two
     * Lloyd steps, 64-dim fixture vectors): quantize → smallest-id seeds
