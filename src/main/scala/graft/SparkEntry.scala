@@ -1868,8 +1868,82 @@ object SparkEntry {
              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
              |  FROM tok)
              |SELECT doc_id, CAST(st // 2000 AS BIGINT) AS shard
-             |FROM cum""".stripMargin))
+             |FROM cum""".stripMargin)),
+
+    ("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
+      // hashed unigram+bigram bag features (md5 → 512 buckets, an
+      // engine-neutral hash), add-one models of the English target
+      // slice vs the whole corpus, per-bucket log-likelihood ratios in
+      // integer micro-nats broadcast back to one corpus scan — the
+      // published "select web data that resembles the target" weigher
+      // with no float crossing an aggregation
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dsir.importanceWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), buckets = 512)
+      },
+      Some(s"""${dsirCtesSql(512)}
+             |SELECT doc_id, n_feats, logw_micro FROM w""".stripMargin)),
+
+    ("q_dsir_select", // DSIR selection: sample 100 docs without
+      // replacement ∝ exp(importance weight) via the Gumbel-max
+      // top-k — the RNG replaced by the engine's md5 trick (u from
+      // md5('dsir:'||id), strictly inside (0,1)), the Gumbel floored
+      // onto the micro-nat grid, so the resample is an integer top-k
+      // two engines rank identically
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dsir.select(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), k = 100, buckets = 512)
+      },
+      Some(s"""${dsirCtesSql(512)},
+             |sel AS (SELECT doc_id, logw_micro,
+             |          logw_micro + CAST(floor(-ln(-ln(
+             |              (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+             |              / 4294967296.0)) * 1000000) AS BIGINT) AS key_micro
+             |        FROM w)
+             |SELECT doc_id, logw_micro, key_micro FROM sel
+             |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin))
   )
+
+  /** DuckDB CTE chain replaying [[graft.operators.Dsir]]: hashed
+    * unigram+bigram buckets (first 4 md5 hex chars mod B), add-one
+    * bucket models of the English slice vs the whole corpus, dense
+    * per-bucket micro-nat log-likelihood ratios, per-doc BIGINT
+    * weights — ends at `w(doc_id, n_feats, logw_micro)`.
+    */
+  private def dsirCtesSql(buckets: Int): String =
+    s"""WITH dtk AS (SELECT doc_id, lang,
+       |              list_filter(string_split_regex(lower(text), '\\s+'),
+       |                          x -> len(x) > 0) AS tk
+       |            FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(tk) AS g FROM dtk
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                               i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM dtk WHERE len(tk) >= 2),
+       |fb AS (SELECT doc_id, lang,
+       |              ('0x' || substr(md5(g), 1, 4))::BIGINT % $buckets AS bucket
+       |       FROM grams),
+       |ctab AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+       |rtab AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+       |tt AS (SELECT sum(ct) AS t_tot FROM ctab),
+       |rt AS (SELECT sum(cr) AS r_tot FROM rtab),
+       |allb AS (SELECT unnest(generate_series(0, ${buckets - 1})) AS bucket),
+       |ratio AS (SELECT bucket,
+       |            CAST(floor(ln((coalesce(ct, 0) + 1) /
+       |                          CAST(t_tot + $buckets AS DOUBLE)) * 1000000) AS BIGINT)
+       |          - CAST(floor(ln((coalesce(cr, 0) + 1) /
+       |                          CAST(r_tot + $buckets AS DOUBLE)) * 1000000) AS BIGINT)
+       |            AS llr_micro
+       |          FROM allb LEFT JOIN ctab USING (bucket)
+       |                    LEFT JOIN rtab USING (bucket), tt, rt),
+       |db AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY 1, 2),
+       |w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+       |             CAST(sum(n * llr_micro) AS BIGINT) AS logw_micro
+       |      FROM db JOIN ratio USING (bucket) GROUP BY 1)""".stripMargin
 
   /** The LM train-and-score CTE chain shared by q_lm_quality and
     * q_ccnet_buckets: lowercased char trigrams, add-one model over the
