@@ -1183,9 +1183,25 @@ object SparkEntry {
           model)
       },
       Some(s"""WITH $lmScoreCtesSql
-             |SELECT doc_id, n_tri, nll_micro,
-             |       nll_micro // n_tri AS mean_nll_micro
-             |FROM sc""".stripMargin)),
+             |$lmQualityTailSql""".stripMargin)),
+
+    ("q_lm_train", // the LM training aggregate on its own, integer-only:
+      // (gram, count) over the English slice. With the scoring oracles
+      // built from INLINED cost literals (oracleSqlDynamic), this is the
+      // query that keeps the training half of the chain independently
+      // oracle-checked — counts are exact in any engine, no ln() in
+      // sight.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.LangModel.lmTrain(
+          docs.filter(col("lang") === "en"), "text")
+      },
+      Some("""WITH t AS (SELECT lower(text) AS s FROM documents
+             |           WHERE lang = 'en'),
+             |pos AS (SELECT s, unnest(generate_series(1, len(s)-2)) AS i
+             |        FROM t),
+             |g AS (SELECT substr(s, CAST(i AS INT), 3) AS gram FROM pos)
+             |SELECT gram, count(*) AS c FROM g GROUP BY 1""".stripMargin)),
 
     ("q_ccnet_buckets", // CCNet's defining move downstream of the LM
       // scorer (Wenzek et al. 2019): split each language into
@@ -1208,25 +1224,7 @@ object SparkEntry {
             col("bucket"))
       },
       Some(s"""WITH $lmScoreCtesSql,
-             |m AS (SELECT doc_id, nll_micro // n_tri AS mean_nll_micro
-             |      FROM sc),
-             |ml AS (SELECT m.doc_id, d.lang, m.mean_nll_micro
-             |       FROM m JOIN documents d USING (doc_id)),
-             |hist AS (SELECT lang, mean_nll_micro AS v, count(*) AS c
-             |         FROM ml GROUP BY 1, 2),
-             |cum AS (SELECT lang, v,
-             |               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
-             |               sum(c) OVER (PARTITION BY lang) AS n
-             |        FROM hist),
-             |thr AS (SELECT lang,
-             |          min(CASE WHEN cc*3 >= n THEN v END) AS t1,
-             |          min(CASE WHEN cc*3 >= 2*n THEN v END) AS t2
-             |        FROM cum GROUP BY 1)
-             |SELECT ml.doc_id, ml.lang, ml.mean_nll_micro,
-             |  CASE WHEN mean_nll_micro <= t1 THEN 'head'
-             |       WHEN mean_nll_micro <= t2 THEN 'middle'
-             |       ELSE 'tail' END AS bucket
-             |FROM ml JOIN thr USING (lang)""".stripMargin)),
+             |$ccnetBucketsTailSql""".stripMargin)),
 
     ("q_curate_lm_pipeline", // the round's operators COMPOSED as one
       // training-data assembly: train the LM, score every doc, drop
@@ -1248,37 +1246,8 @@ object SparkEntry {
           .select("doc_id")
         graft.operators.Scale.shuffleShards(kept, "doc_id", nShards = 4)
       },
-      Some {
-        def th(i: Int) = graft.operators.Scale.hexThreshold(i / 4.0)
-        s"""WITH $lmScoreCtesSql,
-           |m AS (SELECT doc_id, nll_micro // n_tri AS mean_nll_micro
-           |      FROM sc),
-           |ml AS (SELECT m.doc_id, d.lang, m.mean_nll_micro
-           |       FROM m JOIN documents d USING (doc_id)),
-           |hist AS (SELECT lang, mean_nll_micro AS v, count(*) AS c
-           |         FROM ml GROUP BY 1, 2),
-           |cum AS (SELECT lang, v,
-           |               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
-           |               sum(c) OVER (PARTITION BY lang) AS n
-           |        FROM hist),
-           |thr AS (SELECT lang,
-           |          min(CASE WHEN cc*3 >= 2*n THEN v END) AS t2
-           |        FROM cum GROUP BY 1),
-           |kept AS (SELECT ml.doc_id FROM ml JOIN thr USING (lang)
-           |         WHERE mean_nll_micro <= t2),
-           |h AS (SELECT doc_id,
-           |             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
-           |      FROM kept),
-           |sh AS (SELECT doc_id, hh, CASE
-           |         WHEN substr(hh, 1, 8) < '${th(1)}' THEN 0
-           |         WHEN substr(hh, 1, 8) < '${th(2)}' THEN 1
-           |         WHEN substr(hh, 1, 8) < '${th(3)}' THEN 2
-           |         ELSE 3 END AS shard FROM h)
-           |SELECT doc_id, shard,
-           |       row_number() OVER (PARTITION BY shard
-           |         ORDER BY hh, doc_id) AS pos
-           |FROM sh""".stripMargin
-      }),
+      Some(s"""WITH $lmScoreCtesSql,
+             |$curateLmTailSql""".stripMargin)),
 
     ("q_corpus_report", // per-(lang, source) corpus health summary —
       // the dashboard a curation run reads before choosing budgets /
@@ -1971,6 +1940,108 @@ object SparkEntry {
       |              sum(dg.n * coalesce(cost.cost, ov.oov_cost)) AS nll_micro,
       |              sum(dg.n) AS n_tri
       |       FROM dg LEFT JOIN cost USING (gram), ov GROUP BY 1)""".stripMargin
+
+  /** The LM score CTE chain with the cost table INLINED as literals —
+    * the transcendental-free oracle form. The static [[lmScoreCtesSql]]
+    * recomputes `floor(-ln p · 1e6)` inside DuckDB and therefore bets
+    * the hash on cross-engine `ln()` agreement; round 8 lost that bet
+    * (the driver's DuckDB produced different integers than DuckDB 1.0.0
+    * on identical input). Here the costs are computed ONCE, on the
+    * driver, by the exact code the engine itself scores with
+    * ([[graft.operators.LangModel.collectCosts]]), and enter the SQL as
+    * integer literals — the same pattern q_embed_lsh_pairs uses for its
+    * hyperplanes. Data-dependent, so only buildable once sfDir is known
+    * (see [[oracleSqlDynamic]]). The vocabulary is charset-bounded
+    * (377 grams on the fixtures), so the VALUES list stays small.
+    */
+  private def lmCostLiteralCtes(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.LangModel.lmTrain(
+      docs.filter(col("lang") === "en"), "text")
+    val (costs, oov) = graft.operators.LangModel.collectCosts(model)
+    def esc(g: String) = g.replace("'", "''")
+    val values = costs.toSeq.sortBy(_._1)
+      .map { case (g, c) => s"('${esc(g)}', $c)" }.mkString(", ")
+    s"""t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+       |pos AS (SELECT doc_id, lang, s,
+       |               unnest(generate_series(1, len(s)-2)) AS i FROM t),
+       |g AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS gram
+       |      FROM pos),
+       |cost AS (SELECT g AS gram, CAST(cv AS BIGINT) AS cost
+       |         FROM (VALUES $values) v(g, cv)),
+       |ov AS (SELECT CAST($oov AS BIGINT) AS oov_cost),
+       |dg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+       |sc AS (SELECT dg.doc_id,
+       |              sum(dg.n * coalesce(cost.cost, ov.oov_cost)) AS nll_micro,
+       |              sum(dg.n) AS n_tri
+       |       FROM dg LEFT JOIN cost USING (gram), ov GROUP BY 1)""".stripMargin
+  }
+
+  /** Final SELECT of q_lm_quality over the `sc` CTE (shared by the
+    * static and literal-cost oracle forms). */
+  private def lmQualityTailSql: String =
+    """SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+      |       CAST(nll_micro AS BIGINT) AS nll_micro,
+      |       CAST(nll_micro // n_tri AS BIGINT) AS mean_nll_micro
+      |FROM sc""".stripMargin
+
+  /** q_ccnet_buckets downstream of `sc`: histogram terciles per
+    * language, threshold VALUES, head/middle/tail labels. */
+  private def ccnetBucketsTailSql: String =
+    """m AS (SELECT doc_id,
+      |             CAST(nll_micro // n_tri AS BIGINT) AS mean_nll_micro
+      |      FROM sc),
+      |ml AS (SELECT m.doc_id, d.lang, m.mean_nll_micro
+      |       FROM m JOIN documents d USING (doc_id)),
+      |hist AS (SELECT lang, mean_nll_micro AS v, count(*) AS c
+      |         FROM ml GROUP BY 1, 2),
+      |cum AS (SELECT lang, v,
+      |               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
+      |               sum(c) OVER (PARTITION BY lang) AS n
+      |        FROM hist),
+      |thr AS (SELECT lang,
+      |          min(CASE WHEN cc*3 >= n THEN v END) AS t1,
+      |          min(CASE WHEN cc*3 >= 2*n THEN v END) AS t2
+      |        FROM cum GROUP BY 1)
+      |SELECT ml.doc_id, ml.lang, ml.mean_nll_micro,
+      |  CASE WHEN mean_nll_micro <= t1 THEN 'head'
+      |       WHEN mean_nll_micro <= t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM ml JOIN thr USING (lang)""".stripMargin
+
+  /** q_curate_lm_pipeline downstream of `sc`: keep head+middle, deal
+    * survivors into 4 md5-threshold shards with a deterministic order. */
+  private def curateLmTailSql: String = {
+    def th(i: Int) = graft.operators.Scale.hexThreshold(i / 4.0)
+    s"""m AS (SELECT doc_id,
+       |             CAST(nll_micro // n_tri AS BIGINT) AS mean_nll_micro
+       |      FROM sc),
+       |ml AS (SELECT m.doc_id, d.lang, m.mean_nll_micro
+       |       FROM m JOIN documents d USING (doc_id)),
+       |hist AS (SELECT lang, mean_nll_micro AS v, count(*) AS c
+       |         FROM ml GROUP BY 1, 2),
+       |cum AS (SELECT lang, v,
+       |               sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
+       |               sum(c) OVER (PARTITION BY lang) AS n
+       |        FROM hist),
+       |thr AS (SELECT lang,
+       |          min(CASE WHEN cc*3 >= 2*n THEN v END) AS t2
+       |        FROM cum GROUP BY 1),
+       |kept AS (SELECT ml.doc_id FROM ml JOIN thr USING (lang)
+       |         WHERE mean_nll_micro <= t2),
+       |h AS (SELECT doc_id,
+       |             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
+       |      FROM kept),
+       |sh AS (SELECT doc_id, hh, CASE
+       |         WHEN substr(hh, 1, 8) < '${th(1)}' THEN 0
+       |         WHEN substr(hh, 1, 8) < '${th(2)}' THEN 1
+       |         WHEN substr(hh, 1, 8) < '${th(3)}' THEN 2
+       |         ELSE 3 END AS shard FROM h)
+       |SELECT doc_id, shard,
+       |       row_number() OVER (PARTITION BY shard
+       |         ORDER BY hh, doc_id) AS pos
+       |FROM sh""".stripMargin
+  }
 
   /** DuckDB CASE chain mirroring [[TextFunctions.langId]]. */
   private def langIdSql(c: String): String = {
@@ -2766,4 +2837,21 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Data-dependent oracle overrides, built at Verify time once sfDir is
+    * known. The LM-scoring oracles inline the trained (gram, cost) table
+    * as SQL literals ([[lmCostLiteralCtes]]) so the contract carries no
+    * cross-engine `ln()` dependence; the training aggregate itself stays
+    * independently checked by the static, integer-only q_lm_train. A
+    * build failure falls back to the static entry (Verify logs it). */
+  def oracleSqlDynamic: Map[String, (SparkSession, String) => String] = Map(
+    "q_lm_quality" -> ((s, dir) =>
+      s"""WITH ${lmCostLiteralCtes(s, dir)}
+         |$lmQualityTailSql""".stripMargin),
+    "q_ccnet_buckets" -> ((s, dir) =>
+      s"""WITH ${lmCostLiteralCtes(s, dir)},
+         |$ccnetBucketsTailSql""".stripMargin),
+    "q_curate_lm_pipeline" -> ((s, dir) =>
+      s"""WITH ${lmCostLiteralCtes(s, dir)},
+         |$curateLmTailSql""".stripMargin))
 }

@@ -201,46 +201,21 @@ object Dedup {
     * Output: (id, cluster) for every id that appears in `pairs`;
     * cluster = min id of its component.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
-      driverEdgeLimit: Long = 1000000L): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The pair set is the OUTPUT of LSH blocking — usually orders of
-    // magnitude smaller than the corpus. Below `driverEdgeLimit`
-    // (directed) edges, path-compressed union-find on the driver beats
-    // the distributed loop's per-round job overhead outright; above it
-    // the min-label-propagation rounds below scale to any edge count.
-    if (edges.count() <= driverEdgeLimit) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
-      val parent = new java.util.HashMap[Long, Long](es.length * 2)
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x // path compression
-        while (parent.getOrDefault(c, c) != c) {
-          val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
-        }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { // union by MIN root so cluster = min id directly
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val out = new Array[(Long, Long)](parent.size())
-      val it = parent.keySet().iterator()
-      var k = 0
-      while (it.hasNext) { val id = it.next(); out(k) = (id, find(id)); k += 1 }
-      edges.unpersist(false)
-      return out.toSeq.toDF("id", "cluster")
-    }
+    // The pair relation NEVER reaches the driver: earlier rounds kept a
+    // collect-and-union-find fast path for small edge sets, but that
+    // made the operator's memory bound O(duplicate pairs) on one node —
+    // a duplicate-heavy crawl (30% dup rate at 100 TB) breaks exactly
+    // the machine that can't be sized for it. The propagation rounds
+    // below touch edges only through joins/aggregates, so the bound is
+    // executor memory per partition, and the per-round job overhead is
+    // a fixed handful of stages — noise at fixture scale, irrelevant at
+    // cluster scale. (The reference's always-on match registry makes
+    // the same call: no centralized state, storm/.../MatchBolt.java.)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id").cast("long"))
       .localCheckpoint(true)

@@ -15,16 +15,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    // read as a timestamp. Read nanos as long and truncate to micros
-    // (integer DIV — no double round-trip, which would lose precision at
-    // 1.7e18 ns magnitudes), matching DuckDB's ns→us truncation.
+    // `events.ts` has shipped under two parquet encodings across fixture
+    // generations: TIMESTAMP(NANOS) — which Spark 4 only reads via
+    // nanosAsLong, surfacing a LongType — and plain timestamp[us], which
+    // reads natively as TIMESTAMP_NTZ. Adapt to whatever the footer says
+    // instead of hard-coding one encoding:
+    //   LongType  → nanos; truncate to micros with integer DIV (no double
+    //               round-trip, which loses precision at 1.7e18 ns),
+    //               matching DuckDB's ns→us truncation.
+    //   NTZ       → cast to session-TZ timestamp; session TZ is pinned to
+    //               UTC (GraftSession), so values are identical.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already a session-TZ timestamp
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
