@@ -562,6 +562,75 @@ object SparkEntry {
              |FROM orders GROUP BY 1""".stripMargin))
   )
 
+  /** The event stream rendered as classifier input rows
+    * (filter_id = event_type, ord = event_id, _raw = type + props). */
+  private def classifierEventRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_type").as("filter_id"),
+      col("event_id").as("ord"),
+      concat_ws(" ", col("event_type"), col("props")).as("_raw"))
+
+  /** Fixed training prefix for the oracle-checked classifier queries:
+    * the first `n` events per filter by ord — deterministic, replayable,
+    * and ≤ memoryCapacity so the FIFO window never evicts. */
+  private def classifierTrainPrefix(s: SparkSession, dir: String,
+      n: Int = 200): DataFrame = {
+    val w = Window.partitionBy("filter_id").orderBy("ord")
+    classifierEventRows(s, dir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
+  /** Data-dependent oracle for q_classifier_decisions: train the fixed
+    * prefix, quantize every probability to integer micro-nat costs on
+    * the driver ([[graft.ml.ErrorClassifier.decisionCosts]]), inline
+    * them as VALUES literals, and replay the argmin in pure integer
+    * SQL. Ties break to the lexicographically larger category —
+    * `ORDER BY cost ASC, cat DESC` — mirroring the float classifier's
+    * maxBy-(score, name) rule.
+    */
+  private def classifierDecisionSql(s: SparkSession, dir: String): String = {
+    val models = graft.ml.ErrorClassifier.trainModels(
+      classifierTrainPrefix(s, dir))
+    val costs = graft.ml.ErrorClassifier.decisionCosts(models)
+    def esc(x: String) = x.replace("'", "''")
+    val priorVals = costs.toSeq.sortBy(_._1).flatMap { case (fid, fc) =>
+      fc.priors.toSeq.sortBy(_._1).map { case (c, p) =>
+        s"('${esc(fid)}', '${esc(c)}', $p)" } }.mkString(", ")
+    val featVals = costs.toSeq.sortBy(_._1).flatMap { case (fid, fc) =>
+      fc.feats.toSeq.sortBy(_._1).flatMap { case (f, byCat) =>
+        byCat.toSeq.sortBy(_._1).map { case (c, v) =>
+          s"('${esc(fid)}', '${esc(c)}', '${esc(f)}', $v)" } } }
+      .mkString(", ")
+    s"""WITH ev AS (SELECT event_type AS filter_id, event_id,
+       |              event_type || ' ' || props AS raw FROM events),
+       |pri AS (SELECT fi AS filter_id, ca AS cat, CAST(pc AS BIGINT) AS pcost
+       |        FROM (VALUES $priorVals) v(fi, ca, pc)),
+       |fco AS (SELECT fi AS filter_id, ca AS cat, fe AS feature,
+       |               CAST(co AS BIGINT) AS cost
+       |        FROM (VALUES $featVals) v(fi, ca, fe, co)),
+       |tok AS (SELECT filter_id, event_id,
+       |          unnest(list_filter(string_split_regex(raw, '\\s+'),
+       |                             x -> len(x) > 0)) AS feature
+       |        FROM ev),
+       |sc AS (SELECT t.filter_id, t.event_id, f.cat,
+       |              CAST(sum(f.cost) AS BIGINT) AS tc
+       |       FROM tok t JOIN fco f USING (filter_id, feature)
+       |       GROUP BY 1, 2, 3),
+       |tot AS (SELECT e.filter_id, e.event_id, p.cat,
+       |               p.pcost + coalesce(s.tc, 0) AS cost
+       |        FROM (SELECT DISTINCT filter_id, event_id FROM ev) e
+       |        JOIN pri p USING (filter_id)
+       |        LEFT JOIN sc s ON s.filter_id = e.filter_id
+       |                      AND s.event_id = e.event_id
+       |                      AND s.cat = p.cat),
+       |r AS (SELECT filter_id, event_id, cat,
+       |             row_number() OVER (PARTITION BY filter_id, event_id
+       |               ORDER BY cost ASC, cat DESC) AS rk FROM tot)
+       |SELECT filter_id, event_id, cat AS predicted FROM r
+       |WHERE rk = 1""".stripMargin
+  }
+
   // --- ML + multimodal operators (M1/M2 + builder brief) ---
   private def mlDefs: Seq[(String, Q, Option[String])] = Seq(
     // Online naive-Bayes classifier (M1): stateful sequential fold →
@@ -581,6 +650,63 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt"))
       },
       None),
+
+    ("q_classifier_model", // the classifier's TRAINING half as an exact
+      // integer oracle: lexicon-label the first 200 events per filter
+      // (fixed prefix, ord order, trainOnAll — no sampling), emit the
+      // model's (category, feature, count) table. 200 ≤ memoryCapacity
+      // so no FIFO forgetting — counts equal plain aggregation, and the
+      // whole thing replays in SQL (the q_lm_train move for M1).
+      (s: SparkSession, dir: String) => {
+        val models = graft.ml.ErrorClassifier.trainModels(
+          classifierTrainPrefix(s, dir))
+        val rows = models.toSeq.sortBy(_._1).flatMap { case (fid, m) =>
+          m.featureCount.toSeq.flatMap { case (cat, fs) =>
+            fs.toSeq.map { case (f, n) => (fid, cat, f, n) } }
+        }
+        import s.implicits._
+        rows.toDF("filter_id", "category", "feature", "n")
+      },
+      Some(s"""WITH ev AS (SELECT event_type AS filter_id,
+             |              event_id AS ord,
+             |              event_type || ' ' || props AS raw FROM events),
+             |tr AS (SELECT filter_id, raw FROM (
+             |         SELECT filter_id, raw, row_number() OVER (
+             |           PARTITION BY filter_id ORDER BY ord) AS rn FROM ev)
+             |       WHERE rn <= 200),
+             |lab AS (SELECT filter_id,
+             |          CASE WHEN ${errorLexiconSql("raw")} THEN 'error'
+             |               ELSE 'regular' END AS category, raw FROM tr),
+             |tok AS (SELECT filter_id, category,
+             |          unnest(list_filter(string_split_regex(raw, '\\s+'),
+             |                             x -> len(x) > 0)) AS feature
+             |        FROM lab)
+             |SELECT filter_id, category, feature, count(*) AS n
+             |FROM tok GROUP BY 1, 2, 3""".stripMargin),
+    ),
+
+    ("q_classifier_decisions", // the classifier's DECISION surface under
+      // a fixed training prefix: every probability the float classifier
+      // multiplies is quantized ONCE driver-side to integer micro-nat
+      // costs (ErrorClassifier.decisionCosts), and every event is
+      // labeled by exact integer argmin — broadcast map, zero shuffle.
+      // The oracle inlines the cost table as literals
+      // (oracleSqlDynamic), so the decision replays engine-exactly; if
+      // the dynamic build ever fails, the query degrades to the
+      // rows-only check rather than betting the hash on cross-engine
+      // ln() (the round-8 lesson).
+      (s: SparkSession, dir: String) => {
+        implicit val spark: SparkSession = s
+        val models = graft.ml.ErrorClassifier.trainModels(
+          classifierTrainPrefix(s, dir))
+        val costs = graft.ml.ErrorClassifier.decisionCosts(models)
+        graft.ml.ErrorClassifier.scoreQuantized(
+            classifierEventRows(s, dir), costs).toDF()
+          .select(col("filter_id"), col("ord").as("event_id"),
+            col("predicted"))
+      },
+      None),
+
     // Outlier ensemble (M2): analyzer internals (sliding windows,
     // regression fits) → rows-only; behavior covered by OutlierSpec.
     ("q_outlier_ensemble",
@@ -1459,6 +1585,51 @@ object SparkEntry {
              |  CASE WHEN n = 0 THEN 0 ELSE CAST(floor(
              |    coalesce(topc, 0) * 1000000.0 / n) AS BIGINT) END AS top_token_ppm
              |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin)),
+
+    ("q_gopher_rules", // Gopher's document-quality gate (Rae et al.
+      // 2021 §A1.1.2) with every ratio threshold cross-multiplied into
+      // integer comparisons — the keep verdict replays bit-exactly in
+      // SQL. Stop list passed as the fixture's function words (the
+      // canonical English eight barely intersect the synthetic vocab,
+      // which would pin n_stop at 0 and test nothing).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+          stopWords = Seq("the", "a")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(text, '\s+'),
+             |                     x -> len(x) > 0) AS ws,
+             |         string_split(text, chr(10)) AS ls
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_words,
+             |  CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+             |       AS BIGINT) AS word_chars,
+             |  CAST((len(text) - len(replace(text, '#', '')))
+             |    + (len(text) - len(replace(text, '...', ''))) // 3
+             |       AS BIGINT) AS n_symbols,
+             |  CAST(len(ls) AS BIGINT) AS n_lines,
+             |  CAST(len(list_filter(ls, l -> trim(l) LIKE '- %'
+             |    OR trim(l) LIKE '* %' OR trim(l) LIKE '• %'))
+             |       AS BIGINT) AS n_bullet,
+             |  CAST(len(list_filter(ls, l -> trim(l) LIKE '%...'))
+             |       AS BIGINT) AS n_ellipsis,
+             |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+             |       AS BIGINT) AS n_alpha,
+             |  CAST(len(list_filter(['the', 'a'],
+             |    s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+             |       AS BIGINT) AS n_stop
+             |  FROM w)
+             |SELECT *,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND word_chars >= 3 * n_words
+             |   AND word_chars <= 10 * n_words
+             |   AND n_symbols * 1000000 <= 100000 * n_words
+             |   AND n_bullet * 1000000 <= 100000 * n_lines
+             |   AND n_ellipsis * 1000000 <= 300000 * n_lines
+             |   AND n_alpha * 1000000 >= 800000 * n_words
+             |   AND n_stop >= 2) AS keep
+             |FROM m""".stripMargin)),
 
     ("q_redact", // PII-shape pattern scrubbing over a rendered log line
       (s: SparkSession, dir: String) =>
@@ -2853,5 +3024,6 @@ object SparkEntry {
          |$ccnetBucketsTailSql""".stripMargin),
     "q_curate_lm_pipeline" -> ((s, dir) =>
       s"""WITH ${lmCostLiteralCtes(s, dir)},
-         |$curateLmTailSql""".stripMargin))
+         |$curateLmTailSql""".stripMargin),
+    "q_classifier_decisions" -> classifierDecisionSql)
 }

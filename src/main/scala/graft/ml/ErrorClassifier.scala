@@ -134,6 +134,69 @@ object ErrorClassifier {
       }
   }
 
+  /** Per-filter integer decision surface derived from a frozen model:
+    * every probability the classifier multiplies is mapped ONCE, on the
+    * driver, to a micro-nat cost `floor(-ln p · scale)` — priors and
+    * per-(category, feature) costs — so the decision becomes an exact
+    * integer argmin that replays identically in any engine (the same
+    * move [[graft.operators.LangModel]] made for LM scoring after the
+    * float-product form proved oracle-hostile). Features unknown to a
+    * model cost `(0.5)/(1+0)` in EVERY category and therefore cannot
+    * change the argmin; they are omitted from the table and skipped at
+    * scoring time on both sides.
+    */
+  final case class FilterCosts(
+      priors: Map[String, Long],               // category -> cost
+      feats: Map[String, Map[String, Long]])   // feature -> category -> cost
+
+  def decisionCosts(models: Map[String, BayesModel],
+      scale: Long = 1000000L): Map[String, FilterCosts] =
+    models.map { case (fid, m) =>
+      val total = m.categoryCount.values.sum.toDouble
+      val priors = m.categoryCount.map { case (c, n) =>
+        c -> math.floor(-math.log(n.toDouble / total) * scale).toLong
+      }
+      val known = m.featureCount.valuesIterator.flatMap(_.keysIterator).toSet
+      val feats = known.iterator.map { f =>
+        f -> m.categoryCount.keysIterator.map { c =>
+          c -> math.floor(-math.log(m.featureProbability(f, c)) * scale).toLong
+        }.toMap
+      }.toMap
+      fid -> FilterCosts(priors, feats)
+    }
+
+  /** Classify rows under the quantized decision surface: cost(category)
+    * = prior + Σ per-occurrence feature costs, predicted = argmin, ties
+    * to the lexicographically LARGER category (mirroring the float
+    * classifier's maxBy-(score, name) rule). Stateless broadcast map —
+    * the same zero-shuffle 100 TB shape as [[scoreBroadcast]], with the
+    * decision itself engine-exact.
+    */
+  def scoreQuantized(rows: DataFrame, costs: Map[String, FilterCosts])(
+      implicit spark: SparkSession): Dataset[Classified] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(costs)
+    rows.select(
+        col("filter_id").cast("string"),
+        col("ord").cast("long"),
+        col("_raw").cast("string"))
+      .as[(String, Long, String)]
+      .map { case (fid, ord, raw) =>
+        val predicted = bc.value.get(fid).flatMap { fc =>
+          val toks = tokenize(raw)
+          val totals = fc.priors.map { case (c, p) =>
+            c -> toks.foldLeft(p) { (acc, f) =>
+              acc + fc.feats.get(f).map(_(c)).getOrElse(0L)
+            }
+          }
+          totals.reduceLeftOption { (a, b) =>
+            if (b._2 < a._2 || (b._2 == a._2 && b._1 > a._1)) b else a
+          }.map(_._1)
+        }.getOrElse("")
+        Classified(fid, ord, raw, predicted)
+      }
+  }
+
   /** Score rows with frozen broadcast models — no shuffle, no state:
     * one map over the scan. Rows for filters without a model get an
     * empty prediction.

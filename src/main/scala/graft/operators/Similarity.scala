@@ -609,6 +609,101 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each vector
+    * into `m` equal subspaces and learn a `k`-codeword codebook per
+    * subspace with the integer-exact quantized Lloyd
+    * ([[kmeansQuantizedFit]] over the sliced vectors — same floor
+    * grid, floorDiv centroid update, smallest-id seeds, lowest-id tie
+    * rule), so the fitted codebooks are deterministic and every
+    * downstream step replays in an external engine.
+    *
+    * PQ is the memory-compression leg of ANN at 100 TB: a 64-float
+    * vector becomes m=8 code ids (one byte each at k ≤ 256) — 32×
+    * smaller — and queries never read full vectors
+    * ([[pqSearchAdc]]). Training cost is m small Lloyd fits over one
+    * shared scan; a cluster deployment fits on a bounded sample and
+    * broadcasts the ~m·k·(dim/m) long codebook everywhere.
+    *
+    * Returns codebooks(sub)(code) = quantized centroid (length dim/m).
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iterations: Int = 2,
+      scale: Double = 1048576.0): Array[Array[Array[Long]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).toArray.map { s =>
+      val sliced = df.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as("v"))
+      kmeansQuantizedFit(sliced, idCol, "v", k, iterations, scale)
+        ._1.sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** Encode every vector as its per-subspace nearest codeword ids:
+    * one codegen'd projection against the literal codebooks (integer
+    * squared-L2 argmin, ties to the lowest code — `array_min` over
+    * (d2, code) structs, the [[assignQuantized]] rule). Output
+    * (idCol, codes array&lt;int&gt; length m) — the compressed corpus
+    * representation an ADC scan reads instead of the vectors.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Long]]],
+      scale: Double = 1048576.0): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val qvec = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("_qv"), s * sub + 1, sub)
+      val structs = codebooks(s).zipWithIndex.map { case (c, code) =>
+        struct(
+          aggregate(zip_with(sv, array(c.map(lit): _*),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+            .as("d2"),
+          lit(code).as("code"))
+      }
+      array_min(array(structs.toIndexedSeq: _*)).getField("code")
+    }
+    df.withColumn("_qv", qvec)
+      .select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric distance computation over a PQ-encoded corpus: the
+    * query's per-subspace distance table to every codeword is computed
+    * ONCE on the driver (m·k integer squared-L2 values) and ships as
+    * plan literals; each row's score is m table lookups summed — an
+    * exact integer, so ranking (ascending, id tiebreak) replays
+    * bit-for-bit in SQL. The scan reads only (id, codes): at k ≤ 256
+    * that is m bytes of payload per vector, the whole point of PQ.
+    */
+  def pqSearchAdc(encoded: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Long]]], query: Seq[Double],
+      kTop: Int, scale: Double = 1048576.0): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(query.length == m * sub,
+      s"query dim ${query.length} != m*sub ${m * sub}")
+    val qq = query.map(x => math.floor(x * scale).toLong).toArray
+    val tables: Array[Array[Long]] = codebooks.zipWithIndex.map {
+      case (cb, s) => cb.map { c =>
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val dd = qq(s * sub + i) - c(i); d += dd * dd; i += 1
+        }
+        d
+      }
+    }
+    val score = (0 until m).map { s =>
+      element_at(array(tables(s).map(lit).toIndexedSeq: _*),
+        col("codes")(s) + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), score.as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col(idCol))
+      .limit(kTop)
+  }
+
   /** Cluster-balanced subsample: fit the integer-exact quantized
     * k-means, then keep at most `perCluster` vectors per cluster by
     * the deterministic md5-order rule ([[Scale.stratifiedSample]] over

@@ -50,6 +50,71 @@ object TextAnalysis {
         round(avg(col("_len")), 6).as("mean_chars"))
   }
 
+  /** Gopher's default stop-word rule list (Rae et al. 2021, §A1.1.2:
+    * "contains at least two of the following English words"). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, §A1.1.2) as one scan-speed
+    * projection: per-document rule counters plus the composite `keep`
+    * verdict. Every threshold is evaluated in INTEGER arithmetic
+    * (ratio bounds become cross-multiplied ppm comparisons), so the
+    * whole gate replays bit-exactly in any engine — no float ever
+    * decides a document's fate.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanLen, maxMeanLen] (3·n ≤ chars ≤ 10·n); symbol-to-word
+    * ratio (`#` chars + `...` runs) ≤ maxSymbolPpm; bullet-starting
+    * lines ≤ maxBulletPpm of lines; ellipsis-ending lines ≤
+    * maxEllipsisPpm; words containing an alphabetic char ≥
+    * minAlphaPpm; ≥ minStopHits DISTINCT stop-list words present.
+    * The stop list is a parameter (Gopher's English eight by default)
+    * so the rule stays meaningful on non-English or synthetic corpora.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Long = 3, maxMeanLen: Long = 10,
+      maxSymbolPpm: Long = 100000, maxBulletPpm: Long = 100000,
+      maxEllipsisPpm: Long = 300000, minAlphaPpm: Long = 800000,
+      stopWords: Seq[String] = GopherStopWords,
+      minStopHits: Long = 2): DataFrame = {
+    val t = col(textCol)
+    val ws = filter(split(t, "\\s+"), w => length(w) > 0)
+    val ls = split(t, "\n")
+    val lws = transform(ws, w => lower(w))
+    val stopArr = array(stopWords.map(lit): _*)
+    df.select(
+        col(idCol),
+        size(ws).cast("long").as("n_words"),
+        coalesce(aggregate(ws, lit(0L), (acc, w) => acc + length(w)),
+          lit(0L)).as("word_chars"),
+        ((length(t) - length(replace(t, lit("#"), lit("")))) +
+          (length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+          .cast("long").as("n_symbols"),
+        size(ls).cast("long").as("n_lines"),
+        size(filter(ls, l => trim(l).like("- %") || trim(l).like("* %") ||
+          trim(l).like("• %"))).cast("long").as("n_bullet"),
+        size(filter(ls, l => trim(l).like("%...")))
+          .cast("long").as("n_ellipsis"),
+        size(filter(ws, w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(stopArr, s => exists(lws, w => w === s)))
+          .cast("long").as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("word_chars") >= lit(minMeanLen) * col("n_words") &&
+          col("word_chars") <= lit(maxMeanLen) * col("n_words") &&
+          col("n_symbols") * lit(1000000L) <=
+            lit(maxSymbolPpm) * col("n_words") &&
+          col("n_bullet") * lit(1000000L) <=
+            lit(maxBulletPpm) * col("n_lines") &&
+          col("n_ellipsis") * lit(1000000L) <=
+            lit(maxEllipsisPpm) * col("n_lines") &&
+          col("n_alpha") * lit(1000000L) >=
+            lit(minAlphaPpm) * col("n_words") &&
+          col("n_stop") >= minStopHits)
+  }
+
   /** Corpus-wide heavy-hitter tokens: exact frequencies, top-k with a
     * deterministic tie order. Explode → one map-side-combinable
     * shuffle; the top-k is a TakeOrdered, not a full sort.

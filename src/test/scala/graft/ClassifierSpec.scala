@@ -130,6 +130,30 @@ class ClassifierSpec extends SparkSpec {
       "state leaked across the filter boundary")
   }
 
+  test("quantized decision surface agrees with the float classifier") {
+    implicit val s = spark
+    import s.implicits._
+    // trained models are frozen; scoreQuantized replaces the float
+    // product argmax with an integer micro-nat argmin. At 1e6 scale a
+    // decision flip needs two categories within ~1e-6 nats — far below
+    // any real separation on this data — so the surfaces must agree
+    // row-for-row.
+    val rows = ((1 to 150).map(i => ("f1", i.toLong,
+        if (i % 3 == 0) s"disk error $i" else s"request ok $i")) ++
+      (1 to 150).map(i => ("f2", i.toLong, s"all fine $i")))
+      .toDF("filter_id", "ord", "_raw")
+    val models = ErrorClassifier.trainModels(rows)
+    val costs = ErrorClassifier.decisionCosts(models)
+    val float = ErrorClassifier.scoreBroadcast(rows, models).collect()
+      .map(c => (c.filter_id, c.ord) -> c.predicted).toMap
+    val quant = ErrorClassifier.scoreQuantized(rows, costs).collect()
+    assert(quant.length == 300)
+    val disagree = quant.filter(c => float((c.filter_id, c.ord)) != c.predicted)
+    assert(disagree.isEmpty,
+      s"quantized vs float disagree on ${disagree.length} rows, e.g. " +
+        disagree.take(3).map(c => s"(${c.filter_id},${c.ord})").mkString(", "))
+  }
+
   test("classifyBatch: per-filter isolation and ord-ordered processing") {
     implicit val s = spark
     import s.implicits._

@@ -626,4 +626,20 @@ class StreamingSpec extends SparkSpec {
         maint.contains("compacted stats partitions: 0"), s"maintain: $maint")
     } finally q.stop()
   }
+
+  test("streaming cadence smoke: results p95 under the 1 s trigger at 5k lines/s") {
+    // CI-sized twin of the bench's 130 s streaming leg (round-9 verdict
+    // ask): cadence regressions — a sink gaining a per-batch full-log
+    // compaction, a fan-out losing its codegen path — must surface in
+    // `sbt test`, not only in the round bench. 20 s at 5k lines/s is
+    // ~1/4 the bench rate on the same full topology (parse → fan-out →
+    // 1 s parquet results + 10 s windowed stats), so a healthy engine
+    // clears the 1 s trigger with an order of magnitude of headroom.
+    val r = StreamBench.run(spark, ratePerSec = 5000L, runtimeSec = 20)
+    assert(r.resultsBatches >= 5,
+      s"too few result triggers fired to judge cadence: $r")
+    assert(r.resultsP95 >= 0 && r.resultsP95 < 1.0,
+      s"results p95 ${r.resultsP95}s breaches the 1 s trigger: $r")
+    assert(r.rowsIn > 0 && r.rowsMatched > 0, s"no rows flowed: $r")
+  }
 }

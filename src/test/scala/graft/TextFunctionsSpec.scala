@@ -147,4 +147,26 @@ class TextFunctionsSpec extends SparkSpec {
     // every token is still covered: last chunk always reaches token n
     assert(nChunks(100, 32, 8).map(_._2).sum >= 100)
   }
+
+  test("gopherRules: verdict catches each violation class, passes clean text") {
+    val s = spark
+    import s.implicits._
+    val good = ("good", ("the word " * 30).trim) // 60 words, stops present
+    val short = ("short", "the a few words only")
+    val longWords = ("longw",
+      "the word " + (Seq.fill(60)("extraordinarily").mkString(" ")))
+    val symbols = ("sym", "the word " + (Seq.fill(60)("ok###").mkString(" ")))
+    val bullets = ("bul", "the word\n" + Seq.fill(9)("- item").mkString("\n"))
+    val noAlpha = ("num", "the word " + (Seq.fill(60)("12345").mkString(" ")))
+    val noStops = ("nostop", Seq.fill(60)("word").mkString(" "))
+    val df = Seq(good, short, longWords, symbols, bullets, noAlpha, noStops)
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .gopherRules(df, "doc_id", "text", minWords = 10,
+        stopWords = Seq("the", "word"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(got == Map("good" -> true, "short" -> false, "longw" -> false,
+      "sym" -> false, "bul" -> false, "num" -> false, "nostop" -> false),
+      got.toString)
+  }
 }
