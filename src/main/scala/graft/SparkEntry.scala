@@ -2214,6 +2214,45 @@ object SparkEntry {
        |FROM sh""".stripMargin
   }
 
+  /** Codebooks for the PQ oracle builders — same deterministic train
+    * call the queries make (integer-exact Lloyd, so both runs fit
+    * identical codebooks). */
+  private def pqTrainFor(s: SparkSession, dir: String)
+      : Array[Array[Array[Long]]] =
+    graft.operators.Similarity.pqTrain(
+      t(s, dir, "embeddings").filter(col("vec_id") > 0),
+      "vec_id", "embedding")
+
+  /** Shared encode CTE chain for the PQ oracles: quantize (floor ·2²⁰,
+    * IEEE-exact), join against the INLINED codebook literals, argmin
+    * per (vector, subspace) with ties to the lowest code — ends at
+    * `enc(vec_id, sub, code)`. Mirrors [[Similarity.pqEncode]].
+    */
+  private def pqEncodeCtes(cb: Array[Array[Array[Long]]]): String = {
+    val sub = cb(0)(0).length
+    val cbVals = (for {
+      s <- cb.indices; code <- cb(s).indices; j <- 0 until sub
+    } yield s"($s, $code, ${j + 1}, ${cb(s)(code)(j)})").mkString(", ")
+    s"""v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+       |q AS (SELECT vec_id,
+       |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+       |             AS BIGINT) AS qv,
+       |        generate_subscripts(embedding, 1) AS i FROM v),
+       |cb AS (SELECT s AS sub, c AS code, j, CAST(cv AS BIGINT) AS cv
+       |       FROM (VALUES $cbVals) t(s, c, j, cv)),
+       |qa AS (SELECT vec_id, CAST((i-1) // $sub AS INT) AS sub,
+       |              CAST((i-1) % $sub + 1 AS INT) AS j, qv FROM q),
+       |dd AS (SELECT qa.vec_id, qa.sub, cb.code,
+       |              sum((qa.qv - cb.cv) * (qa.qv - cb.cv)) AS d2
+       |       FROM qa JOIN cb ON qa.sub = cb.sub AND qa.j = cb.j
+       |       GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |          SELECT vec_id, sub, code, row_number() OVER (
+       |            PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rk
+       |          FROM dd)
+       |        WHERE rk = 1)""".stripMargin
+  }
+
   /** DuckDB CASE chain mirroring [[TextFunctions.langId]]. */
   private def langIdSql(c: String): String = {
     def score(ms: Seq[String]) =
@@ -2777,6 +2816,55 @@ object SparkEntry {
              |         END DESC, vec_id
              |LIMIT 20""".stripMargin)),
 
+    ("q_embed_pq_codes", // product quantization (Jégou et al. 2011):
+      // per-subspace codebooks from the integer-exact quantized Lloyd,
+      // every vector encoded as m=8 code ids — 64 floats → 8 bytes,
+      // the 32× memory-compression leg of 100 TB ANN. The oracle
+      // (oracleSqlDynamic) inlines the trained codebooks as literals
+      // and replays the integer argmin encode end to end.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") > 0)
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding")
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+      },
+      None),
+
+    ("q_embed_pq_topk", // asymmetric distance computation over the
+      // PQ-encoded corpus: the query's per-subspace distance table to
+      // every codeword computes once on the driver and ships as plan
+      // literals; each row's score is 8 integer table lookups summed —
+      // the scan reads codes, never vectors. Exact integer ranking,
+      // replayed in SQL with codebooks AND distance tables inlined.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val cb = Similarity.pqTrain(corpus, "vec_id", "embedding")
+        val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+        Similarity.pqSearchAdc(enc, "vec_id", cb, q, 20)
+      },
+      None),
+
+    ("q_embed_pq_rerank", // the canonical PQ deployment: ADC shortlist
+      // (200 candidates off the compressed codes) → exact integer
+      // squared-L2 re-rank on the quantized grid, reading full vectors
+      // only for the shortlist. End-to-end integer, so shortlist AND
+      // re-rank replay in SQL.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val cb = Similarity.pqTrain(corpus, "vec_id", "embedding")
+        val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+        Similarity.pqSearchRerank(enc, corpus, "vec_id", "embedding",
+          cb, q, kTop = 20, shortlist = 200)
+      },
+      None),
+
     ("q_embed_knn", // exact k-NN join (the k-NN graph semantic dedup
       // and hard-negative mining consume): every vector's 5 nearest
       // by cosine, ranked on the 6-decimal grid with an id tiebreak
@@ -3025,5 +3113,56 @@ object SparkEntry {
     "q_curate_lm_pipeline" -> ((s, dir) =>
       s"""WITH ${lmCostLiteralCtes(s, dir)},
          |$curateLmTailSql""".stripMargin),
-    "q_classifier_decisions" -> classifierDecisionSql)
+    "q_classifier_decisions" -> classifierDecisionSql,
+    "q_embed_pq_codes" -> ((s, dir) =>
+      s"""WITH ${pqEncodeCtes(pqTrainFor(s, dir))}
+         |SELECT vec_id, sub, code FROM enc""".stripMargin),
+    "q_embed_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(_.toDouble)
+      val cb = pqTrainFor(s, dir)
+      val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
+      val tbVals = (for {
+        s0 <- tables.indices; code <- tables(s0).indices
+      } yield s"($s0, $code, ${tables(s0)(code)})").mkString(", ")
+      s"""WITH ${pqEncodeCtes(cb)},
+         |tb AS (SELECT s AS sub, c AS code, CAST(dv AS BIGINT) AS dv
+         |       FROM (VALUES $tbVals) t(s, c, dv)),
+         |sc AS (SELECT e.vec_id, CAST(sum(t.dv) AS BIGINT) AS adc_d2
+         |       FROM enc e JOIN tb t USING (sub, code)
+         |       GROUP BY 1)
+         |SELECT vec_id, adc_d2 FROM sc
+         |ORDER BY adc_d2 ASC, vec_id ASC LIMIT 20""".stripMargin
+    }),
+    "q_embed_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(_.toDouble)
+      val cb = pqTrainFor(s, dir)
+      val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
+      val tbVals = (for {
+        s0 <- tables.indices; code <- tables(s0).indices
+      } yield s"($s0, $code, ${tables(s0)(code)})").mkString(", ")
+      s"""WITH ${pqEncodeCtes(cb)},
+         |tb AS (SELECT s AS sub, c AS code, CAST(dv AS BIGINT) AS dv
+         |       FROM (VALUES $tbVals) t(s, c, dv)),
+         |sc AS (SELECT e.vec_id, CAST(sum(t.dv) AS BIGINT) AS adc_d2
+         |       FROM enc e JOIN tb t USING (sub, code)
+         |       GROUP BY 1),
+         |short AS (SELECT vec_id FROM sc
+         |          ORDER BY adc_d2 ASC, vec_id ASC LIMIT 200),
+         |qv0 AS (SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+         |                          * 1048576.0) AS BIGINT) AS qv,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT q.vec_id,
+         |              CAST(sum((q.qv - qv0.qv) * (q.qv - qv0.qv))
+         |                   AS BIGINT) AS d2
+         |       FROM q JOIN short USING (vec_id)
+         |            JOIN qv0 USING (i)
+         |       GROUP BY 1)
+         |SELECT vec_id, d2 FROM ex
+         |ORDER BY d2 ASC, vec_id ASC LIMIT 20""".stripMargin
+    }))
 }

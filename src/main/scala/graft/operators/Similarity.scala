@@ -670,6 +670,26 @@ object Similarity {
       .select(col(idCol), array(codeCols: _*).as("codes"))
   }
 
+  /** The ADC distance tables: tables(sub)(code) = integer squared L2
+    * between the quantized query sub-vector and that codeword. Shared
+    * by [[pqSearchAdc]] and the oracle builder so both inline the
+    * identical integers.
+    */
+  def pqDistanceTables(codebooks: Array[Array[Array[Long]]],
+      query: Seq[Double], scale: Double = 1048576.0): Array[Array[Long]] = {
+    val sub = codebooks(0)(0).length
+    val qq = query.map(x => math.floor(x * scale).toLong).toArray
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { c =>
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val dd = qq(s * sub + i) - c(i); d += dd * dd; i += 1
+        }
+        d
+      }
+    }
+  }
+
   /** Asymmetric distance computation over a PQ-encoded corpus: the
     * query's per-subspace distance table to every codeword is computed
     * ONCE on the driver (m·k integer squared-L2 values) and ships as
@@ -685,22 +705,42 @@ object Similarity {
     val sub = codebooks(0)(0).length
     require(query.length == m * sub,
       s"query dim ${query.length} != m*sub ${m * sub}")
-    val qq = query.map(x => math.floor(x * scale).toLong).toArray
-    val tables: Array[Array[Long]] = codebooks.zipWithIndex.map {
-      case (cb, s) => cb.map { c =>
-        var d = 0L; var i = 0
-        while (i < sub) {
-          val dd = qq(s * sub + i) - c(i); d += dd * dd; i += 1
-        }
-        d
-      }
-    }
+    val tables = pqDistanceTables(codebooks, query, scale)
     val score = (0 until m).map { s =>
       element_at(array(tables(s).map(lit).toIndexedSeq: _*),
         col("codes")(s) + 1)
     }.reduce(_ + _)
     encoded.select(col(idCol), score.as("adc_d2"))
       .orderBy(col("adc_d2").asc, col(idCol))
+      .limit(kTop)
+  }
+
+  /** ADC shortlist → exact re-rank, the canonical PQ deployment: the
+    * compressed scan ([[pqSearchAdc]]) nominates `shortlist`
+    * candidates; only THOSE rows' full vectors are read and re-scored
+    * by exact squared L2 on the quantized grid — an integer, so the
+    * final ranking replays bit-for-bit in SQL. At 100 TB this is the
+    * IO contract that matters: the corpus-wide pass touches m bytes
+    * per vector, full precision only for the shortlist. Recall is the
+    * shortlist's to lose (gated on clustered data in SimilaritySpec;
+    * PQ distortion on unstructured vectors is the known worst case).
+    */
+  def pqSearchRerank(encoded: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, codebooks: Array[Array[Array[Long]]],
+      query: Seq[Double], kTop: Int, shortlist: Int,
+      scale: Double = 1048576.0): DataFrame = {
+    val short = pqSearchAdc(encoded, idCol, codebooks, query, shortlist)
+      .select(col(idCol))
+    val qq = query.map(x => math.floor(x * scale).toLong)
+    val qvec = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    df.join(broadcast(short), Seq(idCol))
+      .withColumn("_qv", qvec)
+      .withColumn("d2",
+        aggregate(zip_with(col("_qv"), array(qq.map(lit): _*),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v))
+      .orderBy(col("d2").asc, col(idCol))
+      .select(col(idCol), col("d2"))
       .limit(kTop)
   }
 

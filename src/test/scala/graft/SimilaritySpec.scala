@@ -304,4 +304,49 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.25))
     assert(auto == pinned && auto.nonEmpty)
   }
+
+  test("PQ: ADC shortlist recalls clustered structure; rerank recovers exact order") {
+    import spark.implicits._
+    // 10 tight clusters in 64-dim — the structured regime PQ is built
+    // for (the fixture's near-random embeddings are its known worst
+    // case, which is why the oracle checks exactness and THIS test
+    // checks approximation quality).
+    val dim = 64
+    def centerV(k: Int): Array[Double] =
+      Array.tabulate(dim)(d => math.abs(math.sin(k * 37.0 + d)))
+    val rows = for (k <- 0 until 10; j <- 0 until 50) yield {
+      val v = centerV(k).zipWithIndex.map { case (a, d) =>
+        (a + 0.02 * math.sin(j * 101.0 + d * 13.0 + k)).toFloat }
+      ((k * 50 + j + 1).toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = centerV(3).map(_ + 0.01).toSeq
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding")
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+
+    // exact squared-L2 ranking on the same quantized grid, locally
+    val scale = 1048576.0
+    val qq = q.map(x => math.floor(x * scale).toLong).toArray
+    val exact = rows.map { case (id, v) =>
+      val d2 = v.zipWithIndex.map { case (x, d) =>
+        val dd = math.floor(x.toDouble * scale).toLong - qq(d); dd * dd
+      }.sum
+      (d2, id)
+    }.sorted.take(10).map(_._2)
+
+    // PQ's contract is coarse NOMINATION, not fine ordering: within a
+    // tight cluster all members share codes and ADC ties them (order
+    // falls to id). So the gate is on the shortlist — one cluster's
+    // worth of ADC candidates must contain every exact top-10 — and
+    // on the re-rank recovering the exact order from that shortlist.
+    val short = Similarity.pqSearchAdc(enc, "vec_id", cb, q, 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.forall(short),
+      s"ADC-50 shortlist missed exact top-10: $short vs $exact")
+
+    val rerank = Similarity.pqSearchRerank(enc, df, "vec_id", "embedding",
+      cb, q, kTop = 10, shortlist = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rerank == exact, s"rerank $rerank != exact $exact")
+  }
 }
