@@ -47,13 +47,23 @@ object Dsir {
     * replays bit-for-bit in any engine (4 hex chars = 16 bits, so the
     * parse stays well inside integer range on both sides).
     */
-  def featureBuckets(c: Column, buckets: Int): Column = {
+  def featureBuckets(c: Column, buckets: Int): Column =
+    gramBuckets(TextFunctions.tokens(lower(c)), buckets)
+
+  /** [[featureBuckets]] over an already-built tokens array. Bigrams
+    * come from `zip_with(slice, slice)` — NOT an index-lambda with
+    * `element_at(tokens, i)`, which inlines the whole tokenization
+    * into the per-element lambda and turns gram extraction O(tokens²)
+    * per document (measured: the index form cost q_dsir_weights 16.5 s
+    * at sf0.1; this form 100× less gram-extraction work on long docs).
+    */
+  def gramBuckets(toks: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in 1..65536 (the 4-hex-char hash space): $buckets")
-    val toks = TextFunctions.tokens(lower(c))
     val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     transform(concat(toks, bigrams),
       g => (conv(substring(md5(g), 1, 4), 16, 10).cast("long")
@@ -61,10 +71,13 @@ object Dsir {
   }
 
   /** Per-bucket feature counts of a corpus slice: (bucket, c). One
-    * explode + one combiner-friendly aggregate.
+    * explode + one combiner-friendly aggregate; tokens materialize in
+    * a projection BEFORE the generator so the tokenizer runs a
+    * constant number of times per row.
     */
   def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
-    df.select(explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+    df.select(TextFunctions.tokens(lower(col(textCol))).as("_toks"))
+      .select(explode(gramBuckets(col("_toks"), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
 
   /** The importance-ratio table: (bucket, llr_micro) for every bucket
@@ -108,7 +121,9 @@ object Dsir {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, buckets: Int = 4096): DataFrame = {
     val ratio = ratioTable(target, docs, textCol, buckets)
-    docs.select(col(idCol), explode(featureBuckets(col(textCol), buckets))
+    docs.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(gramBuckets(col("_toks"), buckets))
         .as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
       .join(broadcast(ratio), "bucket")

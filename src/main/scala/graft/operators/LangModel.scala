@@ -29,18 +29,27 @@ object LangModel {
     * array below 3 chars. Codegen-friendly: sequence + transform +
     * substr, no UDF.
     */
-  def charTrigrams(c: Column): Column = {
-    val s = lower(c)
+  def charTrigrams(c: Column): Column = charTrigramsOf(lower(c))
+
+  /** Trigrams of an already-lowered string column. `s` is evaluated
+    * inside the per-position lambda, so callers on a hot path should
+    * pass a MATERIALIZED column (`.select(lower(...).as("_s"))`
+    * first): an inlined `lower(text)` here re-lowers the whole string
+    * once per trigram — O(len²) character work per document (the
+    * round-9 DSIR fix caught the same inlining pattern at 16.5 s).
+    */
+  private def charTrigramsOf(s: Column): Column =
     when(length(s) >= 3,
       transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Train the trigram model: (gram, c) counts over the reference
-    * slice. One explode + one combiner-friendly aggregate.
+    * slice. One explode + one combiner-friendly aggregate; the
+    * lowered text materializes before the generator.
     */
   def lmTrain(ref: DataFrame, textCol: String): DataFrame =
-    ref.select(explode(charTrigrams(col(textCol))).as("gram"))
+    ref.select(lower(col(textCol)).as("_s"))
+      .select(explode(charTrigramsOf(col("_s"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
 
   /** The model as driver-side lookup state for PER-ROW scoring:
@@ -140,7 +149,8 @@ object LangModel {
     // full shuffle of the exploded corpus to dedup grams that are
     // mostly unique within a document anyway; the per-doc sum is
     // map-side combinable either way
-    docs.select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
+    docs.select(col(idCol), lower(col(textCol)).as("_s"))
+      .select(col(idCol), explode(charTrigramsOf(col("_s"))).as("gram"))
       .join(broadcast(costs), Seq("gram"), "left")
       .crossJoin(broadcast(oov))
       .groupBy(idCol)

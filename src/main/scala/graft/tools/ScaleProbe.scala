@@ -197,7 +197,10 @@ object ScaleProbe {
       "sf0.1" -> "/root/testdata/sf0.1",
       "x10" -> x10Dir)
 
-    val qs = only.fold(probeQueries)(o => probeQueries.filter(o))
+    // `only:` may name ANY SparkEntry query, not just the standing
+    // probe set — new-operator decades get measured without editing
+    // this list first.
+    val qs = only.fold(probeQueries)(_.toSeq.sorted)
     runSweep(spark, qs, dirs, growthFrom = "sf0.1", growthTo = "x10")
     spark.stop()
   }
