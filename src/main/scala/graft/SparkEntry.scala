@@ -2228,12 +2228,14 @@ object SparkEntry {
     * per (vector, subspace) with ties to the lowest code — ends at
     * `enc(vec_id, sub, code)`. Mirrors [[Similarity.pqEncode]].
     */
-  private def pqEncodeCtes(cb: Array[Array[Array[Long]]]): String = {
+  private def pqEncodeCtes(cb: Array[Array[Array[Long]]],
+      srcSql: String = "SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0")
+      : String = {
     val sub = cb(0)(0).length
     val cbVals = (for {
       s <- cb.indices; code <- cb(s).indices; j <- 0 until sub
     } yield s"($s, $code, ${j + 1}, ${cb(s)(code)(j)})").mkString(", ")
-    s"""v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+    s"""v AS ($srcSql),
        |q AS (SELECT vec_id,
        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
        |             AS BIGINT) AS qv,
@@ -2865,6 +2867,21 @@ object SparkEntry {
       },
       None),
 
+    ("q_embed_ivfpq", // IVF-PQ: the two ANN scale levers composed —
+      // coarse cells prune WHICH rows are read (nprobe=2 of 8 cell
+      // partitions), PQ compresses WHAT each read costs (ADC over
+      // code bytes, exact integer re-rank for the shortlist). Every
+      // stage integer-exact; the oracle inlines coarse centroids +
+      // probe choice + codebooks + distance tables as literals.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        Similarity.ivfPqSearch(emb.filter(col("vec_id") > 0),
+          "vec_id", "embedding", q, kTop = 20)
+      },
+      None),
+
     ("q_embed_knn", // exact k-NN join (the k-NN graph semantic dedup
       // and hard-negative mining consume): every vector's 5 nearest
       // by cosine, ranked on the 6-decimal grid with an id tiebreak
@@ -2896,6 +2913,44 @@ object SparkEntry {
              |      FROM c)
              |SELECT id_a AS vec_id, id_b AS neighbor_id, cos_s, rank
              |FROM r WHERE rank <= 5""".stripMargin)),
+
+    ("q_knn_label", // retrieval-augmented labeling: every vector takes
+      // the majority label of its 5 exact nearest neighbors (ties to
+      // the smallest label) — the weak-supervision step that extends a
+      // labeled seed set over a corpus. Neighbor sets ranked on the
+      // 6-decimal grid with id tiebreak, votes an exact count, so the
+      // whole propagation replays in SQL.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnLabel(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+             |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |             sum(a.x*b.x) AS dot
+             |      FROM v a JOIN v b USING (i) WHERE a.vec_id <> b.vec_id
+             |      GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b,
+             |        round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+             |                   ELSE dot/(na.nrm*nb.nrm) END, 6) AS cos_s
+             |      FROM d JOIN n na ON na.vec_id = d.id_a
+             |             JOIN n nb ON nb.vec_id = d.id_b),
+             |r AS (SELECT id_a, id_b, cos_s,
+             |        row_number() OVER (PARTITION BY id_a
+             |          ORDER BY cos_s DESC, id_b) AS rank
+             |      FROM c),
+             |nb AS (SELECT r.id_a AS vec_id, e.label
+             |       FROM r JOIN embeddings e ON e.vec_id = r.id_b
+             |       WHERE r.rank <= 5),
+             |vt AS (SELECT vec_id, label, count(*) AS votes
+             |       FROM nb GROUP BY 1, 2),
+             |w AS (SELECT vec_id, label, votes, row_number() OVER (
+             |        PARTITION BY vec_id ORDER BY votes DESC, label) AS rk
+             |      FROM vt)
+             |SELECT vec_id, label AS predicted_label, votes
+             |FROM w WHERE rk = 1""".stripMargin)),
 
     // IVF probe + hyperplane-LSH pairs: not SQL-expressible (centroid
     // fit / banding) → rows-only check; recall vs brute force covered
@@ -3123,15 +3178,8 @@ object SparkEntry {
         .head().getSeq[Float](1).map(_.toDouble)
       val cb = pqTrainFor(s, dir)
       val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
-      val tbVals = (for {
-        s0 <- tables.indices; code <- tables(s0).indices
-      } yield s"($s0, $code, ${tables(s0)(code)})").mkString(", ")
       s"""WITH ${pqEncodeCtes(cb)},
-         |tb AS (SELECT s AS sub, c AS code, CAST(dv AS BIGINT) AS dv
-         |       FROM (VALUES $tbVals) t(s, c, dv)),
-         |sc AS (SELECT e.vec_id, CAST(sum(t.dv) AS BIGINT) AS adc_d2
-         |       FROM enc e JOIN tb t USING (sub, code)
-         |       GROUP BY 1)
+         |${pqAdcCtesSql(tables)}
          |SELECT vec_id, adc_d2 FROM sc
          |ORDER BY adc_d2 ASC, vec_id ASC LIMIT 20""".stripMargin
     }),
@@ -3141,28 +3189,72 @@ object SparkEntry {
         .head().getSeq[Float](1).map(_.toDouble)
       val cb = pqTrainFor(s, dir)
       val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
-      val tbVals = (for {
-        s0 <- tables.indices; code <- tables(s0).indices
-      } yield s"($s0, $code, ${tables(s0)(code)})").mkString(", ")
       s"""WITH ${pqEncodeCtes(cb)},
-         |tb AS (SELECT s AS sub, c AS code, CAST(dv AS BIGINT) AS dv
-         |       FROM (VALUES $tbVals) t(s, c, dv)),
-         |sc AS (SELECT e.vec_id, CAST(sum(t.dv) AS BIGINT) AS adc_d2
-         |       FROM enc e JOIN tb t USING (sub, code)
-         |       GROUP BY 1),
-         |short AS (SELECT vec_id FROM sc
-         |          ORDER BY adc_d2 ASC, vec_id ASC LIMIT 200),
-         |qv0 AS (SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-         |                          * 1048576.0) AS BIGINT) AS qv,
-         |               generate_subscripts(embedding, 1) AS i
-         |        FROM embeddings WHERE vec_id = 0),
-         |ex AS (SELECT q.vec_id,
-         |              CAST(sum((q.qv - qv0.qv) * (q.qv - qv0.qv))
-         |                   AS BIGINT) AS d2
-         |       FROM q JOIN short USING (vec_id)
-         |            JOIN qv0 USING (i)
-         |       GROUP BY 1)
-         |SELECT vec_id, d2 FROM ex
-         |ORDER BY d2 ASC, vec_id ASC LIMIT 20""".stripMargin
+         |${pqAdcCtesSql(tables)},
+         |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
+    }),
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") > 0)
+      val q = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(_.toDouble)
+      val (cents, _) = graft.operators.Similarity.kmeansQuantizedFit(
+        corpus, "vec_id", "embedding", 8, 2)
+      val probes = graft.operators.Similarity.probeCells(cents, q, 2)
+      val cb = pqTrainFor(s, dir)
+      val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
+      val ccVals = cents.sortBy(_._1).map { case (cl, c) =>
+        s"($cl, [${c.mkString(", ")}])" }.mkString(", ")
+      s"""WITH raw AS (SELECT vec_id, embedding FROM embeddings
+         |             WHERE vec_id > 0),
+         |cq AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT))
+         |         AS qv FROM raw),
+         |cc AS (SELECT cl, list_transform(qv, x -> CAST(x AS BIGINT)) AS qv
+         |       FROM (VALUES $ccVals) t(cl, qv)),
+         |ca AS (SELECT vec_id FROM (
+         |    SELECT q.vec_id, c.cl, row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum(list_transform(generate_series(1, 64),
+         |        i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
+         |    FROM cq q, cc c)
+         |    WHERE rk = 1 AND cl IN (${probes.mkString(", ")})),
+         |${pqEncodeCtes(cb,
+            "SELECT r.vec_id, r.embedding FROM raw r JOIN ca USING (vec_id)")},
+         |${pqAdcCtesSql(tables)},
+         |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
     }))
+
+  /** ADC scoring CTEs shared by the PQ oracles: distance-table
+    * literals `tb` + per-vector summed score `sc` over the `enc` CTE
+    * from [[pqEncodeCtes]]. */
+  private def pqAdcCtesSql(tables: Array[Array[Long]]): String = {
+    val tbVals = (for {
+      s0 <- tables.indices; code <- tables(s0).indices
+    } yield s"($s0, $code, ${tables(s0)(code)})").mkString(", ")
+    s"""tb AS (SELECT s AS sub, c AS code, CAST(dv AS BIGINT) AS dv
+       |       FROM (VALUES $tbVals) t(s, c, dv)),
+       |sc AS (SELECT e.vec_id, CAST(sum(t.dv) AS BIGINT) AS adc_d2
+       |       FROM enc e JOIN tb t USING (sub, code)
+       |       GROUP BY 1)""".stripMargin
+  }
+
+  /** Shortlist + exact integer re-rank tail shared by the PQ rerank
+    * oracles: ADC top-`shortlist` ids, quantized query from the table
+    * itself, exact quantized-grid squared L2, final top-`kTop`. Uses
+    * the `q` CTE (quantized candidate vectors) from [[pqEncodeCtes]]. */
+  private def pqRerankTailSql(shortlist: Int, kTop: Int): String =
+    s"""short AS (SELECT vec_id FROM sc
+       |          ORDER BY adc_d2 ASC, vec_id ASC LIMIT $shortlist),
+       |qv0 AS (SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+       |                          * 1048576.0) AS BIGINT) AS qv,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT q.vec_id,
+       |              CAST(sum((q.qv - qv0.qv) * (q.qv - qv0.qv))
+       |                   AS BIGINT) AS d2
+       |       FROM q JOIN short USING (vec_id)
+       |            JOIN qv0 USING (i)
+       |       GROUP BY 1)
+       |SELECT vec_id, d2 FROM ex
+       |ORDER BY d2 ASC, vec_id ASC LIMIT $kTop""".stripMargin
 }

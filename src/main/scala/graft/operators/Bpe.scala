@@ -101,7 +101,16 @@ object Bpe {
     * runs out of adjacent pairs. Driver state: one winner row per
     * round.
     */
-  def learn(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def learn(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    learnState(df, textCol, rounds)._1
+
+  /** The merge loop, also returning the post-merge vocabulary (each
+    * round's checkpoint makes it free) so [[encode]] does not replay
+    * every merge over a fresh vocab — the replay doubled encode's
+    * job count for an artifact `learn` had already materialized.
+    */
+  private def learnState(df: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds > 0, s"rounds must be positive: $rounds")
     val spark = df.sparkSession
     var v = vocab(df, textCol).localCheckpoint(true)
@@ -121,7 +130,7 @@ object Bpe {
         case None => exhausted = true
       }
     }
-    spark.createDataFrame(
+    val mergeDf = spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(
         StructField("merge_rank", LongType, nullable = false),
@@ -129,6 +138,7 @@ object Bpe {
         StructField("rhs", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("weight", LongType, nullable = false))))
+    (mergeDf, v)
   }
 
   /** Per-document token and BPE-piece counts under the first `rounds`
@@ -138,13 +148,8 @@ object Bpe {
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
-    val merges = learn(df, textCol, rounds).collect()
-      .sortBy(_.getLong(0))
-    var v = vocab(df, textCol)
-    for (m <- merges)
-      v = applyMerge(v, m.getString(1), m.getString(2))
+    val (_, v) = learnState(df, textCol, rounds)
     val pieces = v.select(col("word"), size(col("syms")).as("n_pieces"))
-      .localCheckpoint(true)
     df.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .join(broadcast(pieces), "word")

@@ -785,6 +785,71 @@ object Similarity {
       .limit(kTop)
   }
 
+  /** k-NN majority-vote labeling — retrieval-augmented label
+    * propagation from a labeled embedding table (the weak-supervision
+    * step a curation pipeline uses to extend a small labeled seed set
+    * over a large corpus): each vector takes the majority label of
+    * its `k` exact nearest neighbors, ties to the smallest label.
+    * Composes [[knnJoinCompiled]] (self excluded) with a broadcast
+    * label join + one vote aggregate; the neighbor sets and the vote
+    * rule are both deterministic, so the whole operator replays in
+    * SQL. Output (idCol, predicted_label, votes).
+    */
+  def knnLabel(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val nn = knnJoinCompiled(df, idCol, vecCol, k)
+    val labels = df.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("_nl"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("votes").desc, col("_nl"))
+    nn.join(broadcast(labels), "neighbor_id")
+      .groupBy(col(idCol), col("_nl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("_nl").as("predicted_label"), col("votes"))
+  }
+
+  /** IVF-PQ search — the two ANN scale levers COMPOSED: the coarse
+    * quantizer ([[kmeansQuantizedFit]], integer-exact) prunes WHICH
+    * rows are read (only `nprobe` of `nCells` cell partitions), and
+    * product quantization compresses WHAT each read costs (ADC over
+    * m code bytes, exact integer re-rank only for the shortlist).
+    * Probe cells are the `nprobe` centroids nearest the quantized
+    * query by integer L2 (ties to the lowest cell id), codebooks are
+    * corpus-trained — the standard IVF-PQ layout (Jégou et al. 2011
+    * §V). Every stage is integer-exact, so the whole path replays in
+    * SQL with centroids, codebooks and distance tables as literals.
+    */
+  def ivfPqSearch(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], kTop: Int, nCells: Int = 8, nprobe: Int = 2,
+      iterations: Int = 2, m: Int = 8, k: Int = 16, shortlist: Int = 200,
+      scale: Double = 1048576.0): DataFrame = {
+    val (cents, assigned) = kmeansQuantizedFit(df, idCol, vecCol,
+      nCells, iterations, scale)
+    val probes = probeCells(cents, query, nprobe, scale)
+    val probed = df.join(
+      assigned.filter(col("cluster").isInCollection(probes))
+        .select(col(idCol)), Seq(idCol))
+    val cb = pqTrain(df, idCol, vecCol, m, k, iterations, scale)
+    val enc = pqEncode(probed, idCol, vecCol, cb, scale)
+    pqSearchRerank(enc, probed, idCol, vecCol, cb, query, kTop,
+      shortlist, scale)
+  }
+
+  /** The `nprobe` coarse cells nearest the quantized query (integer
+    * L2, ties to the lowest cell id) — driver-side, like the distance
+    * tables, so the oracle can inline the choice. */
+  def probeCells(cents: Array[(Int, Array[Long])], query: Seq[Double],
+      nprobe: Int, scale: Double = 1048576.0): Seq[Int] = {
+    val qq = query.map(x => math.floor(x * scale).toLong).toArray
+    cents.map { case (cid, c) =>
+      var d = 0L; var i = 0
+      while (i < c.length) { val dd = qq(i) - c(i); d += dd * dd; i += 1 }
+      (d, cid)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
   /** ADC shortlist → exact re-rank, the canonical PQ deployment: the
     * compressed scan ([[pqSearchAdc]]) nominates `shortlist`
     * candidates; only THOSE rows' full vectors are read and re-scored

@@ -86,7 +86,10 @@ object ScaleProbe {
     "q_pack_sequences", "q_chunk_tokens",                // packing
     "q_text_profile", "q_tfidf", "q_repetition",
     "q_lm_quality", "q_source_overlap", "q_scrub_spans",
-    "q_decontaminate_bloom",                             // text analysis
+    "q_decontaminate_bloom", "q_gopher_rules",           // text analysis
+    "q_dsir_weights", "q_bpe_encode",                    // r9 additions
+    "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ivfpq",
+    "q_knn_label",
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the

@@ -305,6 +305,24 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == pinned && auto.nonEmpty)
   }
 
+  test("knnLabel: majority vote with deterministic ties on the label") {
+    import spark.implicits._
+    // axis vectors: vec 3 = (1,1,0,0) is equidistant from vec 1 and
+    // vec 2 (cos 0.707107 each), so its k=2 vote is a 1-1 tie between
+    // labels 5 and 3 — the tie must go to the SMALLER label.
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 5),
+      (2L, Seq(0f, 1f, 0f, 0f), 3),
+      (3L, Seq(1f, 1f, 0f, 0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabel(df, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(3L) == ((3, 1L)), got.toString)
+    // self is excluded: vec 1 votes over {2, 3} = labels {3, 9} → 3
+    assert(got(1L) == ((3, 1L)), got.toString)
+    assert(got(2L) == ((5, 1L)), got.toString)
+  }
+
   test("PQ: ADC shortlist recalls clustered structure; rerank recovers exact order") {
     import spark.implicits._
     // 10 tight clusters in 64-dim — the structured regime PQ is built
