@@ -603,7 +603,8 @@ object SparkEntry {
           s"('${esc(fid)}', '${esc(c)}', '${esc(f)}', $v)" } } }
       .mkString(", ")
     s"""WITH ev AS (SELECT event_type AS filter_id, event_id,
-       |              event_type || ' ' || props AS raw FROM events),
+       |              coalesce(event_type, '') || ' ' ||
+       |                coalesce(props, '') AS raw FROM events),
        |pri AS (SELECT fi AS filter_id, ca AS cat, CAST(pc AS BIGINT) AS pcost
        |        FROM (VALUES $priorVals) v(fi, ca, pc)),
        |fco AS (SELECT fi AS filter_id, ca AS cat, fe AS feature,
@@ -669,7 +670,8 @@ object SparkEntry {
       },
       Some(s"""WITH ev AS (SELECT event_type AS filter_id,
              |              event_id AS ord,
-             |              event_type || ' ' || props AS raw FROM events),
+             |              coalesce(event_type, '') || ' ' ||
+             |                coalesce(props, '') AS raw FROM events),
              |tr AS (SELECT filter_id, raw FROM (
              |         SELECT filter_id, raw, row_number() OVER (
              |           PARTITION BY filter_id ORDER BY ord) AS rn FROM ev)
@@ -2125,7 +2127,13 @@ object SparkEntry {
     * (see [[oracleSqlDynamic]]). The vocabulary is charset-bounded
     * (377 grams on the fixtures), so the VALUES list stays small.
     */
-  private def lmCostLiteralCtes(s: SparkSession, dir: String): String = {
+  private val lmCtesCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def lmCostLiteralCtes(s: SparkSession, dir: String): String =
+    // memoized per fixture dir: three dynamic oracles share one train
+    lmCtesCache.getOrElseUpdate(dir, lmCostLiteralCtesUncached(s, dir))
+  private def lmCostLiteralCtesUncached(s: SparkSession,
+      dir: String): String = {
     val docs = t(s, dir, "documents")
     val model = graft.operators.LangModel.lmTrain(
       docs.filter(col("lang") === "en"), "text")
@@ -2216,12 +2224,17 @@ object SparkEntry {
 
   /** Codebooks for the PQ oracle builders — same deterministic train
     * call the queries make (integer-exact Lloyd, so both runs fit
-    * identical codebooks). */
+    * identical codebooks). Memoized per fixture dir: four dynamic
+    * oracles share one fit instead of each paying a full training
+    * pass at Verify time. */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Long]]]]()
   private def pqTrainFor(s: SparkSession, dir: String)
       : Array[Array[Array[Long]]] =
-    graft.operators.Similarity.pqTrain(
-      t(s, dir, "embeddings").filter(col("vec_id") > 0),
-      "vec_id", "embedding")
+    pqCbCache.getOrElseUpdate(dir,
+      graft.operators.Similarity.pqTrain(
+        t(s, dir, "embeddings").filter(col("vec_id") > 0),
+        "vec_id", "embedding"))
 
   /** Shared encode CTE chain for the PQ oracles: quantize (floor ·2²⁰,
     * IEEE-exact), join against the INLINED codebook literals, argmin

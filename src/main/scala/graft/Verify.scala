@@ -49,9 +49,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/fixture_schemas.json"), schemaJson)
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -84,7 +84,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failedJson)
     if (failed.nonEmpty) {
       System.err.println(
-        s"[verify] *** ${failed.size} of ${SparkEntry.queries.size} queries " +
+        s"[verify] *** ${failed.size} of ${selected.size} queries run " +
           s"FAILED and wrote no parquet: ${failed.map(_._1).mkString(", ")} ***")
     } else
       System.err.println(s"[verify] all queries wrote output")

@@ -296,16 +296,16 @@ object Similarity {
       .limit(k)
   }
 
-  /** Argmin assignment against literal quantized centroids: one
-    * struct-array min — (dist2, cluster) lexicographic order makes ties
-    * resolve to the lowest cluster id, matching `ORDER BY d2, cl` in
-    * the SQL oracle.
+  /** The (d2, cl) struct of `v`'s nearest literal quantized centroid:
+    * one struct-array min — (dist2, cluster) lexicographic order makes
+    * ties resolve to the lowest cluster id, matching `ORDER BY d2, cl`
+    * in the SQL oracles. THE single source of the assignment rule:
+    * [[assignQuantized]] (k-means / IVF) and [[argminCluster]]
+    * ([[pqTrain]]) both read from here, so a tie-rule or overflow fix
+    * can never diverge between them. `v` should reference a
+    * materialized column.
     */
-  /** The argmin cluster id of `v` against literal quantized centroids
-    * — [[assignQuantized]]'s rule as a bare Column (integer squared
-    * L2, ties to the lowest id). `v` should reference a materialized
-    * column. */
-  private def argminCluster(v: Column,
+  private def argminStruct(v: Column,
       cents: Array[(Int, Array[Long])]): Column = {
     val structs = cents.sortBy(_._1).map { case (cid, c) =>
       struct(
@@ -314,23 +314,22 @@ object Similarity {
           .as("d2"),
         lit(cid).as("cl"))
     }
-    array_min(array(structs.toIndexedSeq: _*)).getField("cl")
+    array_min(array(structs.toIndexedSeq: _*))
   }
 
+  /** The argmin cluster id alone — [[argminStruct]]'s `cl` field. */
+  private def argminCluster(v: Column,
+      cents: Array[(Int, Array[Long])]): Column =
+    argminStruct(v, cents).getField("cl")
+
+  /** Argmin assignment as (cluster, dist2) columns on `df` — the
+    * DataFrame face of [[argminStruct]]. */
   private def assignQuantized(df: DataFrame, qvCol: String,
-      cents: Array[(Int, Array[Long])]): DataFrame = {
-    val structs = cents.sortBy(_._1).map { case (cid, c) =>
-      val lits = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(col(qvCol), lits, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("d2"),
-        lit(cid).as("cl"))
-    }
-    df.withColumn("_mn", array_min(array(structs.toIndexedSeq: _*)))
+      cents: Array[(Int, Array[Long])]): DataFrame =
+    df.withColumn("_mn", argminStruct(col(qvCol), cents))
       .withColumn("cluster", col("_mn.cl"))
       .withColumn("dist2", col("_mn.d2"))
       .drop("_mn")
-  }
 
   /** Bits per LSH table that hold the RANDOM-collision candidate rate
     * flat as the corpus grows: a table's buckets hold ~n/2^bits rows,
@@ -864,7 +863,8 @@ object Similarity {
       vecCol: String, codebooks: Array[Array[Array[Long]]],
       query: Seq[Double], kTop: Int, shortlist: Int,
       scale: Double = 1048576.0): DataFrame = {
-    val short = pqSearchAdc(encoded, idCol, codebooks, query, shortlist)
+    val short = pqSearchAdc(encoded, idCol, codebooks, query, shortlist,
+        scale)
       .select(col(idCol))
     val qq = query.map(x => math.floor(x * scale).toLong)
     val qvec = transform(col(vecCol),
