@@ -1922,6 +1922,36 @@ object SparkEntry {
              |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
              |      < printf('%08x', CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin)),
 
+    ("q_temperature_mix", // temperature-flattened domain sampling
+      // (sample ∝ (n_d/N)^(1/T), T=2 → sqrt — repeated-sqrt exponents
+      // keep the oracle transcendental-free): low-resource sources
+      // keep more of their mass, the md5 rule keeps rows
+      // deterministically, and the ordered prefix sum over domains
+      // makes the float fold replay exactly in SQL
+      (s: SparkSession, dir: String) =>
+        Curate.temperatureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id")
+          .select("doc_id", "source", "dom_n", "keep_frac"),
+      Some("""WITH d AS (SELECT source, count(*) AS dom_n
+             |          FROM documents GROUP BY 1),
+             |r AS (SELECT source, dom_n,
+             |             sqrt(CAST(dom_n AS DOUBLE)) AS rt FROM d),
+             |c AS (SELECT source, dom_n, rt,
+             |             sum(rt) OVER (ORDER BY source) AS cum FROM r),
+             |t AS (SELECT max(cum) AS s_tot,
+             |             CAST(sum(dom_n) AS DOUBLE) AS n_tot FROM c),
+             |a AS (SELECT source, dom_n,
+             |        least(1.0, 0.5 * n_tot * rt / s_tot
+             |                   / CAST(dom_n AS DOUBLE)) AS keep_frac
+             |      FROM c, t)
+             |SELECT doc.doc_id, doc.source, a.dom_n, a.keep_frac
+             |FROM documents doc JOIN a USING (source)
+             |WHERE a.keep_frac >= 1.0
+             |   OR substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 8)
+             |      < printf('%08x',
+             |               CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT))""".stripMargin)),
+
     ("q_source_overlap", // cross-source 8-gram contamination matrix:
       // distinct shared n-grams per source pair — the corpus-audit
       // view of decontamination (mirrors/scrape-pairs/benchmark leaks

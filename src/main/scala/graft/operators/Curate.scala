@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -177,6 +177,57 @@ object Curate {
       .withColumn("_thr", format_string("%08x",
         floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
       .drop("_min_tok")
+    input.join(broadcast(ann), domainCol)
+      .filter(col("keep_frac") >= 1.0 ||
+        Scale.sampleBucket(col(idCol)) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** Temperature-based domain sampling — the multilingual pretraining
+    * rule (sample domain d ∝ (n_d/N)^(1/T); Conneau & Lample 2019,
+    * XLM-R): keep_frac_d = min(1, keepFrac · N · q_d / n_d) with
+    * q_d = n_d^(1/T) / Σ_e n_e^(1/T), flattening the domain
+    * distribution so low-resource domains keep more of their mass.
+    * Rows are kept by the engine's deterministic md5-threshold rule.
+    *
+    * `temperature` is restricted to powers of two so the exponent is
+    * REPEATED sqrt — IEEE-correctly-rounded in every engine, unlike
+    * pow/exp/ln (the round-8 oracle lesson: transcendentals diverge
+    * across engine builds). The Σ over domains is an ORDERED prefix
+    * sum (window over the domain name — one task bounded by domain
+    * cardinality, the [[keepTopByScore]] pattern), so the float fold
+    * replays identically in SQL; every other step is one IEEE op in a
+    * fixed association. Same scale shape as [[mixtureBalance]]: one
+    * map-side-combinable aggregate, broadcast threshold join, corpus
+    * unshuffled; same caching contract. Output: input row +
+    * (dom_n, keep_frac).
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      temperature: Int = 2, keepFrac: Double = 0.5): DataFrame = {
+    require(temperature >= 2 && Integer.bitCount(temperature) == 1,
+      s"temperature must be a power of two >= 2 (exponent = repeated " +
+        s"sqrt keeps the oracle transcendental-free): $temperature")
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1]: $keepFrac")
+    val roots = Integer.numberOfTrailingZeros(temperature)
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDom = input.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("long").as("dom_n"))
+      .localCheckpoint(true)
+    def root(c: Column): Column = (1 to roots).foldLeft(c)((x, _) => sqrt(x))
+    val wDom = Window.orderBy(domainCol)
+    val cum = perDom
+      .withColumn("_rt", root(col("dom_n").cast("double")))
+      .withColumn("_cum", sum(col("_rt")).over(wDom))
+    val tot = cum.agg(max(col("_cum")).as("_S"),
+      sum(col("dom_n")).cast("double").as("_N"))
+    val ann = cum.crossJoin(broadcast(tot))
+      .withColumn("keep_frac",
+        least(lit(1.0), lit(keepFrac) * col("_N") * col("_rt") / col("_S")
+          / col("dom_n").cast("double")))
+      .withColumn("_thr", format_string("%08x",
+        floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
+      .select(col(domainCol), col("dom_n"), col("keep_frac"), col("_thr"))
     input.join(broadcast(ann), domainCol)
       .filter(col("keep_frac") >= 1.0 ||
         Scale.sampleBucket(col(idCol)) < col("_thr"))

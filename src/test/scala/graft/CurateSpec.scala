@@ -252,6 +252,34 @@ class CurateSpec extends SparkSpec {
       s"offsets must broadcast-join, not shuffle:\n$plan")
   }
 
+  test("temperatureSample flattens domains: scarce kept whole, rich downsampled, deterministic") {
+    val s = spark
+    import s.implicits._
+    // big: 400 rows, small: 20. T=2, keepFrac=0.5 →
+    // q ∝ sqrt(n); keep_frac(small) = 0.5·420·√20/(√400+√20)/20 ≈ 1.92
+    // → capped at 1 (kept whole); keep_frac(big) ≈ 0.43.
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 420).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val got = graft.operators.Curate
+      .temperatureSample(df, "source", "doc_id")
+    val kept = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 20L, s"scarce domain not kept whole: $kept")
+    // md5 keep is Bernoulli(0.429)-shaped over 400 ids — allow wide slack
+    assert(kept("big") > 120 && kept("big") < 230,
+      s"rich domain not ~43% downsampled: $kept")
+    // the uncapped fraction survives in the output for the kept rows
+    val fr = got.filter(col("source") === "big")
+      .select("keep_frac").distinct().collect()
+    assert(fr.length == 1 && math.abs(fr(0).getDouble(0) - 0.4293) < 0.01)
+    // deterministic: a second run keeps the identical id set
+    val again = graft.operators.Curate
+      .temperatureSample(df, "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("perplexity buckets: value terciles per group, boundary ties share a bucket") {
     import spark.implicits._
     // group a: scores 1..9 → t1=3, t2=6; group b: all equal → all head
