@@ -207,6 +207,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
 
+  test("pq encode: one codegen'd projection over literal codebooks — no join, no exchange") {
+    // the compressed-corpus representation must cost a scan, nothing
+    // more: the m argmin-vs-codebook expressions are plan literals
+    val p = plan("q_embed_pq_codes")
+    assert(!p.contains("Join"), s"PQ encode grew a join:\n$p")
+    // the only exchange allowed is the final coalesce/collect shape —
+    // encoding itself must not shuffle the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"PQ encode joined against something:\n$p")
+  }
+
+  test("temperature mix: threshold relation broadcast, corpus unshuffled") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"temperature thresholds not broadcast-joined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the temperature join:\n$p")
+  }
+
+  test("knn label: votes aggregate over the broadcast label join — no vector shuffle") {
+    val p = plan("q_knn_label")
+    assert(p.contains("BroadcastHashJoin"),
+      s"neighbor labels not broadcast-joined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"label propagation shuffled a big side:\n$p")
+  }
+
+  test("dsir weights: ratio table broadcast to the corpus scan") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"DSIR ratio table not broadcast:\n$p")
+    // the corpus never shuffles on bucket against the ratio table; the
+    // only sort-merge-free requirement is on that join (the per-doc
+    // aggregate's own exchange is expected)
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against the ratio table:\n$p")
+  }
+
   test("dedup canonical: one documents scan feeds both profile and LSH branches") {
     // the LSH phase (eager, inside the query constructor) materializes
     // the shared persisted projection — its single parquet read. The
