@@ -181,11 +181,13 @@ object Bench {
       // measure trigger scheduling, not operator cost, and drown the
       // total (24 s of sleep-adjacent wait at sf0.1). The streaming
       // leg above is the cadence measurement of record.
-      // q_write_shards writes real parquet to disk and reads it back —
-      // right for CORRECTNESS (the artifact is the contract), wrong in
-      // a latency table (13.4 s of disk IO ≈ 20% of the r7 total). Its
-      // cost is published as write_mb_per_sec below instead.
-      val excluded = Set("q_stream_dedup_index", "q_write_shards")
+      // q_write_shards and q_shard_manifest write real parquet to disk
+      // and read it back — right for CORRECTNESS (the artifact is the
+      // contract), wrong in a latency table (13.4 s of disk IO ≈ 20%
+      // of the r7 total). The write cost is published as
+      // write_mb_per_sec below instead.
+      val excluded = Set("q_stream_dedup_index", "q_write_shards",
+        "q_shard_manifest")
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(q => excluded(q._1))
         .map { case (name, fn) => name -> run(fn) }

@@ -2042,6 +2042,46 @@ object SparkEntry {
              |SELECT doc_id, CAST(st // 2000 AS BIGINT) AS shard
              |FROM cum""".stripMargin)),
 
+    ("q_shard_manifest", // the data-card of a shard export: per-shard
+      // doc count, token mass, id range, and an order-free md5-sum
+      // fingerprint, computed from the artifact READ BACK off disk —
+      // the reproducibility record a training run pins its inputs to.
+      // The oracle recomputes every statistic from the source table
+      // through the same Pack prefix-sum shard rule, so a truncated or
+      // drifted export hash-fails.
+      (s: SparkSession, dir: String) => {
+        val out = java.nio.file.Files.createTempDirectory("q_shard_manifest")
+        Curate.writeShards(t(s, dir, "documents"), "doc_id", "text",
+          tokensPerShard = 20000, path = out.toString)
+        val m = Curate.shardManifest(s, out.toString, "doc_id", "text")
+          .localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        m
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         len(list_filter(string_split_regex(text, '\s+'),
+             |                         x -> len(x) > 0)) AS n
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, n,
+             |         sum(n) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+             |           AS st
+             |  FROM tok)
+             |SELECT CAST(st // 20000 AS BIGINT) AS shard,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS n_tokens,
+             |       min(doc_id) AS min_id,
+             |       max(doc_id) AS max_id,
+             |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |                                1, 8))::BIGINT) AS BIGINT)
+             |         AS id_fp
+             |FROM cum GROUP BY 1""".stripMargin)),
+
     ("q_dsir_weights", // DSIR importance weights (Xie et al. 2023):
       // hashed unigram+bigram bag features (md5 → 512 buckets, an
       // engine-neutral hash), add-one models of the English target

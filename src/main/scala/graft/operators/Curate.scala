@@ -135,6 +135,31 @@ object Curate {
       .select("shard").distinct().count()
   }
 
+  /** Per-shard manifest of a written shard export — the data-card /
+    * reproducibility record a training run pins its inputs to: doc
+    * count, token mass, id range, and a deterministic content
+    * fingerprint per shard (BIGINT sum of each member id's 32-bit md5
+    * bucket — order-free, so any execution plan produces the same
+    * value, and engine-replayable, so an external auditor recomputes
+    * it from the source table). Reads the partitioned layout BACK from
+    * disk: the manifest describes the artifact, not the plan that
+    * produced it — a truncated or re-written shard shows up as a
+    * fingerprint mismatch. One combinable aggregate, output bounded by
+    * shard count.
+    */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, textCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(idCol), col(textCol), col("shard").cast("long").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long")).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long")).as("id_fp"))
+
   /** Mixture balancing: deterministically downsample every domain to
     * the token count of the smallest domain, so all domains carry equal
     * token weight (the "uniform mixture" rebalance; feed a pre-filtered
