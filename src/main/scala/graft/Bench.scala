@@ -42,7 +42,7 @@ object Bench {
     * the loop can't be dead-code-eliminated. Same instruction count
     * every run — wall time scales with CPU contention only.
     */
-  private def calibrate(): Double = {
+  private[graft] def calibrate(): Double = {
     val t0 = System.nanoTime()
     var x = 0x9e3779b97f4a7c15L
     var acc = 0L
@@ -63,7 +63,7 @@ object Bench {
     * still finds one free core and stays flat — which is exactly how
     * the round-7 contended artifact slipped past the armor.
     */
-  private def calibrateParallel(): Double = {
+  private[graft] def calibrateParallel(): Double = {
     val n = Runtime.getRuntime.availableProcessors()
     val t0 = System.nanoTime()
     val threads = Array.fill(n)(new Thread(() => { calibrate(); () }))

@@ -602,9 +602,18 @@ object SparkEntry {
         byCat.toSeq.sortBy(_._1).map { case (c, v) =>
           s"('${esc(fid)}', '${esc(c)}', '${esc(f)}', $v)" } } }
       .mkString(", ")
+    // The decision computes once per DISTINCT (filter_id, event_id,
+    // raw) and joins back to ev, so the oracle's row multiplicity
+    // equals the engine's one-output-per-input-row by construction;
+    // rows whose filter_id is NULL or unmodeled fall out of the inner
+    // join against pri and surface through the final LEFT JOIN with
+    // the engine's '' prediction (round-9 ADVICE: NULL never
+    // equi-joins, and DISTINCT silently dropped duplicates).
     s"""WITH ev AS (SELECT event_type AS filter_id, event_id,
        |              coalesce(event_type, '') || ' ' ||
        |                coalesce(props, '') AS raw FROM events),
+       |evd AS (SELECT DISTINCT filter_id, event_id, raw FROM ev
+       |        WHERE filter_id IS NOT NULL),
        |pri AS (SELECT fi AS filter_id, ca AS cat, CAST(pc AS BIGINT) AS pcost
        |        FROM (VALUES $priorVals) v(fi, ca, pc)),
        |fco AS (SELECT fi AS filter_id, ca AS cat, fe AS feature,
@@ -613,23 +622,27 @@ object SparkEntry {
        |tok AS (SELECT filter_id, event_id,
        |          unnest(list_filter(string_split_regex(raw, '\\s+'),
        |                             x -> len(x) > 0)) AS feature
-       |        FROM ev),
+       |        FROM evd),
        |sc AS (SELECT t.filter_id, t.event_id, f.cat,
        |              CAST(sum(f.cost) AS BIGINT) AS tc
        |       FROM tok t JOIN fco f USING (filter_id, feature)
        |       GROUP BY 1, 2, 3),
        |tot AS (SELECT e.filter_id, e.event_id, p.cat,
        |               p.pcost + coalesce(s.tc, 0) AS cost
-       |        FROM (SELECT DISTINCT filter_id, event_id FROM ev) e
+       |        FROM (SELECT DISTINCT filter_id, event_id FROM evd) e
        |        JOIN pri p USING (filter_id)
        |        LEFT JOIN sc s ON s.filter_id = e.filter_id
        |                      AND s.event_id = e.event_id
        |                      AND s.cat = p.cat),
-       |r AS (SELECT filter_id, event_id, cat,
-       |             row_number() OVER (PARTITION BY filter_id, event_id
-       |               ORDER BY cost ASC, cat DESC) AS rk FROM tot)
-       |SELECT filter_id, event_id, cat AS predicted FROM r
-       |WHERE rk = 1""".stripMargin
+       |dec AS (SELECT filter_id, event_id, cat AS predicted FROM (
+       |          SELECT filter_id, event_id, cat,
+       |                 row_number() OVER (PARTITION BY filter_id, event_id
+       |                   ORDER BY cost ASC, cat DESC) AS rk FROM tot)
+       |        WHERE rk = 1)
+       |SELECT e.filter_id, e.event_id,
+       |       coalesce(d.predicted, '') AS predicted
+       |FROM ev e LEFT JOIN dec d ON d.filter_id = e.filter_id
+       |                         AND d.event_id = e.event_id""".stripMargin
   }
 
   // --- ML + multimodal operators (M1/M2 + builder brief) ---
@@ -1936,13 +1949,15 @@ object SparkEntry {
       Some("""WITH d AS (SELECT source, count(*) AS dom_n
              |          FROM documents GROUP BY 1),
              |r AS (SELECT source, dom_n,
-             |             sqrt(CAST(dom_n AS DOUBLE)) AS rt FROM d),
-             |c AS (SELECT source, dom_n, rt,
-             |             sum(rt) OVER (ORDER BY source) AS cum FROM r),
-             |t AS (SELECT max(cum) AS s_tot,
+             |             CAST(floor(sqrt(CAST(dom_n AS DOUBLE)) * 1048576.0)
+             |                  AS BIGINT) AS rti FROM d),
+             |c AS (SELECT source, dom_n, rti,
+             |             sum(rti) OVER (ORDER BY source) AS cum FROM r),
+             |t AS (SELECT CAST(max(cum) AS BIGINT) AS s_tot,
              |             CAST(sum(dom_n) AS DOUBLE) AS n_tot FROM c),
              |a AS (SELECT source, dom_n,
-             |        least(1.0, 0.5 * n_tot * rt / s_tot
+             |        least(1.0, 0.5 * n_tot * CAST(rti AS DOUBLE)
+             |                   / CAST(s_tot AS DOUBLE)
              |                   / CAST(dom_n AS DOUBLE)) AS keep_frac
              |      FROM c, t)
              |SELECT doc.doc_id, doc.source, a.dom_n, a.keep_frac
@@ -2818,6 +2833,62 @@ object SparkEntry {
        |WHERE na.n * nb.n <> 0 AND dot / (na.n * nb.n) >= $threshold""".stripMargin
   }
 
+  /** Oracle for q_knn_label_lsh: the [[lshPairsOracleSql]] banding
+    * replay (identical splitmix64 plane literals and sign-bit
+    * signatures), but DIRECTED candidates (knn is per-source), ranked
+    * per source on the 6-decimal rounded cosine with an id tiebreak
+    * (the engine ranks on the ROUNDED value — [[Similarity]]'s
+    * rankNeighbors), top-`k` kept, then the same majority vote / tie
+    * rule as the q_knn_label oracle. */
+  private def knnLabelLshOracleSql(nTables: Int, planesPerTable: Int,
+      dim: Int, k: Int): String = {
+    val lits = (for {
+      tb <- 0 until nTables
+      p <- 0 until planesPerTable
+      d <- 0 until dim
+    } yield s"($tb,$p,$d,${graft.functions.HyperplaneSigs.component(tb * 97 + p, d)})")
+      .mkString(",")
+    s"""WITH pl(t, p, d, w) AS (VALUES $lits),
+       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |             generate_subscripts(embedding, 1) - 1 AS d
+       |      FROM embeddings),
+       |chk AS (SELECT CASE WHEN max(d) + 1 = $dim THEN 1
+       |               ELSE error('embedding dim <> $dim: the inlined hyperplane literals cover exactly $dim dims — regenerate the oracle') END AS ok
+       |        FROM v),
+       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM v GROUP BY 1),
+       |dots AS (SELECT v.vec_id, pl.t, pl.p, sum(v.x * pl.w) AS dot
+       |         FROM v JOIN pl USING (d), chk
+       |         WHERE chk.ok = 1
+       |         GROUP BY 1, 2, 3),
+       |sigs AS (SELECT vec_id, t,
+       |                sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+       |         FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sigs a JOIN sigs b
+       |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |pd AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
+       |       FROM cand c JOIN v va ON va.vec_id = c.id_a
+       |                   JOIN v vb ON vb.vec_id = c.id_b AND vb.d = va.d
+       |       GROUP BY 1, 2),
+       |sc AS (SELECT id_a, id_b,
+       |              round(CASE WHEN na.n * nb.n = 0 THEN 0.0
+       |                         ELSE dot / (na.n * nb.n) END, 6) AS cos_s
+       |       FROM pd JOIN nrm na ON na.vec_id = id_a
+       |               JOIN nrm nb ON nb.vec_id = id_b),
+       |r AS (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+       |        ORDER BY cos_s DESC, id_b) AS rank FROM sc),
+       |nb AS (SELECT r.id_a AS vec_id, e.label
+       |       FROM r JOIN embeddings e ON e.vec_id = r.id_b
+       |       WHERE r.rank <= $k),
+       |vt AS (SELECT vec_id, label, count(*) AS votes
+       |       FROM nb GROUP BY 1, 2),
+       |w AS (SELECT vec_id, label, votes, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY votes DESC, label) AS rk
+       |      FROM vt)
+       |SELECT vec_id, label AS predicted_label, votes
+       |FROM w WHERE rk = 1""".stripMargin
+  }
+
   // --- similarity search (builder brief) ---
   private def similarityDefs: Seq[(String, Q, Option[String])] = Seq(
     ("q_embed_topk", // brute-force cosine top-k, exact baseline
@@ -2965,6 +3036,28 @@ object SparkEntry {
       },
       None),
 
+    ("q_embed_ivfpq_table", // the persisted build/query split of IVF-PQ
+      // (the 100 TB deployment shape): buildIvfPq fits ONCE and writes
+      // a cluster-partitioned (id, codes) parquet + a _meta sidecar of
+      // centroids/codebooks; queryIvfPqTable reads the sidecar, prunes
+      // to the nprobe probed cell partitions (plan-gated in
+      // SimilaritySpec), ADC-shortlists over the 8 code bytes per
+      // vector, and exact-reranks only the shortlist against the
+      // corpus. Same deterministic fits as q_embed_ivfpq → same rows,
+      // same inlined-literal oracle (ivfPqOracleSql serves both).
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("q_embed_ivfpq_table").toString + "/index"
+        Similarity.buildIvfPq(corpus, "vec_id", "embedding", path)
+        Similarity.queryIvfPqTable(s, path, corpus, "vec_id", "embedding",
+          q, kTop = 20)
+      },
+      None),
+
     ("q_embed_knn", // exact k-NN join (the k-NN graph semantic dedup
       // and hard-negative mining consume): every vector's 5 nearest
       // by cosine, ranked on the 6-decimal grid with an id tiebreak
@@ -3035,19 +3128,27 @@ object SparkEntry {
              |SELECT vec_id, label AS predicted_label, votes
              |FROM w WHERE rk = 1""".stripMargin)),
 
-    // IVF probe + hyperplane-LSH pairs: not SQL-expressible (centroid
-    // fit / banding) → rows-only check; recall vs brute force covered
-    // by SimilaritySpec.
-    ("q_embed_ivf",
-      (s: SparkSession, dir: String) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](1).map(_.toDouble)
-        val idx = Similarity.buildIvf(emb.filter(col("vec_id") > 0),
-          "vec_id", "embedding", nCells = 8, iterations = 2)
-        Similarity.queryIvf(idx, "vec_id", "embedding", q, k = 20, nprobe = 3)
-      },
-      None),
+    ("q_knn_label_lsh", // the 100 TB path of kNN labeling: neighbors
+      // come from hyperplane-LSH banding (the (id, table, sig) shuffle
+      // — no corpus collect, listener-gated in SimilaritySpec), votes
+      // and tie rule identical to q_knn_label (its exact twin; recall
+      // gated there too). Planes pinned at 4×6 so the full path —
+      // splitmix64 plane literals → sign signatures → banded candidates
+      // → 6-decimal ranked top-5 → majority vote — replays in SQL.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnLabelLsh(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, nTables = 4, planesPerTable = 6),
+      Some(knnLabelLshOracleSql(nTables = 4, planesPerTable = 6,
+        dim = 64, k = 5))),
+
+    // Float-Lloyd IVF (buildIvf/queryIvf/writeIvf) is deliberately NOT
+    // a declared query (retired round 10, closing the last
+    // discretionary no_oracle row): its fit is float-accumulation-order
+    // dependent, so it can never hash-match an external engine, and
+    // its recall surface is exactly what the oracle-checked
+    // q_embed_ivf_q / q_embed_ivfpq_table cover with integer-exact
+    // fits. The code remains the fast self-consistent path, spec-gated
+    // in SimilaritySpec (recall + partition-pruned table probes).
     ("q_embed_lsh_pairs", // hyperplane-LSH near-neighbor pairs — the
       // ENTIRE path (deterministic hyperplanes → sign signatures →
       // banding → exact-cosine verify) replays in DuckDB: the plane
@@ -3093,7 +3194,7 @@ object SparkEntry {
       // quantizer = the integer-exact quantized k-means (8 cells,
       // 2 steps), probe = 3 cells nearest the quantized query by
       // integer L2, rank = exact cosine — the whole ANN path replays
-      // in DuckDB, unlike the float-Lloyd q_embed_ivf
+      // in DuckDB, unlike the float-Lloyd buildIvf path (spec-only)
       (s: SparkSession, dir: String) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0)
@@ -3276,7 +3377,18 @@ object SparkEntry {
          |${pqAdcCtesSql(tables)},
          |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
     }),
-    "q_embed_ivfpq" -> ((s, dir) => {
+    "q_embed_ivfpq" -> ivfPqOracleSql,
+    "q_embed_ivfpq_table" -> ivfPqOracleSql)
+
+  /** Shared dynamic oracle for q_embed_ivfpq (per-call-fit form) and
+    * q_embed_ivfpq_table (the persisted build/query split): both run
+    * the same deterministic fits over the same corpus, so one SQL
+    * replay — coarse centroids + probe choice + codebooks + distance
+    * tables inlined as literals — checks either. The embedding
+    * dimension is derived from the trained codebooks (m · dim/m), not
+    * hardcoded, so a fixture regeneration at another dimension cannot
+    * silently desync the coarse argmin (round-9 ADVICE). */
+  private def ivfPqOracleSql(s: SparkSession, dir: String): String = {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") > 0)
       val q = emb.filter(col("vec_id") === 0)
@@ -3285,6 +3397,7 @@ object SparkEntry {
         corpus, "vec_id", "embedding", 8, 2)
       val probes = graft.operators.Similarity.probeCells(cents, q, 2)
       val cb = pqTrainFor(s, dir)
+      val dim = cb.length * cb(0)(0).length
       val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
       val ccVals = cents.sortBy(_._1).map { case (cl, c) =>
         s"($cl, [${c.mkString(", ")}])" }.mkString(", ")
@@ -3297,7 +3410,7 @@ object SparkEntry {
          |       FROM (VALUES $ccVals) t(cl, qv)),
          |ca AS (SELECT vec_id FROM (
          |    SELECT q.vec_id, c.cl, row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_sum(list_transform(generate_series(1, 64),
+         |      ORDER BY list_sum(list_transform(generate_series(1, $dim),
          |        i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
          |    FROM cq q, cc c)
          |    WHERE rk = 1 AND cl IN (${probes.mkString(", ")})),
@@ -3305,7 +3418,7 @@ object SparkEntry {
             "SELECT r.vec_id, r.embedding FROM raw r JOIN ca USING (vec_id)")},
          |${pqAdcCtesSql(tables)},
          |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
-    }))
+  }
 
   /** ADC scoring CTEs shared by the PQ oracles: distance-table
     * literals `tb` + per-vector summed score `sc` over the `enc` CTE

@@ -218,14 +218,17 @@ object Curate {
     * `temperature` is restricted to powers of two so the exponent is
     * REPEATED sqrt — IEEE-correctly-rounded in every engine, unlike
     * pow/exp/ln (the round-8 oracle lesson: transcendentals diverge
-    * across engine builds). The Σ over domains is an ORDERED prefix
-    * sum (window over the domain name — one task bounded by domain
-    * cardinality, the [[keepTopByScore]] pattern), so the float fold
-    * replays identically in SQL; every other step is one IEEE op in a
-    * fixed association. Same scale shape as [[mixtureBalance]]: one
-    * map-side-combinable aggregate, broadcast threshold join, corpus
-    * unshuffled; same caching contract. Output: input row +
-    * (dom_n, keep_frac).
+    * across engine builds). The per-domain root then QUANTIZES to an
+    * integer grid (`floor(rt · 2^20)` as BIGINT) before the Σ over
+    * domains, so the prefix sum is integer-exact — an engine free to
+    * combine window aggregates tree-wise (segment trees, partial
+    * combines) cannot drift an ulp from Spark's sequential fold and
+    * flip a `floor(keep_frac · 2^32)` boundary row (round-9 ADVICE).
+    * Only the final keep-fraction division happens in float, each step
+    * one IEEE op in a fixed association. Same scale shape as
+    * [[mixtureBalance]]: one map-side-combinable aggregate, broadcast
+    * threshold join, corpus unshuffled; same caching contract.
+    * Output: input row + (dom_n, keep_frac).
     */
   def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
       temperature: Int = 2, keepFrac: Double = 0.5): DataFrame = {
@@ -241,14 +244,20 @@ object Curate {
       .localCheckpoint(true)
     def root(c: Column): Column = (1 to roots).foldLeft(c)((x, _) => sqrt(x))
     val wDom = Window.orderBy(domainCol)
+    // quantize the root to a 2^20 integer grid BEFORE summing: the
+    // prefix sum is then exact in any engine regardless of how it
+    // associates the window aggregate
     val cum = perDom
-      .withColumn("_rt", root(col("dom_n").cast("double")))
-      .withColumn("_cum", sum(col("_rt")).over(wDom))
+      .withColumn("_rti",
+        floor(root(col("dom_n").cast("double")) * lit(1048576.0))
+          .cast("long"))
+      .withColumn("_cum", sum(col("_rti")).over(wDom))
     val tot = cum.agg(max(col("_cum")).as("_S"),
       sum(col("dom_n")).cast("double").as("_N"))
     val ann = cum.crossJoin(broadcast(tot))
       .withColumn("keep_frac",
-        least(lit(1.0), lit(keepFrac) * col("_N") * col("_rt") / col("_S")
+        least(lit(1.0), lit(keepFrac) * col("_N")
+          * col("_rti").cast("double") / col("_S").cast("double")
           / col("dom_n").cast("double")))
       .withColumn("_thr", format_string("%08x",
         floor(col("keep_frac") * lit(4294967296.0)).cast("long")))

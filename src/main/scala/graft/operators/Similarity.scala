@@ -795,8 +795,31 @@ object Similarity {
     * SQL. Output (idCol, predicted_label, votes).
     */
   def knnLabel(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
-    val nn = knnJoinCompiled(df, idCol, vecCol, k)
+      labelCol: String, k: Int): DataFrame =
+    voteLabels(knnJoinCompiled(df, idCol, vecCol, k), df, idCol, labelCol)
+
+  /** The 100 TB path of [[knnLabel]]: identical majority-vote and tie
+    * rule, but neighbors come from [[knnJoinLsh]] — candidate
+    * generation is the (id, table, sig) banding shuffle, NOT a corpus
+    * collect+broadcast, so nothing driver-side grows with the corpus.
+    * Recall < 1 by construction (a neighbor sharing no bucket is
+    * missed — more tables buy recall); prediction agreement vs the
+    * exact twin is gated on the fixtures in SimilaritySpec, alongside
+    * a listener gate that no task ships the corpus to the driver.
+    * Vectors whose LSH candidate set is empty emit no row (they have
+    * no neighbors to vote). Output (idCol, predicted_label, votes).
+    */
+  def knnLabelLsh(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nTables: Int = 8,
+      planesPerTable: Int = 0): DataFrame =
+    voteLabels(knnJoinLsh(df, idCol, vecCol, k, nTables, planesPerTable),
+      df, idCol, labelCol)
+
+  /** The shared vote: neighbor rows (idCol, neighbor_id, …) ×
+    * broadcast (id → label) → per-(id, label) counts → majority with
+    * ties to the smallest label. */
+  private def voteLabels(nn: DataFrame, df: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
     val labels = df.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("_nl"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
@@ -847,6 +870,86 @@ object Similarity {
       while (i < c.length) { val dd = qq(i) - c(i); d += dd * dd; i += 1 }
       (d, cid)
     }.sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** A persisted IVF-PQ index: the cell-partitioned codes table at
+    * `path` plus the small driver-side model (coarse centroids,
+    * per-subspace codebooks, the quantization scale) that the table's
+    * sidecar also records — everything a query needs WITHOUT refitting.
+    */
+  final case class IvfPqIndex(path: String,
+      centroids: Array[(Int, Array[Long])],
+      codebooks: Array[Array[Array[Long]]], scale: Double)
+
+  /** Build-once half of the IVF-PQ build/query split: fit the coarse
+    * quantizer ([[kmeansQuantizedFit]], integer-exact) and the PQ
+    * codebooks ([[pqTrain]]) over the corpus, then write ONE parquet
+    * table at `path` — (id, codes) partitioned by `cluster` — plus a
+    * `_meta` sidecar (underscore-prefixed, so table reads ignore it)
+    * carrying centroids/codebooks/scale. This retires the per-call
+    * refit of [[ivfPqSearch]]: at 100 TB the fits and the encode scan
+    * run once; every subsequent query is a partition-pruned read of
+    * m code bytes per vector in the probed cells only
+    * ([[queryIvfPqTable]]). Both fits are deterministic, so the table
+    * content replays in SQL — the q_embed_ivfpq_table oracle re-derives
+    * it from the raw vectors.
+    */
+  def buildIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int = 8, iterations: Int = 2, m: Int = 8,
+      k: Int = 16, scale: Double = 1048576.0): IvfPqIndex = {
+    val spark = df.sparkSession
+    val (cents, assigned) = kmeansQuantizedFit(df, idCol, vecCol,
+      nCells, iterations, scale)
+    val cb = pqTrain(df, idCol, vecCol, m, k, iterations, scale)
+    pqEncode(df, idCol, vecCol, cb, scale)
+      .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
+      .select(col(idCol), col("codes"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    import spark.implicits._
+    val centsSeq = cents.sortBy(_._1).toSeq
+      .map { case (cid, c) => (cid, c.toSeq) }
+    val cbSeq = cb.toSeq.map(_.toSeq.map(_.toSeq))
+    Seq((scale, centsSeq, cbSeq)).toDF("scale", "cents", "codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    IvfPqIndex(path, cents.sortBy(_._1), cb, scale)
+  }
+
+  /** Load the `_meta` sidecar a [[buildIvfPq]] wrote — the handful of
+    * longs a query process needs to pick probe cells and build ADC
+    * tables without touching the corpus. */
+  def readIvfPqMeta(spark: SparkSession, path: String): IvfPqIndex = {
+    val r = spark.read.parquet(s"$path/_meta").head()
+    val cents = r.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => x.getInt(0) -> x.getSeq[Long](1).toArray).toArray
+    // nested list elements come back as mutable ArraySeq — type them
+    // as collection.Seq, not immutable.Seq, or the map() call CCEs
+    val cb = r.getSeq[scala.collection.Seq[scala.collection.Seq[Long]]](2)
+      .map(_.map(_.toArray).toArray).toArray
+    IvfPqIndex(path, cents, cb, r.getDouble(0))
+  }
+
+  /** Serve-many half of the split: probe the written table. The model
+    * comes from the sidecar (no fit), probe cells are chosen
+    * driver-side from the centroids, and the codes scan carries a
+    * `cluster` partition filter — only the `nprobe` probed cells'
+    * files are read (plan-gated in SimilaritySpec). ADC shortlists
+    * over the codes; the exact integer re-rank then reads full vectors
+    * from `corpus` for the shortlist rows only (broadcast semi-join —
+    * the index table never stores vectors). Identical arithmetic to
+    * [[ivfPqSearch]], so the two agree row-for-row on the same
+    * parameters.
+    */
+  def queryIvfPqTable(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], kTop: Int, nprobe: Int = 2,
+      shortlist: Int = 200): DataFrame = {
+    val idx = readIvfPqMeta(spark, path)
+    val probes = probeCells(idx.centroids, query, nprobe, idx.scale)
+    val enc = spark.read.parquet(path)
+      .filter(col("cluster").isInCollection(probes))
+      .select(col(idCol), col("codes"))
+    pqSearchRerank(enc, corpus, idCol, vecCol, idx.codebooks, query,
+      kTop, shortlist, idx.scale)
   }
 
   /** ADC shortlist → exact re-rank, the canonical PQ deployment: the

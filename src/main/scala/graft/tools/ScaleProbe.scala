@@ -52,12 +52,13 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
-  /** Write the 10× fixture (documents.parquet, embeddings.parquet). */
-  def generate(spark: SparkSession, baseDir: String, outDir: String): Unit = {
-    generateDocs(spark, baseDir, outDir, 10)
-
+  /** Write a `reps`× replica of the embeddings table (sign-flip
+    * construction — intra-replica cosines bit-preserved, cross-replica
+    * decorrelated; see object doc). */
+  def generateEmb(spark: SparkSession, baseDir: String, outDir: String,
+      reps: Int): Unit = {
     val emb = Tables.load(spark, baseDir, "embeddings")
-    val embReplicas = (0 until 10).map { k =>
+    val embReplicas = (0 until reps).map { k =>
       val vec = if (k == 0) col("embedding")
         else zip_with(col("embedding"),
           array(signFlip(k, 64).map(lit): _*), (x, s) => x * s)
@@ -66,6 +67,12 @@ object ScaleProbe {
     }
     embReplicas.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Write the 10× fixture (documents.parquet, embeddings.parquet). */
+  def generate(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    generateDocs(spark, baseDir, outDir, 10)
+    generateEmb(spark, baseDir, outDir, 10)
   }
 
   /** The document/embedding-only queries whose cost is driven by the
@@ -90,6 +97,7 @@ object ScaleProbe {
     "q_dsir_weights", "q_bpe_encode",                    // r9 additions
     "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ivfpq",
     "q_knn_label",
+    "q_embed_ivfpq_table", "q_knn_label_lsh",            // r10 additions
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the
@@ -176,20 +184,25 @@ object ScaleProbe {
     if (!new java.io.File(s"$x10Dir/documents.parquet").exists())
       generate(spark, "/root/testdata/sf0.1", x10Dir)
 
-    // Sixth decade, scan-bound families only: the x10 step measured
-    // q_quality_topp at 7.5× and q_text_profile at 6.2× — consistent
-    // with fixed-cost amortization approaching linear, but claimed,
-    // not shown. One 100× cell each (500k docs) pins the asymptote:
-    // growth between x10 and x100 should settle near 10×/decade.
+    // Sixth decade: the scan-bound document families (the x10 step
+    // measured q_quality_topp at 7.5× and q_text_profile at 6.2× —
+    // fixed-cost amortization approaching linear; the 100× cell pins
+    // the asymptote near 10×/decade) plus the PQ/IVF-PQ family
+    // (round-9 verdict ask: "codebook fit is the fixed cost" predicts
+    // sub-linear growth continuing — show it at 200k vectors).
     if (x100Mode) {
       val x100Dir = dirArgs.drop(1).headOption.getOrElse("/tmp/graft_x100")
       if (!new java.io.File(s"$x100Dir/documents.parquet").exists())
         generateDocs(spark, "/root/testdata/sf0.1", x100Dir, 100)
+      if (!new java.io.File(s"$x100Dir/embeddings.parquet").exists())
+        generateEmb(spark, "/root/testdata/sf0.1", x100Dir, 100)
       val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1",
         "x10" -> x10Dir, "x100" -> x100Dir)
-      runSweep(spark, Seq("q_quality_topp", "q_token_budget",
-        "q_text_profile", "q_repetition"), dirs, growthFrom = "x10",
-        growthTo = "x100")
+      val x100Queries = Seq("q_quality_topp", "q_token_budget",
+        "q_text_profile", "q_repetition",
+        "q_embed_pq_topk", "q_embed_ivfpq", "q_embed_ivfpq_table")
+      val qs = only.fold(x100Queries)(_.toSeq.sorted)
+      runSweep(spark, qs, dirs, growthFrom = "x10", growthTo = "x100")
       spark.stop()
       return
     }

@@ -635,11 +635,25 @@ class StreamingSpec extends SparkSpec {
     // ~1/4 the bench rate on the same full topology (parse → fan-out →
     // 1 s parquet results + 10 s windowed stats), so a healthy engine
     // clears the 1 s trigger with an order of magnitude of headroom.
+    // The bench's own contention armor (round-9 ADVICE: a wall-clock
+    // bound inside `sbt test` is flaky on a loaded CI box): measure
+    // the host BEFORE the run with the same serial/all-cores probes
+    // Bench uses, and keep the structural assertions strict while
+    // relaxing only the latency bound when the box is contended.
+    val calibSerial = Bench.calibrate()
+    val calibPar = Bench.calibrateParallel()
+    val contended = calibPar > 1.6 * calibSerial
     val r = StreamBench.run(spark, ratePerSec = 5000L, runtimeSec = 20)
     assert(r.resultsBatches >= 5,
       s"too few result triggers fired to judge cadence: $r")
-    assert(r.resultsP95 >= 0 && r.resultsP95 < 1.0,
-      s"results p95 ${r.resultsP95}s breaches the 1 s trigger: $r")
+    assert(r.resultsP95 >= 0, s"no results latency measured: $r")
+    if (!contended)
+      assert(r.resultsP95 < 1.0,
+        s"results p95 ${r.resultsP95}s breaches the 1 s trigger on an " +
+          s"uncontended host (calib $calibSerial/$calibPar): $r")
+    else
+      info(f"host contended (calib serial $calibSerial%.2f s, parallel " +
+        f"$calibPar%.2f s) — latency bound relaxed; p95 was ${r.resultsP95}%.3f s")
     assert(r.rowsIn > 0 && r.rowsMatched > 0, s"no rows flowed: $r")
   }
 }
