@@ -186,8 +186,12 @@ object Bench {
       // contract), wrong in a latency table (13.4 s of disk IO ≈ 20%
       // of the r7 total). The write cost is published as
       // write_mb_per_sec below instead.
+      // q_dedup_clusters_incr is q_stream_dedup_index's sibling: a
+      // three-batch INGEST scenario (per-batch index/label parquet
+      // writes + propagation rounds) — scenario cost, not query
+      // latency; its operator cost is covered by q_dedup_clusters.
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
-        "q_shard_manifest")
+        "q_shard_manifest", "q_dedup_clusters_incr")
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(q => excluded(q._1))
         .map { case (name, fn) => name -> run(fn) }

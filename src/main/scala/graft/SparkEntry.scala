@@ -1409,6 +1409,31 @@ object SparkEntry {
               |       round(avg(len(text)), 6) AS mean_chars
               |FROM base GROUP BY 1, 2""".stripMargin)),
 
+    ("q_quantiles", // exact per-language length quantiles (type-1 /
+      // lower discrete: value at rank ⌈q·n⌉ of the ascending sort) —
+      // the distribution profile a curation report reads per slice.
+      // Deterministic: only the VALUE at the target rank is emitted,
+      // so equal-value tie order can't change the answer. The approx
+      // sketch twin (approxQuantiles, percentile_approx) is spec-gated
+      // against this.
+      (s: SparkSession, dir: String) =>
+        StatsRollup.exactQuantiles(t(s, dir, "documents"), "lang",
+          "n_chars", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
+      Some("""WITH r AS (
+             |  SELECT lang, n_chars,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY n_chars) AS rn,
+             |         count(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents)
+             |SELECT lang,
+             |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |           THEN n_chars END) AS p50,
+             |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |           THEN n_chars END) AS p90,
+             |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+             |           THEN n_chars END) AS p99
+             |FROM r GROUP BY 1""".stripMargin)),
+
     ("q_grep_index_build", // inverted-index BUILD, timed and verified on
       // its own: one indexing pass writes bucket-partitioned postings,
       // and the check reads the WRITTEN artifact back and summarizes it
@@ -2547,6 +2572,84 @@ object SparkEntry {
              |labels AS (SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id)
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin)),
+    ("q_dedup_clusters_incr", // INCREMENTAL cluster-label maintenance
+      // at ingest: the corpus arrives in three batches through
+      // StreamDedup.upsertBatchWithLabels — each batch's pairs fold
+      // into the persistent label table via Dedup.incrementalClusters
+      // (propagation over the DELTA edges only, then a partition-
+      // bounded relabel) — and the final table must equal the BATCH
+      // nearDupClusters over the whole corpus, which the brute-force
+      // shingle-Jaccard + recursive-closure oracle computes directly.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_dedup_clusters_incr").toString
+        val docs = t(s, dir, "documents")
+        val cfg = graft.streaming.StreamDedup.Config(threshold = 0.5)
+        (0 until 3).foreach { k =>
+          graft.streaming.StreamDedup.upsertBatchWithLabels(
+            docs.filter(col("doc_id") % 3 === k), "doc_id", "text",
+            root, cfg)
+        }
+        val got = graft.streaming.StreamDedup.indexLabels(s, root)
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(s"""${shinglePairsSql(0.5)},
+             |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE rr(id, r) AS (
+             |    SELECT id, r FROM edges
+             |    UNION
+             |    SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
+             |  ) SELECT * FROM rr)
+             |SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id""".stripMargin)),
+    ("q_source_rank", // syndication-graph source centrality: cross-
+      // source near-dup pairs become symmetric weighted edges, then 5
+      // damped PageRank rounds on a 2^20 integer grid (GraphRank).
+      // Every arithmetic step is BIGINT multiply + truncating DIV, so
+      // the oracle replays the fixpoint exactly: brute-force Jaccard
+      // pairs (full recall at these settings) → same edges → 5
+      // unrolled iterations of the identical update rule.
+      (s: SparkSession, dir: String) =>
+        graft.operators.GraphRank.sourceRank(t(s, dir, "documents"),
+          "doc_id", "text", "source", threshold = 0.5, iters = 5),
+      Some {
+        val iterSql = (1 to 5).map { k =>
+          s"""r$k AS (
+             |  SELECT n.source,
+             |         CAST(157286 + ((85 * coalesce(c.contrib, 0)) // 100) AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS source,
+             |           CAST(sum((r.r * e.w) // o.wtot) AS BIGINT) AS contrib
+             |    FROM r${k - 1} r
+             |    JOIN edges e ON r.source = e.src
+             |    JOIN outw o ON e.src = o.src
+             |    GROUP BY 1) c ON n.source = c.source)""".stripMargin
+        }.mkString(",\n")
+        s"""${shinglePairsSql(0.5)},
+           |xsrc AS (
+           |  SELECT da.source AS sa, db.source AS sb FROM pairs p
+           |  JOIN documents da ON p.id_a = da.doc_id
+           |  JOIN documents db ON p.id_b = db.doc_id
+           |  WHERE da.source <> db.source),
+           |edges AS (
+           |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+           |    SELECT sa AS src, sb AS dst FROM xsrc
+           |    UNION ALL
+           |    SELECT sb, sa FROM xsrc)
+           |  GROUP BY 1, 2),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+           |         FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT source FROM documents),
+           |r0 AS (SELECT source, CAST(1048576 AS BIGINT) AS r FROM nodes),
+           |$iterSql
+           |SELECT source, r AS rank FROM r5""".stripMargin
+      }),
     ("q_dedup_simhash_md5", // md5-token-hash simhash: the fingerprint
       // VALUE hash-matches DuckDB (integer-only reconstruction), so the
       // simhash semantics — per-bit ±1 vote over token hashes — are
@@ -2889,6 +2992,55 @@ object SparkEntry {
        |FROM w WHERE rk = 1""".stripMargin
   }
 
+  /** Oracle for q_hard_negatives_lsh: the same pinned-plane banding
+    * replay as [[knnLabelLshOracleSql]], but the candidate join ALSO
+    * requires label inequality (the engine filters inside the banded
+    * join), and the output is the per-anchor ranked negative set
+    * itself, not a vote. */
+  private def hardNegativesLshOracleSql(nTables: Int, planesPerTable: Int,
+      dim: Int, k: Int): String = {
+    val lits = (for {
+      tb <- 0 until nTables
+      p <- 0 until planesPerTable
+      d <- 0 until dim
+    } yield s"($tb,$p,$d,${graft.functions.HyperplaneSigs.component(tb * 97 + p, d)})")
+      .mkString(",")
+    s"""WITH pl(t, p, d, w) AS (VALUES $lits),
+       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |             generate_subscripts(embedding, 1) - 1 AS d
+       |      FROM embeddings),
+       |chk AS (SELECT CASE WHEN max(d) + 1 = $dim THEN 1
+       |               ELSE error('embedding dim <> $dim: the inlined hyperplane literals cover exactly $dim dims — regenerate the oracle') END AS ok
+       |        FROM v),
+       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM v GROUP BY 1),
+       |dots AS (SELECT v.vec_id, pl.t, pl.p, sum(v.x * pl.w) AS dot
+       |         FROM v JOIN pl USING (d), chk
+       |         WHERE chk.ok = 1
+       |         GROUP BY 1, 2, 3),
+       |sigs AS (SELECT vec_id, t,
+       |                sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+       |         FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sigs a JOIN sigs b
+       |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id
+       |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |         JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |         WHERE ea.label <> eb.label),
+       |pd AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
+       |       FROM cand c JOIN v va ON va.vec_id = c.id_a
+       |                   JOIN v vb ON vb.vec_id = c.id_b AND vb.d = va.d
+       |       GROUP BY 1, 2),
+       |sc AS (SELECT id_a, id_b,
+       |              round(CASE WHEN na.n * nb.n = 0 THEN 0.0
+       |                         ELSE dot / (na.n * nb.n) END, 6) AS cos_s
+       |       FROM pd JOIN nrm na ON na.vec_id = id_a
+       |               JOIN nrm nb ON nb.vec_id = id_b),
+       |r AS (SELECT id_a, id_b, cos_s, row_number() OVER (PARTITION BY id_a
+       |        ORDER BY cos_s DESC, id_b) AS rank FROM sc)
+       |SELECT id_a AS vec_id, id_b AS neighbor_id, cos_s, rank
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   // --- similarity search (builder brief) ---
   private def similarityDefs: Seq[(String, Q, Option[String])] = Seq(
     ("q_embed_topk", // brute-force cosine top-k, exact baseline
@@ -3139,6 +3291,54 @@ object SparkEntry {
         Similarity.knnLabelLsh(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", k = 5, nTables = 4, planesPerTable = 6),
       Some(knnLabelLshOracleSql(nTables = 4, planesPerTable = 6,
+        dim = 64, k = 5))),
+
+    ("q_hard_negatives", // contrastive hard-negative mining: per
+      // anchor, the 5 most-similar vectors with a DIFFERENT label —
+      // the confusable-but-labeled-apart pairs a metric-learning
+      // objective trains against. Ranked per anchor over the
+      // label-crossing pair set (NOT a post-filter of global kNN), on
+      // the 6-decimal grid with an id tiebreak. Exact O(n²) twin of
+      // q_hard_negatives_lsh.
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5),
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |         generate_subscripts(embedding, 1) AS i
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+             |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |             sum(a.x*b.x) AS dot
+             |      FROM v a JOIN v b USING (i)
+             |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+             |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+             |      WHERE a.vec_id <> b.vec_id AND ea.label <> eb.label
+             |      GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b,
+             |        round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+             |                   ELSE dot/(na.nrm*nb.nrm) END, 6) AS cos_s
+             |      FROM d JOIN n na ON na.vec_id = d.id_a
+             |             JOIN n nb ON nb.vec_id = d.id_b),
+             |r AS (SELECT id_a, id_b, cos_s,
+             |        row_number() OVER (PARTITION BY id_a
+             |          ORDER BY cos_s DESC, id_b) AS rank
+             |      FROM c)
+             |SELECT id_a AS vec_id, id_b AS neighbor_id, cos_s, rank
+             |FROM r WHERE rank <= 5""".stripMargin)),
+
+    ("q_hard_negatives_lsh", // the 100 TB path of hard-negative
+      // mining: candidates from the hyperplane-LSH banding shuffle
+      // with the label-inequality filter INSIDE the candidate join
+      // (same-label bucket mates never become pair rows), exact
+      // cosine ranking on survivors. Planes pinned at 4×6 so the full
+      // path replays in SQL — splitmix64 plane literals → sign
+      // signatures → label-crossing banded candidates → 6-decimal
+      // ranked top-5.
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegativesLsh(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 5, nTables = 4, planesPerTable = 6),
+      Some(hardNegativesLshOracleSql(nTables = 4, planesPerTable = 6,
         dim = 64, k = 5))),
 
     // Float-Lloyd IVF (buildIvf/queryIvf/writeIvf) is deliberately NOT

@@ -262,6 +262,65 @@ object Dedup {
     } finally edges.unpersist(false)
   }
 
+  /** EXACT incremental maintenance of near-dup cluster labels: given a
+    * fixpoint labeling of an already-ingested edge set (`labels`:
+    * (id, cluster), cluster = min id of the component, i.e.
+    * [[nearDupClusters]] output) and the NEW pair edges of one ingest
+    * batch (`deltaPairs`: (id_a, id_b)), produce the labeling
+    * [[nearDupClusters]] would emit over the UNION of all edges —
+    * without ever touching the historical edges again.
+    *
+    * Why this is exact: contracting each existing component to its
+    * label is a quotient of the old graph, so components of
+    * (old ∪ delta) are exactly components of the contracted delta
+    * graph with each contracted node standing for its old component.
+    * Because every old label IS the min id of its component, the min
+    * id of a merged component equals the min over its contracted-node
+    * ids — so running the same min-label propagation on the contracted
+    * delta edges yields the global min-id label directly.
+    *
+    * Cost (the at-ingest contract): propagation runs on the DELTA
+    * edges only — O(batch pairs), never O(corpus edges) — and the
+    * relabel is one join of the label table against the (delta-sized,
+    * broadcast-able) contracted mapping. Historical edges are never
+    * stored or re-read; the label table is the only persistent state.
+    */
+  def incrementalClusters(labels: DataFrame, deltaPairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val lab = labels.select(col("id"), col("cluster"))
+    // contract delta endpoints through the existing labeling (identity
+    // for ids the history has never seen); drop edges that land inside
+    // one existing component — they cannot change any label
+    val cPairs = deltaPairs
+      .join(lab.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("cluster", "_ca"), Seq("id_a"), "left")
+      .join(lab.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("cluster", "_cb"), Seq("id_b"), "left")
+      .select(coalesce(col("_ca"), col("id_a")).as("_u"),
+        coalesce(col("_cb"), col("id_b")).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .select(least(col("_u"), col("_v")).as("id_a"),
+        greatest(col("_u"), col("_v")).as("id_b"))
+      .distinct()
+    // propagate over the contracted delta graph only; its node ids are
+    // old component labels and never-seen delta ids
+    val m = nearDupClusters(cPairs, maxIter)
+      .withColumnRenamed("cluster", "_nc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // old ids follow their component: new label = contracted label of
+      // their old cluster (unchanged when the component wasn't touched)
+      val relabeled = lab
+        .join(m.withColumnRenamed("id", "cluster"), Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("_nc"), col("cluster")).as("cluster"))
+      // delta-only ids (contracted nodes that are not existing ids)
+      // carry their contracted label straight through
+      val fresh = m.join(lab.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("_nc").as("cluster"))
+      relabeled.unionByName(fresh).localCheckpoint(true)
+    } finally m.unpersist(false)
+  }
+
   /** Quality-aware canonical selection: keep ONE representative per
     * near-dup cluster — the member with the highest `scoreCol` (ties
     * to the smallest id) — instead of [[dropNearDuplicatesExact]]'s

@@ -832,6 +832,78 @@ object Similarity {
       .select(col(idCol), col("_nl").as("predicted_label"), col("votes"))
   }
 
+  /** Contrastive hard-negative mining: for every anchor vector, the
+    * `k` MOST similar vectors carrying a DIFFERENT label — the pairs a
+    * contrastive / metric-learning objective wants as negatives
+    * (similar enough to be confused, labeled apart). Ranking is per
+    * anchor over the label-crossing pair set — a negative can rank
+    * even when `k` same-label vectors are globally closer — so this is
+    * NOT a post-filter of [[knnJoin]].
+    *
+    * Exact verification twin (O(n²) label-crossing pairs via one
+    * broadcast nested loop — sample-scale by design, like
+    * [[knnJoin]]); the corpus path is [[hardNegativesLsh]]. Rounded
+    * 6-decimal cosine with an id tiebreak, so the mined set replays
+    * exactly in SQL. NULL-labeled rows mine nothing and serve as no
+    * one's negative (label inequality is three-valued, as in SQL).
+    * Output (idCol, neighbor_id, cos_s, rank).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
+      col(labelCol).as("lbl"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("lbl").as("la"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("lbl").as("lb"))
+    val pairs = a.join(broadcast(b),
+        col("id_a") =!= col("id_b") && col("la") =!= col("lb"))
+      .drop("la", "lb")
+    rankNeighbors(scoreCosine(pairs), idCol, k)
+  }
+
+  /** The 100 TB path of [[hardNegatives]]: candidates come from the
+    * hyperplane-LSH banding shuffle (like [[knnJoinLsh]] — (id, table,
+    * sig) rows, no corpus collect), label inequality filters INSIDE
+    * the candidate join so same-label bucket mates never materialize
+    * as pair rows, then exact cosine ranks the survivors per anchor.
+    * Recall < 1 by construction (a hard negative sharing no bucket is
+    * missed — more tables buy recall); agreement vs the exact twin is
+    * gated on the fixtures in SimilaritySpec. Output as
+    * [[hardNegatives]].
+    */
+  def hardNegativesLsh(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nTables: Int = 8,
+      planesPerTable: Int = 0): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
+        col(labelCol).as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planes = effectivePlanes(planesPerTable, base.count())
+      val sigsPerTable = GraftExprBridge.column(
+        graft.functions.HyperplaneSigs(
+          GraftExprBridge.expression(col("v")), nTables, planes))
+      val banded = base.select(col("id"), col("lbl"),
+          posexplode(sigsPerTable))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id") && col("a.lbl") =!= col("b.lbl"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val pairs = cand
+        .join(base.select(col("id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "id_b")
+      rankNeighbors(scoreCosine(pairs), idCol, k).localCheckpoint(true)
+    } finally base.unpersist(false)
+  }
+
   /** IVF-PQ search — the two ANN scale levers COMPOSED: the coarse
     * quantizer ([[kmeansQuantizedFit]], integer-exact) prunes WHICH
     * rows are read (only `nprobe` of `nCells` cell partitions), and

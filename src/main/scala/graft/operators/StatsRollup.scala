@@ -137,4 +137,51 @@ object StatsRollup {
           .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6)))
       .select(col("filter_a"), col("filter_b"), col("n"), col("corr"))
   }
+
+  /** EXACT per-group quantiles (type-1 / lower discrete: the value at
+    * rank ⌈q·n⌉ of the ascending sort) — the distribution profile a
+    * curation report reads off a corpus: median / p90 / p99 document
+    * length per language, token counts per source, etc.
+    *
+    * Deterministic by construction: ranks come from one window sort
+    * per group and only the VALUE at the target rank is emitted, so
+    * ties between equal values cannot change the answer; ⌈q·n⌉ is
+    * IEEE-double arithmetic both engines evaluate identically.
+    *
+    * Scale: the window sorts WITHIN each group after a hash shuffle
+    * on the group key — per-partition memory is the largest group,
+    * the correct exact-quantile cost. For corpus-wide percentiles at
+    * 100 TB reach for [[approxQuantiles]] (mergeable sketch, no
+    * per-group sort) and keep this as its audit twin on samples.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 },
+      s"quantile fractions must be in (0, 1], got $qs")
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col(valueCol))))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+    val picks = qs.map { case (name, q) =>
+      max(when(col("_rn") === ceil(lit(q) * col("_n")), col(valueCol)))
+        .as(name)
+    }
+    ranked.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
+
+  /** Mergeable approximate quantiles ([[functions.percentile_approx]]
+    * — Greenwald-Khanna sketch, one combinable aggregate, no per-group
+    * sort): the 100 TB path [[exactQuantiles]] audits on samples.
+    * `accuracy` trades sketch size for error (1/accuracy relative
+    * rank error). Approximate by nature → spec-gated against the
+    * exact twin, not oracle-hashed.
+    */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    val picks = qs.map { case (name, q) =>
+      percentile_approx(col(valueCol), lit(q), lit(accuracy)).as(name)
+    }
+    df.groupBy(groupCol).agg(picks.head, picks.tail: _*)
+  }
 }

@@ -50,6 +50,7 @@ object StreamDedup {
 
   private def bandsPath(root: String): String = s"$root/bands"
   private def sigsPath(root: String): String = s"$root/sigs"
+  private def labelsPath(root: String): String = s"$root/labels"
 
   private def hasData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -131,6 +132,73 @@ object StreamDedup {
       } finally banded.unpersist(false)
     } finally sig.unpersist(false)
   }
+
+  /** Ingest one batch AND maintain the persistent cluster-label table
+    * (`labels/` under `root`): [[upsertBatch]] for the pairs, then
+    * [[updateLabels]] folds them into the labeling incrementally. After
+    * every batch, [[indexLabels]] equals the BATCH
+    * [[Dedup.nearDupClusters]] over all pairs ever emitted — clusters
+    * are maintained at ingest, never recomputed from scratch.
+    */
+  def upsertBatchWithLabels(batch: DataFrame, idCol: String,
+      textCol: String, root: String, cfg: Config = Config()): DataFrame = {
+    val pairs = upsertBatch(batch, idCol, textCol, root, cfg)
+    updateLabels(batch.sparkSession, root, pairs, cfg)
+    pairs
+  }
+
+  /** Fold one batch's near-dup pairs into the persistent label table.
+    *
+    * First batch: a full [[Dedup.nearDupClusters]] over the (batch-
+    * sized) pair set. Every later batch:
+    * [[Dedup.incrementalClusters]] — propagation over the DELTA edges
+    * only, then a relabel join — so per-batch work is O(batch pairs +
+    * touched labels), independent of corpus size.
+    *
+    * Storage: (id, cluster) partitioned by `pl = pmod(hash(id),
+    * dirBuckets)`. `hash(id)` (not cluster) keys the layout so a row's
+    * directory never moves when its cluster merges. The rewrite uses
+    * DYNAMIC partition overwrite restricted to directories that contain
+    * a changed row — merging two clusters rewrites a handful of
+    * directories, not the corpus-wide table.
+    */
+  def updateLabels(spark: SparkSession, root: String,
+      deltaPairs: DataFrame, cfg: Config = Config()): Unit = {
+    val path = labelsPath(root)
+    def withPl(df: DataFrame) =
+      df.withColumn("pl", pmod(hash(col("id")), lit(cfg.dirBuckets)))
+    if (!hasData(spark, path)) {
+      val labels = Dedup.nearDupClusters(deltaPairs)
+      if (!labels.isEmpty)
+        withPl(labels).write.mode("overwrite").partitionBy("pl")
+          .parquet(path)
+    } else {
+      val existing = spark.read.parquet(path).select("id", "cluster")
+      val updated = Dedup.incrementalClusters(existing, deltaPairs)
+      // directories holding a row whose label changed (or a new row)
+      val changed = updated
+        .join(existing.withColumnRenamed("cluster", "_old"), Seq("id"), "left")
+        .filter(col("_old").isNull || col("_old") =!= col("cluster"))
+      val touched = withPl(changed).select("pl").distinct()
+      // materialize BEFORE the overwrite — the semi-join replays the
+      // `existing` scan, which must not race the commit's deletes
+      val toWrite = withPl(updated)
+        .join(touched, Seq("pl"), "left_semi")
+        .localCheckpoint(true)
+      if (!toWrite.isEmpty)
+        toWrite.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pl").parquet(path)
+    }
+  }
+
+  /** The maintained labeling as it stands: (id, cluster) for every id
+    * that has ever appeared in an emitted near-dup pair; cluster = min
+    * id of its connected component — exactly
+    * [[Dedup.nearDupClusters]] over the union of all emitted pairs.
+    */
+  def indexLabels(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(labelsPath(root)).select("id", "cluster")
 
   /** All near-dup pairs derivable from the index as it stands — the
     * batch-query face of the incrementally-built index. Equals

@@ -116,6 +116,63 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incrementalClusters: delta edges merge, extend, and create components exactly") {
+    val s = spark
+    import s.implicits._
+    // history: {1,2,3} labeled 1, {10,11} labeled 10 (a fixpoint)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    // delta: bridge the two components (3–10), extend one with a new
+    // id (11–12), create a brand-new component (20–21), and add an
+    // intra-component edge that must change nothing (1–3)
+    val delta = Seq((3L, 10L), (11L, 12L), (20L, 21L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.incrementalClusters(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("incrementalClusters: any split of an edge set replays the batch clustering") {
+    val s = spark
+    import s.implicits._
+    // deterministic random-ish graph: 60 nodes, edges from a hash mix
+    val edges = (0 until 120).map { i =>
+      val a = (i * 2654435761L) % 60
+      val b = (i * 40503L + 7) % 60
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val all = edges.toDF("id_a", "id_b")
+    val want = Dedup.nearDupClusters(all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // three sequential deltas must land on the same fixpoint
+    val parts = edges.zipWithIndex.groupBy(_._2 % 3)
+      .map { case (k, v) => k -> v.map(_._1).toDF("id_a", "id_b") }
+    var labels = Dedup.nearDupClusters(parts(0))
+    labels = Dedup.incrementalClusters(labels, parts(1))
+    labels = Dedup.incrementalClusters(labels, parts(2))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("incrementalClusters: empty delta and untouched components are label-stable") {
+    val s = spark
+    import s.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got0 = Dedup.incrementalClusters(labels, none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0 == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a delta touching only one component leaves the other untouched
+    val delta = Seq((10L, 12L)).toDF("id_a", "id_b")
+    val got1 = Dedup.incrementalClusters(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 1L, 2L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("nearDupClusters never collects the pair relation to the driver") {
     val s = spark
     // The scale contract (round-9): clustering is joins/aggregates over

@@ -65,4 +65,41 @@ class StatsRollupSpec extends SparkSpec {
     // the 2-bucket series never reaches the minOverlap gate
     assert(!got.keySet.exists(p => p._1 == "short" || p._2 == "short"))
   }
+
+  test("exactQuantiles: value at rank ⌈q·n⌉, ties and odd sizes handled exactly") {
+    val s = spark
+    import s.implicits._
+    // group g: 1..10 → p50 = 5, p90 = 9, p100 = 10; group h has ties
+    val df = ((1 to 10).map(v => ("g", v.toLong)) ++
+      Seq(("h", 3L), ("h", 3L), ("h", 7L))).toDF("grp", "v")
+    val got = graft.operators.StatsRollup.exactQuantiles(df, "grp", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got("g") == ((5L, 9L, 10L)))
+    // h sorted: 3,3,7 → rank ⌈1.5⌉=2 → 3; ⌈2.7⌉=3 → 7; ⌈3⌉=3 → 7
+    assert(got("h") == ((3L, 7L, 7L)))
+  }
+
+  test("approxQuantiles tracks the exact twin on the documents fixture") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = toMap(graft.operators.StatsRollup.exactQuantiles(
+      docs, "lang", "n_chars", qs))
+    val approx = toMap(graft.operators.StatsRollup.approxQuantiles(
+      docs, "lang", "n_chars", qs))
+    assert(exact.keySet == approx.keySet)
+    // at accuracy 10000 on ≤ 500-row groups the sketch is near-exact;
+    // allow one rank of slack via a 5% relative band
+    exact.foreach { case (lang, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(lang)
+      def close(e: Long, a: Long) =
+        math.abs(e - a) <= math.max(1L, (e * 0.05).toLong)
+      assert(close(e50, a50) && close(e90, a90) && close(e99, a99),
+        s"$lang: exact=($e50,$e90,$e99) approx=($a50,$a90,$a99)")
+    }
+  }
 }

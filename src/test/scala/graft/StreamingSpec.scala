@@ -276,6 +276,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids(StreamDedup.indexPairs(spark, root, cfg)) == want)
   }
 
+  test("incremental cluster labels at ingest converge to the batch clustering") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamDedup
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("sdedup_lab").toString
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch answer: clusters over the full corpus pair set
+    val want = labelMap(Dedup.nearDupClusters(
+      Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)))
+    assert(want.nonEmpty)
+    // ingest in three batches; labels are folded in incrementally and
+    // must land on the batch fixpoint after the last one
+    (0 until 3).foreach { k =>
+      StreamDedup.upsertBatchWithLabels(
+        docs.filter(col("doc_id") % 3 === k), "doc_id", "text", root, cfg)
+    }
+    assert(labelMap(StreamDedup.indexLabels(spark, root)) == want)
+    // idempotence of the storage face: an empty follow-up batch (no
+    // new pairs) leaves the table byte-identical in content
+    StreamDedup.upsertBatchWithLabels(
+      docs.filter(col("doc_id") < 0), "doc_id", "text", root, cfg)
+    assert(labelMap(StreamDedup.indexLabels(spark, root)) == want)
+  }
+
   test("streaming curation gates quality/length at ingest and dedups survivors") {
     implicit val s = spark
     import s.implicits._
