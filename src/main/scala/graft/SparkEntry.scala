@@ -1810,8 +1810,57 @@ object SparkEntry {
             sum(TextFunctions.subwordCount(col("text"))).as("total_subwords")),
       Some("""SELECT CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
              |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    ("q_bm25", // Okapi BM25 ranked retrieval: top-50 docs for a
+      // bag-of-tokens query, k1 = 1.2 / b = 0.75. idf and avgdl are
+      // integer literals off ONE corpus aggregate (driver-side ln —
+      // no transcendental runs in either engine), each token's
+      // contribution is one pinned double expression floored to
+      // micro-nats, and the doc score is the order-free BIGINT sum.
+      // The oracle (oracleSqlDynamic) inlines the same idf/avgdl
+      // literals and replays the scoring end to end.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+          bm25QueryTokens, topN = 50),
+      None)
   )
+
+  /** The fixed retrieval query q_bm25 scores (all are in the fixture
+    * vocabulary with distinct document frequencies). */
+  private val bm25QueryTokens = Seq("spark", "table", "query")
+
+  /** Oracle for q_bm25: [[TextAnalysis.bm25Stats]] runs once at Verify
+    * time and its N/avgdl/idf land as SQL literals; the per-token
+    * double expression mirrors [[TextAnalysis.bm25Rank]] operation for
+    * operation (integer/double literal divisions included), so the
+    * floor grid agrees bit-for-bit. */
+  private def bm25OracleSql(s: SparkSession, dir: String): String = {
+    val (_, avgdl, idfs) =
+      TextAnalysis.bm25Stats(t(s, dir, "documents"), "text", bm25QueryTokens)
+    val vals = bm25QueryTokens.map(q => s"('$q', ${idfs(q)})").mkString(",")
+    s"""WITH idf(tok, idf_micro) AS (VALUES $vals),
+       |base AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, idf_micro,
+       |         CAST(len(list_filter(tk, x -> x = tok)) AS DOUBLE) AS tf,
+       |         len(tk) AS dl
+       |  FROM base, idf),
+       |sc AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CAST(floor(idf_micro *
+       |           ((tf * ((1200000 / 1000000.0) + 1.0)) /
+       |            (tf + (1200000 / 1000000.0) *
+       |             ((1.0 - (750000 / 1000000.0)) + (750000 / 1000000.0) *
+       |              ((dl * 1000000.0) / $avgdl))))) AS BIGINT)) AS BIGINT) AS bm25_micro
+       |  FROM pt GROUP BY 1)
+       |SELECT doc_id, bm25_micro FROM sc
+       |WHERE bm25_micro > 0
+       |ORDER BY bm25_micro DESC, doc_id LIMIT 50""".stripMargin
+  }
 
   // --- corpus curation (training-data assembly: budgeted selection +
   // mixture balancing; builder brief: first-class extension ops) ---
@@ -2439,7 +2488,63 @@ object SparkEntry {
        |             JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold)""".stripMargin
 
+  /** DuckDB replay of [[Dedup.winnowFingerprints]] (k-token gram md5s,
+    * 40-bit-hash/negated-pos packing, windowed min, window-start
+    * filter) ending in a `sel` CTE of (doc_id, pos, fp). */
+  private def winnowCtesSql(k: Int, w: Int): String =
+    s"""base AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |                             x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, nt, pg['pos'] AS pos, pg['g'] AS g
+       |  FROM (SELECT doc_id, len(tk) AS nt,
+       |          unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+       |            i -> {'pos': i - 1,
+       |                  'g': md5(array_to_string(list_slice(tk, i, i + ${k - 1}), ' '))})) AS pg
+       |        FROM base WHERE len(tk) >= $k)),
+       |pk AS (
+       |  SELECT doc_id, nt, pos,
+       |         CAST(list_sum(list_transform(generate_series(1, 10),
+       |            j -> (strpos('0123456789abcdef', substr(g, j, 1)) - 1)
+       |                 * (CAST(1 AS BIGINT) << (4*(10-j))))) AS BIGINT) * 1048576
+       |         + (1048575 - pos) AS pkd
+       |  FROM grams),
+       |wm AS (
+       |  SELECT doc_id, nt, pos,
+       |         min(pkd) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS win
+       |  FROM pk),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |         CAST(1048575 - (win % 1048576) AS BIGINT) AS pos,
+       |         CAST(win // 1048576 AS BIGINT) AS fp
+       |  FROM wm WHERE wm.pos <= greatest(nt - $k - ${w - 1}, 0))""".stripMargin
+
   private def dedupDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("q_dedup_winnow", // winnowing fingerprints (Schleimer et al. 2003
+      // / MOSS): per document, each w-window of k-gram hashes keeps
+      // its minimum (ties to the rightmost) — any shared k+w−1-token
+      // run between documents shares a fingerprint at ~2/(w+1) the
+      // positional-index cost. Packing (hash40·2²⁰ + negated pos)
+      // makes the argmin one windowed integer min in any engine.
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id",
+          "text", k = 5, w = 4),
+      Some(s"""WITH ${winnowCtesSql(5, 4)}
+              |SELECT doc_id, pos, fp FROM sel""".stripMargin)),
+    ("q_winnow_pairs", // content-reuse pairs over the winnowed index:
+      // docs sharing ≥ 2 fingerprints — the MOSS similarity-report
+      // join, fan-out bounded per fingerprint bucket
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, minShared = 2),
+      Some(s"""WITH ${winnowCtesSql(5, 4)},
+              |fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(count(*) AS BIGINT) AS shared
+              |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
     ("q_dedup_exact",
       (s: SparkSession, dir: String) =>
         Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
@@ -3543,6 +3648,7 @@ object SparkEntry {
     * independently checked by the static, integer-only q_lm_train. A
     * build failure falls back to the static entry (Verify logs it). */
   def oracleSqlDynamic: Map[String, (SparkSession, String) => String] = Map(
+    "q_bm25" -> bm25OracleSql _,
     "q_lm_quality" -> ((s, dir) =>
       s"""WITH ${lmCostLiteralCtes(s, dir)}
          |$lmQualityTailSql""".stripMargin),

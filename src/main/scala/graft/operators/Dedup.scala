@@ -537,6 +537,88 @@ object Dedup {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS scheme): hash every `k`-token gram, slide a
+    * window of `w` consecutive gram hashes over each document, and
+    * keep each window's MINIMUM hash (ties to the RIGHTMOST position,
+    * the paper's rule). Guarantees: any shared run of `k + w − 1`
+    * tokens between two documents yields at least one shared
+    * fingerprint, while only ~2/(w+1) of positions are kept — the
+    * local-sampling compromise between full positional grams
+    * ([[dedupSpans]]' index) and one hash per document
+    * ([[exact]]'s fingerprint).
+    *
+    * Determinism / portability: the winnow ORDER is the top 40 bits
+    * of the gram's md5 packed with the negated position into one
+    * BIGINT (`hash40 · 2²⁰ + (2²⁰ − 1 − pos)` — smaller packed value
+    * = smaller hash, then larger pos), so a single windowed `min`
+    * implements hash-asc/pos-desc argmin in any engine. Bound:
+    * documents up to 2²⁰ tokens (≈ 4 MB of text; enforced), hash
+    * collisions within a window only merge the argmin choice and do
+    * so identically everywhere.
+    *
+    * Scale: one projection to positional gram hashes (the token
+    * stream), one per-document window (frame of `w` rows) — no
+    * corpus-wide aggregate at all; output is ~2·tokens/(w+1) rows.
+    * Fingerprint equality is then a plain equi-join key for overlap
+    * detection, like any inverted index.
+    *
+    * Output: (idCol, pos, fp) — gram start position and the 40-bit
+    * fingerprint, one row per SELECTED (distinct per doc) position.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be ≥ 1: k=$k w=$w")
+    val grams = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).as("_nt"), posexplode(
+        when(size(col("tk")) >= k,
+          transform(sequence(lit(0), size(col("tk")) - k),
+            i => md5(array_join(slice(col("tk"), i + lit(1), lit(k)), " "))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("col", "g")
+    val packed = grams
+      .withColumn("_h40", conv(substring(col("g"), 1, 10), 16, 10)
+        .cast(LongType))
+      .withColumn("_pk",
+        col("_h40") * lit(1L << 20) + (lit((1L << 20) - 1) - col("pos")))
+    // every valid window start takes its frame's min packed key; the
+    // final start is n_grams − w (or 0 when the doc has fewer grams
+    // than a window — the frame then truncates at the partition end,
+    // degenerating to one fingerprint over all grams)
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    packed
+      .withColumn("_win", min(col("_pk")).over(frame))
+      .filter(col("pos") <= greatest(col("_nt") - lit(k) - lit(w - 1), lit(0)))
+      .select(col("id"),
+        (lit((1L << 20) - 1) - pmod(col("_win"), lit(1L << 20))).as("pos"),
+        // integer DIV — packed exceeds double's 2⁵³ exact range, a
+        // float division would corrupt high fingerprints
+        expr(s"_win DIV ${1L << 20}").as("fp"))
+      .distinct()
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Documents sharing at least `minShared` winnowing fingerprints —
+    * content-reuse pair detection over the winnowed index: the
+    * guarantee above means any pair sharing a `k + w − 1`-token run
+    * meets here, at ~2/(w+1) of the positional-gram index cost. The
+    * fingerprint self-join is the standard inverted-index shape
+    * (fan-out bounded per fingerprint bucket, map-side-combinable
+    * count).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** All-pairs n-gram token Jaccard via token-inverted-index join —
     * the exact (non-approximate) near-dup reference path. Output:
     * (id_a, id_b, jaccard) for pairs ≥ threshold.

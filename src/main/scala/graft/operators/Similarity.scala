@@ -847,8 +847,13 @@ object Similarity {
     * exactly in SQL. NULL-labeled rows mine nothing and serve as no
     * one's negative (label inequality is three-valued, as in SQL).
     * Output (idCol, neighbor_id, cos_s, rank).
+    *
+    * This is the DataFrame REFERENCE twin (broadcast nested loop —
+    * the n² pair rows materialize); [[hardNegatives]] is the compiled
+    * default that must match it row-for-row (spec-asserted), and
+    * [[hardNegativesLsh]] the corpus path.
     */
-  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+  def hardNegativesJoin(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
@@ -861,6 +866,88 @@ object Similarity {
         col("id_a") =!= col("id_b") && col("la") =!= col("lb"))
       .drop("la", "lb")
     rankNeighbors(scoreCosine(pairs), idCol, k)
+  }
+
+  /** The compiled fast path of [[hardNegativesJoin]] — same shape as
+    * [[knnJoinCompiled]]: collect the (id, vector, norm, label)
+    * corpus once, broadcast it, give every anchor one tight scan
+    * keeping a k-bounded different-label selection; no n² pair rows,
+    * no shuffle. Arithmetic is the join twin's bit-for-bit (VecDot
+    * summation order, HALF_UP 6-decimal rounding, (cos desc, id asc)
+    * ranking), labels compared by their string rendering (null = mine
+    * nothing / serve no one). Sample-scale contract as knnJoinCompiled
+    * (the corpus must fit an executor); the 100 TB path is
+    * [[hardNegativesLsh]].
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"),
+        col(labelCol).cast("string"))
+      .as[(Long, Array[Double], String)]
+    val corpus = vecs.collect()
+    val norms = corpus.map { case (_, v, _) => math.sqrt(dotArr(v, v)) }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    val spread = vecs.repartition(graft.GraftSession.defaultCores)
+    spread.mapPartitions { it =>
+      val (cor, nrm) = bc.value
+      val m = cor.length
+      val raw = new Array[Double](m) // reused per anchor
+      it.flatMap { case (id, v, lbl) =>
+        if (lbl == null) Iterator.empty
+        else {
+          val na = math.sqrt(dotArr(v, v))
+          @inline def eligible(j: Int): Boolean =
+            cor(j)._1 != id && cor(j)._3 != null && cor(j)._3 != lbl
+          var j = 0
+          while (j < m) {
+            raw(j) =
+              if (!eligible(j)) -2.0 // below any real cosine
+              else {
+                val denom = na * nrm(j)
+                if (denom == 0.0) 0.0 else dotArr(v, cor(j)._2) / denom
+              }
+            j += 1
+          }
+          // k-th largest raw among eligible (see knnJoinCompiled: the
+          // 6-decimal grid moves values ≤ 5e-7, so only raw ≥ kth−1e-6
+          // can place after rounding)
+          val kk = k
+          val kth = {
+            val sel = new Array[Double](kk)
+            var filled = 0
+            var i = 0
+            while (i < m) {
+              if (eligible(i)) {
+                val c = raw(i)
+                var pos = filled
+                while (pos > 0 && sel(pos - 1) < c) pos -= 1
+                if (pos < kk) {
+                  var q = math.min(filled, kk - 1)
+                  while (q > pos) { sel(q) = sel(q - 1); q -= 1 }
+                  sel(pos) = c
+                  if (filled < kk) filled += 1
+                }
+              }
+              i += 1
+            }
+            if (filled < kk) Double.NegativeInfinity else sel(filled - 1)
+          }
+          val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          j = 0
+          while (j < m) {
+            if (eligible(j) && raw(j) >= kth - 1e-6)
+              cand += ((round6(raw(j)), cor(j)._1))
+            j += 1
+          }
+          cand.sortBy { case (c, cid) => (-c, cid) }
+            .take(kk).iterator.zipWithIndex
+            .map { case ((c, cid), r) => (id, cid, c, r + 1) }
+        }
+      }
+    }.toDF(idCol, "neighbor_id", "cos_s", "rank")
   }
 
   /** The 100 TB path of [[hardNegatives]]: candidates come from the

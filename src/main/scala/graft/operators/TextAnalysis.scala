@@ -251,4 +251,84 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
         col("score_scaled"))
   }
+
+  /** Corpus statistics BM25 needs, computed in ONE combinable
+    * aggregate pass and collected to the driver (they are a handful of
+    * scalars — the same bounded-collect contract as PQ codebooks):
+    * document count N, `avgdl` on the 10⁻⁶ fixed-point grid
+    * (`(Σdl · 10⁶) DIV N`, exact BIGINT), and per-query-token idf in
+    * integer micro-nats — the Lucene smoothing of Robertson–Spärck
+    * Jones, `floor(ln(1 + (N − df + 0.5)/(df + 0.5)) · 10⁶)`, which
+    * stays positive even for tokens in over half the corpus (raw RSJ
+    * idf goes negative there and silently zeroes every match).
+    * Driver-side `math.log`, so no transcendental ever runs inside a
+    * query engine — the LM-cost-literal rule. Tokens are matched
+    * lowercase.
+    */
+  def bm25Stats(df: DataFrame, textCol: String,
+      queryTokens: Seq[String]): (Long, Long, Map[String, Long]) = {
+    require(queryTokens.nonEmpty, "empty BM25 query")
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    val aggs = count(lit(1)).as("n") +: sum(size(tk)).as("t") +:
+      queryTokens.zipWithIndex.map { case (q, i) =>
+        sum(when(array_contains(tk, lit(q)), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    require(n > 0, "empty corpus")
+    val avgdlMicro = math.max(1L,
+      Math.floorDiv(row.getLong(1) * 1000000L, n))
+    val idfs = queryTokens.zipWithIndex.map { case (q, i) =>
+      val dfT = row.getLong(2 + i)
+      q -> math.floor(math.log1p((n - dfT + 0.5) / (dfT + 0.5)) * 1e6).toLong
+    }.toMap
+    (n, avgdlMicro, idfs)
+  }
+
+  /** BM25 ranked retrieval (Okapi BM25, Robertson et al.): the top-N
+    * documents for a bag-of-tokens query, scored
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with the
+    * usual k1 = 1.2, b = 0.75 (ppm parameters).
+    *
+    * Engine-exact by construction: idf and avgdl are integer literals
+    * from [[bm25Stats]], each token's contribution is ONE pinned
+    * IEEE-double expression floored to integer micro-nats, and the
+    * per-document score is the BIGINT SUM of those integers — no
+    * float accumulates across tokens, so summation order cannot
+    * drift an ulp (the [[StatsRollup.seriesCorrelation]] /
+    * [[graft.operators.LangModel]] portability rule).
+    *
+    * Scale: scoring is one projection over the corpus (per-token `tf`
+    * = `size(filter(tokens, _ = t))`, no explode, no shuffle) + a
+    * top-N sort. At index-serving scale, prune the scan first with a
+    * [[graft.sources.TextIndex]] posting lookup on the query tokens
+    * (the q_grep_index_lookup shape) and score only the semi-joined
+    * candidates; the statistics pass stays one combinable aggregate.
+    *
+    * Output: (idCol, bm25_micro) — positive-scoring docs, best first,
+    * ties to the smaller id, at most `topN` rows.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTokens: Seq[String], topN: Int = 50,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
+    val (_, avgdlMicro, idfs) = bm25Stats(df, textCol, queryTokens)
+    val k1 = lit(k1Ppm) / lit(1000000.0)
+    val b = lit(bPpm) / lit(1000000.0)
+    val base = df.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val dlr = (col("dl").cast("double") * lit(1000000.0)) / lit(avgdlMicro)
+    val contribs = queryTokens.map { q =>
+      val tf = size(filter(col("tk"), x => x === lit(q))).cast("double")
+      floor(lit(idfs(q)).cast("double") *
+          ((tf * (k1 + lit(1.0))) /
+            (tf + k1 * ((lit(1.0) - b) + b * dlr))))
+        .cast("long")
+    }
+    base.withColumn("bm25_micro", contribs.reduce(_ + _))
+      .filter(col("bm25_micro") > 0)
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col("bm25_micro"))
+  }
 }

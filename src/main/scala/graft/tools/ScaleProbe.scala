@@ -97,7 +97,8 @@ object ScaleProbe {
     "q_dsir_weights", "q_bpe_encode",                    // r9 additions
     "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ivfpq",
     "q_knn_label",
-    "q_embed_ivfpq_table", "q_knn_label_lsh",            // r10 additions
+    "q_embed_ivfpq_table", "q_knn_label_lsh",
+    "q_source_rank", "q_hard_negatives_lsh", "q_quantiles", // r10 additions
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the

@@ -116,6 +116,53 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("winnowFingerprints: the MOSS guarantee — shared k+w−1 runs share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val k = 5; val w = 4
+    // doc 2 embeds an exact 8-token (= k+w−1) run of doc 1
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red green blue $shared yellow purple"),
+      (3L, "completely unrelated words about spark query planning today"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // guarantee: docs 1 and 2 share ≥ 1 fingerprint VALUE; doc 3 none
+    val f1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, s"no shared fingerprint: $f1 vs $f2")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+    // density: winnowing keeps a small fraction, not every gram
+    val doc1Grams = df.filter(col("doc_id") === 1).head().getString(1)
+      .split("\\s+").length - k + 1
+    assert(f1.size < doc1Grams, s"kept ${f1.size} of $doc1Grams grams")
+    // pair detection surfaces exactly the planted pair
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", k, w,
+        minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowFingerprints: degenerate docs (under k tokens, under w grams) stay deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b"),                      // < k tokens → no grams → no rows
+      (2L, "a b c d e f"),              // 2 grams < w → ONE fingerprint
+      (3L, "a b c d e f"))              // identical → identical fingerprint
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!fps.exists(_._1 == 1L))
+    val f2 = fps.filter(_._1 == 2L)
+    val f3 = fps.filter(_._1 == 3L)
+    assert(f2.length == 1 && f3.length == 1)
+    assert(f2.head._2 == f3.head._2 && f2.head._3 == f3.head._3)
+  }
+
   test("incrementalClusters: delta edges merge, extend, and create components exactly") {
     val s = spark
     import s.implicits._

@@ -259,4 +259,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(parquetScans <= 1,
       s"expected at most the cache-lineage parquet scan, found $parquetScans:\n$p")
   }
+
+  test("winnow fingerprints: scan → window, no join anywhere") {
+    val p = plan("q_dedup_winnow")
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+    assert(p.contains("Window"), s"windowed min missing:\n$p")
+  }
+
+  test("bm25: joinless literal-idf projection feeding a top-N, no explode") {
+    val p = plan("q_bm25")
+    assert(!p.contains("Join"),
+      s"idf must ship as literals, not a join:\n$p")
+    assert(!p.contains("Generate"),
+      s"per-token tf must not explode the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N not a top-k operator:\n$p")
+  }
+
+  test("hard negatives: compiled broadcast-scan — no n² pair join") {
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"n² label-crossing join rows back in the plan:\n$p")
+  }
 }

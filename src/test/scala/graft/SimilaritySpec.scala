@@ -518,6 +518,17 @@ class SimilaritySpec extends SparkSpec {
     assert(perAnchor.values.forall(_ == 5))
   }
 
+  test("hardNegatives compiled path is row-identical to the DataFrame join twin") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val compiled = rows(Similarity.hardNegatives(emb, "vec_id",
+      "embedding", "label", k = 5))
+    val joined = rows(Similarity.hardNegativesJoin(emb, "vec_id",
+      "embedding", "label", k = 5))
+    assert(compiled == joined)
+  }
+
   test("hardNegativesLsh mines the confusable frontier on clustered embeddings") {
     import spark.implicits._
     // same 10-cluster layout as the label-recovery gate: anchors'

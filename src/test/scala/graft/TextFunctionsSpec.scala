@@ -169,4 +169,46 @@ class TextFunctionsSpec extends SparkSpec {
       "sym" -> false, "bul" -> false, "num" -> false, "nostop" -> false),
       got.toString)
   }
+
+  test("bm25Rank: tf saturation, length normalization, idf ordering, rare-term wins") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "cat dog"),                       // short: one hit each term
+      (2L, "cat cat cat cat dog zebra"),     // repeats + the rare term
+      (3L, "cat " + Seq.fill(60)("filler").mkString(" ")), // long doc, one hit
+      (4L, "no matching terms at all here"),
+      (5L, "zebra only"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25Rank(df, "doc_id", "text",
+        Seq("cat", "zebra"), topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val rank = got.map(_._1)
+    val score = got.toMap
+    assert(!score.contains(4L)) // zero matches → filtered
+    // zebra (df=2) out-idfs cat (df=3): doc 2 holds both and wins
+    assert(rank.head == 2L)
+    // length normalization: doc 3's single cat in 61 tokens scores
+    // below doc 1's single cat in 2 tokens
+    assert(score(1L) > score(3L))
+    // determinism: exact rerun equality
+    val again = graft.operators.TextAnalysis.bm25Rank(df, "doc_id",
+        "text", Seq("cat", "zebra"), topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("bm25Stats: integer idf literals positive, avgdl exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val (n, avgdl, idfs) = graft.operators.TextAnalysis.bm25Stats(
+      df, "text", Seq("a", "x", "zz"))
+    assert(n == 3)
+    assert(avgdl == (8L * 1000000L) / 3L) // floor((4+2+2)·1e6 / 3)
+    // Lucene idf: ln(1 + (N−df+0.5)/(df+0.5)) — positive even at df=N
+    assert(idfs.values.forall(_ > 0))
+    assert(idfs("zz") > idfs("x") && idfs("x") > idfs("a")) // rarity order
+  }
 }
