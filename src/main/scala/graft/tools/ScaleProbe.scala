@@ -98,7 +98,8 @@ object ScaleProbe {
     "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ivfpq",
     "q_knn_label",
     "q_embed_ivfpq_table", "q_knn_label_lsh",
-    "q_source_rank", "q_hard_negatives_lsh", "q_quantiles", // r10 additions
+    "q_source_rank", "x_hard_negatives_auto", "q_quantiles",
+    "q_dedup_winnow", "q_winnow_pairs", "q_bm25",           // r10 additions
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the
@@ -152,6 +153,14 @@ object ScaleProbe {
         graft.operators.Similarity.knnJoinLsh(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           k = 5)),
+      // hardNegativesLsh with corpus-auto-sized planes (q_hard_negatives_lsh
+      // pins 4×6 for oracle replay — at x10 those buckets overfill and the
+      // candidate join grows 10×/decade; the auto-sized path is the scale
+      // configuration, same split as q_embed_lsh_pairs / x_lsh_pairs_auto)
+      "x_hard_negatives_auto" -> ((s, dir) =>
+        graft.operators.Similarity.hardNegativesLsh(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", k = 5)),
       "x_jaccard_capped" -> ((s, dir) =>
         graft.operators.Dedup.jaccardPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text",
