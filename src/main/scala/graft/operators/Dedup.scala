@@ -580,8 +580,14 @@ object Dedup {
     val packed = grams
       .withColumn("_h40", conv(substring(col("g"), 1, 10), 16, 10)
         .cast(LongType))
-      .withColumn("_pk",
-        col("_h40") * lit(1L << 20) + (lit((1L << 20) - 1) - col("pos")))
+      // the 2²⁰-token document bound is ENFORCED, not assumed: a gram
+      // position past it would bleed into the hash field and corrupt
+      // fingerprints silently — fail the job instead
+      .withColumn("_pk", when(col("pos") < lit(1L << 20),
+          col("_h40") * lit(1L << 20) + (lit((1L << 20) - 1) - col("pos")))
+        .otherwise(raise_error(concat(
+          lit("winnowFingerprints: document "), col("id").cast("string"),
+          lit(" exceeds 2^20 tokens — the hash/position packing bound")))))
     // every valid window start takes its frame's min packed key; the
     // final start is n_grams − w (or 0 when the doc has fewer grams
     // than a window — the frame then truncates at the partition end,

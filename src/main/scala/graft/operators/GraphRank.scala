@@ -65,8 +65,13 @@ object GraphRank {
     require(iters >= 0, s"iters must be ≥ 0, got $iters")
     val nodeCol = nodes.columns.head
     val n = nodes.select(col(nodeCol).as("node")).distinct()
+    // w ≤ 0 edges carry no mass in the update rule; dropping them here
+    // keeps wtot consistent with the edges that actually contribute
+    // (otherwise an all-zero-out-weight node divides by wtot = 0 —
+    // NULL in Spark, an error in engines that raise on x DIV 0)
     val e = edges.select(col("src"), col("dst"),
         col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val outw = e.groupBy("src").agg(sum("w").as("wtot"))

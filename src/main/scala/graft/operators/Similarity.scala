@@ -896,7 +896,10 @@ object Similarity {
       val m = cor.length
       val raw = new Array[Double](m) // reused per anchor
       it.flatMap { case (id, v, lbl) =>
-        if (lbl == null) Iterator.empty
+        // k ≤ 0 and null anchors return empty like the join twin
+        // (rankNeighbors' rank ≤ k filter keeps nothing)
+        val kk = math.max(k, 0)
+        if (lbl == null || kk == 0) Iterator.empty
         else {
           val na = math.sqrt(dotArr(v, v))
           @inline def eligible(j: Int): Boolean =
@@ -914,7 +917,6 @@ object Similarity {
           // k-th largest raw among eligible (see knnJoinCompiled: the
           // 6-decimal grid moves values ≤ 5e-7, so only raw ≥ kth−1e-6
           // can place after rounding)
-          val kk = k
           val kth = {
             val sel = new Array[Double](kk)
             var filled = 0

@@ -276,6 +276,10 @@ object TextAnalysis {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
     require(n > 0, "empty corpus")
+    // sum(size(tk)) is NULL when every document tokenizes to nothing
+    // (null/whitespace-only text) — fail with a message, not an NPE
+    require(!row.isNullAt(1) && row.getLong(1) > 0,
+      "corpus has no tokens — nothing to rank")
     val avgdlMicro = math.max(1L,
       Math.floorDiv(row.getLong(1) * 1000000L, n))
     val idfs = queryTokens.zipWithIndex.map { case (q, i) =>
@@ -312,9 +316,47 @@ object TextAnalysis {
       queryTokens: Seq[String], topN: Int = 50,
       k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
     val (_, avgdlMicro, idfs) = bm25Stats(df, textCol, queryTokens)
+    bm25Score(df.select(col(idCol), col(textCol)), idCol, textCol,
+      queryTokens, avgdlMicro, idfs, topN, k1Ppm, bPpm)
+  }
+
+  /** [[bm25Rank]] served off a [[graft.sources.TextIndex]]: resolve
+    * the candidate set by posting lookups on the query tokens (each
+    * reads ONE bucket directory — partition-pruned, the
+    * q_grep_index_lookup contract), semi-join the corpus, and score
+    * only those rows. EQUAL output to the scan path by construction:
+    * a document with no query token has every tf = 0, scores exactly
+    * 0, and the scan path filters score > 0 — so pruning it cannot
+    * change the result (spec-asserted). This is the serving shape at
+    * index scale: the scoring scan is O(matching postings), not
+    * O(corpus); the one corpus-wide pass left is [[bm25Stats]], which
+    * a deployment computes once per corpus version, not per query.
+    */
+  def bm25RankIndexed(df: DataFrame, idCol: String, textCol: String,
+      indexPath: String, queryTokens: Seq[String], topN: Int = 50,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
+    val spark = df.sparkSession
+    val (_, avgdlMicro, idfs) = bm25Stats(df, textCol, queryTokens)
+    val cand = queryTokens
+      .map(t => graft.sources.TextIndex.lookup(spark, indexPath, t))
+      .reduce(_.unionByName(_)).distinct()
+      .withColumnRenamed("id", idCol)
+    val pruned = df.select(col(idCol), col(textCol))
+      .join(cand, Seq(idCol), "left_semi")
+    bm25Score(pruned, idCol, textCol, queryTokens, avgdlMicro, idfs,
+      topN, k1Ppm, bPpm)
+  }
+
+  /** The shared BM25 scoring projection (see [[bm25Rank]] for the
+    * exactness contract: literal idf/avgdl, one pinned double
+    * expression per token floored to micro-nats, order-free BIGINT
+    * sum). */
+  private def bm25Score(base0: DataFrame, idCol: String, textCol: String,
+      queryTokens: Seq[String], avgdlMicro: Long, idfs: Map[String, Long],
+      topN: Int, k1Ppm: Long, bPpm: Long): DataFrame = {
     val k1 = lit(k1Ppm) / lit(1000000.0)
     val b = lit(bPpm) / lit(1000000.0)
-    val base = df.select(col(idCol),
+    val base = base0.select(col(idCol),
         TextFunctions.tokens(lower(col(textCol))).as("tk"))
       .withColumn("dl", size(col("tk")))
     val dlr = (col("dl").cast("double") * lit(1000000.0)) / lit(avgdlMicro)

@@ -98,8 +98,9 @@ object ScaleProbe {
     "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ivfpq",
     "q_knn_label",
     "q_embed_ivfpq_table", "q_knn_label_lsh",
-    "q_source_rank", "x_hard_negatives_auto", "q_quantiles",
-    "q_dedup_winnow", "q_winnow_pairs", "q_bm25",           // r10 additions
+    "q_source_rank", "q_hard_negatives_lsh", "x_hard_negatives_auto",
+    "q_quantiles", "q_dedup_winnow", "q_winnow_pairs", "q_bm25", // r10
+
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
   /** Probe-only variants that exercise the SCALE path where the

@@ -51,6 +51,21 @@ class GraphRankSpec extends SparkSpec {
     assert(got("u") == teleport) // dangling-free but no in-edges
   }
 
+  test("pageRank: zero-weight edges carry no mass and cannot divide by zero") {
+    val s = spark
+    import s.implicits._
+    // u's only out-edges have w = 0 — it must behave as dangling, not
+    // emit a NULL-division rank; the w=0 edge into v adds nothing
+    val edges = Seq(("u", "v", 0L), ("a", "v", 1L)).toDF("src", "dst", "w")
+    val nodes = Seq("u", "v", "a").toDF("node")
+    val got = GraphRank.pageRank(edges, nodes, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = GraphRank.pageRank(
+      Seq(("a", "v", 1L)).toDF("src", "dst", "w"), nodes, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == clean) // zero-weight edges ≡ absent edges
+  }
+
   test("sourceRank covers every source and rewards syndication centrality") {
     val docs = Tables.load(spark, sfDir, "documents")
     val ranks = GraphRank.sourceRank(docs, "doc_id", "text", "source",

@@ -518,6 +518,16 @@ class SimilaritySpec extends SparkSpec {
     assert(perAnchor.values.forall(_ == 5))
   }
 
+  test("hardNegatives: k = 0 yields empty on both paths (no negative-index crash)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f), 0L), (2L, Seq(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+      k = 0).isEmpty)
+    assert(Similarity.hardNegativesJoin(df, "vec_id", "embedding",
+      "label", k = 0).isEmpty)
+  }
+
   test("hardNegatives compiled path is row-identical to the DataFrame join twin") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -198,6 +198,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("bm25RankIndexed equals the scan path exactly (pruning is lossless)") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      graft.sources.TextIndex.write(docs, "doc_id", "text", idx)
+      val q = Seq("spark", "table", "query")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val scan = rows(graft.operators.TextAnalysis.bm25Rank(
+        docs, "doc_id", "text", q, topN = 50))
+      val indexed = rows(graft.operators.TextAnalysis.bm25RankIndexed(
+        docs, "doc_id", "text", idx, q, topN = 50))
+      assert(scan.nonEmpty && scan == indexed)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("bm25Stats: a token-less corpus fails with a message, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bm25Stats(df, "text", Seq("a"))
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("bm25Stats: integer idf literals positive, avgdl exact") {
     val s = spark
     import s.implicits._
