@@ -211,7 +211,8 @@ object ScaleProbe {
         "x10" -> x10Dir, "x100" -> x100Dir)
       val x100Queries = Seq("q_quality_topp", "q_token_budget",
         "q_text_profile", "q_repetition",
-        "q_embed_pq_topk", "q_embed_ivfpq", "q_embed_ivfpq_table")
+        "q_embed_pq_topk", "q_embed_ivfpq", "q_embed_ivfpq_table",
+        "q_dedup_winnow", "q_bm25") // r10 scan-bound families
       val qs = only.fold(x100Queries)(_.toSeq.sorted)
       runSweep(spark, qs, dirs, growthFrom = "x10", growthTo = "x100")
       spark.stop()
