@@ -191,7 +191,7 @@ object Bench {
       // writes + propagation rounds) — scenario cost, not query
       // latency; its operator cost is covered by q_dedup_clusters.
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
-        "q_shard_manifest", "q_dedup_clusters_incr")
+        "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms")
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(q => excluded(q._1))
         .map { case (name, fn) => name -> run(fn) }

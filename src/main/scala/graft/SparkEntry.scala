@@ -1823,7 +1823,102 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
           bm25QueryTokens, topN = 50),
-      None)
+      None),
+
+    ("q_cms_sketch", // count-min sketch build (depth 4, width 16^3):
+      // the constant-shuffle face of token counting — every partition
+      // emits at most depth×width partials regardless of vocabulary,
+      // where the exact twin's (q_top_tokens) shuffle grows with
+      // distinct tokens. Buckets are md5 hex SUBSTRINGS so "mod
+      // width" is string truncation, identical in any engine.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.cmsSketch(t(s, dir, "documents"), "text",
+          depth = 4, hexDigits = 3),
+      Some(cmsSketchOracle)),
+
+    ("q_stream_cms", // the sketch maintained AT INGEST: the corpus
+      // arrives in three batches through StreamSketch.upsertBatch
+      // (each appends its own depth×width delta; history never
+      // rescanned) and the merged read must equal the one-shot batch
+      // sketch — CMS is mergeable, cell sums associate — so the
+      // q_cms_sketch oracle replays it unchanged.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_cms").toString + "/sketch"
+        val docs = t(s, dir, "documents")
+        (0 until 3).foreach { k =>
+          graft.streaming.StreamSketch.upsertBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text",
+            root, batchId = k.toLong)
+        }
+        val got = graft.streaming.StreamSketch.readSketch(s, root)
+          .localCheckpoint(true) // materialize before the dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(
+            java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(cmsSketchOracle)),
+
+    ("q_cms_heavy_hitters", // heavy hitters THROUGH the sketch:
+      // distinct tokens whose CMS estimate (min over 4 salted rows)
+      // reaches the threshold — a guaranteed SUPERSET of the true
+      // heavy set (est >= true always; SketchSpec gates both bounds
+      // against exact counts). The broadcast sketch then serves any
+      // number of point/threshold queries without re-reading the
+      // corpus.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.cmsHeavyHitters(t(s, dir, "documents"),
+          "text", depth = 4, hexDigits = 3, threshold = 900L),
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                            x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |sk AS (
+             |  SELECT r, substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 3) AS b,
+             |         count(*) AS cnt
+             |  FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) rows
+             |  GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT tok AS token FROM toks),
+             |probes AS (
+             |  SELECT token, r,
+             |         substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 3) AS b
+             |  FROM cand, (SELECT unnest(generate_series(0, 3)) AS r) rows),
+             |est AS (
+             |  SELECT p.token, min(coalesce(s.cnt, 0)) AS est
+             |  FROM probes p LEFT JOIN sk s ON s.r = p.r AND s.b = p.b
+             |  GROUP BY 1)
+             |SELECT token, est FROM est WHERE est >= 900""".stripMargin)),
+
+    ("q_kneser_ney", // interpolated Kneser–Ney bigram smoothing
+      // (Chen & Goodman 1998 eq. 4.25, d = 3/4) as EXACT RATIONALS:
+      // p_num/p_den over the common denominator 4·c(w1·)·N1+(··) —
+      // every value a BIGINT product of corpus counts, so the KenLM-
+      // style smoothed table replays bit-for-bit with no float and no
+      // transcendental in either engine.
+      (s: SparkSession, dir: String) =>
+        graft.operators.LangModel.knBigrams(t(s, dir, "documents"), "text"),
+      Some("""WITH tk AS (
+             |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             |                     x -> len(x) > 0) AS t
+             |  FROM documents),
+             |bg AS (
+             |  SELECT t[i] AS w1, t[i+1] AS w2 FROM (
+             |    SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+             |    FROM tk WHERE len(t) >= 2)),
+             |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |      FROM bg GROUP BY 1, 2),
+             |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             |             CAST(count(*) AS BIGINT) AS n1fw
+             |      FROM c GROUP BY 1),
+             |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw FROM c GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM c)
+             |SELECT w1, w2, c12,
+             |       greatest(4*c12 - 3, 0)*n_bi + 3*n1fw*ncw AS p_num,
+             |       4*c1*n_bi AS p_den
+             |FROM c JOIN l USING (w1) JOIN r USING (w2), n""".stripMargin))
   )
 
   /** The fixed retrieval query q_bm25 scores (all are in the fixture
@@ -2204,7 +2299,28 @@ object SparkEntry {
              |              / 4294967296.0)) * 1000000) AS BIGINT) AS key_micro
              |        FROM w)
              |SELECT doc_id, logw_micro, key_micro FROM sel
-             |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin))
+             |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin)),
+
+    ("q_curriculum", // deterministic epoch order: stride scheduling
+      // spreads every domain evenly through the epoch in proportion
+      // to its size (the r-th of n docs lands at phase (2r−1)/2n,
+      // quantized onto a 2^40 integer grid by BIGINT floor division),
+      // best-documents-first within each domain. The curriculum is
+      // ORDER BY stride — a range-partitioned sort, no single-task
+      // global window anywhere.
+      (s: SparkSession, dir: String) =>
+        Curate.curriculum(t(s, dir, "documents"), "source", "doc_id",
+          "n_chars"),
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             |n AS (SELECT source, CAST(count(*) AS BIGINT) AS dom_n
+             |      FROM d GROUP BY 1),
+             |r AS (SELECT doc_id, source,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS dom_rank
+             |      FROM d)
+             |SELECT r.doc_id, r.source, r.dom_rank,
+             |       ((2*dom_rank - 1) * 1099511627776) // (2*dom_n) AS stride
+             |FROM r JOIN n USING (source)""".stripMargin))
   )
 
   /** DuckDB CTE chain replaying [[graft.operators.Dsir]]: hashed
@@ -3529,7 +3645,20 @@ object SparkEntry {
               |qn AS (SELECT sum(q2*q2) AS qn2 FROM qd)
               |SELECT vec_id, round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
               |FROM d, qn
-              |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin))
+              |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin)),
+
+    ("q_embed_rp", // Johnson–Lindenstrauss ±1 random projection
+      // (Achlioptas 2003) with a HASH-DERIVED sign matrix: dim floats
+      // → 16 exact BIGINT coordinates per vector, no training, no
+      // shuffle, no matrix to fit or broadcast — the projection lives
+      // as literals inside one codegen'd scan. Oracle inlines the
+      // same md5-derived signs (oracleSqlDynamic derives dim from the
+      // data, never hardcodes it).
+      (s: SparkSession, dir: String) =>
+        Similarity.randomProject(
+          t(s, dir, "embeddings").filter(col("vec_id") > 0),
+          "vec_id", "embedding", outDim = 16),
+      None)
   )
 
   /** DuckDB CTE chain replaying [[graft.operators.Bpe.learn]]'s first
@@ -3618,6 +3747,22 @@ object SparkEntry {
        |fin AS ${assignSql("q", "c2")}""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.Sketch.cmsSketch]] (depth 4,
+    * width 16³) — shared by q_cms_sketch and its at-ingest twin
+    * q_stream_cms (mergeability makes the streamed sketch equal the
+    * batch sketch cell for cell).
+    */
+  private val cmsSketchOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |cells AS (
+      |  SELECT CAST(r AS INTEGER) AS r,
+      |         substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 3) AS b
+      |  FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) rows)
+      |SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2""".stripMargin
+
   private def qGrep(name: String, pipeline: String): (String, Q, Option[String]) = {
     val parsed = GrepQL.parse(pipeline)
     ((name,
@@ -3684,7 +3829,32 @@ object SparkEntry {
          |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
     }),
     "q_embed_ivfpq" -> ivfPqOracleSql,
-    "q_embed_ivfpq_table" -> ivfPqOracleSql)
+    "q_embed_ivfpq_table" -> ivfPqOracleSql,
+    "q_embed_rp" -> rpOracleSql)
+
+  /** Oracle for q_embed_rp: the ±1 sign matrix re-derived driver-side
+    * from the same md5 bit [[graft.operators.Similarity.rpSign]] uses,
+    * inlined as list literals; the projection replays as exact BIGINT
+    * dot products. The embedding dimension comes from the data, not a
+    * constant (round-9 ADVICE rule).
+    */
+  private def rpOracleSql(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.filter(col("vec_id") > 0)
+      .select(size(col("embedding"))).head().getInt(0)
+    val signs = graft.operators.Similarity.rpSigns(16, dim)
+    val sgVals = signs.zipWithIndex.map { case (row, j) =>
+      s"($j, [${row.mkString(", ")}])" }.mkString(", ")
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS q
+       |       FROM embeddings WHERE vec_id > 0),
+       |sg AS (SELECT CAST(j AS INTEGER) AS j, s
+       |       FROM (VALUES $sgVals) t(j, s))
+       |SELECT vec_id, j,
+       |       CAST(list_sum(list_transform(generate_series(1, $dim),
+       |         i -> s[i]*q[i])) AS BIGINT) AS v
+       |FROM qv, sg""".stripMargin
+  }
 
   /** Shared dynamic oracle for q_embed_ivfpq (per-call-fit form) and
     * q_embed_ivfpq_table (the persisted build/query split): both run

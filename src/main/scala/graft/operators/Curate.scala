@@ -363,4 +363,38 @@ object Curate {
           .otherwise(lit("tail")))
       .drop("_t1", "_t2")
   }
+
+  /** Curriculum interleave — the deterministic epoch ORDER a trainer
+    * reads the mixed corpus in: every domain's documents spread evenly
+    * through the epoch in proportion to the domain's size (stride
+    * scheduling: the r-th document of a domain with n docs lands at
+    * phase (2r−1)/(2n) of the epoch), with documents WITHIN a domain
+    * ordered by descending `scoreCol` so each domain contributes its
+    * best documents first — easy-first curriculum per domain, no
+    * domain ever batched into one contiguous run.
+    *
+    * The phase is quantized onto a 2^40 integer grid with BIGINT floor
+    * division — `stride = ((2r−1)·2^40) div (2n)` — so the ordering
+    * key is engine-exact. Output: (idCol, domainCol, dom_rank, stride);
+    * the curriculum itself is `ORDER BY stride, domainCol, dom_rank`,
+    * a range-partitioned sort a cluster executes without any
+    * single-task global window (callers wanting a materialized ordinal
+    * compose the Pack two-phase prefix-sum shape over that sort).
+    *
+    * Scale shape: one hash shuffle on domain for the in-domain rank
+    * window, one broadcast of per-domain counts. No global window.
+    */
+  def curriculum(df: DataFrame, domainCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val perDom = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("long").as("dom_n"))
+    val wDom = Window.partitionBy(domainCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.select(col(idCol), col(domainCol), col(scoreCol))
+      .withColumn("dom_rank", row_number().over(wDom).cast("long"))
+      .join(broadcast(perDom), Seq(domainCol))
+      .withColumn("stride", expr(
+        "((2 * dom_rank - 1) * 1099511627776) div (2 * dom_n)"))
+      .select(col(idCol), col(domainCol), col("dom_rank"), col("stride"))
+  }
 }

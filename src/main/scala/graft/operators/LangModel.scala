@@ -160,4 +160,62 @@ object LangModel {
       .select(col(idCol), col("n_tri"), col("nll_micro"),
         col("mean_nll_micro"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eq. 4.25) — the smoothing a KenLM-style
+    * corpus quality model uses — as EXACT RATIONALS, so the table
+    * replays bit-for-bit in any engine with 64-bit integers:
+    *
+    *   P(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *            + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with discount d = 3/4. Put over the common denominator
+    * 4·c(w1·)·N1+(··):
+    *
+    *   p_num = max(4·c12 − 3, 0)·n_bi + 3·n1fw(w1)·ncw(w2)
+    *   p_den = 4·c1·n_bi
+    *
+    * — all BIGINT products of corpus counts (no float, no gcd; the
+    * fraction is unreduced but canonical because the denominator is
+    * determined by (w1)). Output: one row per observed bigram type
+    * (w1, w2, c12, p_num, p_den).
+    *
+    * Scale shape: the only corpus-wide movement is the (w1, w2) hash
+    * aggregate — map-side combinable, shuffle bounded by bigram TYPES
+    * per partition, not tokens. The continuation/left statistics are
+    * windows over that types table (vocabulary-bounded, ≪ corpus).
+    * Overflow bound: p_num/p_den stay in 64 bits while
+    * 4·c(w1·)·N1+(··) < 2^63 — beyond that (≫ 10^18 token corpora)
+    * scale out the counts before smoothing.
+    */
+  def knBigrams(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialize tokens BEFORE slicing: an inlined tokens(lower(..))
+    // inside zip_with re-tokenizes per position (the round-9 DSIR
+    // O(n²) inlining pattern)
+    val toks = df
+      .select(graft.functions.TextFunctions.tokens(lower(col(textCol)))
+        .as("_tk"))
+      .select(col("_tk"), (size(col("_tk")) - 1).as("_n"))
+      .filter(col("_n") >= 1)
+    val types = toks
+      .select(explode(zip_with(
+        slice(col("_tk"), lit(1), col("_n")),
+        slice(col("_tk"), lit(2), col("_n")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .groupBy(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val byLeft = Window.partitionBy("w1")
+    val byRight = Window.partitionBy("w2")
+    val nBi = types.agg(count(lit(1)).cast("long").as("n_bi"))
+    types
+      .withColumn("c1", sum(col("c12")).over(byLeft))
+      .withColumn("n1fw", count(lit(1)).over(byLeft).cast("long"))
+      .withColumn("ncw", count(lit(1)).over(byRight).cast("long"))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"),
+        (greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("n_bi")
+          + lit(3L) * col("n1fw") * col("ncw")).as("p_num"),
+        (lit(4L) * col("c1") * col("n_bi")).as("p_den"))
+  }
 }

@@ -1174,6 +1174,55 @@ object Similarity {
         .otherwise(VectorFunctions.dot(col("va"), col("vb")) /
           (col("na") * col("nb"))), 6))
 
+  /** Deterministic ±1 sign for random-projection cell (j, i): the top
+    * bit of md5("j:i") — a hash-derived projection matrix that is
+    * never stored or shipped, only re-derived (both by this plan and
+    * by the oracle literals), so a 1000-executor job needs no
+    * fit/broadcast step at all.
+    */
+  def rpSign(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1L else -1L
+  }
+
+  /** The full outDim × dim sign matrix (driver-side, tiny). */
+  def rpSigns(outDim: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(outDim, dim)(rpSign)
+
+  /** Johnson–Lindenstrauss random projection with a ±1 (Achlioptas
+    * 2003) hash-derived matrix: each output coordinate is an exact
+    * BIGINT dot product of the 2^20-grid quantized vector with a ±1
+    * row, so the embedding compresses dim floats → outDim longs with
+    * NO training, NO shuffle, and bit-exact replay in any engine.
+    * Distances are preserved in expectation (E[‖Px‖²] = outDim·‖x‖²
+    * before the 1/√outDim normalization, which is left to the caller
+    * to keep the output integer); SimilaritySpec gates the observed
+    * pairwise distortion on fixtures.
+    *
+    * Scale shape: one projection at scan speed — the matrix lives as
+    * outDim×dim literals inside the codegen'd expression; output rows
+    * are (id, j, v) longs, outDim·16 bytes a vector.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, scale: Double = 1048576.0): DataFrame = {
+    require(outDim >= 1 && outDim <= 256, s"outDim out of range: $outDim")
+    val dim = df.select(size(VectorFunctions.toDouble(col(vecCol))))
+      .head().getInt(0)
+    val signs = rpSigns(outDim, dim)
+    val qv = transform(VectorFunctions.toDouble(col(vecCol)),
+      x => floor(x * scale).cast("long"))
+    val cells = array((0 until outDim).map { j =>
+      val srow = array(signs(j).map(lit): _*)
+      struct(lit(j).as("j"),
+        aggregate(zip_with(srow, col("_qv"), (s, x) => s * x),
+          lit(0L), (acc, e) => acc + e).as("v"))
+    }: _*)
+    df.select(col(idCol), qv.as("_qv"))
+      .select(col(idCol), explode(cells).as("_c"))
+      .select(col(idCol), col("_c.j").as("j"), col("_c.v").as("v"))
+  }
+
   /** row_number over (rounded cos desc, neighbor id) per source,
     * keep rank ≤ k.
     */

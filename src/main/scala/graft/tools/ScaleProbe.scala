@@ -100,6 +100,8 @@ object ScaleProbe {
     "q_embed_ivfpq_table", "q_knn_label_lsh",
     "q_source_rank", "q_hard_negatives_lsh", "x_hard_negatives_auto",
     "q_quantiles", "q_dedup_winnow", "q_winnow_pairs", "q_bm25", // r10
+    "q_cms_sketch", "q_cms_heavy_hitters", "q_kneser_ney",
+    "q_embed_rp", "q_curriculum",                        // r10 leg 2
 
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 

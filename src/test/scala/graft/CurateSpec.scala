@@ -309,4 +309,51 @@ class CurateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"thresholds must broadcast:\n$plan")
   }
+
+  test("curriculum: strides interleave domains proportionally and rank best-first") {
+    val out = Curate.curriculum(docs, "source", "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // within a domain, rank follows n_chars desc (doc_id tiebreak)
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._3)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(chars(a._1) > chars(b._1) ||
+            (chars(a._1) == chars(b._1) && a._1 < b._1),
+            s"rank order broken between ${a._1} and ${b._1}")
+        case _ =>
+      }
+      // stride strictly increases with rank inside a domain and stays
+      // on the 2^40 grid
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._4)
+        case _ =>
+      }
+      assert(rs.forall(r => r._4 >= 0 && r._4 < (1L << 40)))
+    }
+    // proportional spread: in the half of the epoch below stride 2^39,
+    // each domain lands half its documents (±1 from grid quantization)
+    val half = 1L << 39
+    out.groupBy(_._2).foreach { case (dom, rs) =>
+      val below = rs.count(_._4 < half)
+      assert(math.abs(below - rs.length / 2.0) <= 1.0,
+        s"domain $dom: $below of ${rs.length} in the first half-epoch")
+    }
+  }
+
+  test("curriculum plan: one domain-window shuffle plus a broadcast of counts") {
+    val plan = Curate.curriculum(docs, "source", "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-domain counts must broadcast:\n$plan")
+    // no global (empty-partition) window: every Window node partitions
+    // by the domain column
+    assert(!plan.contains("Window [") ||
+      !plan.split("\n").exists(l => l.contains("windowspecdefinition()") ||
+        (l.contains("Window") && l.contains("ORDER BY") && !l.contains("source"))),
+      s"global window detected:\n$plan")
+  }
 }

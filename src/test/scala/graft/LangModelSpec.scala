@@ -73,4 +73,52 @@ class LangModelSpec extends SparkSpec {
       "doc_id", "text", model)
     assert(out.collect().map(_.getAs[Int]("doc_id")).toSeq == Seq(2))
   }
+
+  test("knBigrams: hand-computed rational on a tiny corpus") {
+    // corpus "a b a b" / "b a": c(a,b)=2 c(b,a)=2, c1(a)=c1(b)=2,
+    // N1+(a·)=N1+(b·)=1, N1+(·a)=N1+(·b)=1, N1+(··)=2.
+    // P(b|a) = max(2-3/4,0)/2 + (3/4)(1/2)(1/2) = 13/16.
+    val out = LangModel.knBigrams(
+      Seq("a b a b", "b a").toDF("text"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", "b")) == ((2L, 13L, 16L)))
+    assert(out(("b", "a")) == ((2L, 13L, 16L)))
+  }
+
+  test("knBigrams: probability mass over the full vocabulary is exactly 1 per context") {
+    // Sum over observed bigrams of p_num/p_den, plus the backoff term
+    // d·N1+(w1·)/c1 · Pcont(w2) for every UNSEEN (w1, w2) with
+    // N1+(·w2) > 0, must equal 1 exactly — checked in BigInt rationals.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = LangModel.knBigrams(docs, "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        BigInt(r.getLong(3)), BigInt(r.getLong(4))))
+    val byLeft = rows.groupBy(_._1)
+    val ncw = rows.groupBy(_._2).map { case (w2, rs) => w2 -> BigInt(rs.length) }
+    val nBi = BigInt(rows.length)
+    byLeft.foreach { case (w1, rs) =>
+      val den = rs.head._5 // 4·c1·n_bi, constant per w1
+      assert(rs.forall(_._5 == den))
+      val c1 = den / (4 * nBi)
+      val n1fw = BigInt(rs.length)
+      val seenRight = rs.map(_._2).toSet
+      val seenMass = rs.map(_._4).sum // Σ p_num over common den
+      val unseenMass = ncw.collect {
+        case (w2, n) if !seenRight.contains(w2) => 3 * n1fw * n
+      }.sum
+      assert(seenMass + unseenMass == den,
+        s"mass for context '$w1': ${seenMass + unseenMass} != $den (c1=$c1)")
+    }
+  }
+
+  test("knBigrams: every smoothed probability is a valid rational in (0, 1]") {
+    val rows = LangModel.knBigrams(
+      Seq("x y x y x z", "y x").toDF("text"), "text").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (num, den) = (BigInt(r.getLong(3)), BigInt(r.getLong(4)))
+      assert(num > 0 && num <= den, s"row $r out of (0, 1]")
+    }
+  }
 }

@@ -570,4 +570,53 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.9,
       f"only ${overlap * 100}%.1f%% of LSH negatives are in the exact top-3 sets")
   }
+
+  test("randomProject: exact BIGINT dot products against a local recomputation") {
+    val out = Similarity.randomProject(emb.filter(col("vec_id") > 0),
+      "vec_id", "embedding", outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows = emb.filter(col("vec_id") > 0).limit(5).collect()
+    val dim = rows.head.getSeq[Float](1).length
+    val signs = Similarity.rpSigns(16, dim)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      (0 until 16).foreach { j =>
+        val expect = qv.indices.map(i => signs(j)(i) * qv(i)).sum
+        assert(out((id, j)) == expect, s"cell ($id, $j)")
+      }
+    }
+  }
+
+  test("randomProject: JL distance preservation on fixture pairs") {
+    val proj = Similarity.randomProject(emb.filter(col("vec_id") > 0),
+      "vec_id", "embedding", outDim = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val vecs = emb.filter(col("vec_id") > 0).limit(30).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong))
+    val ratios = for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+    } yield {
+      val d2 = va.indices.map(i => { val d = (va(i) - vb(i)).toDouble; d * d }).sum
+      val pa = proj(ia); val pb = proj(ib)
+      val p2 = pa.indices.map(j => { val d = (pa(j) - pb(j)).toDouble; d * d }).sum
+      // E[‖P(x−y)‖²] = outDim·‖x−y‖²
+      p2 / (16.0 * d2)
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.6, f"mean distortion $mean%.3f off 1")
+    val inBand = ratios.count(r => r > 0.2 && r < 3.0).toDouble / ratios.length
+    assert(inBand >= 0.9, f"only ${inBand * 100}%.0f%% of pairs within 0.2–3×")
+  }
+
+  test("randomProject plan: one scan-side projection, no shuffle, no join") {
+    val plan = Similarity.randomProject(emb.filter(col("vec_id") > 0),
+      "vec_id", "embedding", outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"RP must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"RP must not join:\n$plan")
+  }
 }
