@@ -1892,6 +1892,28 @@ object SparkEntry {
              |  GROUP BY 1)
              |SELECT token, est FROM est WHERE est >= 900""".stripMargin)),
 
+    ("q_hash_embed", // feature-hashed document embedding (hashing
+      // trick, Weinberger et al. 2009): tokens → 256 signed buckets
+      // by md5 substring + an independent md5 sign bit; coordinates
+      // are exact BIGINT signed counts, so an untrained, unbounded-
+      // vocabulary featurizer replays bit-for-bit. Sparse output.
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.hashEmbed(t(s, dir, "documents"), "doc_id", "text",
+          hexDigits = 2),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                            x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |cells AS (
+             |  SELECT doc_id, substring(md5('b:' || tok), 1, 2) AS b,
+             |         CASE WHEN substring(md5('s:' || tok), 1, 1)
+             |                IN ('0','1','2','3','4','5','6','7')
+             |              THEN 1 ELSE -1 END AS s
+             |  FROM toks)
+             |SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+             |FROM cells GROUP BY 1, 2 HAVING sum(s) <> 0""".stripMargin)),
+
     ("q_kneser_ney", // interpolated Kneser–Ney bigram smoothing
       // (Chen & Goodman 1998 eq. 4.25, d = 3/4) as EXACT RATIONALS:
       // p_num/p_den over the common denominator 4·c(w1·)·N1+(··) —
@@ -2304,7 +2326,8 @@ object SparkEntry {
     ("q_curriculum", // deterministic epoch order: stride scheduling
       // spreads every domain evenly through the epoch in proportion
       // to its size (the r-th of n docs lands at phase (2r−1)/2n,
-      // quantized onto a 2^40 integer grid by BIGINT floor division),
+      // quantized as (2r−1)·(2^40 div 2n) — step computed FIRST so
+      // the BIGINT product cannot overflow at any domain size),
       // best-documents-first within each domain. The curriculum is
       // ORDER BY stride — a range-partitioned sort, no single-task
       // global window anywhere.
@@ -2319,7 +2342,7 @@ object SparkEntry {
              |          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS dom_rank
              |      FROM d)
              |SELECT r.doc_id, r.source, r.dom_rank,
-             |       ((2*dom_rank - 1) * 1099511627776) // (2*dom_n) AS stride
+             |       (2*dom_rank - 1) * (1099511627776 // (2*dom_n)) AS stride
              |FROM r JOIN n USING (source)""".stripMargin))
   )
 

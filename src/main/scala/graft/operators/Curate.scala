@@ -374,8 +374,14 @@ object Curate {
     * domain ever batched into one contiguous run.
     *
     * The phase is quantized onto a 2^40 integer grid with BIGINT floor
-    * division — `stride = ((2r−1)·2^40) div (2n)` — so the ordering
-    * key is engine-exact. Output: (idCol, domainCol, dom_rank, stride);
+    * division — `stride = (2r−1) · (2^40 div (2n))` — so the ordering
+    * key is engine-exact AND overflow-safe at any domain size: the
+    * per-domain step `2^40 div (2n)` is computed FIRST, so the product
+    * is bounded by 2^40 even when a domain holds billions of documents
+    * (the naive `((2r−1)·2^40) div (2n)` overflows 64 bits past ~2^22
+    * docs/domain). Quantization error vs the exact phase is < 2r/2^40
+    * of the epoch — sub-ulp until a single domain nears 2^39 docs.
+    * Output: (idCol, domainCol, dom_rank, stride);
     * the curriculum itself is `ORDER BY stride, domainCol, dom_rank`,
     * a range-partitioned sort a cluster executes without any
     * single-task global window (callers wanting a materialized ordinal
@@ -394,7 +400,7 @@ object Curate {
       .withColumn("dom_rank", row_number().over(wDom).cast("long"))
       .join(broadcast(perDom), Seq(domainCol))
       .withColumn("stride", expr(
-        "((2 * dom_rank - 1) * 1099511627776) div (2 * dom_n)"))
+        "(2 * dom_rank - 1) * (1099511627776 div (2 * dom_n))"))
       .select(col(idCol), col(domainCol), col("dom_rank"), col("stride"))
   }
 }

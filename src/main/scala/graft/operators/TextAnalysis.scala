@@ -373,4 +373,34 @@ object TextAnalysis {
       .limit(topN)
       .select(col(idCol), col("bm25_micro"))
   }
+
+  /** Feature-hashed document embedding (the "hashing trick" —
+    * Weinberger et al. 2009): each token maps to one of 16^hexDigits
+    * buckets by an md5 hex SUBSTRING (the [[graft.operators.Sketch]]
+    * convention — engine-portable, no modulo) with a ±1 sign from an
+    * independent md5 bit, and the document's coordinate in bucket b
+    * is the exact BIGINT signed token count. Inner products between
+    * hashed vectors are unbiased estimates of the inner products of
+    * the raw TF vectors (the signs cancel cross-terms in
+    * expectation), so the output feeds any vector operator — without
+    * a trained vocabulary, over an unbounded token space.
+    *
+    * Output: sparse (idCol, b, v) rows, only touched buckets. One
+    * explode + one (doc, bucket) hash aggregate — map-side combine
+    * bounds each partition's shuffle at docs×dim partials; no
+    * vocabulary table, no broadcast, no fit.
+    */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits must be in [1,8]: $hexDigits")
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("_tok"))
+      .groupBy(col(idCol),
+        substring(md5(concat(lit("b:"), col("_tok"))), 1, hexDigits).as("b"))
+      .agg(sum(when(substring(md5(concat(lit("s:"), col("_tok"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+        .otherwise(-1L)).as("v"))
+      .filter(col("v") =!= 0L)
+  }
 }

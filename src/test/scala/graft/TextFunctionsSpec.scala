@@ -242,4 +242,51 @@ class TextFunctionsSpec extends SparkSpec {
     assert(idfs.values.forall(_ > 0))
     assert(idfs("zz") > idfs("x") && idfs("x") > idfs("a")) // rarity order
   }
+
+  test("hashEmbed: exact signed counts against a local md5 recomputation") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c"), (2L, "b b")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.hashEmbed(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cellsOf(toks: Seq[String]): Map[String, Long] =
+      toks.groupBy(t => md5hex("b:" + t).take(2))
+        .map { case (b, ts) =>
+          b -> ts.map(t =>
+            if (md5hex("s:" + t).charAt(0) <= '7') 1L else -1L).sum }
+        .filter(_._2 != 0L)
+    val expect = Map(1L -> cellsOf(Seq("a", "b", "a", "c")),
+      2L -> cellsOf(Seq("b", "b")))
+      .flatMap { case (id, m) => m.map { case (b, v) => (id, b) -> v } }
+    assert(got == expect)
+  }
+
+  test("hashEmbed: inner products track raw TF inner products on the fixture") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents").limit(40)
+    val hashed = graft.operators.TextAnalysis.hashEmbed(docs, "doc_id", "text", 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val raw = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      .toMap
+    def dotH(a: Map[String, Long], b: Map[String, Long]): Long =
+      a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+    def dotR(a: Map[String, Long], b: Map[String, Long]): Long =
+      a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+    val ids = hashed.keys.toSeq.sorted.take(12)
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      r = dotR(raw(i), raw(j)) if r > 0
+    } yield dotH(hashed(i), hashed(j)).toDouble / r
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.length
+    // 256 buckets over a 31-token vocabulary: collisions are rare, the
+    // estimator should sit near 1 on average
+    assert(mean > 0.8 && mean < 1.2, f"mean dot ratio $mean%.3f")
+  }
 }
