@@ -1940,7 +1940,22 @@ object SparkEntry {
              |SELECT w1, w2, c12,
              |       greatest(4*c12 - 3, 0)*n_bi + 3*n1fw*ncw AS p_num,
              |       4*c1*n_bi AS p_den
-             |FROM c JOIN l USING (w1) JOIN r USING (w2), n""".stripMargin))
+             |FROM c JOIN l USING (w1) JOIN r USING (w2), n""".stripMargin)),
+
+    ("q_kn_quality", // KenLM-shaped document scoring: every doc's
+      // micro-nat cost under the interpolated-KN bigram model trained
+      // on the English slice. Seen bigrams cost their exact smoothed
+      // probability, unseen-in-vocab pairs the interpolation backoff
+      // (two floors summed — a defined grid), OOV the uniform floor;
+      // all ln()s run driver-side once per VOCABULARY entry and the
+      // oracle (oracleSqlDynamic) inlines the three cost tables as
+      // literals — the LM-cost-literal rule.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.LangModel.knScore(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text")
+      },
+      None)
   )
 
   /** The fixed retrieval query q_bm25 scores (all are in the fixture
@@ -3853,7 +3868,56 @@ object SparkEntry {
     }),
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
-    "q_embed_rp" -> rpOracleSql)
+    "q_embed_rp" -> rpOracleSql,
+    "q_kn_quality" -> knQualityOracleSql)
+
+  /** Oracle for q_kn_quality: [[graft.operators.LangModel.knCollectCosts]]
+    * runs once at Verify time over the same English-slice model and its
+    * three cost tables (seen-pair / left-backoff / right-continuation)
+    * plus the OOV floor are inlined as literals; scoring replays as
+    * LEFT JOINs + the same coalesce cascade in exact BIGINT.
+    */
+  private def knQualityOracleSql(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val (pairCost, b1Cost, cCost, oov) =
+      graft.operators.LangModel.knCollectCosts(
+        graft.operators.LangModel.knBigrams(
+          docs.filter(col("lang") === "en"), "text"))
+    def esc(x: String) = x.replace("'", "''")
+    val pv = pairCost.toSeq.sortBy(_._1)
+      .map { case ((a, b), c) => s"('${esc(a)}', '${esc(b)}', $c)" }
+      .mkString(", ")
+    val bv = b1Cost.toSeq.sortBy(_._1)
+      .map { case (a, c) => s"('${esc(a)}', $c)" }.mkString(", ")
+    val cv = cCost.toSeq.sortBy(_._1)
+      .map { case (a, c) => s"('${esc(a)}', $c)" }.mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> len(x) > 0) AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
+       |    SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+       |    FROM tk WHERE len(t) >= 2)),
+       |kp AS (SELECT a AS w1, b AS w2, CAST(c AS BIGINT) AS pc
+       |       FROM (VALUES $pv) v(a, b, c)),
+       |kb AS (SELECT a AS w1, CAST(c AS BIGINT) AS b1
+       |       FROM (VALUES $bv) v(a, c)),
+       |kc AS (SELECT a AS w2, CAST(c AS BIGINT) AS cc
+       |       FROM (VALUES $cv) v(a, c)),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+       |         CAST(sum(coalesce(kp.pc, kb.b1 + kc.cc,
+       |                           CAST($oov AS BIGINT))) AS BIGINT)
+       |           AS nll_micro
+       |  FROM bg LEFT JOIN kp USING (w1, w2)
+       |          LEFT JOIN kb USING (w1)
+       |          LEFT JOIN kc USING (w2)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_big, nll_micro,
+       |       CAST(nll_micro // n_big AS BIGINT) AS mean_nll_micro
+       |FROM sc""".stripMargin
+  }
 
   /** Oracle for q_embed_rp: the ±1 sign matrix re-derived driver-side
     * from the same md5 bit [[graft.operators.Similarity.rpSign]] uses,

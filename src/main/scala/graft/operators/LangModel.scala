@@ -188,6 +188,90 @@ object LangModel {
     * 4·c(w1·)·N1+(··) < 2^63 — beyond that (≫ 10^18 token corpora)
     * scale out the counts before smoothing.
     */
+  /** Driver-side KN cost tables for [[knScore]], derived from ONE
+    * execution of [[knBigrams]] (plus its per-side statistics): seen
+    * pairs cost floor(−ln(p_num/p_den)·1e6) micro-nats; an unseen
+    * pair with BOTH sides in the model costs the interpolation term
+    * split as B1cost(w1) + Ccost(w2) (two floors summed — a defined,
+    * replayable grid, same policy as the LM cost table's per-entry
+    * floor); a pair with an unknown side costs the uniform floor
+    * oov = floor(−ln(1/(4·n_bi))·1e6). All `ln`s run HERE (the
+    * LM-cost-literal rule) — no transcendental in any engine.
+    */
+  def knCollectCosts(model: DataFrame, scale: Long = 1000000L)
+      : (Map[(String, String), Long], Map[String, Long], Map[String, Long],
+         Long) = {
+    val rows = model.select(col("w1"), col("w2"), col("c12"),
+      col("p_num"), col("p_den")).collect()
+    val nBi = rows.length.toLong
+    def mc(p: Double): Long = math.floor(-math.log(p) * scale).toLong
+    val pairCost = rows.map { r =>
+      (r.getString(0), r.getString(1)) ->
+        mc(r.getLong(3).toDouble / r.getLong(4).toDouble)
+    }.toMap
+    // per-w1: c1 = Σ c12, n1fw = #distinct w2 — recomputed from the
+    // collected types (bounded by vocab², the same bound that lets
+    // the model collect at all)
+    val byLeft = rows.groupBy(_.getString(0))
+    val b1Cost = byLeft.map { case (w1, rs) =>
+      val c1 = rs.map(_.getLong(2)).sum
+      w1 -> mc(3.0 * rs.length / (4.0 * c1))
+    }
+    val byRight = rows.groupBy(_.getString(1))
+    val cCost = byRight.map { case (w2, rs) =>
+      w2 -> mc(rs.length.toDouble / nBi)
+    }
+    (pairCost, b1Cost, cCost, mc(1.0 / (4.0 * nBi)))
+  }
+
+  /** Score documents under an interpolated-KN bigram model trained on
+    * `ref` — the KenLM-shaped upgrade of the add-one trigram
+    * [[lmScore]]: per-doc bigram count, total micro-nat cost, and the
+    * integer mean a perplexity gate thresholds on. Seen bigrams cost
+    * their exact smoothed probability; unseen-but-in-vocab bigrams
+    * the interpolation backoff; out-of-vocab the uniform floor (all
+    * grids fixed by [[knCollectCosts]]).
+    *
+    * Scale shape: train is one (w1,w2) combinable aggregate over the
+    * reference slice; the three cost tables are vocabulary-bounded
+    * broadcasts; scoring explodes doc bigrams straight through
+    * broadcast joins into a map-side-combinable per-doc sum — the
+    * corpus never shuffles by gram.
+    */
+  def knScore(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (pairCost, b1Cost, cCost, oov) =
+      knCollectCosts(knBigrams(ref, refTextCol), scale)
+    val pairDf = broadcast(pairCost.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .toDF("w1", "w2", "_pc"))
+    val b1Df = broadcast(b1Cost.toSeq.toDF("w1", "_b1"))
+    val cDf = broadcast(cCost.toSeq.toDF("w2", "_cc"))
+    val toks = docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(lower(col(textCol))).as("_tk"))
+      .select(col(idCol), col("_tk"), (size(col("_tk")) - 1).as("_n"))
+      .filter(col("_n") >= 1)
+    toks
+      .select(col(idCol), explode(zip_with(
+        slice(col("_tk"), lit(1), col("_n")),
+        slice(col("_tk"), lit(2), col("_n")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .join(pairDf, Seq("w1", "w2"), "left")
+      .join(b1Df, Seq("w1"), "left")
+      .join(cDf, Seq("w2"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_big"),
+        sum(coalesce(col("_pc"), col("_b1") + col("_cc"), lit(oov)))
+          .as("nll_micro"))
+      .withColumn("mean_nll_micro", expr("nll_micro div n_big"))
+      .select(col(idCol), col("n_big"), col("nll_micro"),
+        col("mean_nll_micro"))
+  }
+
   def knBigrams(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // materialize tokens BEFORE slicing: an inlined tokens(lower(..))

@@ -112,6 +112,34 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("knScore: in-model text costs less per bigram than out-of-vocab text") {
+    val ref = Seq("a b c a b c a b", "b c a").toDF("text")
+    val out = LangModel.knScore(
+      Seq((1L, "a b c a b"), (2L, "qq ww ee rr")).toDF("doc_id", "text"),
+      "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(2L))
+  }
+
+  test("knScore: the coalesce cascade picks pair, backoff, then OOV exactly") {
+    val ref = Seq("a b a b", "b a").toDF("text")
+    val (pairCost, b1Cost, cCost, oov) =
+      LangModel.knCollectCosts(LangModel.knBigrams(ref, "text"))
+    // doc "a b a zz": bigrams (a,b) seen, (b,a) seen, (a,zz) OOV
+    val got = LangModel.knScore(
+      Seq((1L, "a b a zz")).toDF("doc_id", "text"),
+      "doc_id", "text", ref, "text").head()
+    val expect = pairCost(("a", "b")) + pairCost(("b", "a")) + oov
+    assert(got.getLong(1) == 3L)
+    assert(got.getLong(2) == expect)
+    assert(got.getLong(3) == expect / 3L)
+    // "b b": unseen pair, both sides in vocab -> backoff split
+    val got2 = LangModel.knScore(
+      Seq((1L, "b b")).toDF("doc_id", "text"),
+      "doc_id", "text", ref, "text").head()
+    assert(got2.getLong(2) == b1Cost("b") + cCost("b"))
+  }
+
   test("knBigrams: every smoothed probability is a valid rational in (0, 1]") {
     val rows = LangModel.knBigrams(
       Seq("x y x y x z", "y x").toDF("text"), "text").collect()
