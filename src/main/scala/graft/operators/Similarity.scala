@@ -1207,8 +1207,11 @@ object Similarity {
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int, scale: Double = 1048576.0): DataFrame = {
     require(outDim >= 1 && outDim <= 256, s"outDim out of range: $outDim")
-    val dim = df.select(size(VectorFunctions.toDouble(col(vecCol))))
-      .head().getInt(0)
+    val first = df.select(size(VectorFunctions.toDouble(col(vecCol))))
+      .limit(1).collect()
+    require(first.nonEmpty, "randomProject: input has no rows (the " +
+      "sign matrix is sized from the data's dimension)")
+    val dim = first(0).getInt(0)
     val signs = rpSigns(outDim, dim)
     val qv = transform(VectorFunctions.toDouble(col(vecCol)),
       x => floor(x * scale).cast("long"))

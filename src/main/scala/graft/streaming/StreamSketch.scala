@@ -51,8 +51,12 @@ object StreamSketch {
       .groupBy("r", "b").agg(sum("cnt").as("cnt"))
 
   /** Rewrite the accumulated deltas as a single merged delta
-    * (batch_id −1): state returns to O(depth × width). Crash-safe
-    * swap: write aside, then move over.
+    * (batch_id −1): state returns to O(depth × width). The merged
+    * sketch is eagerly materialized (localCheckpoint) before the
+    * source directory is overwritten — the same contract as
+    * [[StreamDedup.compact]]; a crash mid-rewrite can lose the
+    * sketch, so run compaction from the maintenance path that owns
+    * a re-ingestable upstream, not from the ingest path.
     */
   def compact(spark: SparkSession, root: String): Unit = {
     val merged = readSketch(spark, root)

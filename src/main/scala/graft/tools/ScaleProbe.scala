@@ -214,7 +214,8 @@ object ScaleProbe {
       val x100Queries = Seq("q_quality_topp", "q_token_budget",
         "q_text_profile", "q_repetition",
         "q_embed_pq_topk", "q_embed_ivfpq", "q_embed_ivfpq_table",
-        "q_dedup_winnow", "q_bm25") // r10 scan-bound families
+        "q_dedup_winnow", "q_bm25",            // r10 scan-bound families
+        "q_cms_sketch", "q_hash_embed", "q_kneser_ney") // r10 leg 2
       val qs = only.fold(x100Queries)(_.toSeq.sorted)
       runSweep(spark, qs, dirs, growthFrom = "x10", growthTo = "x100")
       spark.stop()

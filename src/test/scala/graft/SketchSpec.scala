@@ -95,6 +95,36 @@ class SketchSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("cmsSketch plan: the only shuffle carries (r, b) cells, never tokens") {
+    val plan = Sketch.cmsSketch(docs, "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    // partial aggregation runs map-side, so what crosses the wire is
+    // the bounded (r, b) cell relation — no exchange keyed on the
+    // token column
+    assert(exchanges.forall(l => !l.contains("_tok")),
+      s"token-keyed exchange found:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"map-side combine missing:\n$plan")
+  }
+
+  test("StreamSketch: point estimates served from the persisted sketch match batch") {
+    val root = java.nio.file.Files.createTempDirectory("cms4").toString + "/s"
+    (0 until 2).foreach { k =>
+      graft.streaming.StreamSketch.upsertBatch(
+        docs.filter(col("doc_id") % 2 === k), "text", root, k.toLong)
+    }
+    val fromDisk = graft.streaming.StreamSketch.readSketch(spark, root)
+    val cand = exact.keys.toSeq.toDF("token")
+    val est = Sketch.estimateTokens(cand, "token", fromDisk, 4, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estBatch = Sketch.estimateTokens(cand, "token",
+      Sketch.cmsSketch(docs, "text", 4, 3), 4, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == estBatch)
+  }
+
   test("StreamSketch: compact collapses state, read is unchanged") {
     val root = java.nio.file.Files.createTempDirectory("cms3").toString + "/s"
     (0 until 3).foreach { k =>
