@@ -1892,6 +1892,25 @@ object SparkEntry {
              |  GROUP BY 1)
              |SELECT token, est FROM est WHERE est >= 900""".stripMargin)),
 
+    ("q_hh_dyadic", // heavy hitters with NO corpus-wide distinct: the
+      // dyadic scheme — per-level hash-prefix sketches in one scan,
+      // a driver descent of the 16-ary prefix tree (frontier bounded
+      // by N/threshold, vocabulary-independent), then an exact count
+      // of ONLY the surviving candidates. The final pass is exact, so
+      // the output EQUALS the true heavy set — the oracle is the
+      // plain exact-count SQL, no sketch replay needed.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Sketch.dyadicHeavyHitters(t(s, dir, "documents"),
+          "text", depth = 4, hexDigits = 3, threshold = 900L),
+      Some("""SELECT token, cnt FROM (
+             |  SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(list_filter(
+             |                 string_split_regex(lower(text), '\s+'),
+             |                 x -> len(x) > 0)) AS tok
+             |        FROM documents)
+             |  GROUP BY 1)
+             |WHERE cnt >= 900""".stripMargin)),
+
     ("q_hash_embed", // feature-hashed document embedding (hashing
       // trick, Weinberger et al. 2009): tokens → 256 signed buckets
       // by md5 substring + an independent md5 sign bit; coordinates

@@ -78,7 +78,8 @@ object Sketch {
     * runs ONCE and the depth×width sketch then serves any number of
     * threshold/point queries without touching the corpus again).
     * Guarantee: the result is a SUPERSET of the true heavy hitters
-    * (no false negatives — est >= true).
+    * (no false negatives — est >= true). For enumeration WITHOUT the
+    * corpus-wide distinct, see [[dyadicHeavyHitters]].
     */
   def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int,
       hexDigits: Int, threshold: Long): DataFrame = {
@@ -88,5 +89,82 @@ object Sketch {
       .distinct()
     estimateTokens(cand, "token", sketch, depth, hexDigits)
       .filter(col("est") >= threshold)
+  }
+
+  /** Number of hex digits of the dyadic token hash (32-bit universe). */
+  val DyadicLevels: Int = 8
+
+  /** One CMS per hash-prefix LEVEL, built in a single pass: every
+    * token contributes its md5-hash prefixes of length 1..8 hex
+    * digits, each sketched under a level-salted digest. Output
+    * (lvl, r, b, cnt); at most levels × depth × width cells total.
+    */
+  def dyadicSketch(df: DataFrame, textCol: String, depth: Int,
+      hexDigits: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    val cells = array((for {
+      lvl <- 1 to DyadicLevels; r <- 0 until depth
+    } yield struct(lit(lvl).as("lvl"), lit(r).as("r"),
+      substring(md5(concat_ws(":", lit(lvl), lit(r),
+        substring(col("_h"), 1, lvl))), 1, hexDigits).as("b"))): _*)
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("_tok"))
+      .select(substring(md5(col("_tok")), 1, DyadicLevels).as("_h"))
+      .select(explode(cells).as("_c"))
+      .groupBy(col("_c.lvl").as("lvl"), col("_c.r").as("r"),
+        col("_c.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Heavy-hitter enumeration with NO corpus-wide distinct — the
+    * dyadic/hierarchical scheme (Cormode & Muthukrishnan 2005 §4.2)
+    * carried over a 32-bit token-hash universe:
+    *
+    *  1. one scan builds the per-level prefix sketches
+    *     ([[dyadicSketch]] — the shuffle is the bounded cell
+    *     relation, NEVER keyed by token);
+    *  2. the driver descends the 16-ary prefix tree, expanding only
+    *     prefixes whose CMS estimate reaches `threshold` — a prefix's
+    *     count is ≥ any token's below it, and CMS never
+    *     underestimates, so every true heavy hitter's whole path
+    *     survives; survivors per level ≤ 16 · (N/threshold + sketch
+    *     error), independent of vocabulary;
+    *  3. one more scan exact-counts ONLY tokens whose hash lands in a
+    *     surviving leaf (broadcast semi-join — the groupBy now
+    *     carries candidate tokens only).
+    *
+    * Because the final pass is exact, the output EQUALS the true
+    * heavy-hitter set — the sketch machinery only prunes, never
+    * decides. Driver state: the collected sketches (levels × depth ×
+    * width cells) plus the frontier; both corpus-size-independent.
+    */
+  def dyadicHeavyHitters(df: DataFrame, textCol: String, depth: Int,
+      hexDigits: Int, threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = dyadicSketch(df, textCol, depth, hexDigits)
+      .collect()
+      .map(row => (row.getInt(0), row.getInt(1), row.getString(2)) ->
+        row.getLong(3)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def est(lvl: Int, prefix: String): Long =
+      (0 until depth).map { r =>
+        cells.getOrElse((lvl, r, md5hex(s"$lvl:$r:$prefix").take(hexDigits)),
+          0L)
+      }.min
+    val hexAlphabet = "0123456789abcdef".map(_.toString)
+    val leaves = (1 to DyadicLevels)
+      .foldLeft(Seq("")) { (frontier, lvl) =>
+        frontier.flatMap(p => hexAlphabet.map(p + _))
+          .filter(est(lvl, _) >= threshold)
+      }
+    val heavy = broadcast(leaves.toDF("_h"))
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .withColumn("_h", substring(md5(col("token")), 1, DyadicLevels))
+      .join(heavy, Seq("_h"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
   }
 }

@@ -71,6 +71,24 @@ class SketchSpec extends SparkSpec {
     assert(est <= math.ceil(math.E / 4096.0 * n).toLong)
   }
 
+  test("dyadicHeavyHitters equals the exact heavy set (final pass is exact)") {
+    Seq(900L, 500L, 1L).foreach { t =>
+      val got = Sketch.dyadicHeavyHitters(docs, "text", 4, 3, t)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = exact.filter(_._2 >= t)
+      assert(got == expect, s"threshold $t")
+    }
+  }
+
+  test("dyadicSketch: each level's cells sum to the total token count") {
+    val n = exact.values.sum
+    val perLevel = Sketch.dyadicSketch(docs, "text", depth = 2, hexDigits = 3)
+      .groupBy("lvl", "r").agg(sum("cnt").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(perLevel.size == Sketch.DyadicLevels * 2)
+    perLevel.values.foreach(s => assert(s == n))
+  }
+
   private def cells(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
 
