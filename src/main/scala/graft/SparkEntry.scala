@@ -1863,7 +1863,7 @@ object SparkEntry {
       Some(cmsSketchOracle)),
 
     ("q_cms_heavy_hitters", // heavy hitters THROUGH the sketch:
-      // distinct tokens whose CMS estimate (min over 4 salted rows)
+      // distinct tokens whose CMS estimate (min over 4 digest-slice rows)
       // reaches the threshold — a guaranteed SUPERSET of the true
       // heavy set (est >= true always; SketchSpec gates both bounds
       // against exact counts). The broadcast sketch then serves any
@@ -1877,14 +1877,14 @@ object SparkEntry {
              |                            x -> len(x) > 0)) AS tok
              |  FROM documents),
              |sk AS (
-             |  SELECT r, substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 3) AS b,
+             |  SELECT r, substring(md5('c:' || tok), CAST(1 + r*3 AS INTEGER), 3) AS b,
              |         count(*) AS cnt
              |  FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) rows
              |  GROUP BY 1, 2),
              |cand AS (SELECT DISTINCT tok AS token FROM toks),
              |probes AS (
              |  SELECT token, r,
-             |         substring(md5(CAST(r AS VARCHAR) || ':' || token), 1, 3) AS b
+             |         substring(md5('c:' || token), CAST(1 + r*3 AS INTEGER), 3) AS b
              |  FROM cand, (SELECT unnest(generate_series(0, 3)) AS r) rows),
              |est AS (
              |  SELECT p.token, min(coalesce(s.cnt, 0)) AS est
@@ -3816,7 +3816,7 @@ object SparkEntry {
       |  FROM documents),
       |cells AS (
       |  SELECT CAST(r AS INTEGER) AS r,
-      |         substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 3) AS b
+      |         substring(md5('c:' || tok), CAST(1 + r*3 AS INTEGER), 3) AS b
       |  FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) rows)
       |SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2""".stripMargin
 
