@@ -3687,7 +3687,7 @@ object SparkEntry {
               |       FROM embeddings WHERE vec_id = 0),
               |probe AS (
               |  SELECT c.cl FROM c2 c, qv
-              |  ORDER BY list_sum(list_transform(generate_series(1, 64),
+              |  ORDER BY list_sum(list_transform(generate_series(1, len(c.qv)),
               |    i -> (c.qv[i]-qv.q[i])*(c.qv[i]-qv.q[i]))), c.cl
               |  LIMIT 3),
               |cand AS (SELECT vec_id FROM fin WHERE cl IN (SELECT cl FROM probe)),
@@ -3775,14 +3775,17 @@ object SparkEntry {
     * with columns (vec_id, qv, cl, d2) and centroids as `c2`.
     */
   private def kmeansCtesSql(k: Int, where: String): String = {
-    val dim = 64
+    // the dimension is derived from the DATA (len of the quantized
+    // list / the `dims` scalar CTE), never hardcoded — a fixture
+    // regeneration at another dimension cannot desync the replay
+    // (the round-9 ADVICE rule)
     def assignSql(src: String, cents: String) =
       s"""(SELECT vec_id, qv, cl, d2 FROM (
          |  SELECT q.vec_id, q.qv, c.cl,
-         |         list_sum(list_transform(generate_series(1, $dim),
+         |         list_sum(list_transform(generate_series(1, len(q.qv)),
          |           i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))) AS d2,
          |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |           list_sum(list_transform(generate_series(1, $dim),
+         |           list_sum(list_transform(generate_series(1, len(q.qv)),
          |             i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
          |  FROM $src q, $cents c) WHERE rk = 1)""".stripMargin
     def updateSql(assigned: String, prev: String) =
@@ -3790,11 +3793,12 @@ object SparkEntry {
          |  SELECT cl, list(s ORDER BY i) AS qv FROM (
          |    SELECT cl, d.i,
          |      CAST((sum(a.qv[d.i]) - (((sum(a.qv[d.i]) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS s
-         |    FROM $assigned a, (SELECT unnest(generate_series(1, $dim)) AS i) d
+         |    FROM $assigned a, (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS i) d
          |    GROUP BY 1, 2) GROUP BY 1) u ON p.cl = u.cl)""".stripMargin
     s"""WITH q AS (SELECT vec_id, list_transform(embedding,
        |             x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS qv
        |           FROM embeddings$where),
+       |dims AS (SELECT max(len(qv)) AS d FROM q),
        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, qv
        |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k)),
        |a1 AS ${assignSql("q", "seeds")},
@@ -3803,6 +3807,15 @@ object SparkEntry {
        |c2 AS ${updateSql("a2", "c1")},
        |fin AS ${assignSql("q", "c2")}""".stripMargin
   }
+
+  /** Embedding dimension of a fixture dir, read from the data once
+    * and memoized (dynamic oracles size plane/sign literals from it).
+    */
+  private val embDimCache = scala.collection.concurrent.TrieMap[String, Int]()
+  private def embDim(s: SparkSession, dir: String): Int =
+    embDimCache.getOrElseUpdate(dir,
+      t(s, dir, "embeddings").select(size(col("embedding")))
+        .head().getInt(0))
 
   /** DuckDB replay of [[graft.operators.Sketch.cmsSketch]] (depth 4,
     * width 16³) — shared by q_cms_sketch and its at-ingest twin
@@ -3850,6 +3863,19 @@ object SparkEntry {
     * independently checked by the static, integer-only q_lm_train. A
     * build failure falls back to the static entry (Verify logs it). */
   def oracleSqlDynamic: Map[String, (SparkSession, String) => String] = Map(
+    // the three pinned-plane LSH oracles re-derive the embedding
+    // dimension from the data at Verify time (their static entries,
+    // which assume the current 64-dim fixture, remain as fallbacks) —
+    // the round-9 ADVICE rule applied to the whole family
+    "q_embed_lsh_pairs" -> ((s, dir) =>
+      lshPairsOracleSql(nTables = 4, planesPerTable = 6,
+        dim = embDim(s, dir), threshold = 0.3)),
+    "q_knn_label_lsh" -> ((s, dir) =>
+      knnLabelLshOracleSql(nTables = 4, planesPerTable = 6,
+        dim = embDim(s, dir), k = 5)),
+    "q_hard_negatives_lsh" -> ((s, dir) =>
+      hardNegativesLshOracleSql(nTables = 4, planesPerTable = 6,
+        dim = embDim(s, dir), k = 5)),
     "q_bm25" -> bm25OracleSql _,
     "q_lm_quality" -> ((s, dir) =>
       s"""WITH ${lmCostLiteralCtes(s, dir)}
