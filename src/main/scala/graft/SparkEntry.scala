@@ -1911,6 +1911,55 @@ object SparkEntry {
              |  GROUP BY 1)
              |WHERE cnt >= 900""".stripMargin)),
 
+    ("q_vocab_build", // frequency-ranked word vocabulary: ids 1..N by
+      // (count desc, token) with a min-count floor — the deterministic
+      // id table a trainer's tokenizer ships with (id 0 = OOV).
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.vocabBuild(t(s, dir, "documents"), "text",
+          maxSize = 25, minCount = 2L),
+      Some("""SELECT token, tid, cnt FROM (
+             |  SELECT token, CAST(row_number() OVER (
+             |           ORDER BY cnt DESC, token) AS BIGINT) AS tid, cnt
+             |  FROM (SELECT tok AS token, count(*) AS cnt
+             |        FROM (SELECT unnest(list_filter(
+             |                       string_split_regex(lower(text), '\s+'),
+             |                       x -> len(x) > 0)) AS tok
+             |              FROM documents)
+             |        GROUP BY 1 HAVING count(*) >= 2))
+             |WHERE tid <= 25""".stripMargin)),
+
+    ("q_encode_ids", // the corpus tokenized to ids against that
+      // vocabulary: one (doc, pos, tid) row per token position, OOV=0
+      // — the final curation→training handoff. Broadcast vocab join,
+      // scan-speed, no corpus shuffle.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.encodeIds(docs.filter(col("doc_id") < 100), "doc_id",
+          "text",
+          TextAnalysis.vocabBuild(docs, "text", maxSize = 25, minCount = 2L))
+      },
+      Some("""WITH v AS (
+             |  SELECT token, tid FROM (
+             |    SELECT token, CAST(row_number() OVER (
+             |             ORDER BY cnt DESC, token) AS BIGINT) AS tid
+             |    FROM (SELECT tok AS token, count(*) AS cnt
+             |          FROM (SELECT unnest(list_filter(
+             |                         string_split_regex(lower(text), '\s+'),
+             |                         x -> len(x) > 0)) AS tok
+             |                FROM documents)
+             |          GROUP BY 1 HAVING count(*) >= 2))
+             |  WHERE tid <= 25),
+             |tk AS (SELECT doc_id, list_filter(
+             |         string_split_regex(lower(text), '\s+'),
+             |         x -> len(x) > 0) AS t
+             |       FROM documents WHERE doc_id < 100),
+             |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token
+             |      FROM (SELECT doc_id, t,
+             |              unnest(generate_series(1, len(t))) AS i
+             |            FROM tk))
+             |SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+             |FROM p LEFT JOIN v USING (token)""".stripMargin)),
+
     ("q_hash_embed", // feature-hashed document embedding (hashing
       // trick, Weinberger et al. 2009): tokens → 256 signed buckets
       // by md5 substring + an independent md5 sign bit; coordinates

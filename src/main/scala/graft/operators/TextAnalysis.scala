@@ -374,6 +374,44 @@ object TextAnalysis {
       .select(col(idCol), col("bm25_micro"))
   }
 
+  /** Frequency-ranked word vocabulary — the id table a trainer's
+    * tokenizer ships with: tokens seen at least `minCount` times,
+    * ids 1..maxSize assigned by (count desc, token) so the assignment
+    * is total-order deterministic (id 0 is reserved for OOV by
+    * [[encodeIds]]). One combinable corpus aggregate; the ranking
+    * window runs over the vocabulary-bounded count table (a single
+    * ordered task of ≤ maxSize rows — bounded by construction, not by
+    * corpus size).
+    */
+  def vocabBuild(df: DataFrame, textCol: String, maxSize: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(maxSize >= 1, s"maxSize must be >= 1: $maxSize")
+    val counts = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("tid", row_number().over(w).cast("long"))
+      .filter(col("tid") <= maxSize)
+      .select(col("token"), col("tid"), col("cnt"))
+  }
+
+  /** Encode the corpus against a built vocabulary: one (id, pos, tid)
+    * row per token position, OOV → 0. The vocab broadcasts (it is
+    * maxSize-bounded); encoding is a posexplode + one broadcast join —
+    * scan-speed, no corpus shuffle. Positions are 1-based (the
+    * oracle's generate_subscripts convention).
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "token")))
+      .withColumn("pos", (col("pos") + 1).cast("long"))
+      .join(broadcast(vocab.select("token", "tid")), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+
   /** Feature-hashed document embedding (the "hashing trick" —
     * Weinberger et al. 2009): each token maps to one of 16^hexDigits
     * buckets by an md5 hex SUBSTRING (the [[graft.operators.Sketch]]

@@ -243,6 +243,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(idfs("zz") > idfs("x") && idfs("x") > idfs("a")) // rarity order
   }
 
+  test("vocabBuild/encodeIds: rank order, min-count floor, OOV encodes to 0") {
+    import spark.implicits._
+    val df = Seq((1L, "b a b c b a d"), (2L, "a c a")).toDF("doc_id", "text")
+    // counts: a=4 b=3 c=2 d=1
+    val vocab = graft.operators.TextAnalysis.vocabBuild(df, "text",
+      maxSize = 3, minCount = 2L)
+    val v = vocab.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v == Map("a" -> (1L, 4L), "b" -> (2L, 3L), "c" -> (3L, 2L)))
+    val enc = graft.operators.TextAnalysis.encodeIds(df, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 = b a b c b a d -> 2 1 2 3 2 1 0
+    assert((1 to 7).map(p => enc((1L, p.toLong))) ==
+      Seq(2L, 1L, 2L, 3L, 2L, 1L, 0L))
+    assert((1 to 3).map(p => enc((2L, p.toLong))) == Seq(1L, 3L, 1L))
+  }
+
+  test("vocabBuild: rank ties break on token; maxSize truncates the tail") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val v = graft.operators.TextAnalysis.vocabBuild(df, "text", maxSize = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("x" -> 1L, "y" -> 2L)) // tie x/y -> token order; z cut
+  }
+
   test("hashEmbed: exact signed counts against a local md5 recomputation") {
     import spark.implicits._
     val df = Seq((1L, "a b a c"), (2L, "b b")).toDF("doc_id", "text")
