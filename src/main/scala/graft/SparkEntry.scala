@@ -3753,6 +3753,22 @@ object SparkEntry {
               |FROM d, qn
               |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin)),
 
+    ("q_embed_pca", // top principal component by INTEGER-EXACT power
+      // iteration (data-aware dimensionality reduction — the PCA twin
+      // of q_embed_rp's data-oblivious JL): 2^10-grid quantization,
+      // one dim²-bounded scatter aggregate, 4 driver-side BigInt
+      // power steps renormalized onto a 2^9 grid by truncating
+      // division, then a scan-speed exact projection. The ENTIRE
+      // path — scatter, centering, every iteration, projection —
+      // replays in SQL (HUGEINT arithmetic), dim derived from data.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") > 0)
+        val comp = Similarity.pcaPowerFit(emb, "vec_id", "embedding",
+          iterations = 4)
+        Similarity.pcaProject(emb, "vec_id", "embedding", comp)
+      },
+      Some(pcaOracleSql(iterations = 4))),
+
     ("q_embed_rp", // Johnson–Lindenstrauss ±1 random projection
       // (Achlioptas 2003) with a HASH-DERIVED sign matrix: dim floats
       // → 16 exact BIGINT coordinates per vector, no training, no
@@ -3855,6 +3871,44 @@ object SparkEntry {
        |a2 AS ${assignSql("q", "c1")},
        |c2 AS ${updateSql("a2", "c1")},
        |fin AS ${assignSql("q", "c2")}""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.pcaPowerFit]] +
+    * pcaProject: quantize → scatter/sums (HUGEINT — C entries exceed
+    * 64 bits before division) → centered scatter → `iterations`
+    * unrolled power steps with the truncating-division renorm
+    * (sign·(|w|·512 div max|w|), floor ≡ truncation on the positive
+    * branch) → exact projection cast back to BIGINT. Dimension comes
+    * from the data (len(qv)), never a constant.
+    */
+  private def pcaOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { r =>
+      s"""w$r AS (SELECT c.i, CAST(sum(c.cij * v.v) AS HUGEINT) AS w
+         |        FROM c JOIN v${r - 1} v ON v.i = c.j GROUP BY 1),
+         |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         |v$r AS (SELECT i, CASE WHEN w < 0 THEN -((-w * 512) // m.m)
+         |                       ELSE (w * 512) // m.m END AS v
+         |        FROM w$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |             x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT)) AS qv
+       |           FROM embeddings WHERE vec_id > 0),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       |el AS (SELECT vec_id, i, CAST(qv[i] AS HUGEINT) AS x FROM (
+       |         SELECT vec_id, qv, unnest(generate_series(1, len(qv))) AS i
+       |         FROM q)),
+       |sm AS (SELECT i, CAST(sum(x) AS HUGEINT) AS si FROM el GROUP BY 1),
+       |sp AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS sij
+       |       FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+       |c AS (SELECT sp.i, sp.j, nn.n * sp.sij - sa.si * sb.si AS cij
+       |      FROM sp
+       |      JOIN sm sa ON sa.i = sp.i
+       |      JOIN sm sb ON sb.i = sp.j, nn),
+       |v0 AS (SELECT i, CAST(1 AS HUGEINT) AS v FROM sm),
+       |$iterCtes
+       |SELECT e.vec_id, CAST(sum(e.x * v.v) AS BIGINT) AS proj
+       |FROM el e JOIN v$iterations v USING (i)
+       |GROUP BY 1""".stripMargin
   }
 
   /** Embedding dimension of a fixture dir, read from the data once

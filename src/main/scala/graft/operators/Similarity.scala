@@ -1226,6 +1226,91 @@ object Similarity {
       .select(col(idCol), col("_c.j").as("j"), col("_c.v").as("v"))
   }
 
+  /** Top principal component by INTEGER-EXACT power iteration — PCA's
+    * data-aware answer to [[randomProject]]'s data-oblivious one.
+    * Everything replays bit-for-bit in an external engine:
+    *
+    *  - vectors quantize to a 2^10 grid (coarser than the ANN 2^20
+    *    grid so covariance magnitudes stay exact in 128-bit oracle
+    *    arithmetic);
+    *  - the scatter relation S_ij = Σ qv_i·qv_j and the sums s_i are
+    *    ONE combinable aggregate (each row explodes to dim² (idx,
+    *    product) cells; map-side combine caps the shuffle at dim²
+    *    partials per partition — vocabulary-style boundedness);
+    *  - the driver builds the centered scatter C = n·S − s·sᵀ in
+    *    BigInt and runs `iterations` power steps from the all-ones
+    *    vector, renormalizing each step onto a 2^9 integer grid by
+    *    TRUNCATING division (v'_i = sign·(|w_i|·512 div max|w|)) —
+    *    deterministic, transcendental-free, and small enough state
+    *    (dim² BigInts) that the "fit" is a driver formality.
+    *
+    * At 100 TB the fit runs on a bounded deterministic sample (the
+    * PQ/k-means contract — Scale.deterministicSample) and the
+    * component broadcasts as literals; the projection pass below is
+    * scan-speed. Returns the component on the 2^9 grid.
+    */
+  def pcaPowerFit(df: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 4, scale: Double = 1024.0): Array[Long] = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val vd = VectorFunctions.toDouble(col(vecCol))
+    val first = df.select(size(vd)).limit(1).collect()
+    require(first.nonEmpty, "pcaPowerFit: input has no rows")
+    val dim = first(0).getInt(0)
+    val qv = transform(vd, x => floor(x * scale).cast("long"))
+    // ONE pass, one combinable aggregate: the upper-triangle scatter
+    // (symmetry halves the explode), the per-dim sums, and the row
+    // count all ride the same (idx, value) cell relation —
+    // dim(dim+1)/2 + dim + 1 cells per row
+    val tri = dim * (dim + 1) / 2
+    val scatterCells = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(lit(0), i), j =>
+        struct(((i * (i + 1)).divide(lit(2)).cast("int") + j).as("idx"),
+          (element_at(col("_qv"), i + 1) * element_at(col("_qv"), j + 1))
+            .as("p")))))
+    val sumCells = transform(sequence(lit(0), lit(dim - 1)), i =>
+      struct((i + tri).cast("int").as("idx"),
+        element_at(col("_qv"), i + 1).as("p")))
+    val countCell = array(struct(lit(tri + dim).as("idx"), lit(1L).as("p")))
+    val agg = df.select(qv.as("_qv"))
+      .select(explode(concat(scatterCells, sumCells, countCell)).as("_c"))
+      .groupBy(col("_c.idx").as("idx"))
+      .agg(sum(col("_c.p")).as("s"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+    val n = agg(tri + dim)
+    val si = Array.tabulate(dim)(i => agg(tri + i))
+    def sij(i: Int, j: Int): BigInt = {
+      val (a, b) = if (i >= j) (i, j) else (j, i)
+      agg(a * (a + 1) / 2 + b)
+    }
+    val c = Array.tabulate(dim, dim)((i, j) => n * sij(i, j) - si(i) * si(j))
+    var v = Array.fill(dim)(BigInt(1))
+    (1 to iterations).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "pcaPowerFit: degenerate (constant) input")
+      v = w.map(x => x.sign * ((x.abs * 512) / m))
+    }
+    v.map(_.toLong)
+  }
+
+  /** Project every vector onto a fitted component: one exact BIGINT
+    * dot per row (2^10-grid vector · 2^9-grid component), scan-speed,
+    * zero shuffle — the dimensionality-reduction pass a 100 TB corpus
+    * actually pays for after the sample-scale fit.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      component: Array[Long], scale: Double = 1024.0): DataFrame = {
+    val qv = transform(VectorFunctions.toDouble(col(vecCol)),
+      x => floor(x * scale).cast("long"))
+    val comp = array(component.map(lit): _*)
+    df.select(col(idCol), qv.as("_qv"))
+      .select(col(idCol),
+        aggregate(zip_with(comp, col("_qv"), (a, b) => a * b),
+          lit(0L), (acc, e) => acc + e).as("proj"))
+  }
+
   /** row_number over (rounded cos desc, neighbor id) per source,
     * keep rank ≤ k.
     */

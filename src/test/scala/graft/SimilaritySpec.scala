@@ -612,6 +612,59 @@ class SimilaritySpec extends SparkSpec {
     assert(inBand >= 0.9, f"only ${inBand * 100}%.0f%% of pairs within 0.2–3×")
   }
 
+  test("pcaPowerFit: matches a local BigInt recomputation exactly") {
+    val sub = emb.filter(col("vec_id") > 0)
+    val got = Similarity.pcaPowerFit(sub, "vec_id", "embedding", iterations = 4)
+    val vecs = sub.collect().map(_.getSeq[Float](1)
+      .map(x => BigInt(math.floor(x.toDouble * 1024.0).toLong)).toArray)
+    val dim = vecs.head.length
+    val n = BigInt(vecs.length)
+    val s = Array.tabulate(dim)(i => vecs.map(_(i)).sum)
+    val cm = Array.tabulate(dim, dim)((i, j) =>
+      n * vecs.map(v => v(i) * v(j)).sum - s(i) * s(j))
+    var v = Array.fill(dim)(BigInt(1))
+    (1 to 4).foreach { _ =>
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => cm(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => x.sign * ((x.abs * 512) / m))
+    }
+    assert(got.toSeq == v.map(_.toLong).toSeq)
+  }
+
+  test("pcaProject: the fitted direction explains at least as much variance as any axis") {
+    val sub = emb.filter(col("vec_id") > 0)
+    val comp = Similarity.pcaPowerFit(sub, "vec_id", "embedding", iterations = 4)
+    val projs = Similarity.pcaProject(sub, "vec_id", "embedding", comp)
+      .collect().map(_.getLong(1).toDouble)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val norm2 = comp.map(x => x.toDouble * x.toDouble).sum
+    val varAlong = variance(projs) / norm2
+    val vecs = sub.collect().map(_.getSeq[Float](1)
+      .map(x => math.floor(x.toDouble * 1024.0)).toArray)
+    val axisVar = (0 until vecs.head.length)
+      .map(i => variance(vecs.map(_(i)))).max
+    // 4 power steps from all-ones: allow a whisker below the true top
+    // eigenvalue, but the learned direction must beat every raw axis
+    assert(varAlong >= 0.95 * axisVar,
+      f"component variance $varAlong%.1f < best axis $axisVar%.1f")
+  }
+
+  test("pcaPowerFit: degenerate (constant) input is rejected, empty input is rejected") {
+    import spark.implicits._
+    val const = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pcaPowerFit(const, "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pcaPowerFit(const.filter(col("vec_id") > 9), "vec_id",
+        "embedding")
+    }
+  }
+
   test("randomProject plan: one scan-side projection, no shuffle, no join") {
     val plan = Similarity.randomProject(emb.filter(col("vec_id") > 0),
       "vec_id", "embedding", outDim = 16)
