@@ -2799,6 +2799,24 @@ object SparkEntry {
              |FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
              |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin)),
 
+    ("q_jaccard_join", // exact similarity join with FULL recall:
+      // prefix filtering (PPJoin family) under the global (df asc,
+      // shingle) order — rare items form each document's prefix, any
+      // J ≥ 1/2 pair provably meets on a prefix item, and the
+      // threshold is integer cross-multiplied (2·inter ≥ uni). The
+      // third point of the Jaccard design space next to the
+      // probabilistic minhash banding and the df-capped index; the
+      // brute-force oracle must match EXACTLY (values included).
+      (s: SparkSession, dir: String) =>
+        Dedup.jaccardJoinPrefix(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, tNum = 1, tDen = 2),
+      Some(s"""${shinglePairsSql(0.5)}
+              |SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+              |       CAST(sa.n + sb.n - i AS BIGINT) AS uni
+              |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+              |           JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE 2*i >= sa.n + sb.n - i""".stripMargin)),
+
     ("q_dedup_minhash_lsh", // LSH candidate pairs, exact-verified —
       // must equal brute-force 3-shingle Jaccard pairs (pair SET is
       // the oracle surface; the jaccard VALUES are spec-checked)

@@ -37,24 +37,28 @@ object TextFunctions {
   /** Word n-gram shingles as space-joined strings.
     * `transform(sequence(...))` + `slice` keeps this inside codegen —
     * no explode needed until the caller wants one row per shingle.
+    * The token array binds ONCE as a lambda variable (the
+    * single-element-array trick) — inlining `tokens(c)` into the
+    * per-position slice re-tokenizes the whole document per shingle,
+    * O(len²) character work (measured: 10 s → 0.6 s materializing
+    * sf0.1's distinct-shingle sets).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingles(c: Column, n: Int): Column =
+    element_at(transform(array(tokens(c)), tk =>
+      when(size(tk) < n, array(concat_ws(" ", tk)))
+        .otherwise(transform(
+          sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))), 1)
 
-  /** Character n-gram shingles (for near-dup on raw text). */
-  def charShingles(c: Column, n: Int): Column = {
-    val s = lower(c)
-    when(length(s) <= n, array(s)).otherwise(
-      transform(
-        sequence(lit(1), length(s) - (n - 1)),
-        i => s.substr(i, lit(n))))
-  }
+  /** Character n-gram shingles (for near-dup on raw text). Binds the
+    * lowered string once (same O(len²)-avoidance as [[shingles]]).
+    */
+  def charShingles(c: Column, n: Int): Column =
+    element_at(transform(array(lower(c)), s =>
+      when(length(s) <= n, array(s)).otherwise(
+        transform(
+          sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))), 1)
 
   /** Ratio of punctuation characters to total characters, in [0,1]. */
   def punctRatio(c: Column): Column =

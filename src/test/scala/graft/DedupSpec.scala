@@ -556,4 +556,51 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(j - expect) < 1e-5, s"pair ($a,$b): $j vs $expect")
     }
   }
+
+  test("jaccardJoinPrefix: full recall — equals brute force on the fixture, values included") {
+    import org.apache.spark.sql.functions._
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      if (tk.length <= 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+    val brute = (for {
+      (a, sa) <- texts.toSeq; (b, sb) <- texts.toSeq if a < b
+      inter = sa.intersect(sb).size; uni = sa.size + sb.size - inter
+      if uni > 0 && 2 * inter >= uni
+    } yield (a, b) -> (inter.toLong, uni.toLong)).toMap
+    val got = Dedup.jaccardJoinPrefix(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == brute)
+    assert(got.nonEmpty) // the fixture plants near-dups; vacuous pass guard
+  }
+
+  test("jaccardJoinPrefix: prefix candidates stay far below all-pairs") {
+    import org.apache.spark.sql.functions._
+    val sets = docs.select(col("doc_id").as("id"),
+      array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))
+        .as("_ss")).filter(size(col("_ss")) > 0)
+    val n = sets.count()
+    val cands = Dedup.prefixCandidates(sets, 1, 2).count()
+    assert(cands < n * (n - 1) / 2 / 4,
+      s"$cands candidates for $n docs — prefix filter not pruning")
+  }
+
+  test("jaccardJoinPrefix: boilerplate-heavy corpus keeps exact pairs (the df-cap's blind spot)") {
+    import spark.implicits._
+    // every doc shares the hot boilerplate run; each pair differs in a
+    // unique token. A df-cap that drops hot tokens loses these pairs
+    // unless the fallback fires; the prefix join must keep them all.
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = (1L to 6L).map(i => (i, s"$boiler u$i")).toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinPrefix(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // shingle sets: 8 boilerplate shingles shared + 2 unique tail
+    // shingles -> inter=8, uni=12, J=2/3 >= 1/2 for every pair
+    assert(got == (for { a <- 1L to 6L; b <- 1L to 6L if a < b }
+      yield (a, b)).toSet)
+  }
 }
