@@ -730,10 +730,14 @@ object Dedup {
       shingleSize: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum >= 1 && tDen >= tNum,
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
-    val sets = df.select(col(idCol).as("id"),
+    // token-empty documents are excluded BEFORE shingling: the short-
+    // doc fallback would otherwise give every empty doc the [""]
+    // singleton set, silently pairing all empty docs at J = 1
+    val sets = df
+      .filter(graft.functions.TextFunctions.tokenCount(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
         array_distinct(graft.functions.TextFunctions
           .shingles(col(textCol), shingleSize)).as("_ss"))
-      .filter(size(col("_ss")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cand = prefixCandidates(sets, tNum, tDen)

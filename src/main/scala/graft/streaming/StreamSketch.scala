@@ -42,13 +42,23 @@ object StreamSketch {
     * [[Sketch.estimateTokens]] serves point queries against it
     * unchanged.
     */
-  def readSketch(spark: SparkSession, root: String): DataFrame =
+  def readSketch(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val exists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists) {
+      // nothing ingested yet: the empty sketch (estimates coalesce
+      // to zero), not a read error
+      import spark.implicits._
+      return Seq.empty[(Int, String, Long)].toDF("r", "b", "cnt")
+    }
     spark.read.parquet(root)
       // a retried append duplicates whole delta rows; cells are
       // unique per (batch_id, r, b) by construction, so keeping one
       // copy restores exactly-once counts
       .dropDuplicates("batch_id", "r", "b")
       .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+  }
 
   /** Rewrite the accumulated deltas as a single merged delta
     * (batch_id −1): state returns to O(depth × width). The merged

@@ -589,6 +589,16 @@ class DedupSpec extends SparkSpec {
       s"$cands candidates for $n docs — prefix filter not pruning")
   }
 
+  test("jaccardJoinPrefix: token-empty documents never pair (no [\"\"]-set artifact)") {
+    import spark.implicits._
+    // shingles {abc,bcd,cde} vs {abc,bcd,cdf}: inter 2, uni 4, J = 1/2
+    val df = Seq((1L, ""), (2L, "   "), (3L, "a b c d e"), (4L, "a b c d f"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinPrefix(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L))) // the two empty docs must NOT appear
+  }
+
   test("jaccardJoinPrefix: boilerplate-heavy corpus keeps exact pairs (the df-cap's blind spot)") {
     import spark.implicits._
     // every doc shares the hot boilerplate run; each pair differs in a

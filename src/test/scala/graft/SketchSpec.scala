@@ -143,6 +143,16 @@ class SketchSpec extends SparkSpec {
     assert(est == estBatch)
   }
 
+  test("StreamSketch: a never-written root reads as the empty sketch") {
+    val root = java.nio.file.Files.createTempDirectory("cms0").toString + "/nope"
+    val empty = graft.streaming.StreamSketch.readSketch(spark, root)
+    assert(empty.count() == 0L)
+    // point estimates against it coalesce to zero
+    val est = Sketch.estimateTokens(Seq("whatever").toDF("token"),
+      "token", empty, 4, 3).head().getLong(1)
+    assert(est == 0L)
+  }
+
   test("StreamSketch: compact collapses state, read is unchanged") {
     val root = java.nio.file.Files.createTempDirectory("cms3").toString + "/s"
     (0 until 3).foreach { k =>
