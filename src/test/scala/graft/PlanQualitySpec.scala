@@ -282,4 +282,46 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"n² label-crossing join rows back in the plan:\n$p")
   }
+
+  test("KN scoring: the three cost tables broadcast (no gram-keyed shuffle of the corpus)") {
+    val p = plan("q_kn_quality")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      s"expected 3 broadcast joins for pair/left/right cost tables:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a cost table fell off the broadcast path:\n$p")
+  }
+
+  test("PCA scatter: one combinable aggregate — exactly one exchange, partial agg present") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") > 0)
+    // the scatter relation is the distributed piece of the fit; gate
+    // its shape directly (the query's driver loop is plan-free)
+    val qv = transform(
+      org.apache.spark.sql.functions.col("embedding"),
+      x => floor(x.cast("double") * 1024.0).cast("long"))
+    val p = emb.select(qv.as("_qv"))
+      .select(explode(flatten(transform(sequence(lit(0), lit(1)), i =>
+        transform(sequence(lit(0), i), j =>
+          struct((i * 2 + j).as("idx"),
+            (element_at(col("_qv"), i + 1) * element_at(col("_qv"), j + 1))
+              .as("p")))))).as("_c"))
+      .groupBy(col("_c.idx")).agg(sum(col("_c.p")))
+      .queryExecution.executedPlan.toString
+    assert(p.split("Exchange").length == 2, s"expected 1 exchange:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+  }
+
+  test("exact similarity join: no cartesian / nested-loop anywhere") {
+    val p = plan("q_jaccard_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"exact join fell off the equi-join path:\n$p")
+  }
+
+  test("curriculum: no empty-partition (global) window") {
+    val p = plan("q_curriculum")
+    assert(!p.contains("windowspecdefinition()"),
+      s"global single-task window in the curriculum plan:\n$p")
+  }
 }
