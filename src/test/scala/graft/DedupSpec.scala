@@ -589,6 +589,36 @@ class DedupSpec extends SparkSpec {
       s"$cands candidates for $n docs — prefix filter not pruning")
   }
 
+  test("jaccardJoinPrefix: full recall on seeded random corpora (incl. short and empty docs)") {
+    import spark.implicits._
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      if (tk.isEmpty) Set.empty
+      else if (tk.length <= 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    Seq(11L, 42L, 1234L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+      val corpus = (1L to 30L).map { id =>
+        val len = rnd.nextInt(7) // 0..6 tokens: empties and shorts included
+        (id, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val texts = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val brute = (for {
+        (a, sa) <- texts.toSeq; (b, sb) <- texts.toSeq if a < b
+        inter = sa.intersect(sb).size; uni = sa.size + sb.size - inter
+        if uni > 0 && 2 * inter >= uni
+      } yield (a, b) -> (inter.toLong, uni.toLong)).toMap
+      val got = Dedup.jaccardJoinPrefix(corpus.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == brute, s"seed $seed")
+    }
+  }
+
   test("jaccardJoinPrefix: token-empty documents never pair (no [\"\"]-set artifact)") {
     import spark.implicits._
     // shingles {abc,bcd,cde} vs {abc,bcd,cdf}: inter 2, uni 4, J = 1/2

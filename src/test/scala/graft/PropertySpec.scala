@@ -101,4 +101,45 @@ object GraftProperties extends Properties("graft") {
         val est = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / numHashes
         math.abs(est - trueJ) < 0.2 // 128 hashes → σ ≈ 0.044; 4.5σ bound
   }
+
+  // --- curriculum stride key (r10): the overflow-safe step-first
+  //     quantization keeps every key on the 2^40 grid, strictly
+  //     monotone in rank, at ANY domain size up to 2^39 ---
+  property("curriculum stride: bounded, monotone, overflow-free at any domain size") =
+    Prop.forAll(Gen.chooseNum(1L, 1L << 39), Gen.chooseNum(0L, 1L << 39)) {
+      (n, rRaw) =>
+        val r = rRaw % n + 1 // rank in 1..n
+        def stride(rank: Long): Long =
+          (2 * rank - 1) * (1099511627776L / (2 * n))
+        val s = stride(r)
+        val inGrid = s >= 0 && s < (1L << 40)
+        val monotone = r == n || stride(r + 1) > s
+        inGrid && monotone
+  }
+
+  // --- Kneser–Ney rationals (r10): over a random bigram count table,
+  //     the emitted numerators partition the denominator exactly —
+  //     per-context mass sums to 1 including unseen-continuation
+  //     backoff (the algebra knBigrams implements, swept over random
+  //     counts instead of one fixture) ---
+  property("KN rational mass partitions the denominator for random count tables") =
+    Prop.forAll(Gen.nonEmptyListOf(for {
+      w1 <- Gen.chooseNum(0, 5); w2 <- Gen.chooseNum(0, 5)
+      c <- Gen.chooseNum(1L, 50L)
+    } yield ((w1, w2), c))) { raw =>
+      val c12 = raw.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val nBi = BigInt(c12.size)
+      val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> BigInt(m.values.sum) }
+      val n1fw = c12.groupBy(_._1._1).map { case (w, m) => w -> BigInt(m.size) }
+      val ncw = c12.groupBy(_._1._2).map { case (w, m) => w -> BigInt(m.size) }
+      c12.keys.map(_._1).forall { w1 =>
+        val den = 4 * c1(w1) * nBi
+        val seen = c12.collect { case ((a, b), c) if a == w1 =>
+          (BigInt(4 * c - 3).max(0)) * nBi + 3 * n1fw(w1) * ncw(b) }.sum
+        val seenRight = c12.keys.collect { case (a, b) if a == w1 => b }.toSet
+        val unseen = ncw.collect {
+          case (w2, n) if !seenRight.contains(w2) => 3 * n1fw(w1) * n }.sum
+        seen + unseen == den
+      }
+  }
 }
