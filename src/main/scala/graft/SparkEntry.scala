@@ -2406,6 +2406,24 @@ object SparkEntry {
              |SELECT doc_id, logw_micro, key_micro FROM sel
              |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin)),
 
+    ("q_topk_per_key", // exact top-5 per source through the CUSTOM
+      // physical operator (TopKPerKeyNode → partial/final heap execs
+      // via SparkSessionExtensions strategy injection): per-partition
+      // bounded heaps BEFORE the shuffle, so ≤ k·partitions rows per
+      // key cross the wire — the window formulation ships and sorts
+      // the corpus. Total order (n_chars desc, doc_id) makes the
+      // result deterministic; the oracle is the window SQL.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Scale.topKPerKey(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          Seq("source"), "n_chars", k = 5, desc = true,
+          tieCols = Seq("doc_id")),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents) WHERE rk <= 5""".stripMargin)),
+
     ("q_curriculum", // deterministic epoch order: stride scheduling
       // spreads every domain evenly through the epoch in proportion
       // to its size (the r-th of n docs lands at phase (2r−1)/2n,

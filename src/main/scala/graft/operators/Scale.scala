@@ -201,4 +201,28 @@ object Scale {
       .join(small.as("_bloom_small"),
         col(s"_bloom_big.$bigKey") === col(s"_bloom_small.$smallKey"))
   }
+
+  /** Exact top-`k` rows per key through the custom partial/final
+    * physical operator ([[graft.plans.TopKPerKeyNode]]): bounded
+    * per-key heaps run INSIDE each input partition first, so the
+    * shuffle carries at most k rows per (key, partition) — where the
+    * window-function formulation (`row_number().over(...) <= k`)
+    * ships and sorts the whole corpus. The order must be made TOTAL
+    * by `tieCols` (ascending) after `orderCol`, so the result is
+    * deterministic under any partitioning.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      k: Int, desc: Boolean = true, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(",")}"))
+    val ordering =
+      SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
+        tieCols.map(c => SortOrder(attr(c), Ascending))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerKeyNode(keyCols.map(attr), ordering, k, analyzed))
+  }
 }

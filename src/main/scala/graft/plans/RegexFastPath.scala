@@ -56,5 +56,6 @@ object RegexFastPathRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RegexFastPathRule)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -168,4 +168,71 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect()
     assert(salted.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
   }
+
+  test("topKPerKey: equals the window formulation, both directions") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    Seq(true, false).foreach { desc =>
+      val got = Scale.topKPerKey(docs, Seq("source"), "n_chars", k = 3,
+          desc = desc, tieCols = Seq("doc_id"))
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      val ordCol = if (desc) col("n_chars").desc else col("n_chars").asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(ordCol, col("doc_id"))
+      val expect = docs.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= 3)
+        .select("doc_id", "source").as[(Long, String)].collect().toSet
+      assert(got == expect, s"desc=$desc")
+    }
+  }
+
+  test("topKPerKey plan: custom partial/final execs with the exchange between them") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val p = Scale.topKPerKey(docs, Seq("source"), "n_chars", 5,
+        tieCols = Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"), s"final exec missing:\n$p")
+    assert(p.contains("TopKPerKeyPartial"), s"partial exec missing:\n$p")
+    val finalIdx = p.indexOf("TopKPerKeyFinal")
+    val exchIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("TopKPerKeyPartial")
+    assert(finalIdx < exchIdx && exchIdx < partialIdx,
+      s"exchange not between final and partial:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window plan:\n$p")
+  }
+
+  test("topKPerKey: the shuffle carries at most k rows per (key, partition), not the data") {
+    import spark.implicits._
+    val s = spark
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)
+          written.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    s.sparkContext.addSparkListener(listener)
+    val parts = 8
+    try {
+      // one hot key, 100k rows spread over 8 partitions: the window
+      // formulation would shuffle all 100k; the partial heaps must cut
+      // that to ≤ k · partitions
+      val df = s.range(0, 100000)
+        .select(lit("hot").as("key"), col("id"))
+        .repartition(parts)
+      val out = Scale.topKPerKey(df, Seq("key"), "id", k = 5,
+        tieCols = Seq("id"))
+      assert(out.count() == 5L)
+      var prev = -1L; var spins = 0
+      while (written.get() != prev && spins < 30) {
+        prev = written.get(); Thread.sleep(100); spins += 1
+      }
+    } finally s.sparkContext.removeSparkListener(listener)
+    // repartition(8) itself writes 100k records; the top-k exchange
+    // adds at most k·parts. Bound the TOTAL well below 2× the data:
+    assert(written.get() <= 100000L + 5L * parts + 1000L,
+      s"${written.get()} shuffle records — partial heaps not bounding the exchange")
+  }
 }
