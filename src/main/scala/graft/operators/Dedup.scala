@@ -329,20 +329,23 @@ object Dedup {
     *
     * `labels` is [[nearDupClusters]] output (`id`, `cluster`); rows
     * absent from it are singletons and always kept. Cost: one join
-    * against the label set (O(duplicates), broadcast-able) and one
-    * window whose partitions are cluster-sized — never a corpus-wide
-    * sort.
+    * against the label set (O(duplicates), broadcast-able) and the
+    * custom partial/final top-1 operator
+    * ([[graft.operators.Scale.topKPerKey]]): per-partition heaps keep
+    * one candidate per cluster BEFORE the exchange, so a
+    * boilerplate-giant cluster contributes one row per input
+    * partition to the shuffle instead of its whole membership — the
+    * skew case the old cluster-sized sort window paid for. The
+    * (score desc, id) order is total, so the winner is identical.
     */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
       labels: DataFrame): DataFrame = {
     val lab = labels.select(col("id").as(idCol), col("cluster"))
-    val w = Window.partitionBy("_cl")
-      .orderBy(col(scoreCol).desc, col(idCol))
-    df.join(lab, Seq(idCol), "left")
+    val joined = df.join(lab, Seq(idCol), "left")
       .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .drop("_cl", "_rk", "cluster")
+    Scale.topKPerKey(joined, Seq("_cl"), scoreCol, k = 1, desc = true,
+        tieCols = Seq(idCol))
+      .drop("_cl", "cluster")
   }
 
   /** Drop near-duplicates with EXACT cluster semantics: LSH pairs →
