@@ -215,6 +215,7 @@ object Scale {
       k: Int, desc: Boolean = true, tieCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     require(keyCols.nonEmpty, "keyCols must not be empty")
+    if (k <= 0) return df.limit(0) // top-0 is empty, not an error
     val analyzed = df.queryExecution.analyzed
     def attr(name: String) = analyzed.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(

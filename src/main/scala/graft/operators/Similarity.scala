@@ -1311,15 +1311,24 @@ object Similarity {
           lit(0L), (acc, e) => acc + e).as("proj"))
   }
 
-  /** row_number over (rounded cos desc, neighbor id) per source,
-    * keep rank ≤ k.
+  /** Top-k neighbors per anchor by (rounded cos desc, neighbor id) —
+    * a total order, so the result is partitioning-independent. Runs
+    * through the bounded partial/final operator
+    * ([[graft.operators.Scale.topKPerKey]]): per-partition heaps cut
+    * each anchor's candidates to k BEFORE the exchange — the skew
+    * guard for overfilled LSH buckets, where the old per-anchor
+    * window sorted whole candidate partitions (the pinned-plane x10
+    * probe measured that blow-up). The rank column is recomputed by a
+    * window over the k-row groups, which the final exec's clustering
+    * already co-locates — a local sort of ≤ k rows per anchor.
     */
   private def rankNeighbors(scored: DataFrame, idCol: String,
       k: Int): DataFrame = {
+    val top = Scale.topKPerKey(scored, Seq("id_a"), "cos_s", k,
+      desc = true, tieCols = Seq("id_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("cos_s").desc, col("id_b"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
         col("cos_s"), col("rank"))
   }
