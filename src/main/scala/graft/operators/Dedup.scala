@@ -329,23 +329,39 @@ object Dedup {
     *
     * `labels` is [[nearDupClusters]] output (`id`, `cluster`); rows
     * absent from it are singletons and always kept. Cost: one join
-    * against the label set (O(duplicates), broadcast-able) and the
-    * custom partial/final top-1 operator
-    * ([[graft.operators.Scale.topKPerKey]]): per-partition heaps keep
-    * one candidate per cluster BEFORE the exchange, so a
-    * boilerplate-giant cluster contributes one row per input
-    * partition to the shuffle instead of its whole membership — the
-    * skew case the old cluster-sized sort window paid for. The
-    * (score desc, id) order is total, so the winner is identical.
+    * against the label set (O(duplicates), broadcast-able) and a
+    * per-cluster top-1 selection. Two selection engines, same winner
+    * (the (score desc, id) order is total — DedupSpec asserts
+    * parity):
+    *
+    *  - default `boundedShuffle = false`: a codegen'd sort window —
+    *    fastest when clusters are small relative to partitions
+    *    (measured: the heap path costs ~1.35× on the benign x10
+    *    fixture);
+    *  - `boundedShuffle = true`: the custom partial/final top-1
+    *    operator ([[graft.operators.Scale.topKPerKey]]) — per-
+    *    partition heaps keep ONE candidate per cluster before the
+    *    exchange, so a boilerplate-giant cluster ships one row per
+    *    input partition instead of its whole membership. The switch
+    *    for web-scale corpora where near-dup clusters span
+    *    partitions.
     */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
-      labels: DataFrame): DataFrame = {
+      labels: DataFrame, boundedShuffle: Boolean = false): DataFrame = {
     val lab = labels.select(col("id").as(idCol), col("cluster"))
     val joined = df.join(lab, Seq(idCol), "left")
       .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
-    Scale.topKPerKey(joined, Seq("_cl"), scoreCol, k = 1, desc = true,
-        tieCols = Seq(idCol))
-      .drop("_cl", "cluster")
+    if (boundedShuffle)
+      Scale.topKPerKey(joined, Seq("_cl"), scoreCol, k = 1, desc = true,
+          tieCols = Seq(idCol))
+        .drop("_cl", "cluster")
+    else {
+      val w = Window.partitionBy("_cl")
+        .orderBy(col(scoreCol).desc, col(idCol))
+      joined.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .drop("_cl", "_rk", "cluster")
+    }
   }
 
   /** Drop near-duplicates with EXACT cluster semantics: LSH pairs →

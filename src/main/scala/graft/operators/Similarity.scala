@@ -1311,24 +1311,21 @@ object Similarity {
           lit(0L), (acc, e) => acc + e).as("proj"))
   }
 
-  /** Top-k neighbors per anchor by (rounded cos desc, neighbor id) —
-    * a total order, so the result is partitioning-independent. Runs
-    * through the bounded partial/final operator
-    * ([[graft.operators.Scale.topKPerKey]]): per-partition heaps cut
-    * each anchor's candidates to k BEFORE the exchange — the skew
-    * guard for overfilled LSH buckets, where the old per-anchor
-    * window sorted whole candidate partitions (the pinned-plane x10
-    * probe measured that blow-up). The rank column is recomputed by a
-    * window over the k-row groups, which the final exec's clustering
-    * already co-locates — a local sort of ≤ k rows per anchor.
+  /** row_number over (rounded cos desc, neighbor id) per source,
+    * keep rank ≤ k — a codegen'd sort window, the faster engine when
+    * candidate sets per anchor are partition-local (measured on the
+    * benign x10 fixture; an anchor whose LSH buckets overfill across
+    * partitions would instead want
+    * [[graft.operators.Scale.topKPerKey]]'s pre-exchange heaps — the
+    * banding auto-sizing keeps buckets bounded precisely so this
+    * window stays the right default).
     */
   private def rankNeighbors(scored: DataFrame, idCol: String,
       k: Int): DataFrame = {
-    val top = Scale.topKPerKey(scored, Seq("id_a"), "cos_s", k,
-      desc = true, tieCols = Seq("id_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(col("cos_s").desc, col("id_b"))
-    top.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
         col("cos_s"), col("rank"))
   }

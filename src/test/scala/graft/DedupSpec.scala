@@ -589,6 +589,21 @@ class DedupSpec extends SparkSpec {
       s"$cands candidates for $n docs — prefix filter not pruning")
   }
 
+  test("keepBestPerCluster: the window and bounded-shuffle engines pick identical winners") {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+    val labels = Dedup.nearDupClusters(pairs)
+    val scored = docs.withColumn("q",
+      graft.functions.TextFunctions.qualityScoreScaled(col("text")))
+    val a = Dedup.keepBestPerCluster(scored, "doc_id", "q", labels)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.keepBestPerCluster(scored, "doc_id", "q", labels,
+        boundedShuffle = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("jaccardJoinPrefix: full recall on seeded random corpora (incl. short and empty docs)") {
     import spark.implicits._
     def shingleSet(t: String): Set[String] = {
