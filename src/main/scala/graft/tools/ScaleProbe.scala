@@ -82,7 +82,7 @@ object ScaleProbe {
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_dedup_drop_near", "q_dedup_canonical",
     "q_dedup_embedding", "q_dedup_semantic", "q_dedup_spans",
-    "x_jaccard_capped",                                  // dedup
+    "x_jaccard_capped", "x_canonical_bounded",           // dedup
     "q_embed_topk", "q_embed_lsh_pairs", "x_lsh_pairs_auto",
     "x_knn_lsh", "q_embed_kmeans", "q_embed_ivf_q",      // similarity
     "q_quality_topp", "q_token_budget", "q_domain_mix",
@@ -171,6 +171,20 @@ object ScaleProbe {
         graft.operators.Dedup.jaccardPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           threshold = 0.8)),
+      // the bounded-shuffle engine of canonical selection (q_dedup_
+      // canonical runs the default window engine) — keeps the
+      // window-vs-heap trade measured per round
+      "x_canonical_bounded" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id",
+          "text", 3, 64, 16, 0.5)
+        val labels = graft.operators.Dedup.nearDupClusters(pairs)
+        graft.operators.Dedup.keepBestPerCluster(
+          docs.withColumn("q", graft.functions.TextFunctions
+            .qualityScoreScaled(col("text"))),
+          "doc_id", "q", labels, boundedShuffle = true)
+      }),
       "x_grep_scan" -> ((s, dir) =>
         Tables.load(s, dir, "documents")
           .filter(org.apache.spark.sql.functions.array_contains(
