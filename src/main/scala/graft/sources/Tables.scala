@@ -37,6 +37,25 @@ object Tables {
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw // already a session-TZ timestamp
       }
+    } else if (name == "embeddings") {
+      // Same drift class as events.ts (the round-8 lesson): pin the
+      // element type HERE so a fixture regeneration that writes
+      // array<double> (or a widened id) cannot break the many
+      // driver-side getSeq[Float]/getLong reads downstream. float is
+      // the contract the engine quantizes from; casting double→float
+      // on an originally-float fixture is the identity.
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+      val vecFixed = raw.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => raw
+        case _ => raw.withColumn("embedding",
+          col("embedding").cast("array<float>"))
+      }
+      vecFixed.schema("vec_id").dataType match {
+        case LongType => vecFixed
+        case _ => vecFixed.withColumn("vec_id", col("vec_id").cast("long"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

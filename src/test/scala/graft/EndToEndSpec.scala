@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 class EndToEndSpec extends SparkSpec {
 
+  test("Tables.load adapts a double-encoded embeddings fixture to the float contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("embdrift").toString
+    // a regenerated fixture writing array<double> + int ids (the
+    // round-8 drift class, embedding flavor)
+    Seq((1, Seq(0.5d, -0.25d)), (2, Seq(1.0d, 2.0d)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val loaded = graft.sources.Tables.load(spark, dir, "embeddings")
+    assert(loaded.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+    assert(loaded.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // the driver-side read every ANN query does must work unchanged
+    val row = loaded.filter(col("vec_id") === 1L).head()
+    assert(row.getSeq[Float](row.fieldIndex("embedding"))
+      .map(_.toDouble) == Seq(0.5, -0.25))
+  }
+
   // Canonical corpus (FIXTURES.md A6): with/without 404,
   // checkout case variants, (100|200) hits, error lexicon words.
   private val corpus = Seq(
