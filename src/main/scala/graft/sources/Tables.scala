@@ -56,6 +56,16 @@ object Tables {
         case LongType => vecFixed
         case _ => vecFixed.withColumn("vec_id", col("vec_id").cast("long"))
       }
+    } else if (name == "documents") {
+      // same contract pinning for the text fixture's integral columns
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.LongType
+      Seq("doc_id", "n_chars").foldLeft(raw) { (df, c) =>
+        if (!df.schema.fieldNames.contains(c) ||
+          df.schema(c).dataType == LongType) df
+        else df.withColumn(c, col(c).cast("long"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
