@@ -1635,41 +1635,7 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
           stopWords = Seq("the", "a")),
-      Some("""WITH w AS (
-             |  SELECT doc_id, text,
-             |         list_filter(string_split_regex(text, '\s+'),
-             |                     x -> len(x) > 0) AS ws,
-             |         string_split(text, chr(10)) AS ls
-             |  FROM documents),
-             |m AS (SELECT doc_id,
-             |  CAST(len(ws) AS BIGINT) AS n_words,
-             |  CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
-             |       AS BIGINT) AS word_chars,
-             |  CAST((len(text) - len(replace(text, '#', '')))
-             |    + (len(text) - len(replace(text, '...', ''))) // 3
-             |       AS BIGINT) AS n_symbols,
-             |  CAST(len(ls) AS BIGINT) AS n_lines,
-             |  CAST(len(list_filter(ls, l -> trim(l) LIKE '- %'
-             |    OR trim(l) LIKE '* %' OR trim(l) LIKE '• %'))
-             |       AS BIGINT) AS n_bullet,
-             |  CAST(len(list_filter(ls, l -> trim(l) LIKE '%...'))
-             |       AS BIGINT) AS n_ellipsis,
-             |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-             |       AS BIGINT) AS n_alpha,
-             |  CAST(len(list_filter(['the', 'a'],
-             |    s -> list_contains(list_transform(ws, x -> lower(x)), s)))
-             |       AS BIGINT) AS n_stop
-             |  FROM w)
-             |SELECT *,
-             |  (n_words BETWEEN 50 AND 100000
-             |   AND word_chars >= 3 * n_words
-             |   AND word_chars <= 10 * n_words
-             |   AND n_symbols * 1000000 <= 100000 * n_words
-             |   AND n_bullet * 1000000 <= 100000 * n_lines
-             |   AND n_ellipsis * 1000000 <= 300000 * n_lines
-             |   AND n_alpha * 1000000 >= 800000 * n_words
-             |   AND n_stop >= 2) AS keep
-             |FROM m""".stripMargin)),
+      Some(gopherOracleSql)),
 
     ("q_redact", // PII-shape pattern scrubbing over a rendered log line
       (s: SparkSession, dir: String) =>
@@ -2405,6 +2371,36 @@ object SparkEntry {
              |        FROM w)
              |SELECT doc_id, logw_micro, key_micro FROM sel
              |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin)),
+
+    ("q_pretrain_pipeline", // the round-10 operators COMPOSED into one
+      // curation chain — gopher quality gate ∩ exact keep-first dedup
+      // ∩ KN-perplexity per-lang head tercile, then T=2 temperature
+      // flattening over the survivors' domain counts and the stride
+      // curriculum order. Every stage is independently hash-checked
+      // by its own query; this one checks they agree END TO END as
+      // one SQL statement (oracleSqlDynamic — the KN cost tables
+      // inline at Verify time).
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val gk = TextAnalysis.gopherRules(docs, "doc_id", "text",
+            stopWords = Seq("the", "a"))
+          .filter(col("keep")).select("doc_id")
+        val dk = graft.operators.Dedup
+          .exactKeepFirst(docs, "doc_id", "text").select("doc_id")
+        val kq = graft.operators.LangModel.knScore(docs, "doc_id", "text",
+            docs.filter(col("lang") === "en"), "text")
+          .select(col("doc_id"), col("mean_nll_micro"))
+        val scored = docs.select("doc_id", "lang", "source", "n_chars")
+          .join(gk, "doc_id").join(dk, "doc_id").join(kq, "doc_id")
+        val head = Curate
+          .perplexityBuckets(scored, "lang", "mean_nll_micro")
+          .filter(col("bucket") === "head")
+          .select("doc_id", "source", "n_chars")
+        val sampled = Curate.temperatureSample(head, "source", "doc_id")
+          .select("doc_id", "source", "n_chars")
+        Curate.curriculum(sampled, "source", "doc_id", "n_chars")
+      },
+      None),
 
     ("q_topk_per_key", // exact top-5 per source through the CUSTOM
       // physical operator (TopKPerKeyNode → partial/final heap execs
@@ -3956,6 +3952,101 @@ object SparkEntry {
       t(s, dir, "embeddings").select(size(col("embedding")))
         .head().getInt(0))
 
+  /** DuckDB replay of [[TextAnalysis.gopherRules]] (shared by
+    * q_gopher_rules and the q_pretrain_pipeline composition — nested
+    * there as a subquery whose `keep` verdict gates the corpus).
+    */
+  private val gopherOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(text, '\s+'),
+      |                     x -> len(x) > 0) AS ws,
+      |         string_split(text, chr(10)) AS ls
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+      |       AS BIGINT) AS word_chars,
+      |  CAST((len(text) - len(replace(text, '#', '')))
+      |    + (len(text) - len(replace(text, '...', ''))) // 3
+      |       AS BIGINT) AS n_symbols,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, l -> trim(l) LIKE '- %'
+      |    OR trim(l) LIKE '* %' OR trim(l) LIKE '• %'))
+      |       AS BIGINT) AS n_bullet,
+      |  CAST(len(list_filter(ls, l -> trim(l) LIKE '%...'))
+      |       AS BIGINT) AS n_ellipsis,
+      |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |       AS BIGINT) AS n_alpha,
+      |  CAST(len(list_filter(['the', 'a'],
+      |    s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+      |       AS BIGINT) AS n_stop
+      |  FROM w)
+      |SELECT *,
+      |  (n_words BETWEEN 50 AND 100000
+      |   AND word_chars >= 3 * n_words
+      |   AND word_chars <= 10 * n_words
+      |   AND n_symbols * 1000000 <= 100000 * n_words
+      |   AND n_bullet * 1000000 <= 100000 * n_lines
+      |   AND n_ellipsis * 1000000 <= 300000 * n_lines
+      |   AND n_alpha * 1000000 >= 800000 * n_words
+      |   AND n_stop >= 2) AS keep
+      |FROM m""".stripMargin
+
+  /** Oracle for q_pretrain_pipeline: the full curation chain as ONE
+    * SQL statement — gopher gate and Kneser–Ney scoring nested as
+    * subqueries (each independently hash-checked by its own query),
+    * then per-lang quality terciles, exact keep-first dedup, T=2
+    * temperature flattening over the SURVIVORS' domain counts, and
+    * the stride curriculum. Dynamic because the KN cost tables are
+    * literal-inlined at Verify time.
+    */
+  private def pretrainOracleSql(s: SparkSession, dir: String): String =
+    s"""WITH gk AS (SELECT doc_id FROM ($gopherOracleSql) WHERE keep),
+       |dk AS (SELECT min(doc_id) AS doc_id FROM documents
+       |       GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))),
+       |kq AS (SELECT doc_id, mean_nll_micro FROM (${knQualityOracleSql(s, dir)})),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |         kq.mean_nll_micro AS m
+       |  FROM documents d
+       |  JOIN gk USING (doc_id) JOIN dk USING (doc_id) JOIN kq USING (doc_id)),
+       |hh AS (SELECT lang, m AS v, count(*) AS c FROM scored GROUP BY 1, 2),
+       |hc AS (SELECT lang, v,
+       |              sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
+       |              sum(c) OVER (PARTITION BY lang) AS nn FROM hh),
+       |ht AS (SELECT lang, min(CASE WHEN cc * 3 >= nn THEN v END) AS t1
+       |       FROM hc GROUP BY 1),
+       |head AS (SELECT s.doc_id, s.source, s.n_chars
+       |         FROM scored s JOIN ht USING (lang) WHERE s.m <= ht.t1),
+       |td AS (SELECT source, count(*) AS dom_n FROM head GROUP BY 1),
+       |tr AS (SELECT source, dom_n,
+       |         CAST(floor(sqrt(CAST(dom_n AS DOUBLE)) * 1048576.0) AS BIGINT)
+       |           AS rti FROM td),
+       |tc AS (SELECT source, dom_n, rti,
+       |              sum(rti) OVER (ORDER BY source) AS cum FROM tr),
+       |tt AS (SELECT CAST(max(cum) AS BIGINT) AS s_tot,
+       |              CAST(sum(dom_n) AS DOUBLE) AS n_tot FROM tc),
+       |ta AS (SELECT source,
+       |         least(1.0, 0.5 * n_tot * CAST(rti AS DOUBLE)
+       |                    / CAST(s_tot AS DOUBLE)
+       |                    / CAST(dom_n AS DOUBLE)) AS keep_frac
+       |       FROM tc, tt),
+       |tkept AS (SELECT h.* FROM head h JOIN ta USING (source)
+       |          WHERE ta.keep_frac >= 1.0
+       |             OR substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 8)
+       |                < printf('%08x',
+       |                    CAST(floor(ta.keep_frac * 4294967296.0) AS BIGINT))),
+       |cn AS (SELECT source, CAST(count(*) AS BIGINT) AS dom_n
+       |       FROM tkept GROUP BY 1),
+       |cr AS (SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS dom_rank
+       |       FROM tkept)
+       |SELECT cr.doc_id, cr.source, cr.dom_rank,
+       |       (2*dom_rank - 1) * (1099511627776 // (2*dom_n)) AS stride
+       |FROM cr JOIN cn USING (source)""".stripMargin
+
   /** DuckDB replay of [[graft.operators.Sketch.cmsSketch]] (depth 4,
     * width 16³) — shared by q_cms_sketch and its at-ingest twin
     * q_stream_cms (mergeability makes the streamed sketch equal the
@@ -4053,7 +4144,8 @@ object SparkEntry {
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
     "q_embed_rp" -> rpOracleSql,
-    "q_kn_quality" -> knQualityOracleSql)
+    "q_kn_quality" -> knQualityOracleSql,
+    "q_pretrain_pipeline" -> pretrainOracleSql)
 
   /** Oracle for q_kn_quality: [[graft.operators.LangModel.knCollectCosts]]
     * runs once at Verify time over the same English-slice model and its
