@@ -104,7 +104,7 @@ object ScaleProbe {
     "q_embed_rp", "q_curriculum", "q_hash_embed",
     "q_hh_dyadic", "q_kn_quality", "q_embed_pca",
     "q_vocab_build", "q_encode_ids", "q_jaccard_join",
-    "q_topk_per_key",                                    // r10 leg 2
+    "q_topk_per_key", "q_pretrain_pipeline",             // r10 leg 2
 
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
