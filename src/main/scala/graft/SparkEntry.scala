@@ -3351,6 +3351,58 @@ object SparkEntry {
        |FROM w WHERE rk = 1""".stripMargin
   }
 
+  /** Oracle for q_knn_multiprobe: [[lshPairsOracleSql]]'s banding
+    * replay plus the 1-bit probe expansion (xor of each plane bit on
+    * the ANCHOR side only), directed candidates, ranked per source on
+    * the 6-decimal rounded cosine with an id tiebreak, top-`k` kept.
+    */
+  private def knnMultiProbeOracleSql(nTables: Int, planesPerTable: Int,
+      dim: Int, k: Int): String = {
+    val lits = (for {
+      tb <- 0 until nTables
+      p <- 0 until planesPerTable
+      d <- 0 until dim
+    } yield s"($tb,$p,$d,${graft.functions.HyperplaneSigs.component(tb * 97 + p, d)})")
+      .mkString(",")
+    s"""WITH pl(t, p, d, w) AS (VALUES $lits),
+       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |             generate_subscripts(embedding, 1) - 1 AS d
+       |      FROM embeddings),
+       |chk AS (SELECT CASE WHEN max(d) + 1 = $dim THEN 1
+       |               ELSE error('embedding dim <> $dim: the inlined hyperplane literals cover exactly $dim dims — regenerate the oracle') END AS ok
+       |        FROM v),
+       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM v GROUP BY 1),
+       |dots AS (SELECT v.vec_id, pl.t, pl.p, sum(v.x * pl.w) AS dot
+       |         FROM v JOIN pl USING (d), chk
+       |         WHERE chk.ok = 1
+       |         GROUP BY 1, 2, 3),
+       |sigs AS (SELECT vec_id, t,
+       |                sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+       |         FROM dots GROUP BY 1, 2),
+       |probe AS (SELECT vec_id, t, sig FROM sigs
+       |          UNION ALL
+       |          SELECT s.vec_id, s.t,
+       |                 xor(s.sig, CAST(1 AS BIGINT) << pp.p) AS sig
+       |          FROM sigs s,
+       |               (SELECT unnest(generate_series(0, ${planesPerTable - 1})) AS p) pp),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM probe a JOIN sigs b
+       |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |pd AS (SELECT c.id_a, c.id_b, sum(va.x * vb.x) AS dot
+       |       FROM cand c JOIN v va ON va.vec_id = c.id_a
+       |                   JOIN v vb ON vb.vec_id = c.id_b AND vb.d = va.d
+       |       GROUP BY 1, 2),
+       |sc AS (SELECT id_a, id_b,
+       |              round(CASE WHEN na.n * nb.n = 0 THEN 0.0
+       |                         ELSE dot / (na.n * nb.n) END, 6) AS cos_s
+       |       FROM pd JOIN nrm na ON na.vec_id = id_a
+       |               JOIN nrm nb ON nb.vec_id = id_b),
+       |r AS (SELECT id_a, id_b, cos_s, row_number() OVER (PARTITION BY id_a
+       |        ORDER BY cos_s DESC, id_b) AS rank FROM sc)
+       |SELECT id_a AS vec_id, id_b AS neighbor_id, cos_s, rank
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Oracle for q_hard_negatives_lsh: the same pinned-plane banding
     * replay as [[knnLabelLshOracleSql]], but the candidate join ALSO
     * requires label inequality (the engine filters inside the banded
@@ -3568,6 +3620,20 @@ object SparkEntry {
           q, kTop = 20)
       },
       None),
+
+    ("q_knn_multiprobe", // multi-probe LSH kNN (Lv et al. 2007): each
+      // anchor also probes every Hamming-1 bucket of its signature —
+      // per-table recall rises steeply, so a target recall needs
+      // FEWER tables and the (id, table, sig) banding shuffle shrinks
+      // proportionally. Planes pinned at 4×6 so the full path —
+      // splitmix64 plane literals → sign signatures → 1-bit probe
+      // expansion (xor) → directed candidates → 6-decimal ranked
+      // top-5 — replays in SQL.
+      (s: SparkSession, dir: String) =>
+        Similarity.knnJoinLshMultiProbe(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 5, nTables = 4, planesPerTable = 6),
+      Some(knnMultiProbeOracleSql(nTables = 4, planesPerTable = 6,
+        dim = 64, k = 5))),
 
     ("q_embed_knn", // exact k-NN join (the k-NN graph semantic dedup
       // and hard-negative mining consume): every vector's 5 nearest
@@ -4105,6 +4171,9 @@ object SparkEntry {
         dim = embDim(s, dir), k = 5)),
     "q_hard_negatives_lsh" -> ((s, dir) =>
       hardNegativesLshOracleSql(nTables = 4, planesPerTable = 6,
+        dim = embDim(s, dir), k = 5)),
+    "q_knn_multiprobe" -> ((s, dir) =>
+      knnMultiProbeOracleSql(nTables = 4, planesPerTable = 6,
         dim = embDim(s, dir), k = 5)),
     "q_bm25" -> bm25OracleSql _,
     "q_lm_quality" -> ((s, dir) =>

@@ -590,6 +590,55 @@ object Similarity {
     } finally base.unpersist(false)
   }
 
+  /** Multi-probe hyperplane-LSH kNN (Lv et al. 2007, "Multi-Probe
+    * LSH"): each anchor probes its own bucket AND every bucket at
+    * Hamming distance 1 from its signature, in every table — for
+    * sign-bit LSH the most-likely miss is exactly one flipped
+    * near-boundary bit, so per-table recall rises steeply and a
+    * deployment reaches a target recall with FEWER tables. At 100 TB
+    * that is the shuffle lever: the banding exchange carries
+    * (id, table, sig) rows, so halving tables halves it, while the
+    * probe expansion happens on the anchor side only (a projection,
+    * planes+1 probe rows per (anchor, table) — no extra corpus
+    * shuffle).
+    *
+    * Same verification and ranking as [[knnJoinLsh]] (its candidates
+    * are a strict SUPERSET at equal configuration — spec-gated), and
+    * with pinned planes the whole path replays in SQL
+    * (q_knn_multiprobe).
+    */
+  def knnJoinLshMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nTables: Int = 4, planesPerTable: Int = 0): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planes = effectivePlanes(planesPerTable, base.count())
+      val sigsPerTable = GraftExprBridge.column(
+        graft.functions.HyperplaneSigs(
+          GraftExprBridge.expression(col("v")), nTables, planes))
+      val banded = base.select(col("id"), posexplode(sigsPerTable))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+      val flips = (0 until planes).map(b =>
+        col("sig").bitwiseXOR(lit(1L << b)))
+      val probes = banded.select(col("id"), col("t"),
+        explode(array(col("sig") +: flips: _*)).as("sig"))
+      val cand = probes.as("a").join(banded.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val pairs = cand
+        .join(base.select(col("id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "id_b")
+      rankNeighbors(scoreCosine(pairs), idCol, k).localCheckpoint(true)
+    } finally base.unpersist(false)
+  }
+
   /** Max-abs int8 quantization of an embedding column — the storage /
     * IO lever for 100 TB candidate generation: a quantized copy of the
     * corpus is 4× smaller than float32, so LSH banding, cluster

@@ -104,7 +104,8 @@ object ScaleProbe {
     "q_embed_rp", "q_curriculum", "q_hash_embed",
     "q_hh_dyadic", "q_kn_quality", "q_embed_pca",
     "q_vocab_build", "q_encode_ids", "q_jaccard_join",
-    "q_topk_per_key", "q_pretrain_pipeline",             // r10 leg 2
+    "q_topk_per_key", "q_pretrain_pipeline",
+    "q_knn_multiprobe", "x_knn_multiprobe_auto",         // r10 leg 2
 
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
@@ -159,6 +160,13 @@ object ScaleProbe {
         graft.operators.Similarity.knnJoinLsh(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           k = 5)),
+      // multi-probe with corpus-auto-sized planes — the scale config
+      // (q_knn_multiprobe pins 4×6 for oracle replay; those buckets
+      // overfill at x10 and the 7× probe expansion multiplies it)
+      "x_knn_multiprobe_auto" -> ((s, dir) =>
+        graft.operators.Similarity.knnJoinLshMultiProbe(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, nTables = 2)),
       // hardNegativesLsh with corpus-auto-sized planes (q_hard_negatives_lsh
       // pins 4×6 for oracle replay — at x10 those buckets overfill and the
       // candidate join grows 10×/decade; the auto-sized path is the scale

@@ -612,6 +612,30 @@ class SimilaritySpec extends SparkSpec {
     assert(inBand >= 0.9, f"only ${inBand * 100}%.0f%% of pairs within 0.2–3×")
   }
 
+  test("multi-probe LSH kNN: strictly better recall than plain banding, fewer tables suffice") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") > 0)
+    val exact = Similarity.knnJoinCompiled(corpus, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val plain4 = recall(Similarity.knnJoinLsh(corpus, "vec_id", "embedding",
+      k = 5, nTables = 4, planesPerTable = 6))
+    val mp4 = recall(Similarity.knnJoinLshMultiProbe(corpus, "vec_id",
+      "embedding", k = 5, nTables = 4, planesPerTable = 6))
+    val mp2 = recall(Similarity.knnJoinLshMultiProbe(corpus, "vec_id",
+      "embedding", k = 5, nTables = 2, planesPerTable = 6))
+    // same tables: candidates are a strict superset, recall can't drop
+    assert(mp4 >= plain4, f"mp4 $mp4%.3f < plain4 $plain4%.3f")
+    // the shuffle lever: HALF the tables with probes must hold the
+    // recall plain banding needed four tables for
+    assert(mp2 >= plain4 - 0.02,
+      f"mp with 2 tables ($mp2%.3f) far below plain with 4 ($plain4%.3f)")
+  }
+
   test("pcaPowerFit: matches a local BigInt recomputation exactly") {
     val sub = emb.filter(col("vec_id") > 0)
     val got = Similarity.pcaPowerFit(sub, "vec_id", "embedding", iterations = 4)
