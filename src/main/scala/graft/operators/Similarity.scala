@@ -616,6 +616,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val planes = effectivePlanes(planesPerTable, base.count())
+      require(planes <= 62, // the auto path caps at 62; guard pinned
+        s"planesPerTable must fit a signed-long signature: $planes")
       val sigsPerTable = GraftExprBridge.column(
         graft.functions.HyperplaneSigs(
           GraftExprBridge.expression(col("v")), nTables, planes))
