@@ -6,35 +6,49 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
 /** Byte-pair-encoding tokenizer TRAINING and ENCODING as corpus
   * operators (Sennrich et al. 2016 — the subword scheme behind
   * GPT-2/RoBERTa-era vocabularies). A training-data engine that
   * counts tokens needs the tokenizer itself to be derivable from the
   * corpus it curates.
   *
-  * Scale design — the corpus is touched ONCE per call:
+  * Scale design — the corpus is touched ONCE per call, and the merge
+  * loop never touches Spark at all:
   *
   *  - [[learn]] first reduces the corpus to its word VOCABULARY
   *    (one map-side-combinable groupBy; the vocab is bounded by
   *    distinct-word count, not corpus bytes — the same reduction
-  *    sentencepiece/HF trainers perform). All `rounds` merge
-  *    iterations then run on the vocab alone: pair counting is a
-  *    vocab-scale aggregate weighted by word frequency, and the
-  *    per-round driver state is exactly ONE winner row.
-  *  - [[encode]] applies the learned merges to the VOCAB (bounded),
-  *    then broadcast-joins the encoded vocab back to the corpus token
-  *    stream — per-document piece counts cost one scan + one
-  *    broadcast join + one aggregate, with no per-round corpus work.
+  *    sentencepiece/HF trainers perform), collects that bounded
+  *    relation ONCE, and runs the classic in-memory pair-count /
+  *    merge loop driver-side with incremental pair bookkeeping
+  *    (a TreeSet keyed (cnt DESC, lhs, rhs) plus per-pair word
+  *    postings, so each round costs O(affected words), not a vocab
+  *    rescan). 30k merges are seconds of driver CPU and ZERO Spark
+  *    jobs — the previous design paid one scheduler round-trip plus
+  *    one checkpointed vocab copy PER merge round, which is exactly
+  *    the shape that cannot reach a real 30k-merge vocabulary.
+  *  - [[encode]] / [[encodeIds]] broadcast the (bounded) encoded
+  *    vocab back to the corpus token stream — per-document piece
+  *    counts / id sequences cost one scan + one broadcast join,
+  *    with no per-round corpus work regardless of merge depth.
   *
-  * Merge application is the declarative gaps-and-islands form, not a
-  * per-row loop: adjacent (sym, next) matches of the winning pair
-  * form runs; within a run only even offsets merge (greedy
-  * left-to-right non-overlap — `[a,a,a]` under merge `a a` yields
-  * `[aa, a]`); the right half of every applied merge is dropped via
-  * lag. Window partitions are vocab words — bounded and parallel.
-  * Every step (including the `cnt DESC, lhs, rhs` winner tie-break)
-  * is deterministic and replays in DuckDB SQL, so both operators are
-  * oracle-checkable despite being iterative.
+  * Semantics are unchanged from the declarative form (and
+  * [[applyMerge]] remains as the oracle-replayable Spark twin of one
+  * application round): pair counting counts overlapping adjacent
+  * occurrences weighted by word frequency; the winner tie-break is
+  * `cnt DESC, lhs, rhs` under BINARY (UTF-8 byte) string order —
+  * matching both Spark's UTF8String comparison and DuckDB's default
+  * collation — and merge application is greedy left-to-right
+  * non-overlap (`[a,a,a]` under merge `a a` yields `[aa, a]`).
+  * Every step is deterministic, so the learned table replays in SQL:
+  * unrolled gaps-and-islands CTEs at shallow depth, or the
+  * lowest-rank-first recursive form against the merge table at any
+  * depth (the two application orders provably agree for a table
+  * learned from the same corpus: a merge's constituents always carry
+  * lower ranks than the merges that consume them).
   */
 object Bpe {
 
@@ -53,22 +67,188 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("weight"))
       .withColumn("syms", chars(col("word")))
 
-  /** Frequency of every adjacent symbol pair (overlapping occurrences
-    * counted, classic get_stats), weighted by word frequency.
-    */
-  private def pairCounts(v: DataFrame): DataFrame = {
-    val w = Window.partitionBy("word").orderBy("pos")
-    v.select(col("word"), col("weight"), posexplode(col("syms")))
-      .withColumnRenamed("col", "sym")
-      .withColumn("nxt", lead("sym", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
-      .agg(sum("weight").as("cnt"))
+  /** One learned merge: rank (1-based), the pair, its concatenation,
+    * and the weighted pair count at selection time. */
+  final case class Merge(rank: Long, lhs: String, rhs: String,
+      merged: String, weight: Long)
+
+  /** The driver-side training artifact: the ordered merge table plus
+    * the post-merge vocabulary (word → weight, final symbol pieces) —
+    * both bounded by distinct-word count, never corpus size. */
+  final case class Learned(merges: Vector[Merge],
+      words: Vector[(String, Long, Vector[String])]) {
+    /** Piece vocabulary with deterministic ids: rank by total
+      * weighted frequency DESC, then piece ASC (binary order) —
+      * frequency-ordered ids, the convention real tokenizers use. */
+    lazy val pieces: Vector[(String, Long, Long)] = {
+      val freq = mutable.HashMap.empty[String, Long]
+      words.foreach { case (_, w, syms) =>
+        syms.foreach(p => freq(p) = freq.getOrElse(p, 0L) + w) }
+      freq.toVector
+        .sortWith { case ((p1, f1), (p2, f2)) =>
+          if (f1 != f2) f1 > f2 else utf8Compare(p1, p2) < 0 }
+        .zipWithIndex.map { case ((p, f), i) => (p, f, i.toLong + 1) }
+    }
   }
 
-  /** One merge round: replace every greedy-left-to-right occurrence
-    * of (lhs, rhs) in each word's symbol array with the concatenated
-    * symbol.
+  /** Binary (UTF-8 byte, unsigned) string comparison — the order
+    * Spark's UTF8String and DuckDB's default collation share. Java's
+    * String.compareTo differs for supplementary code points, so the
+    * driver-side loop must not use it.
+    */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Greedy left-to-right non-overlapping application of one merge to
+    * a symbol sequence — the in-memory twin of [[applyMerge]]. */
+  private def greedy(syms: mutable.ArrayBuffer[String], lhs: String,
+      rhs: String, merged: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out
+  }
+
+  /** Unicode code points of a word as strings — the in-memory twin of
+    * the `regexp_extract_all(word, '.')` initial segmentation. */
+  private def codePoints(w: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Train `rounds` merges from the corpus' word vocabulary. ONE
+    * corpus aggregate + ONE bounded collect; all merge rounds run
+    * driver-side with incremental pair bookkeeping. Stops early if
+    * the vocabulary runs out of adjacent pairs.
+    */
+  def learnMerges(df: DataFrame, textCol: String, rounds: Int): Learned = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val rows = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("weight"))
+      .collect()
+    val words = rows.map(r => r.getString(0) -> r.getLong(1))
+    val syms = words.map { case (w, _) => codePoints(w) }
+
+    // pair bookkeeping: current weighted counts, word postings per
+    // pair, and a TreeSet ordered exactly like the winner query
+    // (cnt DESC, lhs, rhs binary ASC) so each round's winner is a
+    // first() and each delta an O(log P) remove/insert.
+    type Pair = (String, String)
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val postings = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
+    implicit val winnerOrder: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+          else {
+            val c = utf8Compare(a._2, b._2)
+            if (c != 0) c else utf8Compare(a._3, b._3)
+          }
+        }
+      }
+    val order = mutable.TreeSet.empty[(Long, String, String)]
+
+    def addCount(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0L) { counts(p) = nw; order.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def wordPairs(s: mutable.ArrayBuffer[String]): Seq[Pair] = {
+      val b = new mutable.ArrayBuffer[Pair](math.max(0, s.length - 1))
+      var i = 0
+      while (i + 1 < s.length) { b += ((s(i), s(i + 1))); i += 1 }
+      b.toSeq
+    }
+    syms.indices.foreach { wi =>
+      val w = words(wi)._2
+      wordPairs(syms(wi)).foreach { p =>
+        addCount(p, w)
+        postings.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+      }
+    }
+
+    val merges = Vector.newBuilder[Merge]
+    var r = 1
+    while (r <= rounds && order.nonEmpty) {
+      val (cnt, lhs, rhs) = order.head
+      val merged = lhs + rhs
+      merges += Merge(r.toLong, lhs, rhs, merged, cnt)
+      val affected = postings.getOrElse((lhs, rhs), mutable.HashSet.empty)
+        .toArray
+      affected.foreach { wi =>
+        val w = words(wi)._2
+        val before = syms(wi)
+        val after = greedy(before, lhs, rhs, merged)
+        val oldPairs = wordPairs(before)
+        val newPairs = wordPairs(after)
+        oldPairs.foreach(addCount(_, -w))
+        newPairs.foreach(addCount(_, w))
+        val oldSet = oldPairs.toSet
+        val newSet = newPairs.toSet
+        (oldSet -- newSet).foreach { p =>
+          postings.get(p).foreach { s => s -= wi; if (s.isEmpty) postings.remove(p) }
+        }
+        (newSet -- oldSet).foreach { p =>
+          postings.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        }
+        syms(wi) = after
+      }
+      r += 1
+    }
+    Learned(merges.result(),
+      words.toVector.zip(syms).map { case ((w, wt), s) => (w, wt, s.toVector) })
+  }
+
+  private val mergeSchema = StructType(Seq(
+    StructField("merge_rank", LongType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("weight", LongType, nullable = false)))
+
+  /** The learned merge table as a DataFrame:
+    * (merge_rank, lhs, rhs, merged, weight). */
+  def mergeTable(spark: SparkSession, learned: Learned): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.merges.map(m => Row(m.rank, m.lhs, m.rhs, m.merged, m.weight)), 1),
+      mergeSchema)
+
+  /** The first `rounds` BPE merges learned from the corpus:
+    * (merge_rank, lhs, rhs, merged, weight). One corpus aggregate;
+    * the loop itself runs driver-side over the bounded vocab.
+    */
+  def learn(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    mergeTable(df.sparkSession, learnMerges(df, textCol, rounds))
+
+  /** One merge round as a declarative Spark transform — the
+    * gaps-and-islands greedy-non-overlap form. Kept as the
+    * SQL-replayable twin of the in-memory loop (specs pin the two
+    * against each other); `learn` itself no longer runs per-round
+    * Spark jobs.
     */
   def applyMerge(v: DataFrame, lhs: String, rhs: String): DataFrame = {
     val byPos = Window.partitionBy("word").orderBy("pos")
@@ -96,65 +276,71 @@ object Bpe {
         x => x.getField("outSym")).as("syms"))
   }
 
-  /** The first `rounds` BPE merges learned from the corpus:
-    * (merge_rank, lhs, rhs, merged, weight). Stops early if the vocab
-    * runs out of adjacent pairs. Driver state: one winner row per
-    * round.
-    */
-  def learn(df: DataFrame, textCol: String, rounds: Int): DataFrame =
-    learnState(df, textCol, rounds)._1
-
-  /** The merge loop, also returning the post-merge vocabulary (each
-    * round's checkpoint makes it free) so [[encode]] does not replay
-    * every merge over a fresh vocab — the replay doubled encode's
-    * job count for an artifact `learn` had already materialized.
-    */
-  private def learnState(df: DataFrame, textCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
-    require(rounds > 0, s"rounds must be positive: $rounds")
-    val spark = df.sparkSession
-    var v = vocab(df, textCol).localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val winner = pairCounts(v)
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
-        .collect()
-      winner.headOption match {
-        case Some(row) =>
-          val (l, rr, c) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += Row(r.toLong, l, rr, l + rr, c)
-          v = applyMerge(v, l, rr).localCheckpoint(true)
-          r += 1
-        case None => exhausted = true
-      }
-    }
-    val mergeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq, 1),
+  /** The encoded vocabulary as a DataFrame (word, pieces:array) —
+    * bounded, broadcast-joinable. */
+  def encodedVocab(spark: SparkSession, learned: Learned): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.words.map { case (w, _, s) => Row(w, s) },
+        math.max(1, math.min(8, learned.words.size / 4096 + 1))),
       StructType(Seq(
-        StructField("merge_rank", LongType, nullable = false),
-        StructField("lhs", StringType, nullable = false),
-        StructField("rhs", StringType, nullable = false),
-        StructField("merged", StringType, nullable = false),
-        StructField("weight", LongType, nullable = false))))
-    (mergeDf, v)
-  }
+        StructField("word", StringType, nullable = false),
+        StructField("pieces", ArrayType(StringType, containsNull = false),
+          nullable = false))))
 
   /** Per-document token and BPE-piece counts under the first `rounds`
     * learned merges: (id, n_tokens, n_pieces). The merges and the
     * encoded vocab are computed once (vocab-scale); the corpus pays
-    * one scan, one broadcast join, one aggregate.
+    * one scan, one broadcast join, one aggregate — at ANY merge depth.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
-    val (_, v) = learnState(df, textCol, rounds)
-    val pieces = v.select(col("word"), size(col("syms")).as("n_pieces"))
+    val learned = learnMerges(df, textCol, rounds)
+    val pieces = encodedVocab(df.sparkSession, learned)
+      .select(col("word"), size(col("pieces")).as("n_pieces"))
     df.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .join(broadcast(pieces), "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum("n_pieces").as("n_pieces"))
+  }
+
+  /** The piece vocabulary as a DataFrame: (piece, freq, piece_id),
+    * ids ranked (freq DESC, piece ASC) — bounded by learned-vocab
+    * piece count. */
+  def pieceVocab(spark: SparkSession, learned: Learned): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.pieces.map { case (p, f, id) => Row(p, f, id) }, 1),
+      StructType(Seq(
+        StructField("piece", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false),
+        StructField("piece_id", LongType, nullable = false))))
+
+  /** Documents encoded to BPE piece-id SEQUENCES — the actual
+    * curation→training handoff artifact: (id, pos, piece, piece_id)
+    * with `pos` the 1-based position in the document's piece stream.
+    * Corpus cost: one scan, two broadcast joins (word→pieces,
+    * piece→id), one per-document window (bounded by document length).
+    * Composes directly with [[Pack.packSequences]] /
+    * `TextAnalysis.chunkTokens` for packed context windows.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val learned = learnMerges(df, textCol, rounds)
+    val spark = df.sparkSession
+    val vocabDf = encodedVocab(spark, learned)
+    val ids = pieceVocab(spark, learned).select("piece", "piece_id")
+    val byDoc = Window.partitionBy(idCol).orderBy(col("widx"), col("pidx"))
+    df.select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .withColumnRenamed("pos", "widx").withColumnRenamed("col", "word")
+      .join(broadcast(vocabDf), "word")
+      .select(col(idCol), col("widx"), posexplode(col("pieces")))
+      .withColumnRenamed("pos", "pidx").withColumnRenamed("col", "piece")
+      .withColumn("pos", row_number().over(byDoc).cast(LongType))
+      .join(broadcast(ids), "piece")
+      .select(col(idCol), col("pos"), col("piece"), col("piece_id"))
   }
 }

@@ -52,6 +52,75 @@ class BpeSpec extends SparkSpec {
     assert(got.head.getString(3) == "ab")
   }
 
+  test("deep learn reaches full-collapse depth with zero per-round Spark jobs") {
+    // the classic fixture exhausts at 12 merges (every word one symbol);
+    // ask for far more and count jobs: the whole learn must cost a
+    // CONSTANT number of jobs (vocab agg + literal table), not O(rounds)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val got = Bpe.learn(classic, "text", rounds = 4096).collect()
+      // listener events are async; settle before reading the counter
+      var prev = -1; var spins = 0
+      while (counter.jobs.get() != prev && spins < 30) {
+        prev = counter.jobs.get(); Thread.sleep(100); spins += 1
+      }
+      // low(3)+lower(2, after low reused... ) — exact count: the vocab
+      // {low, lower, newest, widest} fully collapses; each word of
+      // length n costs n-1 merges minus shared prefixes learned once:
+      // verify exhaustion (< 4096) and that every final word is a
+      // single symbol via encode
+      assert(got.length < 20 && got.length >= 10)
+      assert(counter.jobs.get() <= 4,
+        s"deep learn ran ${counter.jobs.get()} jobs — merge loop must not touch Spark")
+    } finally spark.sparkContext.removeSparkListener(counter)
+    val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // fully collapsed: pieces == tokens per doc
+    assert(enc == Map(1L -> 5L, 2L -> 2L, 3L -> 6L, 4L -> 3L))
+  }
+
+  test("learnMerges matches the declarative applyMerge round-for-round") {
+    // property pin: the in-memory greedy loop and the gaps-and-islands
+    // Spark form stay in lockstep over several rounds on a fixture with
+    // identical-symbol runs (the tricky overlap case)
+    val runs = corpus(1L -> "aaaa aaa banana bananas", 2L -> "aa banana")
+    val learned = Bpe.learnMerges(runs, "text", rounds = 5)
+    var v = Bpe.vocab(runs, "text")
+    learned.merges.foreach { m => v = Bpe.applyMerge(v, m.lhs, m.rhs) }
+    val sparkSide = v.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    val memSide = learned.words.map { case (w, _, s) => w -> s }.toMap
+    assert(sparkSide == memSide)
+  }
+
+  test("encodeIds emits per-document piece-id sequences with frequency-ranked ids") {
+    val ids = Bpe.encodeIds(classic, "doc_id", "text", rounds = 4)
+    val rows = ids.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 2 = "lower lower" → pieces per word [lo, w, e, r] under
+    // merges es, est, lo, low? — after 4 merges (es, est, lo, low):
+    // lower → [low, e, r]
+    val doc2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(doc2.map(_._3).toSeq == Seq("low", "e", "r", "low", "e", "r"))
+    assert(doc2.map(_._2).toSeq == (1L to 6L))
+    // ids are dense 1..K and frequency-ranked: est (9 occurrences,
+    // weighted) must rank above w
+    val idOf = rows.map(t => t._3 -> t._4).toMap
+    assert(idOf.values.toSet == (1L to idOf.size).toSet)
+    assert(idOf("est") < idOf("w"))
+    // piece sequence joins back to the same totals encode reports
+    val totals = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(totals == enc)
+  }
+
   test("encode counts pieces under the learned merges via one broadcast join") {
     val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4)
     val got = enc.collect()
