@@ -1532,6 +1532,59 @@ object SparkEntry {
              |JOIN pieces USING (word)
              |GROUP BY 1""".stripMargin)),
 
+    ("q_bpe_deep", // DEEP merge training (1024 rounds) — the depth a
+      // real vocabulary needs, impossible under the old one-Spark-job-
+      // per-round design. The fixture's 31-word char vocabulary
+      // provably exhausts at ~107 merges, so depth is demonstrated at
+      // PHRASE level (initial symbols = word tokens, documents as
+      // sequences — multi-word-expression discovery with the same BPE
+      // objective and the same driver-side loop; ~26k merges
+      // available). Oracle: the learned merge table inlined as rank-
+      // map literals + a recursive lowest-rank-first replay — which
+      // also empirically certifies the rank-order ≡ lowest-rank
+      // application equivalence the tokenizer literature relies on.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Bpe.encodePhrases(t(s, dir, "documents"),
+          "doc_id", "text", rounds = 1024),
+      None),
+
+    ("q_bpe_ids", // the curation→training handoff artifact: documents
+      // encoded to BPE piece-ID sequences (doc, pos, piece, piece_id)
+      // with frequency-ranked dense ids — one corpus scan + two
+      // broadcast joins at any merge depth. Oracle: full unrolled
+      // 6-round replay (no engine-derived literals), piece ids
+      // re-ranked in SQL from the replayed vocab.
+      (s: SparkSession, dir: String) =>
+        graft.operators.Bpe.encodeIds(t(s, dir, "documents"), "doc_id",
+          "text", rounds = 6),
+      Some(s"""${bpeCtesSql(6)},
+             |pf AS (SELECT piece, CAST(sum(weight) AS BIGINT) AS freq
+             |       FROM (SELECT weight, unnest(syms) AS piece FROM v6)
+             |       GROUP BY 1),
+             |pid AS (SELECT piece,
+             |          CAST(row_number() OVER (ORDER BY freq DESC, piece)
+             |               AS BIGINT) AS piece_id
+             |        FROM pf),
+             |tk AS (SELECT doc_id, u.widx AS widx, u.word AS word FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |        generate_series(1, len(t)),
+             |        i -> {'widx': i, 'word': t[i]})) AS u
+             |    FROM (SELECT doc_id, list_filter(
+             |            string_split_regex(lower(text), '\\s+'),
+             |            x -> len(x) > 0) AS t
+             |          FROM documents))),
+             |px AS (SELECT tk.doc_id, tk.widx, u.pidx AS pidx,
+             |              u.piece AS piece
+             |       FROM tk JOIN v6 ON tk.word = v6.word,
+             |            LATERAL (SELECT unnest(list_transform(
+             |                generate_series(1, len(v6.syms)),
+             |                j -> {'pidx': j, 'piece': v6.syms[j]})) AS u))
+             |SELECT doc_id,
+             |       CAST(row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY widx, pidx) AS BIGINT) AS pos,
+             |       piece, piece_id
+             |FROM px JOIN pid USING (piece)""".stripMargin)),
+
     ("q_text_profile",
       (s: SparkSession, dir: String) =>
         TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text"),
@@ -3931,6 +3984,59 @@ object SparkEntry {
     s"WITH $v0,\n$roundCtes"
   }
 
+  /** Oracle for q_bpe_deep: [[graft.operators.Bpe.learnPhraseMerges]]
+    * runs once at Verify time (driver-side loop over the bounded
+    * distinct-sequence relation — the exact artifact under test) and
+    * its merge table is inlined as a rank-map literal; the APPLICATION
+    * is then replayed independently in SQL as a recursive
+    * lowest-rank-first encoder (HF-tokenizers' algorithm), which must
+    * converge to the same per-document piece counts as the engine's
+    * rank-order greedy training state. Merge-loop CORRECTNESS is
+    * separately pinned by q_bpe_learn/q_bpe_ids' literal-free unrolled
+    * replays at depth 6; this oracle extends the check to real depth
+    * plus the rank-order ≡ lowest-rank equivalence.
+    */
+  private def bpeDeepOracleSql(s: SparkSession, dir: String): String = {
+    val learned = graft.operators.Bpe.learnPhraseMerges(
+      t(s, dir, "documents"), "text", rounds = 1024)
+    require(learned.merges.nonEmpty, "phrase BPE learned no merges")
+    def esc(x: String) = x.replace("'", "''")
+    val keys = learned.merges
+      .map(m => s"'${esc(m.lhs)}'||chr(1)||'${esc(m.rhs)}'").mkString(", ")
+    val ranks = learned.merges.map(_.rank).mkString(", ")
+    // sentinel must exceed every real rank
+    val none = learned.merges.length + 1000000
+    def rks(src: String) =
+      s"""list_transform(generate_series(1, len($src)-1),
+         |  i -> coalesce(map_extract(m, $src[i]||chr(1)||$src[i+1])[1],
+         |                $none))""".stripMargin
+    s"""WITH RECURSIVE
+       |mg AS (SELECT map([$keys], [$ranks]) AS m),
+       |tk AS (SELECT doc_id, list_filter(
+       |           string_split_regex(lower(text), '\\s+'),
+       |           x -> len(x) > 0) AS t
+       |       FROM documents),
+       |base AS (SELECT DISTINCT array_to_string(t, ' ') AS k, t AS syms
+       |         FROM tk WHERE len(t) > 0),
+       |enc AS (
+       |  SELECT k, syms FROM base
+       |  UNION ALL
+       |  SELECT k, list_concat(list_concat(
+       |           array_slice(syms, 1, bi-1),
+       |           [syms[bi] || ' ' || syms[bi+1]]),
+       |           array_slice(syms, bi+2, len(syms))) AS syms
+       |  FROM (SELECT k, syms, list_min(rks) AS br,
+       |               list_position(rks, list_min(rks)) AS bi
+       |        FROM (SELECT k, syms, ${rks("syms")} AS rks
+       |              FROM enc, mg WHERE len(syms) >= 2))
+       |  WHERE br < $none),
+       |fin AS (SELECT k, len(syms) AS n_pieces FROM enc, mg
+       |        WHERE len(syms) < 2 OR list_min(${rks("syms")}) = $none)
+       |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |       CAST(fin.n_pieces AS BIGINT) AS n_pieces
+       |FROM tk JOIN fin ON array_to_string(tk.t, ' ') = fin.k""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying [[Similarity.kmeansQuantizedFit]] (two
     * Lloyd steps, 64-dim fixture vectors): quantize → smallest-id seeds
     * → (assign argmin-L2² with lowest-cl ties, per-dim exact floor-div
@@ -4210,6 +4316,7 @@ object SparkEntry {
          |${pqAdcCtesSql(tables)},
          |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
     }),
+    "q_bpe_deep" -> bpeDeepOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
     "q_embed_rp" -> rpOracleSql,

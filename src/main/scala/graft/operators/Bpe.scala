@@ -142,18 +142,57 @@ object Bpe {
     * the vocabulary runs out of adjacent pairs.
     */
   def learnMerges(df: DataFrame, textCol: String, rounds: Int): Learned = {
-    require(rounds > 0, s"rounds must be positive: $rounds")
     val rows = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("weight"))
       .collect()
-    val words = rows.map(r => r.getString(0) -> r.getLong(1))
-    val syms = words.map { case (w, _) => codePoints(w) }
+    runMerges(
+      rows.map(r => (r.getString(0), r.getLong(1), codePoints(r.getString(0)))),
+      rounds, glue = "")
+  }
 
-    // pair bookkeeping: current weighted counts, word postings per
-    // pair, and a TreeSet ordered exactly like the winner query
-    // (cnt DESC, lhs, rhs binary ASC) so each round's winner is a
-    // first() and each delta an O(log P) remove/insert.
+  /** PHRASE-level BPE: initial symbols are word TOKENS and the
+    * pre-tokenization unit is the whole document, so merges discover
+    * multi-word expressions ("order by", "group by order", …) —
+    * collocation mining with the exact BPE objective. Same driver-side
+    * loop over a bounded relation: the DISTINCT token sequences (one
+    * corpus aggregate; identical documents weight the same sequence).
+    * The sequence key is the space-joined token list — injective,
+    * since tokens are whitespace-free by construction. Merged symbols
+    * join their halves with a space, so every learned phrase is the
+    * literal token subsequence it covers.
+    */
+  def learnPhraseMerges(df: DataFrame, textCol: String,
+      rounds: Int): Learned = {
+    val rows = df
+      .select(TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .groupBy(array_join(col("toks"), " ").as("seq_key"))
+      .agg(count(lit(1)).as("weight"))
+      .collect()
+    runMerges(
+      rows.map { r =>
+        val key = r.getString(0)
+        (key, r.getLong(1),
+          mutable.ArrayBuffer.from(key.split(' ').toSeq))
+      },
+      rounds, glue = " ")
+  }
+
+  /** The shared in-memory merge loop over arbitrary symbol sequences.
+    * `glue` joins the halves of a merged symbol ("" for char-level,
+    * " " for phrase-level). Incremental pair bookkeeping: a TreeSet
+    * ordered exactly like the winner query (cnt DESC, lhs, rhs binary
+    * ASC) so each round's winner is a first() and each delta an
+    * O(log P) remove/insert — rounds cost O(affected sequences), not
+    * a rescan.
+    */
+  private def runMerges(seqs: Array[(String, Long, mutable.ArrayBuffer[String])],
+      rounds: Int, glue: String): Learned = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val words = seqs.map { case (k, w, _) => (k, w) }
+    val syms = seqs.map(_._3)
+
     type Pair = (String, String)
     val counts = mutable.HashMap.empty[Pair, Long]
     val postings = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
@@ -194,7 +233,7 @@ object Bpe {
     var r = 1
     while (r <= rounds && order.nonEmpty) {
       val (cnt, lhs, rhs) = order.head
-      val merged = lhs + rhs
+      val merged = lhs + glue + rhs
       merges += Merge(r.toLong, lhs, rhs, merged, cnt)
       val affected = postings.getOrElse((lhs, rhs), mutable.HashSet.empty)
         .toArray
@@ -326,6 +365,35 @@ object Bpe {
     * Composes directly with [[Pack.packSequences]] /
     * `TextAnalysis.chunkTokens` for packed context windows.
     */
+  /** Per-document token and PHRASE-piece counts under `rounds`
+    * phrase-level merges (see [[learnPhraseMerges]]): (id, n_tokens,
+    * n_pieces). Because the distinct token sequences ARE the training
+    * relation, encoding is a broadcast join from the space-joined
+    * sequence key to its post-merge length — one corpus scan at ANY
+    * merge depth. This is the operator that demonstrates deep
+    * (1000s-of-merges) training on the fixture corpus: its 31-word
+    * char-level vocabulary provably exhausts at Σ(len−1) ≈ 107
+    * merges, while the phrase universe supports ~Σ(doc_len−1) ≈ 26k.
+    */
+  def encodePhrases(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val learned = learnPhraseMerges(df, textCol, rounds)
+    val spark = df.sparkSession
+    val lengths = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.words.map { case (k, _, s) => Row(k, s.length.toLong) }, 1),
+      StructType(Seq(
+        StructField("seq_key", StringType, nullable = false),
+        StructField("n_pieces", LongType, nullable = false))))
+    df.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), size(col("toks")).cast(LongType).as("n_tokens"),
+        array_join(col("toks"), " ").as("seq_key"))
+      .join(broadcast(lengths), "seq_key")
+      .select(col(idCol), col("n_tokens"), col("n_pieces"))
+  }
+
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     val learned = learnMerges(df, textCol, rounds)

@@ -29,7 +29,21 @@ import org.apache.spark.sql.functions._
 object Pack {
 
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int): DataFrame =
+    packCounts(
+      df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, tokenBudget)
+
+  /** The same packing over a PRECOMPUTED per-document count relation
+    * (idCol, n_tokens) — the composition point for tokenized streams:
+    * `Bpe.encodeIds(...).groupBy(id).count()` feeds BPE-piece streams
+    * straight into fixed-budget context windows, ending the pretrain
+    * pipeline at packed id sequences.
+    */
+  def packCounts(countedIn: DataFrame, idCol: String,
       tokenBudget: Int): DataFrame = {
+    val df = countedIn
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // localCheckpoint(eager): the per-row partition ids must be FROZEN
@@ -43,7 +57,7 @@ object Pack {
     // materialize (write/collect) and drop them, or sweep
     // sparkContext.getPersistentRDDs and unpersist, as Bench does.
     val counted = df
-      .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"))
       .repartitionByRange(parallelism, col(idCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)

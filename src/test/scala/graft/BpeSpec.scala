@@ -121,6 +121,61 @@ class BpeSpec extends SparkSpec {
     assert(totals == enc)
   }
 
+  test("char-level learn sustains thousands of merges on a realistic vocabulary") {
+    // deterministic synthetic vocabulary: 4000 distinct 8-12 char
+    // "words" from md5 hex — the fixture corpus' 31-word vocabulary
+    // can't exercise real merge depth, this can (bound Σ(len-1) ≈ 38k)
+    import spark.implicits._
+    val docs = (1L to 4000L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      i -> h.take(8 + (i % 5).toInt)
+    }.grouped(40).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.map(_._2).mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val learned = Bpe.learnMerges(docs, "text", rounds = 2048)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(learned.merges.length == 2048,
+      s"expected 2048 merges, got ${learned.merges.length}")
+    // ranks are dense and weights non-increasing is NOT guaranteed
+    // (merges create new pairs), but every winner must have been the
+    // max at selection: sanity-check monotone rank + positive counts
+    assert(learned.merges.map(_.rank) == (1L to 2048L))
+    assert(learned.merges.forall(_.weight > 0))
+    assert(secs < 60.0, s"deep learn took $secs s — loop must be incremental")
+  }
+
+  test("phrase-level merges discover multi-word expressions and encode by broadcast join") {
+    // "order by" dominates; then ("order by", "limit") chains the
+    // learned symbol into a 3-gram phrase
+    val docs = corpus(
+      1L -> "select x order by y limit 10",
+      2L -> "select y order by y limit 10",
+      3L -> "delete where order by z",
+      4L -> "order by q limit 10")
+    val learned = Bpe.learnPhraseMerges(docs, "text", rounds = 2)
+    assert(learned.merges.head.lhs == "order" &&
+      learned.merges.head.rhs == "by" &&
+      learned.merges.head.merged == "order by" &&
+      learned.merges.head.weight == 4L)
+    // round 2: pairs ("by"→gone); ("order by", "y")=2, ("y","limit")=2,
+    // ("limit","10")=3 wins
+    assert(learned.merges(1).merged == "limit 10" &&
+      learned.merges(1).weight == 3L)
+    val enc = Bpe.encodePhrases(docs, "doc_id", "text", rounds = 2)
+    val rows = enc.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 7 tokens → [select, x, "order by", y, "limit 10"] = 5 pieces
+    assert(rows(1L) == (7L, 5L))
+    assert(rows(3L) == (5L, 4L))
+    assert(rows(4L) == (5L, 3L))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase encode should broadcast-join the sequence lengths:\n$plan")
+  }
+
   test("encode counts pieces under the learned merges via one broadcast join") {
     val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4)
     val got = enc.collect()

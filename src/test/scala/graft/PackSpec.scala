@@ -30,6 +30,31 @@ class PackSpec extends SparkSpec {
       (5L, 6, 12L, 3L, 4L, 0L))) // tokens 12..17 -> windows 3-4
   }
 
+  test("packCounts packs BPE piece-id streams into fixed-budget context windows") {
+    val s = spark
+    import s.implicits._
+    // the pretrain handoff: documents → BPE piece-id sequences →
+    // per-doc piece counts → packed windows. Under 4 merges on the
+    // classic fixture, piece counts per doc are 5, 6, 24, 12.
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val ids = graft.operators.Bpe.encodeIds(docs, "doc_id", "text", rounds = 4)
+    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val got = Pack.packCounts(counts, "doc_id", tokenBudget = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // starts: 0, 5, 11, 35; windows of 8 pieces
+    assert(got.toSeq == Seq(
+      (1L, 5L, 0L, 0L, 0L, 0L),    // pieces 0..4   -> window 0
+      (2L, 6L, 5L, 0L, 1L, 5L),    // pieces 5..10  -> windows 0-1
+      (3L, 24L, 11L, 1L, 4L, 3L),  // pieces 11..34 -> windows 1-4
+      (4L, 12L, 35L, 4L, 5L, 3L))) // pieces 35..46 -> windows 4-5
+  }
+
   test("packSequences holds at shuffle.partitions=200 (offsets broadcast-joined, not a when-chain)") {
     val s = spark
     import s.implicits._
