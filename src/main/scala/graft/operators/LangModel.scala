@@ -203,6 +203,10 @@ object LangModel {
          Long) = {
     val rows = model.select(col("w1"), col("w2"), col("c12"),
       col("p_num"), col("p_den")).collect()
+    // an empty model would make the OOV floor -ln(Infinity) →
+    // Long.MinValue and score every document as nonsense; fail loudly
+    require(rows.nonEmpty,
+      "KN model is empty — the reference corpus has no bigrams")
     val nBi = rows.length.toLong
     def mc(p: Double): Long = math.floor(-math.log(p) * scale).toLong
     val pairCost = rows.map { r =>

@@ -212,18 +212,27 @@ object Scale {
     * deterministic under any partitioning.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      k: Int, desc: Boolean = true, tieCols: Seq[String] = Nil): DataFrame = {
+      k: Int, desc: Boolean = true, tieCols: Seq[String] = Nil,
+      maxHeldRows: Int = graft.plans.TopKHeaps.maxHeldRows): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     require(keyCols.nonEmpty, "keyCols must not be empty")
     if (k <= 0) return df.limit(0) // top-0 is empty, not an error
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String) = analyzed.output.find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $name not in ${analyzed.output.map(_.name).mkString(",")}"))
+    // resolve through Dataset.col — session-conf-aware (case
+    // sensitivity) and FAILS on ambiguity, where a name scan over
+    // analyzed.output would silently bind the first of two same-named
+    // columns after a join
+    def attr(name: String) =
+      org.apache.spark.sql.GraftExprBridge.expression(df.col(name)) match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a
+      case other => throw new IllegalArgumentException(
+        s"column $name did not resolve to an attribute of the input: $other")
+    }
     val ordering =
       SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
         tieCols.map(c => SortOrder(attr(c), Ascending))
     org.apache.spark.sql.GraftPlanBridge.ofRows(df.sparkSession,
-      graft.plans.TopKPerKeyNode(keyCols.map(attr), ordering, k, analyzed))
+      graft.plans.TopKPerKeyNode(keyCols.map(attr), ordering, k, analyzed,
+        maxHeldRows))
   }
 }

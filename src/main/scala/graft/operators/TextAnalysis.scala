@@ -378,10 +378,12 @@ object TextAnalysis {
     * tokenizer ships with: tokens seen at least `minCount` times,
     * ids 1..maxSize assigned by (count desc, token) so the assignment
     * is total-order deterministic (id 0 is reserved for OOV by
-    * [[encodeIds]]). One combinable corpus aggregate; the ranking
-    * window runs over the vocabulary-bounded count table (a single
-    * ordered task of ≤ maxSize rows — bounded by construction, not by
-    * corpus size).
+    * [[encodeIds]]). One combinable corpus aggregate; the count table
+    * is then REDUCED to its top-maxSize rows by a distributed
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    * full sort) BEFORE the ranking window, so the single ordered
+    * window task holds ≤ maxSize rows by construction even at
+    * minCount=1 over an unbounded vocabulary.
     */
   def vocabBuild(df: DataFrame, textCol: String, maxSize: Int,
       minCount: Long = 1L): DataFrame = {
@@ -390,9 +392,9 @@ object TextAnalysis {
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(maxSize)
     val w = Window.orderBy(col("cnt").desc, col("token"))
-    counts.withColumn("tid", row_number().over(w).cast("long"))
-      .filter(col("tid") <= maxSize)
+    top.withColumn("tid", row_number().over(w).cast("long"))
       .select(col("token"), col("tid"), col("cnt"))
   }
 

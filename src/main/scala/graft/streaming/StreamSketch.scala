@@ -29,12 +29,44 @@ object StreamSketch {
     * sketch row `r`: a point query that probes only some rows prunes
     * directories, and the layout keeps each append to `depth` small
     * files.
+    *
+    * Batches at or below the compaction watermark (see [[compact]])
+    * are REJECTED as no-ops: after a compaction folds deltas into
+    * batch_id −1, the (batch_id, r, b) dedup key can no longer absorb
+    * a redelivery of a pre-compaction batch, so the watermark carries
+    * the retry-safety contract across compactions.
     */
   def upsertBatch(batch: DataFrame, textCol: String, root: String,
       batchId: Long, depth: Int = 4, hexDigits: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= readWatermark(spark, root)) return
     Sketch.cmsSketch(batch, textCol, depth, hexDigits)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("r").parquet(root)
+  }
+
+  /** The highest batch_id folded into a compaction, −1 if never
+    * compacted. Stored as a SIBLING of the root (`<root>_watermark`)
+    * so the compaction's mode("overwrite") rewrite of the root cannot
+    * delete it — which lets [[compact]] write it BEFORE the rewrite
+    * for crash-safety.
+    */
+  def readWatermark(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "_watermark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+      .readLine().trim.toLong
+    finally in.close()
+  }
+
+  private def writeWatermark(spark: SparkSession, root: String,
+      wm: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "_watermark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$wm\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** The merged sketch over every ingested batch: one (r, b, cnt) row
@@ -69,9 +101,24 @@ object StreamSketch {
     * a re-ingestable upstream, not from the ingest path.
     */
   def compact(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the watermark: highest real batch folded by this compaction.
+    // Written BEFORE the rewrite — if the rewrite crashes, the deltas
+    // (still batch_id-keyed and dedupable) survive and the watermark
+    // merely rejects redeliveries of batches those deltas already
+    // hold, so counts stay exact on either side of the crash.
+    val maxBatch =
+      if (!fs.exists(p)) -1L
+      else spark.read.parquet(root).agg(max("batch_id")).head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+    val prior = readWatermark(spark, root)
     val merged = readSketch(spark, root)
       .withColumn("batch_id", lit(-1L))
       .localCheckpoint(true)
+    writeWatermark(spark, root, math.max(maxBatch, prior))
     merged.write.mode("overwrite").partitionBy("r").parquet(root)
   }
 }

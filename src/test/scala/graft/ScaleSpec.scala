@@ -235,4 +235,36 @@ class ScaleSpec extends SparkSpec {
     assert(written.get() <= 100000L + 5L * parts + 1000L,
       s"${written.get()} shuffle records — partial heaps not bounding the exchange")
   }
+
+  test("topKPerKey: near-unique keys stay exact under a tiny partial-memory cap") {
+    import spark.implicits._
+    // 20k distinct keys, 3 rows each, k=2, partial cap of 256 held
+    // rows: the partial pass must flush-and-reset ~hundreds of times
+    // (bounded memory) and the sort-based final must still emit the
+    // exact per-key top-2 — the keepBestPerCluster cardinality regime
+    // that an unbounded per-key heap map would OOM on at scale
+    val n = 20000
+    val df = spark.range(0, n * 3L)
+      .select((col("id") % n).as("key"), col("id").as("v"))
+      .repartition(8)
+    val got = graft.operators.Scale.topKPerKey(df, Seq("key"), "v", k = 2,
+      desc = true, tieCols = Seq("v"), maxHeldRows = 256)
+    // exact oracle: top-2 v per key are key+2n and key+n
+    assert(got.count() == 2L * n)
+    val agg = got.groupBy("key")
+      .agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .filter(col("sv") =!= col("key") * 2 + 3L * n || col("c") =!= 2)
+      .count()
+    assert(agg == 0L, "sort-based final lost exactness under flushing partials")
+  }
+
+  test("topKPerKey fails loudly on an ambiguous column name") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("k", "v")
+    val b = Seq((1L, 3L)).toDF("k", "v")
+    val joined = a.join(b, a("k") === b("k"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.operators.Scale.topKPerKey(joined, Seq("k"), "v", k = 1)
+    }
+  }
 }

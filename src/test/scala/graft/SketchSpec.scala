@@ -113,6 +113,29 @@ class SketchSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("StreamSketch: a pre-compaction batch redelivered AFTER compact is rejected by the watermark") {
+    val root = java.nio.file.Files.createTempDirectory("cms3").toString + "/s"
+    val s = spark
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 === 1)
+    graft.streaming.StreamSketch.upsertBatch(half, "text", root, 1L)
+    graft.streaming.StreamSketch.upsertBatch(rest, "text", root, 2L)
+    graft.streaming.StreamSketch.compact(s, root)
+    assert(graft.streaming.StreamSketch.readWatermark(s, root) == 2L)
+    // at-least-once redelivery of batch 1 after its delta was folded
+    // into batch_id -1: (batch_id, r, b) dedup can't see it any more;
+    // the watermark must reject it as a no-op
+    graft.streaming.StreamSketch.upsertBatch(half, "text", root, 1L)
+    val streamed = cells(graft.streaming.StreamSketch.readSketch(s, root))
+    val oneShot = cells(Sketch.cmsSketch(docs, "text", 4, 3))
+    assert(streamed == oneShot, "redelivered pre-compaction batch double-counted")
+    // while genuinely NEW batches still ingest
+    graft.streaming.StreamSketch.upsertBatch(half, "text", root, 3L)
+    val after = cells(graft.streaming.StreamSketch.readSketch(s, root))
+    val expect = cells(Sketch.cmsSketch(docs.union(half), "text", 4, 3))
+    assert(after == expect)
+  }
+
   test("cmsSketch plan: the only shuffle carries (r, b) cells, never tokens") {
     val plan = Sketch.cmsSketch(docs, "text", 4, 3)
       .queryExecution.executedPlan.toString
