@@ -1478,6 +1478,41 @@ object SparkEntry {
              |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
              |                                x -> len(x) > 0), 'window')""".stripMargin)),
 
+    ("q_stream_text_index", // incrementally-grown inverted index: the
+      // corpus arrives in THREE batches through the streaming upsert
+      // path (StreamTextIndex.upsertBatch — per-batch posting deltas,
+      // set-union semantics), with a COMPACTION and an at-least-once
+      // REDELIVERY interleaved mid-stream; the final index must answer
+      // the same word grep as the batch-built index, so the
+      // q_grep_index_lookup oracle replays it unchanged — a new
+      // document is greppable after its own micro-batch, no rebuild
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_text_index").toString + "/idx"
+        val docs = t(s, dir, "documents")
+        val b0 = docs.filter(col("doc_id") % 3 === 0)
+        val b1 = docs.filter(col("doc_id") % 3 === 1)
+        val b2 = docs.filter(col("doc_id") % 3 === 2)
+        graft.streaming.StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 0L)
+        graft.streaming.StreamTextIndex.upsertBatch(b1, "doc_id", "text", root, 1L)
+        graft.streaming.StreamTextIndex.compact(s, root)
+        graft.streaming.StreamTextIndex.upsertBatch(b1, "doc_id", "text", root, 1L) // retry
+        graft.streaming.StreamTextIndex.upsertBatch(b2, "doc_id", "text", root, 2L)
+        val got = graft.streaming.StreamTextIndex.grepTokens(docs, "doc_id",
+          root, Seq("spark", "window")).select("doc_id")
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'spark')
+             |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'window')""".stripMargin)),
+
     ("q_phrase_index_lookup", // positional-index PHRASE grep: each
       // phrase token reads one pruned bucket of (tok, id, pos)
       // postings, shifts to a common start (pos - i), and the

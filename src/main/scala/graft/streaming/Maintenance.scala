@@ -30,7 +30,8 @@ object Maintenance {
 
   final case class Report(
       expiredResults: Seq[String], expiredStats: Seq[String],
-      compactedResults: Seq[String], compactedStats: Seq[String]) {
+      compactedResults: Seq[String], compactedStats: Seq[String],
+      compactedIndexes: Seq[String] = Nil) {
     def render: String =
       s"expired results partitions: ${expiredResults.size}" +
         (if (expiredResults.isEmpty) "" else expiredResults.mkString(" (", ", ", ")")) +
@@ -40,6 +41,8 @@ object Maintenance {
         (if (compactedResults.isEmpty) "" else compactedResults.mkString(" (", ", ", ")")) +
         s"\ncompacted stats partitions: ${compactedStats.size}" +
         (if (compactedStats.isEmpty) "" else compactedStats.mkString(" (", ", ", ")")) +
+        s"\ncompacted index/sketch roots: ${compactedIndexes.size}" +
+        (if (compactedIndexes.isEmpty) "" else compactedIndexes.mkString(" (", ", ", ")")) +
         "\n"
   }
 
@@ -49,7 +52,9 @@ object Maintenance {
       targetFileBytes: Long = 512L * 1024 * 1024,
       retireResultsSink: Boolean = false,
       graceMillis: Long = 10L * 60 * 1000,
-      nowMillis: Long = System.currentTimeMillis()): Report = {
+      nowMillis: Long = System.currentTimeMillis(),
+      indexRoots: Seq[String] = Nil,
+      sketchRoots: Seq[String] = Nil): Report = {
     val results = s"$root/results"
     val stats = s"$root/stats"
     val sinkLog = new org.apache.hadoop.fs.Path(results, "_spark_metadata")
@@ -88,6 +93,20 @@ object Maintenance {
     val compactedStats = LogPipeline.compactResults(spark, stats,
       maxFiles, skipDate, targetFileBytes,
       dropSinkLog = false, graceMillis = graceMillis)
-    Report(expiredResults, expiredStats, compactedResults, compactedStats)
+    // incremental-index upkeep: fold streaming deltas back to their
+    // one-shot size (posting sets / sketch cells). Each compaction is
+    // a no-op on a root that was never ingested.
+    def exists(r: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val compactedIdx =
+      indexRoots.filter(exists).map { r =>
+        StreamTextIndex.compact(spark, r); r
+      } ++ sketchRoots.filter(exists).map { r =>
+        StreamSketch.compact(spark, r); r
+      }
+    Report(expiredResults, expiredStats, compactedResults, compactedStats,
+      compactedIdx)
   }
 }

@@ -117,4 +117,68 @@ class TextIndexSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(tok), EqualTo(tok,spark)]"),
       s"token filter not pushed:\n$p")
   }
+
+  test("streaming index: batch splits + retry + compaction equal the one-shot index") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("stextindex").toString + "/idx"
+    val S = graft.streaming.StreamTextIndex
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    S.upsertBatch(b0, "doc_id", "text", root, 0L)
+    // a document is greppable right after its OWN batch
+    val early = S.lookup(spark, root, "spark").as[Long].collect().toSet
+    val scanB0 = b0.filter(array_contains(
+        TextFunctions.tokenSet(lower(col("text"))), "spark"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(early == scanB0 && early.nonEmpty)
+    S.upsertBatch(b1, "doc_id", "text", root, 1L)
+    S.compact(spark, root)
+    S.upsertBatch(b1, "doc_id", "text", root, 1L) // post-compaction retry
+    S.upsertBatch(b2, "doc_id", "text", root, 2L)
+    // final posting set == batch-built index's
+    val oneShot = indexDir()
+    val batchPostings = spark.read.parquet(oneShot)
+      .select("tok", "id").as[(String, Long)].collect().toSet
+    val streamed = S.readIndex(spark, root)
+      .select("tok", "id").as[(String, Long)].collect().toSet
+    assert(streamed == batchPostings)
+    // and the pruning contract survives incremental growth + compaction
+    val p = S.lookup(spark, root, "spark")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(bucket") &&
+      """\(bucket#\d+ = \d+\)""".r.findFirstIn(p).isDefined,
+      s"no folded bucket partition filter on the streamed index:\n$p")
+  }
+
+  test("streaming index compaction shrinks files and Maintenance drives it") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("stextindex2").toString + "/idx"
+    val S = graft.streaming.StreamTextIndex
+    (0 until 4).foreach { k =>
+      S.upsertBatch(docs.filter(pmod(col("doc_id"), lit(4)) === k),
+        "doc_id", "text", root, k.toLong)
+    }
+    def dataFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.count(f => f.toString.endsWith(".parquet"))
+    }
+    val before = dataFiles()
+    val want = S.readIndex(spark, root)
+      .select("tok", "id").as[(String, Long)].collect().toSet
+    val rep = graft.streaming.Maintenance.run(spark,
+      java.nio.file.Files.createTempDirectory("mroot").toString,
+      indexRoots = Seq(root))
+    assert(rep.compactedIndexes == Seq(root))
+    val after = dataFiles()
+    assert(after < before, s"compaction did not shrink files: $before -> $after")
+    val got = S.readIndex(spark, root)
+      .select("tok", "id").as[(String, Long)].collect().toSet
+    assert(got == want)
+    // the modulus marker survives the rewrite
+    assert(S.bucketsOf(spark, root) == 64)
+  }
 }
