@@ -190,9 +190,16 @@ object Bench {
       // three-batch INGEST scenario (per-batch index/label parquet
       // writes + propagation rounds) — scenario cost, not query
       // latency; its operator cost is covered by q_dedup_clusters.
+      // q_stream_text_index is q_stream_dedup_index's sibling: a
+      // multi-batch ingest scenario (temp-dir appends + compaction),
+      // not a query latency; its lookup cost is q_grep_index_lookup's.
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
-        "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms")
-      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
+        "q_stream_text_index")
+      // benchQueries: the three pinned-plane LSH entries time their
+      // AUTO-SIZED production configs here; Verify replays the pinned
+      // forms (whose plane literals the oracles inline).
+      val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filterNot(q => excluded(q._1))
         .map { case (name, fn) => name -> run(fn) }
 
@@ -259,25 +266,42 @@ object Bench {
         calibBefore, calibAfter, calibParBefore, calibParAfter)
     }
 
-    // Self-adjudication: a contended first attempt triggers ONE re-run,
-    // and the better attempt (sustained streaming first, then lower
-    // query total) is published. Round 7 shipped a 2×-inflated artifact
-    // that five same-night clean runs contradicted; this closes that
-    // failure mode at the source — the artifact adjudicates itself
-    // before it exists. SPARK_GRAFT_BENCH_RETRIES=0 disables.
-    val a1 = attempt()
-    val chosen =
-      if (!a1.contended || envLong("SPARK_GRAFT_BENCH_RETRIES", 1L) <= 0) (a1, Seq(a1), 1)
-      else {
-        System.err.println(
-          s"[bench] attempt 1 adjudicated CONTENDED (${a1.telemetryJson}); re-running once")
-        val a2 = attempt()
-        def rank(a: Attempt) =
-          (if (a.streamSustained.contains(false)) 1 else 0, a.total)
-        val best = if (Ordering[(Int, Double)].lt(rank(a2), rank(a1))) (a2, 2) else (a1, 1)
-        (best._1, Seq(a1, a2), best._2)
+    // Self-adjudication: a contended attempt triggers re-runs — the
+    // second immediately, later ones after a backoff (default 5 min)
+    // that lets a transient co-tenant finish — up to
+    // SPARK_GRAFT_BENCH_RETRIES (default 3) re-runs. Round 7 shipped a
+    // 2×-inflated artifact that five same-night clean runs
+    // contradicted; round 10 stopped at two attempts and published
+    // `contended: true` with streaming marked unsustained purely from
+    // load. The bench must not settle for a contended value while the
+    // box may yet go idle; if every attempt stays contended, the
+    // published value is explicitly annotated `value_is_upper_bound`.
+    // SPARK_GRAFT_BENCH_RETRIES=0 disables (single attempt).
+    val maxAttempts = 1 +
+      math.max(0L, envLong("SPARK_GRAFT_BENCH_RETRIES", 3L)).toInt
+    val backoffSecs = envLong("SPARK_GRAFT_BENCH_BACKOFF_SECS", 300L)
+    val attemptsBuf = scala.collection.mutable.ArrayBuffer(attempt())
+    while (attemptsBuf.last.contended && attemptsBuf.size < maxAttempts) {
+      val n = attemptsBuf.size
+      if (n >= 2 && backoffSecs > 0) {
+        System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
+          s"(${attemptsBuf.last.telemetryJson}); backing off ${backoffSecs}s " +
+          "before the next attempt")
+        Thread.sleep(backoffSecs * 1000L)
+      } else {
+        System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
+          s"(${attemptsBuf.last.telemetryJson}); re-running")
       }
-    val (a, attempts, chosenIdx) = chosen
+      attemptsBuf += attempt()
+    }
+    def rank(a: Attempt) =
+      (if (a.streamSustained.contains(false)) 1 else 0,
+        if (a.contended) 1 else 0, a.total)
+    val attempts = attemptsBuf.toSeq
+    // minBy keeps the first of rank ties — earlier attempts win draws
+    val (a, chosenIdx0) = attempts.zipWithIndex
+      .minBy { case (att, _) => rank(att) }
+    val chosenIdx = chosenIdx0 + 1
 
     val qs = a.queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -290,7 +314,7 @@ object Bench {
     // aggregates because they led the line) — with totals at the end, a
     // tail-scrape always keeps the headline numbers, and the file
     // artifact below keeps everything regardless.
-    val line = f"""{"queries":$qs,"fanout_lines_per_sec":${a.fanoutRate}%.0f,"write_mb_per_sec":${a.writeMbPerSec}%.1f,"streaming":${a.streamJson},"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"fanout_lines_per_sec":${a.fanoutRate}%.0f,"write_mb_per_sec":${a.writeMbPerSec}%.1f,"streaming":${a.streamJson},"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Also write the complete artifact to a file: the round driver's
     // stdout tail-scrape truncated 28 of 90 per-query numbers in

@@ -196,13 +196,30 @@ object Bpe {
     type Pair = (String, String)
     val counts = mutable.HashMap.empty[Pair, Long]
     val postings = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
+    // the winner order compares symbol strings as UTF-8 bytes; encode
+    // each distinct symbol ONCE (symbols are shared instances — vocab
+    // strings and per-round merged strings), or the TreeSet's O(log P)
+    // comparisons per delta re-encode hot strings millions of times
+    val utf8 = mutable.HashMap.empty[String, Array[Byte]]
+    def bytes(s: String): Array[Byte] =
+      utf8.getOrElseUpdate(s, s.getBytes(StandardCharsets.UTF_8))
+    def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
     implicit val winnerOrder: Ordering[(Long, String, String)] =
       new Ordering[(Long, String, String)] {
         def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
           if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
           else {
-            val c = utf8Compare(a._2, b._2)
-            if (c != 0) c else utf8Compare(a._3, b._3)
+            val c = cmpBytes(bytes(a._2), bytes(b._2))
+            if (c != 0) c else cmpBytes(bytes(a._3), bytes(b._3))
           }
         }
       }
@@ -241,17 +258,27 @@ object Bpe {
         val w = words(wi)._2
         val before = syms(wi)
         val after = greedy(before, lhs, rhs, merged)
-        val oldPairs = wordPairs(before)
-        val newPairs = wordPairs(after)
-        oldPairs.foreach(addCount(_, -w))
-        newPairs.foreach(addCount(_, w))
-        val oldSet = oldPairs.toSet
-        val newSet = newPairs.toSet
-        (oldSet -- newSet).foreach { p =>
-          postings.get(p).foreach { s => s -= wi; if (s.isEmpty) postings.remove(p) }
+        // NET deltas only: pairs in the word's unchanged regions cancel
+        // locally, so the expensive global structures (TreeSet with
+        // byte-order comparisons, postings) see ~a handful of updates
+        // per merge site instead of 2×len — the difference between a
+        // 1024-round learn in ~0.3 s and in ~5 s
+        val oldCnt = mutable.HashMap.empty[Pair, Int]
+        wordPairs(before).foreach(p => oldCnt(p) = oldCnt.getOrElse(p, 0) + 1)
+        val newCnt = mutable.HashMap.empty[Pair, Int]
+        wordPairs(after).foreach(p => newCnt(p) = newCnt.getOrElse(p, 0) + 1)
+        oldCnt.foreach { case (p, oc) =>
+          val nc = newCnt.getOrElse(p, 0)
+          if (nc != oc) addCount(p, (nc - oc).toLong * w)
+          if (nc == 0) postings.get(p).foreach { s =>
+            s -= wi; if (s.isEmpty) postings.remove(p)
+          }
         }
-        (newSet -- oldSet).foreach { p =>
-          postings.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        newCnt.foreach { case (p, nc) =>
+          if (!oldCnt.contains(p)) {
+            addCount(p, nc.toLong * w)
+            postings.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+          }
         }
         syms(wi) = after
       }
