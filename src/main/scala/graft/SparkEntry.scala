@@ -2036,6 +2036,27 @@ object SparkEntry {
              |SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
              |FROM cells GROUP BY 1, 2 HAVING sum(s) <> 0""".stripMargin)),
 
+    ("q_quality_classifier", // fastText-shaped LEARNED quality gate:
+      // ridge regression over the 256-bucket hashed features, solved
+      // in closed form from ONE gram aggregate (no epochs, no
+      // optimizer — the shuffle carries <= 65,536 gram cells at any
+      // corpus size), weights quantized to the micro grid and
+      // broadcast for integer-exact scoring. Label here: lang='en'
+      // (note: this fixture's token distribution is deliberately
+      // lang-independent, so train accuracy ~= the label mean — the
+      // SEPARABILITY of the learner is spec-proven on a separable
+      // corpus in LinearQualitySpec; what this query hash-checks is
+      // the full fit+score determinism and the scoring replay).
+      // Oracle: the learned (bucket, w_micro) table inlined as
+      // literals, features + dot + threshold replayed in SQL — the
+      // LM-cost-literal rule applied to a discriminative model.
+      (s: SparkSession, dir: String) =>
+        graft.ml.LinearQuality.fitScore(
+          t(s, dir, "documents").withColumn("is_en",
+            (col("lang") === "en").cast("int")),
+          "doc_id", "text", "is_en"),
+      None),
+
     ("q_kneser_ney", // interpolated Kneser–Ney bigram smoothing
       // (Chen & Goodman 1998 eq. 4.25, d = 3/4) as EXACT RATIONALS:
       // p_num/p_den over the common denominator 4·c(w1·)·N1+(··) —
@@ -4072,6 +4093,46 @@ object SparkEntry {
        |FROM tk JOIN fin ON array_to_string(tk.t, ' ') = fin.k""".stripMargin
   }
 
+  /** Oracle for q_quality_classifier: [[graft.ml.LinearQuality.fit]]
+    * runs once at Verify time (deterministic: exact-integer gram
+    * aggregate, canonical elimination order, micro-grid floor) and
+    * the learned weight table is inlined as literals; feature
+    * hashing, the weighted dot, and the keep threshold replay
+    * independently in SQL from the parquet.
+    */
+  private def qualityClassifierOracleSql(s: SparkSession, dir: String): String = {
+    val m = graft.ml.LinearQuality.fit(
+      t(s, dir, "documents").withColumn("is_en",
+        (col("lang") === "en").cast("int")),
+      "doc_id", "text", "is_en")
+    require(m.weightsMicro.nonEmpty, "quality classifier learned no weights")
+    val wv = m.weightsMicro.toSeq.sorted
+      .map { case (b, w) => s"('$b', $w)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |cells AS (
+       |  SELECT doc_id, substring(md5('b:' || tok), 1, 2) AS b,
+       |         CASE WHEN substring(md5('s:' || tok), 1, 1)
+       |                IN ('0','1','2','3','4','5','6','7')
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM toks),
+       |hv AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+       |       FROM cells GROUP BY 1, 2 HAVING sum(s) <> 0),
+       |wt AS (SELECT a AS b, CAST(c AS BIGINT) AS w
+       |       FROM (VALUES $wv) v(a, c)),
+       |sc AS (SELECT doc_id, CAST(sum(v * w) AS BIGINT) AS dot
+       |       FROM hv JOIN wt USING (b) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(sc.dot, 0) + ${m.biasMicro} AS BIGINT)
+       |         AS score_micro,
+       |       (coalesce(sc.dot, 0) + ${m.biasMicro}) * 2 > ${m.scale}
+       |         AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying [[Similarity.kmeansQuantizedFit]] (two
     * Lloyd steps, 64-dim fixture vectors): quantize → smallest-id seeds
     * → (assign argmin-L2² with lowest-cl ties, per-dim exact floor-div
@@ -4376,6 +4437,7 @@ object SparkEntry {
          |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
     }),
     "q_bpe_deep" -> bpeDeepOracleSql,
+    "q_quality_classifier" -> qualityClassifierOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
     "q_embed_rp" -> rpOracleSql,

@@ -1,0 +1,173 @@
+package graft.ml
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** fastText-shaped LEARNED quality classifier: a linear model over
+  * feature-hashed token counts ([[TextAnalysis.hashEmbed]] — the
+  * hashing trick bounds the feature space with no vocabulary, no
+  * fit), trained in CLOSED FORM by ridge regression on the normal
+  * equations. This is the standard learned quality gate of pretrain
+  * pipelines (GPT-3/LLaMA-style "wiki-like vs crawl-like" page
+  * scoring with a linear/fastText classifier) beside the heuristic
+  * Gopher rules and the generative LM-perplexity/DSIR pair already
+  * in the engine.
+  *
+  * Scale shape — NO iterative optimizer, no per-epoch corpus passes:
+  *  - the gram matrix XᵀX is ONE combinable aggregate over the
+  *    per-document feature self-join (each document contributes its
+  *    own ≤k² bucket pairs map-side; the shuffle carries at most
+  *    D² = 16^(2·hexDigits) cells — 65,536 at the default 256
+  *    buckets — regardless of corpus size), Xᵀy one more;
+  *  - the D×D solve runs driver-side (Gaussian elimination with
+  *    partial pivoting, microseconds at D=257 including bias);
+  *  - weights are quantized to an integer micro-grid and broadcast,
+  *    so SCORING is one scan + one broadcast join + one combinable
+  *    sum — and, being integer-exact, replays bit-for-bit in any
+  *    engine (the oracle inlines the learned weights as literals,
+  *    the LM-cost-literal rule applied to a discriminative model).
+  *
+  * Determinism: the gram/moment aggregates are exact BIGINT sums of
+  * bounded products; the elimination runs over canonically sorted
+  * bucket keys; quantization floors onto the 2²⁰ grid. Same corpus →
+  * same weights, any partitioning, any cluster.
+  */
+object LinearQuality {
+
+  /** The learned model: quantized micro-grid weights per touched
+    * bucket (missing buckets carry weight 0) and the bias term. */
+  final case class Model(weightsMicro: Map[String, Long], biasMicro: Long,
+      scale: Long, hexDigits: Int)
+
+  /** Ridge fit of P(label | hashed token counts). `labelCol` must be
+    * a 0/1-valued (or boolean) column; `lambda` is the L2 penalty on
+    * the normal equations' diagonal (the bias is regularized too —
+    * a defined, replayable choice).
+    */
+  def fit(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      hexDigits: Int = 2, lambda: Double = 1.0,
+      scale: Long = 1L << 20): Model = {
+    val feats = TextAnalysis.hashEmbed(df, idCol, textCol, hexDigits)
+      .withColumnRenamed(idCol, "_id")
+      .localCheckpoint(true) // three consumers; freeze the scan once
+    val labels = df.select(col(idCol).as("_id"),
+      col(labelCol).cast("long").as("_y"))
+
+    // XᵀX: per-document bucket-pair products, one combinable agg.
+    val gram = feats.as("f1")
+      .join(feats.as("f2"), col("f1._id") === col("f2._id"))
+      .groupBy(col("f1.b").as("b1"), col("f2.b").as("b2"))
+      .agg(sum(col("f1.v") * col("f2.v")).as("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // Xᵀy and the bias row's moments: Σ_d x_d (column sums), Σ y, n.
+    val xty = feats.join(labels, "_id")
+      .groupBy("b").agg(sum(col("v") * col("_y")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val colSums = feats.groupBy("b").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val moments = labels.agg(count(lit(1)), sum("_y")).head()
+    val n = moments.getLong(0)
+    val sumY = if (moments.isNullAt(1)) 0L else moments.getLong(1)
+
+    // dense normal equations over sorted buckets + trailing bias
+    val buckets = colSums.keys.toArray.sorted
+    val d = buckets.length + 1
+    val idx = buckets.zipWithIndex.toMap
+    val a = Array.ofDim[Double](d, d)
+    val rhs = new Array[Double](d)
+    gram.foreach { case ((b1, b2), g) => a(idx(b1))(idx(b2)) = g.toDouble }
+    buckets.zipWithIndex.foreach { case (b, i) =>
+      a(i)(d - 1) = colSums(b).toDouble
+      a(d - 1)(i) = colSums(b).toDouble
+      rhs(i) = xty.getOrElse(b, 0L).toDouble
+    }
+    a(d - 1)(d - 1) = n.toDouble
+    rhs(d - 1) = sumY.toDouble
+    var i = 0
+    while (i < d) { a(i)(i) += lambda; i += 1 }
+
+    val w = solve(a, rhs)
+    Model(
+      buckets.zipWithIndex.map { case (b, j) =>
+        b -> math.floor(w(j) * scale).toLong
+      }.toMap.filter(_._2 != 0L),
+      math.floor(w(d - 1) * scale).toLong, scale, hexDigits)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — D is
+    * feature-space-bounded (257 at the default), so this is driver
+    * microseconds; deterministic for a fixed row order. */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val d = b.length
+    var col = 0
+    while (col < d) {
+      var p = col
+      var r = col + 1
+      while (r < d) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
+      val tmp = a(col); a(col) = a(p); a(p) = tmp
+      val tb = b(col); b(col) = b(p); b(p) = tb
+      require(a(col)(col) != 0.0, "singular normal equations (lambda = 0?)")
+      r = col + 1
+      while (r < d) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          var c = col
+          while (c < d) { a(r)(c) -= f * a(col)(c); c += 1 }
+          b(r) -= f * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](d)
+    var r = d - 1
+    while (r >= 0) {
+      var s = b(r)
+      var c = r + 1
+      while (c < d) { s -= a(r)(c) * x(c); c += 1 }
+      x(r) = s / a(r)(r)
+      r -= 1
+    }
+    x
+  }
+
+  /** The model's weight table as a bounded DataFrame (b, w_micro). */
+  def weightTable(spark: SparkSession, model: Model): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        model.weightsMicro.toSeq.sorted.map { case (b, w) => Row(b, w) }, 1),
+      StructType(Seq(
+        StructField("b", StringType, nullable = false),
+        StructField("w_micro", LongType, nullable = false))))
+
+  /** Score documents under a fitted model: (id, score_micro, keep).
+    * score_micro = bias + Σ_b w_micro(b)·count(b) — integer-exact on
+    * the micro grid; `keep` thresholds at probability ½
+    * (score > 0.5·scale). One scan + one broadcast join + one
+    * combinable per-doc sum; documents with no features score the
+    * bias alone.
+    */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val feats = TextAnalysis.hashEmbed(df, idCol, textCol, model.hexDigits)
+    val contrib = feats
+      .join(broadcast(weightTable(spark, model)), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("v") * col("w_micro")).as("_dot"))
+    df.select(col(idCol))
+      .join(contrib, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("_dot"), lit(0L)) + model.biasMicro).as("score_micro"))
+      .withColumn("keep", col("score_micro") * 2 > model.scale)
+  }
+
+  /** fit + score in one call — the declared-query face. */
+  def fitScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, hexDigits: Int = 2, lambda: Double = 1.0): DataFrame =
+    score(df, idCol, textCol,
+      fit(df, idCol, textCol, labelCol, hexDigits, lambda))
+}
