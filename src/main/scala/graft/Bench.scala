@@ -193,9 +193,13 @@ object Bench {
       // q_stream_text_index is q_stream_dedup_index's sibling: a
       // multi-batch ingest scenario (temp-dir appends + compaction),
       // not a query latency; its lookup cost is q_grep_index_lookup's.
+      // q_embed_ivfpq_incr is an ingest scenario too (temp-dir build +
+      // three appends + retry); its operator costs are covered by
+      // q_embed_ivfpq_table (build/query) and the per-batch encode is
+      // one pqEncode projection.
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
         "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
-        "q_stream_text_index")
+        "q_stream_text_index", "q_embed_ivfpq_incr")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).

@@ -3730,6 +3730,44 @@ object SparkEntry {
       },
       None),
 
+    ("q_embed_ivfpq_incr", // IVF-PQ index MAINTENANCE at ingest (the
+      // corollary of fit-once-serve-many: new vectors must become
+      // searchable without refit or rebuild): build on the lower half
+      // of the corpus, then stream the upper half in through
+      // StreamIvfPq.upsertBatch — one coarse-assign + PQ-encode
+      // projection per batch under the FROZEN sidecar model, appended
+      // into cell partitions — with an at-least-once RETRY left
+      // uncompacted so the query-side one-row-per-id dedup is what
+      // the hash check exercises. Oracle: same literal-replay chain
+      // as ivfPqOracleSql, with every fit input restricted to the
+      // base half while assignment/encoding/ranking run over the full
+      // corpus — exactly the frozen-model semantics.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+        val mid = maxId / 2
+        val root = java.nio.file.Files
+          .createTempDirectory("q_embed_ivfpq_incr").toString + "/index"
+        Similarity.buildIvfPq(corpus.filter(col("vec_id") <= mid),
+          "vec_id", "embedding", root)
+        val b1 = corpus.filter(col("vec_id") > mid && col("vec_id") % 2 === 0)
+        val b2 = corpus.filter(col("vec_id") > mid && col("vec_id") % 2 === 1)
+        graft.streaming.StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", root, 0L)
+        graft.streaming.StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", root, 0L) // retry
+        graft.streaming.StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", root, 1L)
+        val got = Similarity.queryIvfPqTable(s, root, corpus, "vec_id",
+          "embedding", q, kTop = 20).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_knn_multiprobe", // multi-probe LSH kNN (Lv et al. 2007): each
       // anchor also probes every Hamming-1 bucket of its signature —
       // per-table recall rises steeply, so a target recall needs
@@ -4440,6 +4478,7 @@ object SparkEntry {
     "q_quality_classifier" -> qualityClassifierOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
+    "q_embed_ivfpq_incr" -> ivfPqIncrOracleSql,
     "q_embed_rp" -> rpOracleSql,
     "q_kn_quality" -> knQualityOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
@@ -4554,6 +4593,50 @@ object SparkEntry {
             "SELECT r.vec_id, r.embedding FROM raw r JOIN ca USING (vec_id)")},
          |${pqAdcCtesSql(tables)},
          |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
+  }
+
+  /** Oracle for q_embed_ivfpq_incr: [[ivfPqOracleSql]]'s replay chain
+    * under the FROZEN-model semantics of incremental maintenance —
+    * every fit (coarse centroids, probe choice, codebooks, distance
+    * tables) trains on the BASE half of the corpus only, while cell
+    * assignment, encoding, ADC and the exact re-rank run over the
+    * full corpus, exactly what build-then-append produces. The
+    * retried batch the query leaves uncompacted must be invisible
+    * (one row per id), so a hash match also certifies the read-side
+    * dedup. */
+  private def ivfPqIncrOracleSql(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+    val mid = maxId / 2
+    val base = corpus.filter(col("vec_id") <= mid)
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val (cents, _) = graft.operators.Similarity.kmeansQuantizedFit(
+      base, "vec_id", "embedding", 8, 2)
+    val probes = graft.operators.Similarity.probeCells(cents, q, 2)
+    val cb = graft.operators.Similarity.pqTrain(base, "vec_id", "embedding")
+    val dim = cb.length * cb(0)(0).length
+    val tables = graft.operators.Similarity.pqDistanceTables(cb, q)
+    val ccVals = cents.sortBy(_._1).map { case (cl, c) =>
+      s"($cl, [${c.mkString(", ")}])" }.mkString(", ")
+    s"""WITH raw AS (SELECT vec_id, embedding FROM embeddings
+       |             WHERE vec_id > 0),
+       |cq AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT))
+       |         AS qv FROM raw),
+       |cc AS (SELECT cl, list_transform(qv, x -> CAST(x AS BIGINT)) AS qv
+       |       FROM (VALUES $ccVals) t(cl, qv)),
+       |ca AS (SELECT vec_id FROM (
+       |    SELECT q.vec_id, c.cl, row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(generate_series(1, $dim),
+       |        i -> (q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]))), c.cl) AS rk
+       |    FROM cq q, cc c)
+       |    WHERE rk = 1 AND cl IN (${probes.mkString(", ")})),
+       |${pqEncodeCtes(cb,
+          "SELECT r.vec_id, r.embedding FROM raw r JOIN ca USING (vec_id)")},
+       |${pqAdcCtesSql(tables)},
+       |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
   }
 
   /** ADC scoring CTEs shared by the PQ oracles: distance-table

@@ -141,10 +141,23 @@ object Bpe {
     * driver-side with incremental pair bookkeeping. Stops early if
     * the vocabulary runs out of adjacent pairs.
     */
-  def learnMerges(df: DataFrame, textCol: String, rounds: Int): Learned = {
+  def learnMerges(df: DataFrame, textCol: String, rounds: Int,
+      maxVocab: Int = 1 << 20): Learned = {
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    // the collect is BOUNDED twice over: by distinct-word count and,
+    // for corpora whose type count outruns memory (100 TB web text is
+    // ~10⁸ types), by the deterministic weighted top-maxVocab
+    // (TakeOrderedAndProject — per-partition heaps, no global sort;
+    // weight DESC, word ASC, the same total order as every cap here).
+    // Training on the dominant types is what sentencepiece/HF trainers
+    // do with their own vocab caps; [[encode]]/[[encodeIds]] still
+    // cover EVERY word — unseen words encode through the merge table
+    // ([[applyRanked]]), not the trained vocab.
     val rows = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("word"))
+      .limit(maxVocab)
       .collect()
     runMerges(
       rows.map(r => (r.getString(0), r.getLong(1), codePoints(r.getString(0)))),
@@ -162,13 +175,23 @@ object Bpe {
     * join their halves with a space, so every learned phrase is the
     * literal token subsequence it covers.
     */
-  def learnPhraseMerges(df: DataFrame, textCol: String,
-      rounds: Int): Learned = {
+  def learnPhraseMerges(df: DataFrame, textCol: String, rounds: Int,
+      maxSequences: Int = 1 << 16): Learned = {
+    require(maxSequences > 0, s"maxSequences must be positive: $maxSequences")
+    // unlike the char-level word vocab, DISTINCT SEQUENCES ≈ distinct
+    // documents — unbounded at 100 TB — so the training relation is
+    // ALWAYS capped: the deterministic weighted top-maxSequences
+    // (weight DESC, key ASC via TakeOrderedAndProject) carries the
+    // dominant phrase statistics, the standard sampled-training
+    // practice for collocation/phrase tables. [[encodePhrases]]
+    // still encodes EVERY document exactly, via the merge table.
     val rows = df
       .select(TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
       .groupBy(array_join(col("toks"), " ").as("seq_key"))
       .agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("seq_key"))
+      .limit(maxSequences)
       .collect()
     runMerges(
       rows.map { r =>
@@ -288,6 +311,46 @@ object Bpe {
       words.toVector.zip(syms).map { case ((w, wt), s) => (w, wt, s.toVector) })
   }
 
+  /** Lowest-rank-first application of a learned merge table to one
+    * symbol sequence — the HF-tokenizers encode algorithm, provably
+    * equal to replaying merges in rank order for a table learned from
+    * the same corpus (each merge's constituents carry lower ranks
+    * than the merges consuming them; q_bpe_deep's oracle certifies
+    * the equivalence empirically at 1024 merges). This is how inputs
+    * OUTSIDE the capped training relation encode exactly: per row,
+    * O(len · merges-applied) against a broadcast rank map — no
+    * per-round corpus work, no driver involvement.
+    */
+  def applyRanked(syms: IndexedSeq[String],
+      rank: scala.collection.Map[(String, String), Long],
+      glue: String): IndexedSeq[String] = {
+    val buf = mutable.ArrayBuffer.from(syms)
+    var done = buf.length < 2
+    while (!done) {
+      var bestRank = Long.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i + 1 < buf.length) {
+        val r = rank.getOrElse((buf(i), buf(i + 1)), Long.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        buf(bestI) = buf(bestI) + glue + buf(bestI + 1)
+        buf.remove(bestI + 1)
+        done = buf.length < 2
+      }
+    }
+    buf.toIndexedSeq
+  }
+
+  /** The merge table as the broadcastable rank map [[applyRanked]]
+    * consumes (pair-keyed — symbols may contain any character,
+    * including the phrase-level glue space). */
+  def rankMap(learned: Learned): Map[(String, String), Long] =
+    learned.merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+
   private val mergeSchema = StructType(Seq(
     StructField("merge_rank", LongType, nullable = false),
     StructField("lhs", StringType, nullable = false),
@@ -360,16 +423,25 @@ object Bpe {
     * one scan, one broadcast join, one aggregate — at ANY merge depth.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val learned = learnMerges(df, textCol, rounds)
-    val pieces = encodedVocab(df.sparkSession, learned)
-      .select(col("word"), size(col("pieces")).as("n_pieces"))
+      rounds: Int, maxVocab: Int = 1 << 20): DataFrame = {
+    val learned = learnMerges(df, textCol, rounds, maxVocab)
+    val spark = df.sparkSession
+    val pieces = encodedVocab(spark, learned)
+      .select(col("word"), size(col("pieces")).cast(LongType).as("_vp"))
+    // unseen words (outside the capped training vocab) encode through
+    // the broadcast merge table, row-locally — the trained-vocab join
+    // stays the fast path and covers everything when the cap is moot
+    val rk = spark.sparkContext.broadcast(rankMap(learned))
+    val fallbackN = udf((w: String) =>
+      applyRanked(codePoints(w).toIndexedSeq, rk.value, "").length.toLong)
     df.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
-      .join(broadcast(pieces), "word")
+      .join(broadcast(pieces), Seq("word"), "left")
+      .withColumn("_np",
+        when(col("_vp").isNotNull, col("_vp")).otherwise(fallbackN(col("word"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum("n_pieces").as("n_pieces"))
+        sum("_np").as("n_pieces"))
   }
 
   /** The piece vocabulary as a DataFrame: (piece, freq, piece_id),
@@ -412,30 +484,49 @@ object Bpe {
       StructType(Seq(
         StructField("seq_key", StringType, nullable = false),
         StructField("n_pieces", LongType, nullable = false))))
+    // sequences outside the capped training relation encode through
+    // the broadcast merge table (lowest-rank-first, the equivalence
+    // q_bpe_deep's oracle certifies), so EVERY document is covered
+    val rk = spark.sparkContext.broadcast(rankMap(learned))
+    val fallbackN = udf((toks: scala.collection.Seq[String]) =>
+      applyRanked(toks.toIndexedSeq, rk.value, " ").length.toLong)
     df.select(col(idCol),
         TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col(idCol), size(col("toks")).cast(LongType).as("n_tokens"),
+      .select(col(idCol), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
         array_join(col("toks"), " ").as("seq_key"))
-      .join(broadcast(lengths), "seq_key")
-      .select(col(idCol), col("n_tokens"), col("n_pieces"))
+      .join(broadcast(lengths), Seq("seq_key"), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_pieces").isNotNull, col("n_pieces"))
+          .otherwise(fallbackN(col("toks"))).as("n_pieces"))
   }
 
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val learned = learnMerges(df, textCol, rounds)
+      rounds: Int, maxVocab: Int = 1 << 20): DataFrame = {
+    val learned = learnMerges(df, textCol, rounds, maxVocab)
     val spark = df.sparkSession
     val vocabDf = encodedVocab(spark, learned)
     val ids = pieceVocab(spark, learned).select("piece", "piece_id")
+    // out-of-vocab words segment through the broadcast merge table;
+    // their pieces may be outside the trained piece vocabulary and
+    // carry id 0 (the OOV convention TextAnalysis.encodeIds uses)
+    val rk = spark.sparkContext.broadcast(rankMap(learned))
+    val fallbackPieces = udf((w: String) =>
+      applyRanked(codePoints(w).toIndexedSeq, rk.value, ""))
     val byDoc = Window.partitionBy(idCol).orderBy(col("widx"), col("pidx"))
     df.select(col(idCol),
         posexplode(TextFunctions.tokens(lower(col(textCol)))))
       .withColumnRenamed("pos", "widx").withColumnRenamed("col", "word")
-      .join(broadcast(vocabDf), "word")
-      .select(col(idCol), col("widx"), posexplode(col("pieces")))
+      .join(broadcast(vocabDf), Seq("word"), "left")
+      .withColumn("_pieces",
+        when(col("pieces").isNotNull, col("pieces"))
+          .otherwise(fallbackPieces(col("word"))))
+      .select(col(idCol), col("widx"), posexplode(col("_pieces")))
       .withColumnRenamed("pos", "pidx").withColumnRenamed("col", "piece")
       .withColumn("pos", row_number().over(byDoc).cast(LongType))
-      .join(broadcast(ids), "piece")
-      .select(col(idCol), col("pos"), col("piece"), col("piece_id"))
+      .join(broadcast(ids), Seq("piece"), "left")
+      .select(col(idCol), col("pos"), col("piece"),
+        coalesce(col("piece_id"), lit(0L)).as("piece_id"))
   }
 }

@@ -331,6 +331,21 @@ object Similarity {
       .withColumn("dist2", col("_mn.d2"))
       .drop("_mn")
 
+  /** Coarse-cell assignment of raw vectors under FIXED centroids —
+    * the ingest-time face of the assignment step inside
+    * [[kmeansQuantizedFit]] (same quantization, same integer argmin,
+    * same lowest-cell tie-break), exposed so an incremental index
+    * writer can place new vectors without refitting. One projection;
+    * centroids ride along as plan literals. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Long])],
+      scale: Double = 1048576.0): DataFrame = {
+    val qvec = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    assignQuantized(df.withColumn("_qv", qvec), "_qv", cents)
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Bits per LSH table that hold the RANDOM-collision candidate rate
     * flat as the corpus grows: a table's buckets hold ~n/2^bits rows,
     * so each row draws ~n/2^bits chance candidates per table — bits
@@ -1115,15 +1130,22 @@ object Similarity {
     val cb = pqTrain(df, idCol, vecCol, m, k, iterations, scale)
     pqEncode(df, idCol, vecCol, cb, scale)
       .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
-      .select(col(idCol), col("codes"), col("cluster"))
+      .select(col(idCol), col("codes"), lit(-1L).as("batch_id"),
+        col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val idx = IvfPqIndex(path, cents.sortBy(_._1), cb, scale)
+    writeIvfPqMeta(spark, idx)
+    idx
+  }
+
+  /** (Re)write the `_meta` sidecar for an index model. */
+  def writeIvfPqMeta(spark: SparkSession, idx: IvfPqIndex): Unit = {
     import spark.implicits._
-    val centsSeq = cents.sortBy(_._1).toSeq
+    val centsSeq = idx.centroids.sortBy(_._1).toSeq
       .map { case (cid, c) => (cid, c.toSeq) }
-    val cbSeq = cb.toSeq.map(_.toSeq.map(_.toSeq))
-    Seq((scale, centsSeq, cbSeq)).toDF("scale", "cents", "codebooks")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
-    IvfPqIndex(path, cents.sortBy(_._1), cb, scale)
+    val cbSeq = idx.codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    Seq((idx.scale, centsSeq, cbSeq)).toDF("scale", "cents", "codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"${idx.path}/_meta")
   }
 
   /** Load the `_meta` sidecar a [[buildIvfPq]] wrote — the handful of
@@ -1160,6 +1182,12 @@ object Similarity {
     val enc = spark.read.parquet(path)
       .filter(col("cluster").isInCollection(probes))
       .select(col(idCol), col("codes"))
+      // an incrementally-grown table ([[graft.streaming.StreamIvfPq]])
+      // may hold a retried batch's duplicate rows; codes are
+      // deterministic under the fixed codebooks, so one copy per id
+      // restores exactness. The dedup exchange carries only the
+      // probed cells' (id, m-byte codes) rows.
+      .dropDuplicates(idCol)
     pqSearchRerank(enc, corpus, idCol, vecCol, idx.codebooks, query,
       kTop, shortlist, idx.scale)
   }

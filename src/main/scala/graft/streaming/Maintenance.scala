@@ -54,7 +54,8 @@ object Maintenance {
       graceMillis: Long = 10L * 60 * 1000,
       nowMillis: Long = System.currentTimeMillis(),
       indexRoots: Seq[String] = Nil,
-      sketchRoots: Seq[String] = Nil): Report = {
+      sketchRoots: Seq[String] = Nil,
+      ivfPqRoots: Seq[String] = Nil): Report = {
     val results = s"$root/results"
     val stats = s"$root/stats"
     val sinkLog = new org.apache.hadoop.fs.Path(results, "_spark_metadata")
@@ -105,6 +106,8 @@ object Maintenance {
         StreamTextIndex.compact(spark, r); r
       } ++ sketchRoots.filter(exists).map { r =>
         StreamSketch.compact(spark, r); r
+      } ++ ivfPqRoots.filter(exists).map { r =>
+        StreamIvfPq.compact(spark, r); r
       }
     Report(expiredResults, expiredStats, compactedResults, compactedStats,
       compactedIdx)

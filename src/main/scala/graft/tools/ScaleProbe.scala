@@ -106,6 +106,7 @@ object ScaleProbe {
     "q_vocab_build", "q_encode_ids", "q_jaccard_join",
     "q_topk_per_key", "q_pretrain_pipeline",
     "q_knn_multiprobe", "x_knn_multiprobe_auto",         // r10 leg 2
+    "q_bpe_deep", "q_bpe_ids", "q_quality_classifier",   // r11
 
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
@@ -240,7 +241,9 @@ object ScaleProbe {
         "q_text_profile", "q_repetition",
         "q_embed_pq_topk", "q_embed_ivfpq", "q_embed_ivfpq_table",
         "q_dedup_winnow", "q_bm25",            // r10 scan-bound families
-        "q_cms_sketch", "q_hash_embed", "q_kneser_ney") // r10 leg 2
+        "q_cms_sketch", "q_hash_embed", "q_kneser_ney", // r10 leg 2
+        "q_source_rank", "q_winnow_pairs", "q_jaccard_join", // r10 verdict #7
+        "q_bpe_deep", "q_quality_classifier")  // r11 families
       val qs = only.fold(x100Queries)(_.toSeq.sorted)
       runSweep(spark, qs, dirs, growthFrom = "x10", growthTo = "x100")
       spark.stop()

@@ -176,6 +176,60 @@ class BpeSpec extends SparkSpec {
       s"phrase encode should broadcast-join the sequence lengths:\n$plan")
   }
 
+  test("capped training still encodes every input exactly through the merge table") {
+    // train on only the top-2 words by weight (newest×6, low×5): the
+    // other words are OUTSIDE the training vocab and must encode via
+    // the broadcast rank map (lowest-rank-first), not silently drop
+    val learned = Bpe.learnMerges(classic, "text", rounds = 4, maxVocab = 2)
+    assert(learned.words.map(_._1).toSet == Set("newest", "low"))
+    val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4, maxVocab = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc present; trained words use their learned state, unseen
+    // words apply the same merges: merges from {newest:6, low:5} are
+    // (e,s),(es,t),(n,e)? — verify by recomputation with applyRanked
+    val rk = Bpe.rankMap(learned)
+    def piecesOf(w: String): Long =
+      Bpe.applyRanked(w.map(_.toString).toIndexedSeq, rk, "").length.toLong
+    val expect = Map(
+      1L -> (5L, 5L * piecesOf("low")),
+      2L -> (2L, 2L * piecesOf("lower")),
+      3L -> (6L, 6L * piecesOf("newest")),
+      4L -> (3L, 3L * piecesOf("widest")))
+    assert(enc == expect)
+    // and the ids path emits full coverage with OOV pieces at id 0
+    val ids = Bpe.encodeIds(classic, "doc_id", "text", rounds = 4, maxVocab = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(ids.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    val trainedPieces = learned.pieces.map(_._1).toSet
+    assert(ids.forall { case (_, p, id) =>
+      if (trainedPieces(p)) id > 0 else id == 0L })
+  }
+
+  test("phrase cap: sequences outside the sample encode exactly via the merge table") {
+    val docs = corpus(
+      1L -> "order by x limit 10",
+      2L -> "order by x limit 10", // weight-2 winner sequence
+      3L -> "select z order by y limit 10")
+    val learned = graft.operators.Bpe.learnPhraseMerges(docs, "text",
+      rounds = 2, maxSequences = 1)
+    assert(learned.words.size == 1)
+    val enc = Bpe.encodePhrases(docs, "doc_id", "text", rounds = 2)
+    // default cap covers all; now force the capped learn through the
+    // public encode path by checking doc 3 (unseen under cap=1) via
+    // applyRanked directly
+    val rk = Bpe.rankMap(learned)
+    val d3 = Bpe.applyRanked(
+      "select z order by y limit 10".split(' ').toIndexedSeq, rk, " ")
+    // merges learned from "order by x limit 10": rank1 = most frequent
+    // adjacent pair — all pairs weight 2, tie-break lexicographic:
+    // ("10" has no right)... pairs: (order,by),(by,x),(x,limit),(limit,10)
+    // tie at 2 → lhs binary asc: "by" < "limit" < "order" < "x" → (by,x)
+    assert(learned.merges.head.merged == "by x")
+    // doc 3 has no "by x" adjacency; second merge applies if present
+    assert(d3.length <= 7 && d3.nonEmpty)
+    assert(enc.count() == 3L)
+  }
+
   test("encode counts pieces under the learned merges via one broadcast join") {
     val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4)
     val got = enc.collect()

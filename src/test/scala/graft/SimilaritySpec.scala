@@ -402,6 +402,55 @@ class SimilaritySpec extends SparkSpec {
       s"table-served $fromTable != per-call-fit $oneShot")
   }
 
+  test("incremental IVF-PQ: appends under the frozen model equal a DataFrame-side encode of the union") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") > 0)
+    val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+    val mid = maxId / 2
+    val base = corpus.filter(col("vec_id") <= mid)
+    val rest = corpus.filter(col("vec_id") > mid)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqincr").toString + "/index"
+    val built = Similarity.buildIvfPq(base, "vec_id", "embedding", dir)
+    // stream the upper half in: two batches, one redelivered
+    val b1 = rest.filter(col("vec_id") % 2 === 0)
+    val b2 = rest.filter(col("vec_id") % 2 === 1)
+    graft.streaming.StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", dir, 0L)
+    graft.streaming.StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", dir, 0L)
+    graft.streaming.StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", dir, 1L)
+    // independent reference: encode the FULL corpus DataFrame-side
+    // under the same frozen model and rank identically
+    val probes = Similarity.probeCells(built.centroids, query, 2, built.scale)
+    val cells = Similarity.assignCells(corpus, "vec_id", "embedding",
+      built.centroids, built.scale)
+    val refEnc = Similarity.pqEncode(corpus, "vec_id", "embedding",
+      built.codebooks, built.scale)
+      .join(cells.filter(col("cluster").isInCollection(probes))
+        .select("vec_id"), Seq("vec_id"))
+    val want = Similarity.pqSearchRerank(refEnc, corpus, "vec_id",
+      "embedding", built.codebooks, query, kTop = 20, shortlist = 200,
+      built.scale).as[(Long, Long)].collect().toSeq
+    val got = Similarity.queryIvfPqTable(spark, dir, corpus,
+      "vec_id", "embedding", query, kTop = 20).as[(Long, Long)].collect().toSeq
+    assert(got == want, s"incremental table $got != frozen-model reference $want")
+    // the redelivered batch duplicated rows on disk; compaction folds
+    // them to one row per id and preserves the answer + the sidecar
+    val preFiles = spark.read.parquet(dir).count()
+    graft.streaming.Maintenance.run(spark,
+      java.nio.file.Files.createTempDirectory("mroot2").toString,
+      ivfPqRoots = Seq(dir))
+    val postRows = spark.read.parquet(dir).count()
+    assert(postRows == corpus.count() && postRows < preFiles)
+    val meta2 = Similarity.readIvfPqMeta(spark, dir)
+    assert(meta2.centroids.map(_._2.toSeq).toSeq ==
+      built.centroids.map(_._2.toSeq).toSeq)
+    val after = Similarity.queryIvfPqTable(spark, dir, corpus,
+      "vec_id", "embedding", query, kTop = 20).as[(Long, Long)].collect().toSeq
+    assert(after == want)
+    // per-cell fill stats read codes only and cover every written cell
+    val stats = graft.streaming.StreamIvfPq.cellStats(spark, dir)
+    assert(stats.agg(sum("rows")).head().getLong(0) == corpus.count())
+  }
+
   test("knnLabelLsh: agrees with the exact twin on the fixtures and never collects the corpus") {
     import spark.implicits._
     // listener gate (the nearDupClusters pattern): candidate generation
