@@ -49,9 +49,14 @@ object LinearQuality {
   def fit(df: DataFrame, idCol: String, textCol: String, labelCol: String,
       hexDigits: Int = 2, lambda: Double = 1.0,
       scale: Long = 1L << 20): Model = {
+    // three consumers (gram, Xᵀy, column sums) — materialize the scan
+    // once and RELEASE it before returning: fit is called repeatedly
+    // (oracle build + query + bench passes) and a leaked block per
+    // call is the Pack.scala-documented pitfall
     val feats = TextAnalysis.hashEmbed(df, idCol, textCol, hexDigits)
       .withColumnRenamed(idCol, "_id")
-      .localCheckpoint(true) // three consumers; freeze the scan once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val labels = df.select(col(idCol).as("_id"),
       col(labelCol).cast("long").as("_y"))
 
@@ -95,6 +100,7 @@ object LinearQuality {
         b -> math.floor(w(j) * scale).toLong
       }.toMap.filter(_._2 != 0L),
       math.floor(w(d - 1) * scale).toLong, scale, hexDigits)
+    } finally feats.unpersist(false)
   }
 
   /** In-place Gaussian elimination with partial pivoting — D is

@@ -224,7 +224,11 @@ object Bpe {
     @inline def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
 
     // node arena: value (-1 = dead), prev/next (-1 = none), owning word
-    val totalSyms = seqs.iterator.map(_._3.length).sum
+    val totalSymsL = seqs.iterator.map(_._3.length.toLong).sum
+    require(totalSymsL < Int.MaxValue,
+      s"training relation holds $totalSymsL symbols — beyond the arena " +
+        "bound; lower maxVocab/maxSequences (the caps exist for this)")
+    val totalSyms = totalSymsL.toInt
     val value = new Array[Int](totalSyms)
     val prevN = new Array[Int](totalSyms)
     val nextN = new Array[Int](totalSyms)
@@ -453,10 +457,18 @@ object Bpe {
       .select(col("word"), size(col("pieces")).cast(LongType).as("_vp"))
     // unseen words (outside the capped training vocab) encode through
     // the broadcast merge table, row-locally — the trained-vocab join
-    // stays the fast path and covers everything when the cap is moot
+    // stays the fast path and covers everything when the cap is moot.
+    // The fallback memoizes per task: tail TYPES are many but tail
+    // OCCURRENCES repeat, and O(len²) re-encodes per occurrence is
+    // exactly the multiplier the cap was meant to avoid.
     val rk = spark.sparkContext.broadcast(rankMap(learned))
-    val fallbackN = udf((w: String) =>
-      applyRanked(codePoints(w).toIndexedSeq, rk.value, "").length.toLong)
+    val fallbackN = udf(new (String => Long) with Serializable {
+      @transient private lazy val cache =
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      def apply(w: String): Long = cache.computeIfAbsent(w,
+        ww => applyRanked(codePoints(ww).toIndexedSeq, rk.value, "")
+          .length.toLong)
+    })
     df.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .join(broadcast(pieces), Seq("word"), "left")
@@ -513,6 +525,8 @@ object Bpe {
     val rk = spark.sparkContext.broadcast(rankMap(learned))
     val fallbackN = udf((toks: scala.collection.Seq[String]) =>
       applyRanked(toks.toIndexedSeq, rk.value, " ").length.toLong)
+    // (no memo here: distinct sequences rarely repeat — the key IS
+    // the document)
     df.select(col(idCol),
         TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -535,8 +549,12 @@ object Bpe {
     // their pieces may be outside the trained piece vocabulary and
     // carry id 0 (the OOV convention TextAnalysis.encodeIds uses)
     val rk = spark.sparkContext.broadcast(rankMap(learned))
-    val fallbackPieces = udf((w: String) =>
-      applyRanked(codePoints(w).toIndexedSeq, rk.value, ""))
+    val fallbackPieces = udf(new (String => Seq[String]) with Serializable {
+      @transient private lazy val cache =
+        new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+      def apply(w: String): Seq[String] = cache.computeIfAbsent(w,
+        ww => applyRanked(codePoints(ww).toIndexedSeq, rk.value, ""))
+    })
     val byDoc = Window.partitionBy(idCol).orderBy(col("widx"), col("pidx"))
     df.select(col(idCol),
         posexplode(TextFunctions.tokens(lower(col(textCol)))))

@@ -36,10 +36,11 @@ object Pack {
       idCol, tokenBudget)
 
   /** The same packing over a PRECOMPUTED per-document count relation
-    * (idCol, n_tokens) — the composition point for tokenized streams:
-    * `Bpe.encodeIds(...).groupBy(id).count()` feeds BPE-piece streams
-    * straight into fixed-budget context windows, ending the pretrain
-    * pipeline at packed id sequences.
+    * — the input must carry `idCol` and a count column named exactly
+    * `n_tokens` (e.g. `Bpe.encodeIds(...).groupBy(id)
+    * .agg(count(lit(1)).as("n_tokens"))`), which feeds BPE-piece
+    * streams straight into fixed-budget context windows, ending the
+    * pretrain pipeline at packed id sequences.
     */
   def packCounts(countedIn: DataFrame, idCol: String,
       tokenBudget: Int): DataFrame = {

@@ -1179,15 +1179,22 @@ object Similarity {
       shortlist: Int = 200): DataFrame = {
     val idx = readIvfPqMeta(spark, path)
     val probes = probeCells(idx.centroids, query, nprobe, idx.scale)
+    // an incrementally-grown table ([[graft.streaming.StreamIvfPq]])
+    // may hold a retried batch's duplicate rows, or an older and a
+    // newer encoding of a re-ingested id: keep the LATEST batch's row
+    // per id (deterministic, unlike a bare dropDuplicates). The dedup
+    // exchange carries only the probed cells' (id, m-byte codes) rows.
+    // Cross-cell staleness caveat: a re-ingested vector that moved
+    // cells serves from its old cell until [[graft.streaming
+    // .StreamIvfPq.compact]] folds the table (which is latest-wins
+    // across ALL cells).
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("batch_id").desc)
     val enc = spark.read.parquet(path)
       .filter(col("cluster").isInCollection(probes))
+      .withColumn("_rk", row_number().over(byId))
+      .filter(col("_rk") === 1)
       .select(col(idCol), col("codes"))
-      // an incrementally-grown table ([[graft.streaming.StreamIvfPq]])
-      // may hold a retried batch's duplicate rows; codes are
-      // deterministic under the fixed codebooks, so one copy per id
-      // restores exactness. The dedup exchange carries only the
-      // probed cells' (id, m-byte codes) rows.
-      .dropDuplicates(idCol)
     pqSearchRerank(enc, corpus, idCol, vecCol, idx.codebooks, query,
       kTop, shortlist, idx.scale)
   }

@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * Delivery: at-least-once. Appended rows carry their `batch_id`
   * (the base build writes −1), and because codes are DETERMINISTIC
   * under the frozen model, a retried batch appends byte-identical
-  * rows — `queryIvfPqTable` keeps one row per id, so retries cost
-  * space until [[compact]], never correctness (the StreamTextIndex
-  * set-semantics argument, applied to a keyed table).
+  * rows — `queryIvfPqTable` keeps the LATEST batch's row per id, so
+  * retries cost space until [[compact]], never correctness.
+  * Re-ingesting an EXISTING id with a changed vector is latest-wins,
+  * with one caveat: until the next [[compact]] (which dedups across
+  * all cells), a vector that moved cells still serves from its old
+  * cell when only that cell is probed. Treat updates as
+  * eventually-consistent until compaction; deletions need a rebuild.
   *
   * Drift contract (the honest ANN caveat, stated rather than hidden):
   * appended vectors are quantized by the BASE corpus' model. If the
@@ -65,8 +69,14 @@ object StreamIvfPq {
   def compact(spark: SparkSession, path: String): Unit = {
     val idx = Similarity.readIvfPqMeta(spark, path)
     val idCol = spark.read.parquet(path).columns.head
+    // latest-wins PER ID ACROSS ALL CELLS (deterministic): this is the
+    // point where a re-ingested id's older encoding — possibly in a
+    // different cell partition — is actually removed
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("batch_id").desc)
     val merged = spark.read.parquet(path)
-      .dropDuplicates(idCol)
+      .withColumn("_rk", row_number().over(byId))
+      .filter(col("_rk") === 1)
       .withColumn("batch_id", lit(-1L))
       .select(col(idCol), col("codes"), col("batch_id"), col("cluster"))
       .localCheckpoint(true)

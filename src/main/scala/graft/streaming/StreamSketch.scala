@@ -39,7 +39,20 @@ object StreamSketch {
   def upsertBatch(batch: DataFrame, textCol: String, root: String,
       batchId: Long, depth: Int = 4, hexDigits: Int = 3): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= readWatermark(spark, root)) return
+    val wm = readWatermark(spark, root)
+    if (batchId <= wm) {
+      // LOUD no-op: this is correct for a redelivery, but a genuinely
+      // new batch can land here after a checkpoint reset restarts
+      // Structured Streaming's batch ids at 0 — in which case its
+      // counts would be silently lost. Batch ids must stay monotone
+      // per root across checkpoint resets (reuse the checkpoint, or
+      // start a fresh root).
+      System.err.println(s"[stream-sketch] batch $batchId <= compaction " +
+        s"watermark $wm at $root — treated as an at-least-once " +
+        "redelivery and IGNORED; if this is a new batch after a " +
+        "checkpoint reset, its counts are NOT ingested")
+      return
+    }
     Sketch.cmsSketch(batch, textCol, depth, hexDigits)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").partitionBy("r").parquet(root)

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * needs a compaction watermark). Retries cost space until the next
   * compaction, never correctness.
   *
+  * The index is APPEND-ONLY with respect to document content: set
+  * union can add postings but never retract them, so re-ingesting a
+  * MODIFIED document leaves its removed tokens matching it (grep
+  * false positives on stale terms) — the standard inverted-index
+  * limitation without a deletion log. Route updates through a
+  * rebuild (TextIndex.write) or a fresh root.
+  *
   * Parity contract: ingesting a corpus in ANY batch split, with any
   * number of interleaved compactions and redeliveries, yields the
   * same posting set as [[graft.sources.TextIndex.write]] over the
