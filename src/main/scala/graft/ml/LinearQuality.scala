@@ -171,6 +171,36 @@ object LinearQuality {
       .withColumn("keep", col("score_micro") * 2 > model.scale)
   }
 
+  /** The model as a single per-ROW Column: score_micro of a text
+    * column computed token-by-token (sign · weight(bucket) summed,
+    * plus bias) with the ≤256-entry weight table as a map literal —
+    * NO aggregation, NO join, zero shuffle. Identical values to
+    * [[score]] (Σ_b w_b·count_b ≡ Σ_tokens sign·w_bucket), so the
+    * same model gates a BATCH scan or a STREAMING micro-batch as one
+    * codegen'd projection ([[graft.streaming.LogPipeline
+    * .qualityGateStream]]), the lmGateStream pattern applied to the
+    * discriminative model.
+    */
+  def scoreColumn(text: org.apache.spark.sql.Column,
+      model: Model): org.apache.spark.sql.Column = {
+    val toks = graft.functions.TextFunctions.tokens(lower(text))
+    val entries = model.weightsMicro.toSeq.sorted
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }
+    if (entries.isEmpty) lit(model.biasMicro)
+    else {
+      val wmap = map(entries: _*)
+      aggregate(
+        transform(toks, t => {
+          val b = substring(md5(concat(lit("b:"), t)), 1, model.hexDigits)
+          val s = when(substring(md5(concat(lit("s:"), t)), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+            .otherwise(-1L)
+          coalesce(element_at(wmap, b), lit(0L)) * s
+        }),
+        lit(model.biasMicro), (acc, v) => acc + v)
+    }
+  }
+
   /** fit + score in one call — the declared-query face. */
   def fitScore(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, hexDigits: Int = 2, lambda: Double = 1.0): DataFrame =

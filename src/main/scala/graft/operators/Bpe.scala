@@ -378,6 +378,45 @@ object Bpe {
   def rankMap(learned: Learned): Map[(String, String), Long] =
     learned.merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
 
+  /** Persist a trained tokenizer: the merge table under
+    * `path/merges`, the encoded vocabulary under `path/vocab` — the
+    * fit-once/serve-many split (train on the curation cluster once,
+    * encode anywhere), the same shape as the persisted IVF-PQ index.
+    * Both relations are training-relation-bounded parquet.
+    */
+  def saveLearned(spark: SparkSession, learned: Learned,
+      path: String): Unit = {
+    mergeTable(spark, learned)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.words.map { case (w, wt, s) => Row(w, wt, s) },
+        math.max(1, math.min(8, learned.words.size / 4096 + 1))),
+      StructType(Seq(
+        StructField("word", StringType, nullable = false),
+        StructField("weight", LongType, nullable = false),
+        StructField("syms", ArrayType(StringType, containsNull = false),
+          nullable = false))))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a [[saveLearned]] artifact. Round-trips exactly: merges in
+    * rank order, vocabulary with its final symbol pieces, so
+    * [[rankMap]] / [[encodedVocab]] / [[pieceVocab]] behave as if
+    * freshly trained.
+    */
+  def loadLearned(spark: SparkSession, path: String): Learned = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("merge_rank").collect()
+      .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toVector
+    val words = spark.read.parquet(s"$path/vocab")
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toVector)).toVector
+    Learned(merges, words)
+  }
+
   private val mergeSchema = StructType(Seq(
     StructField("merge_rank", LongType, nullable = false),
     StructField("lhs", StringType, nullable = false),

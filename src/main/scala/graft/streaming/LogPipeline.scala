@@ -505,6 +505,23 @@ object LogPipeline {
       .drop("_nll")
   }
 
+  /** At-ingest LEARNED quality gate — the discriminative sibling of
+    * [[lmGateStream]]: rows scoring under `minScoreMicro` on a fitted
+    * [[graft.ml.LinearQuality]] model are dropped on arrival. The
+    * model rides in as a ≤256-entry weight-map literal inside ONE
+    * stateless compiled projection ([[graft.ml.LinearQuality
+    * .scoreColumn]] — no join, no aggregation, no state store), so it
+    * composes with any trigger/watermark. Fit offline on the curation
+    * cluster, ship the model into the query.
+    */
+  def qualityGateStream(parsed: DataFrame,
+      model: graft.ml.LinearQuality.Model, minScoreMicro: Long,
+      textCol: String = "_raw"): DataFrame =
+    parsed
+      .withColumn("_qs", graft.ml.LinearQuality.scoreColumn(col(textCol), model))
+      .filter(col("_qs") >= minScoreMicro)
+      .drop("_qs")
+
   /** Online per-filter classifier state for flatMapGroupsWithState. */
   final case class ClassifierEvent(filter_id: String, ts: java.sql.Timestamp, _raw: String)
 

@@ -230,6 +230,17 @@ class BpeSpec extends SparkSpec {
     assert(enc.count() == 3L)
   }
 
+  test("saveLearned/loadLearned round-trips the tokenizer artifact exactly") {
+    val learned = Bpe.learnMerges(classic, "text", rounds = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString + "/tok"
+    Bpe.saveLearned(spark, learned, dir)
+    val back = Bpe.loadLearned(spark, dir)
+    assert(back.merges == learned.merges)
+    assert(back.words.sortBy(_._1) == learned.words.sortBy(_._1))
+    assert(back.pieces == learned.pieces)
+    assert(Bpe.rankMap(back) == Bpe.rankMap(learned))
+  }
+
   test("encode counts pieces under the learned merges via one broadcast join") {
     val enc = Bpe.encode(classic, "doc_id", "text", rounds = 4)
     val got = enc.collect()

@@ -47,6 +47,30 @@ class LinearQualitySpec extends SparkSpec {
     assert(scored == 1L)
   }
 
+  test("scoreColumn (the zero-shuffle streaming form) equals the join-path score exactly") {
+    import spark.implicits._
+    val m = LinearQuality.fit(corpus, "doc_id", "text", "label")
+    val joined = LinearQuality.score(corpus, "doc_id", "text", m)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val columnar = corpus.select(col("doc_id"),
+        LinearQuality.scoreColumn(col("text"), m).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(columnar == joined)
+    // the plan is one projection: no join, no aggregate-exchange
+    val plan = corpus.select(LinearQuality.scoreColumn(col("text"), m))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"scoreColumn must be a pure projection:\n$plan")
+    // and the streaming gate keeps exactly the rows score() keeps
+    val kept = LinearQuality.score(corpus, "doc_id", "text", m)
+      .filter(col("score_micro") >= m.scale / 2).select("doc_id")
+      .as[Long].collect().toSet
+    val gated = graft.streaming.LogPipeline.qualityGateStream(
+        corpus.withColumnRenamed("text", "_raw"), m, m.scale / 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == kept && gated.nonEmpty && gated.size < 80)
+  }
+
   test("scoring plan: weights broadcast; empty docs still score the bias") {
     import spark.implicits._
     val m = LinearQuality.fit(corpus, "doc_id", "text", "label")

@@ -449,6 +449,24 @@ class SimilaritySpec extends SparkSpec {
     // per-cell fill stats read codes only and cover every written cell
     val stats = graft.streaming.StreamIvfPq.cellStats(spark, dir)
     assert(stats.agg(sum("rows")).head().getLong(0) == corpus.count())
+    // re-ingestion is LATEST-WINS: replace the current best neighbor's
+    // vector with the query vector itself in a newer batch — after
+    // compaction (latest-wins across all cells) it must rank FIRST
+    // with distance 0
+    val bestId = want.head._1
+    val qf = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val replacement = emb.filter(col("vec_id") === 0)
+      .select(lit(bestId).as("vec_id"), col("embedding"))
+    graft.streaming.StreamIvfPq.upsertBatch(replacement, "vec_id",
+      "embedding", dir, 2L)
+    graft.streaming.StreamIvfPq.compact(spark, dir)
+    val updatedCorpus = corpus.withColumn("embedding",
+      when(col("vec_id") === bestId, array(qf.map(lit): _*))
+        .otherwise(col("embedding")))
+    val re = Similarity.queryIvfPqTable(spark, dir, updatedCorpus,
+      "vec_id", "embedding", query, kTop = 1).as[(Long, Long)].collect()
+    assert(re.headOption.contains((bestId, 0L)),
+      s"latest-wins re-ingestion did not serve the new encoding: ${re.toSeq}")
   }
 
   test("knnLabelLsh: agrees with the exact twin on the fixtures and never collects the corpus") {
