@@ -2057,6 +2057,23 @@ object SparkEntry {
           "doc_id", "text", "is_en"),
       None),
 
+    ("q_quality_gate", // the ZERO-SHUFFLE face of the learned gate:
+      // the same fitted model applied as ONE compiled projection
+      // (scoreColumn — weight map literal, per-token sign·weight sum;
+      // provably Σ_b w_b·count_b ≡ Σ_tokens sign·w_bucket, and the
+      // streaming qualityGateStream path). Oracle replays the
+      // token-by-token sum in SQL against the same weight literals —
+      // so BOTH scoring faces of the model are hash-checked.
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").withColumn("is_en",
+          (col("lang") === "en").cast("int"))
+        val m = graft.ml.LinearQuality.fit(docs, "doc_id", "text", "is_en")
+        docs.select(col("doc_id"),
+          graft.ml.LinearQuality.scoreColumn(col("text"), m)
+            .as("score_micro"))
+      },
+      None),
+
     ("q_kneser_ney", // interpolated Kneser–Ney bigram smoothing
       // (Chen & Goodman 1998 eq. 4.25, d = 3/4) as EXACT RATIONALS:
       // p_num/p_den over the common denominator 4·c(w1·)·N1+(··) —
@@ -4171,6 +4188,43 @@ object SparkEntry {
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  /** Oracle for q_quality_gate: the same literal weight table as
+    * [[qualityClassifierOracleSql]], but the score replays
+    * TOKEN-BY-TOKEN (sign·weight summed per occurrence + bias) — the
+    * scoreColumn/streaming-gate arithmetic, checked independently of
+    * the bucket-aggregate face.
+    */
+  private def qualityGateOracleSql(s: SparkSession, dir: String): String = {
+    val m = graft.ml.LinearQuality.fit(
+      t(s, dir, "documents").withColumn("is_en",
+        (col("lang") === "en").cast("int")),
+      "doc_id", "text", "is_en")
+    require(m.weightsMicro.nonEmpty, "quality classifier learned no weights")
+    val wv = m.weightsMicro.toSeq.sorted
+      .map { case (b, w) => s"('$b', $w)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |wt AS (SELECT a AS b, CAST(c AS BIGINT) AS w
+       |       FROM (VALUES $wv) v(a, c)),
+       |contrib AS (
+       |  SELECT t.doc_id,
+       |         coalesce(wt.w, 0) *
+       |           (CASE WHEN substring(md5('s:' || t.tok), 1, 1)
+       |                   IN ('0','1','2','3','4','5','6','7')
+       |                 THEN 1 ELSE -1 END) AS c
+       |  FROM toks t
+       |  LEFT JOIN wt ON substring(md5('b:' || t.tok), 1, 2) = wt.b),
+       |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dot
+       |       FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(sc.dot, 0) + ${m.biasMicro} AS BIGINT)
+       |         AS score_micro
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying [[Similarity.kmeansQuantizedFit]] (two
     * Lloyd steps, 64-dim fixture vectors): quantize → smallest-id seeds
     * → (assign argmin-L2² with lowest-cl ties, per-dim exact floor-div
@@ -4476,6 +4530,7 @@ object SparkEntry {
     }),
     "q_bpe_deep" -> bpeDeepOracleSql,
     "q_quality_classifier" -> qualityClassifierOracleSql,
+    "q_quality_gate" -> qualityGateOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
     "q_embed_ivfpq_incr" -> ivfPqIncrOracleSql,
