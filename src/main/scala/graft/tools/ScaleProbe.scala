@@ -106,7 +106,8 @@ object ScaleProbe {
     "q_vocab_build", "q_encode_ids", "q_jaccard_join",
     "q_topk_per_key", "q_pretrain_pipeline",
     "q_knn_multiprobe", "x_knn_multiprobe_auto",         // r10 leg 2
-    "q_bpe_deep", "q_bpe_ids", "q_quality_classifier",   // r11
+    "q_bpe_deep", "q_bpe_ids", "q_quality_classifier",
+    "q_quality_gate",                                    // r11
 
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
