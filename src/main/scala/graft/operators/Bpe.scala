@@ -338,6 +338,15 @@ object Bpe {
       })
   }
 
+  /** Pure in-memory char-level trainer over an explicit weighted word
+    * list — the Spark-free entry the ScalaCheck equivalence property
+    * sweeps (rank-order training state ≡ [[applyRanked]] encoding for
+    * every trained word, on random corpora). */
+  private[graft] def trainChars(words: Seq[(String, Long)],
+      rounds: Int): Learned =
+    runMerges(words.map { case (w, c) => (w, c, codePoints(w)) }.toArray,
+      rounds, glue = "")
+
   /** Lowest-rank-first application of a learned merge table to one
     * symbol sequence — the HF-tokenizers encode algorithm, provably
     * equal to replaying merges in rank order for a table learned from

@@ -142,4 +142,29 @@ object GraftProperties extends Properties("graft") {
         seen + unseen == den
       }
   }
+
+  // --- BPE: rank-order training state == lowest-rank-first encoding ---
+  // The theorem every deep-merge oracle and the OOV fallback rely on:
+  // replaying the learned merge table lowest-rank-first over a trained
+  // word's characters must land on EXACTLY the training loop's final
+  // state for that word — for any corpus, any weights, any depth.
+  property("BPE applyRanked reproduces the trained state on random corpora") = {
+    val word = for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus = for {
+      ws <- Gen.nonEmptyListOf(word).map(_.distinct.take(12))
+      weights <- Gen.listOfN(ws.length, Gen.chooseNum(1L, 9L))
+      rounds <- Gen.chooseNum(1, 24)
+    } yield (ws.zip(weights), rounds)
+    Prop.forAllNoShrink(corpus) { case (words, rounds) =>
+      val learned = graft.operators.Bpe.trainChars(words, rounds)
+      val rk = graft.operators.Bpe.rankMap(learned)
+      learned.words.forall { case (w, _, syms) =>
+        graft.operators.Bpe.applyRanked(
+          w.map(_.toString).toIndexedSeq, rk, "") == syms
+      }
+    }
+  }
 }
