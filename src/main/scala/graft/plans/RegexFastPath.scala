@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Contains, Expression, Literal, Lower, RLike}
+import org.apache.spark.sql.catalyst.expressions.{Contains, Expression, Literal, Lower, RLike, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
@@ -28,18 +28,30 @@ object RegexFastPathRule extends Rule[LogicalPlan] {
   private val WordOnly = "^[A-Za-z0-9_-]+$".r
   private val CiPrefix = "(?i)"
 
+  // `^word` is also exact: `^` in Java's default mode matches only at
+  // input start, so find() ⇔ startsWith. The mirrored `word$` rewrite
+  // is deliberately ABSENT: `$` additionally matches just before a
+  // trailing line terminator (find("c$") is true on "abc\n"), so
+  // EndsWith would diverge on lines carrying one.
   private def rewrite(e: Expression): Expression = e match {
     case RLike(subject, Literal(p: UTF8String, StringType)) =>
       val pattern = p.toString
+      def lw(w: String) =
+        Literal(UTF8String.fromString(
+          w.toLowerCase(java.util.Locale.ROOT)), StringType)
       pattern match {
         case WordOnly() =>
           Contains(subject, Literal(p, StringType))
         case ci if ci.startsWith(CiPrefix) &&
             WordOnly.matches(ci.stripPrefix(CiPrefix)) =>
-          val word = ci.stripPrefix(CiPrefix)
-            .toLowerCase(java.util.Locale.ROOT)
-          Contains(Lower(subject),
-            Literal(UTF8String.fromString(word), StringType))
+          Contains(Lower(subject), lw(ci.stripPrefix(CiPrefix)))
+        case anch if anch.startsWith("^") &&
+            WordOnly.matches(anch.stripPrefix("^")) =>
+          StartsWith(subject,
+            Literal(UTF8String.fromString(anch.stripPrefix("^")), StringType))
+        case cia if (cia.startsWith(CiPrefix + "^") &&
+              WordOnly.matches(cia.stripPrefix(CiPrefix + "^"))) =>
+          StartsWith(Lower(subject), lw(cia.stripPrefix(CiPrefix + "^")))
         case _ => e
       }
     case _ => e

@@ -36,6 +36,29 @@ class RegexFastPathSpec extends SparkSpec {
     assert(ci == viaRule)
   }
 
+  test("^word rlike is rewritten to StartsWith; word$ is NOT (trailing-terminator semantics)") {
+    import spark.implicits._
+    val p1 = docs.filter(col("text").rlike("^key"))
+      .queryExecution.optimizedPlan.toString
+    assert(p1.contains("StartsWith") && !p1.contains("RLIKE"),
+      s"anchored prefix not rewritten:\n$p1")
+    val p2 = docs.filter(col("text").rlike("(?i)^KEY"))
+      .queryExecution.optimizedPlan.toString
+    assert(p2.contains("StartsWith") && p2.contains("lower") &&
+      !p2.contains("RLIKE"), s"ci anchored prefix not rewritten:\n$p2")
+    // equivalence on real data
+    val viaRule = docs.filter(col("text").rlike("^key")).count()
+    val viaStarts = docs.filter(col("text").startsWith("key")).count()
+    assert(viaRule == viaStarts && viaRule > 0)
+    // `$` must stay a regex: Java's $ also matches before a trailing
+    // line terminator, which EndsWith does not
+    val p3 = docs.filter(col("text").rlike("key$"))
+      .queryExecution.optimizedPlan.toString
+    assert(p3.contains("RLIKE"), s"suffix anchor wrongly rewritten:\n$p3")
+    val tricky = Seq("x key", "x key\n").toDF("t")
+    assert(tricky.filter(col("t").rlike("key$")).count() == 2L)
+  }
+
   test("applies to SQL-string queries too (rule is session-global)") {
     docs.createOrReplaceTempView("rfp_docs")
     val df = spark.sql("SELECT * FROM rfp_docs WHERE text RLIKE 'merge'")
