@@ -19,17 +19,17 @@ import scala.collection.mutable
   * loop never touches Spark at all:
   *
   *  - [[learn]] first reduces the corpus to its word VOCABULARY
-  *    (one map-side-combinable groupBy; the vocab is bounded by
-  *    distinct-word count, not corpus bytes — the same reduction
-  *    sentencepiece/HF trainers perform), collects that bounded
-  *    relation ONCE, and runs the classic in-memory pair-count /
-  *    merge loop driver-side with incremental pair bookkeeping
-  *    (a TreeSet keyed (cnt DESC, lhs, rhs) plus per-pair word
-  *    postings, so each round costs O(affected words), not a vocab
-  *    rescan). 30k merges are seconds of driver CPU and ZERO Spark
-  *    jobs — the previous design paid one scheduler round-trip plus
-  *    one checkpointed vocab copy PER merge round, which is exactly
-  *    the shape that cannot reach a real 30k-merge vocabulary.
+  *    (one map-side-combinable groupBy, capped at the weighted
+  *    top-`maxVocab` — the same reduction sentencepiece/HF trainers
+  *    perform), collects that bounded relation ONCE, and runs the
+  *    classic position-indexed merge loop driver-side: sequences are
+  *    doubly-linked node chains, pair occurrences post their left
+  *    node, a TreeSet keyed (cnt DESC, lhs, rhs) serves winners —
+  *    each round costs O(occurrences · log P), not a vocab rescan.
+  *    30k merges are seconds of driver CPU and ZERO Spark jobs — the
+  *    previous design paid one scheduler round-trip plus one
+  *    checkpointed vocab copy PER merge round, which is exactly the
+  *    shape that cannot reach a real 30k-merge vocabulary.
   *  - [[encode]] / [[encodeIds]] broadcast the (bounded) encoded
   *    vocab back to the corpus token stream — per-document piece
   *    counts / id sequences cost one scan + one broadcast join,
