@@ -1513,6 +1513,46 @@ object SparkEntry {
              |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
              |                                x -> len(x) > 0), 'window')""".stripMargin)),
 
+    ("q_stream_text_index_upd", // UPDATE path of the live index:
+      // the whole corpus ingests as batch 0, then every 7th document
+      // is re-ingested MODIFIED (batch 1, plus an at-least-once
+      // retry) with a compaction interleaved — latest-wins means the
+      // final grep equals a fresh index over the FINAL corpus: the
+      // updated documents' removed tokens stop matching (no stale
+      // postings), their new tokens match immediately, no rebuild.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_text_index_upd").toString + "/idx"
+        val docs = t(s, dir, "documents")
+        val S = graft.streaming.StreamTextIndex
+        S.upsertBatch(docs, "doc_id", "text", root, 0L)
+        S.compact(s, root)
+        val upd = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("text",
+            concat(lit("refreshedcontent spark doc "), col("doc_id")))
+        S.upsertBatch(upd, "doc_id", "text", root, 1L)
+        S.upsertBatch(upd, "doc_id", "text", root, 1L) // retry
+        S.compact(s, root)
+        val got = S.grepTokens(docs, "doc_id", root, Seq("spark", "window"))
+          .select("doc_id")
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 7 = 0
+             |              THEN 'refreshedcontent spark doc ' || doc_id
+             |              ELSE text END AS text
+             |  FROM documents)
+             |WHERE list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'spark')
+             |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'window')""".stripMargin)),
+
     ("q_phrase_index_lookup", // positional-index PHRASE grep: each
       // phrase token reads one pruned bucket of (tok, id, pos)
       // postings, shifts to a common start (pos - i), and the
@@ -1592,6 +1632,67 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         graft.operators.Bpe.encodeIds(t(s, dir, "documents"), "doc_id",
           "text", rounds = 6),
+      Some(s"""${bpeCtesSql(6)},
+             |pf AS (SELECT piece, CAST(sum(weight) AS BIGINT) AS freq
+             |       FROM (SELECT weight, unnest(syms) AS piece FROM v6)
+             |       GROUP BY 1),
+             |pid AS (SELECT piece,
+             |          CAST(row_number() OVER (ORDER BY freq DESC, piece)
+             |               AS BIGINT) AS piece_id
+             |        FROM pf),
+             |tk AS (SELECT doc_id, u.widx AS widx, u.word AS word FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |        generate_series(1, len(t)),
+             |        i -> {'widx': i, 'word': t[i]})) AS u
+             |    FROM (SELECT doc_id, list_filter(
+             |            string_split_regex(lower(text), '\\s+'),
+             |            x -> len(x) > 0) AS t
+             |          FROM documents))),
+             |px AS (SELECT tk.doc_id, tk.widx, u.pidx AS pidx,
+             |              u.piece AS piece
+             |       FROM tk JOIN v6 ON tk.word = v6.word,
+             |            LATERAL (SELECT unnest(list_transform(
+             |                generate_series(1, len(v6.syms)),
+             |                j -> {'pidx': j, 'piece': v6.syms[j]})) AS u))
+             |SELECT doc_id,
+             |       CAST(row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY widx, pidx) AS BIGINT) AS pos,
+             |       piece, piece_id
+             |FROM px JOIN pid USING (piece)""".stripMargin)),
+
+    ("q_stream_bpe_ids", // the tokenizer AT INGEST: fit once on the
+      // curation corpus, persist, and encode every micro-batch under
+      // the frozen loaded artifact (StreamBpe.encodeBatch) — three
+      // batch splits, an at-least-once retry, and a mid-stream
+      // compaction later, the live encoded table equals the one-shot
+      // Bpe.encodeIds over the union, so the q_bpe_ids oracle replays
+      // unchanged. This is the curation→training handoff composing at
+      // ingest like the LM/quality gates.
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("q_stream_bpe_ids").toString
+        val root = s"$base/enc"
+        val docs = t(s, dir, "documents")
+        val learned = graft.operators.Bpe.learnMerges(docs, "text", 6)
+        graft.operators.Bpe.saveLearned(s, learned, s"$base/tok")
+        val frozen = graft.operators.Bpe.loadLearned(s, s"$base/tok")
+        val S = graft.streaming.StreamBpe
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", frozen, root, 0L)
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", frozen, root, 1L)
+        S.compact(s, root)
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", frozen, root, 1L) // retry
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", frozen, root, 2L)
+        val got = S.readEncoded(s, root).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
       Some(s"""${bpeCtesSql(6)},
              |pf AS (SELECT piece, CAST(sum(weight) AS BIGINT) AS freq
              |       FROM (SELECT weight, unnest(syms) AS piece FROM v6)
@@ -3785,6 +3886,38 @@ object SparkEntry {
       },
       None),
 
+    ("q_embed_ivfpq_refit", // drift REPAIR for the at-ingest index:
+      // generation 0 fits on the lower half and streams the upper
+      // half in under the frozen (drifted) model, then refit() fits a
+      // NEW generation on the current corpus into a versioned subdir
+      // and publishes it with one atomic _COMMITTED create — queries
+      // resolve the newest committed generation, so post-swap answers
+      // equal a FRESH buildIvfPq over the full corpus and the oracle
+      // is exactly q_embed_ivfpq_table's literal-replay chain.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+        val root = java.nio.file.Files
+          .createTempDirectory("q_embed_ivfpq_refit").toString + "/index"
+        Similarity.buildIvfPq(corpus.filter(col("vec_id") <= maxId / 2),
+          "vec_id", "embedding", root)
+        graft.streaming.StreamIvfPq.upsertBatch(
+          corpus.filter(col("vec_id") > maxId / 2),
+          "vec_id", "embedding", root, 0L)
+        graft.streaming.StreamIvfPq.refit(corpus, "vec_id", "embedding", root)
+        val got = graft.streaming.StreamIvfPq.query(s, root, corpus,
+          "vec_id", "embedding", q, kTop = 20).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_knn_multiprobe", // multi-probe LSH kNN (Lv et al. 2007): each
       // anchor also probes every Hamming-1 bucket of its signature —
       // per-table recall rises steeply, so a target recall needs
@@ -4533,6 +4666,9 @@ object SparkEntry {
     "q_quality_gate" -> qualityGateOracleSql,
     "q_embed_ivfpq" -> ivfPqOracleSql,
     "q_embed_ivfpq_table" -> ivfPqOracleSql,
+    // refit on the full corpus == fresh build on the full corpus, so
+    // the swap is checked against the very same replay chain
+    "q_embed_ivfpq_refit" -> ivfPqOracleSql,
     "q_embed_ivfpq_incr" -> ivfPqIncrOracleSql,
     "q_embed_rp" -> rpOracleSql,
     "q_kn_quality" -> knQualityOracleSql,

@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * in the engine.
   *
   * Scale shape — NO iterative optimizer, no per-epoch corpus passes:
-  *  - the gram matrix XᵀX is ONE combinable aggregate over the
-  *    per-document feature self-join (each document contributes its
-  *    own ≤k² bucket pairs map-side; the shuffle carries at most
-  *    D² = 16^(2·hexDigits) cells — 65,536 at the default 256
-  *    buckets — regardless of corpus size), Xᵀy one more;
+  *  - the gram matrix XᵀX is ONE combinable aggregate with NO join:
+  *    each document emits its own upper-triangle bucket-pair
+  *    products ROW-LOCALLY (the [[graft.operators.Similarity
+  *    .pcaPowerFit]] scatter shape), so the only exchange is the
+  *    partial-aggregated cell relation — at most
+  *    D(D+1)/2 (D = 16^hexDigits + 1, 65,536-cell class at the
+  *    default 256 buckets) per partition, regardless of corpus
+  *    size — Xᵀy one more (a join against the label relation only);
   *  - the D×D solve runs driver-side (Gaussian elimination with
   *    partial pivoting, microseconds at D=257 including bias);
   *  - weights are quantized to an integer micro-grid and broadcast,
@@ -60,11 +63,9 @@ object LinearQuality {
     val labels = df.select(col(idCol).as("_id"),
       col(labelCol).cast("long").as("_y"))
 
-    // XᵀX: per-document bucket-pair products, one combinable agg.
-    val gram = feats.as("f1")
-      .join(feats.as("f2"), col("f1._id") === col("f2._id"))
-      .groupBy(col("f1.b").as("b1"), col("f2.b").as("b2"))
-      .agg(sum(col("f1.v") * col("f2.v")).as("g"))
+    // XᵀX: per-document bucket-pair products, one combinable agg —
+    // emitted row-locally (no self-join; see gramCells).
+    val gram = gramCells(feats)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     // Xᵀy and the bias row's moments: Σ_d x_d (column sums), Σ y, n.
@@ -83,7 +84,10 @@ object LinearQuality {
     val idx = buckets.zipWithIndex.toMap
     val a = Array.ofDim[Double](d, d)
     val rhs = new Array[Double](d)
-    gram.foreach { case ((b1, b2), g) => a(idx(b1))(idx(b2)) = g.toDouble }
+    gram.foreach { case ((b1, b2), g) => // mirror the triangle
+      a(idx(b1))(idx(b2)) = g.toDouble
+      a(idx(b2))(idx(b1)) = g.toDouble
+    }
     buckets.zipWithIndex.foreach { case (b, i) =>
       a(i)(d - 1) = colSums(b).toDouble
       a(d - 1)(i) = colSums(b).toDouble
@@ -101,6 +105,33 @@ object LinearQuality {
       }.toMap.filter(_._2 != 0L),
       math.floor(w(d - 1) * scale).toLong, scale, hexDigits)
     } finally feats.unpersist(false)
+  }
+
+  /** The UNORDERED-pair gram cells (b1 ≤ b2, g = Σ_d v_d(b1)·v_d(b2)):
+    * each document's feature list is gathered once (bounded at
+    * 16^hexDigits entries) and its upper triangle explodes
+    * ROW-LOCALLY into canonicalized (b1, b2, product) cells — the
+    * [[graft.operators.Similarity.pcaPowerFit]] scatter shape. The
+    * corpus never self-joins: the plan is scan → hash-agg → explode →
+    * hash-agg (PlanQualitySpec gates join-freedom), and map-side
+    * partial aggregation caps the exchange at one cell set per
+    * partition. The driver mirrors the triangle when it builds the
+    * dense normal equations. */
+  private[graft] def gramCells(feats: DataFrame): DataFrame = {
+    val fs = col("_fs")
+    def f(i: org.apache.spark.sql.Column) = element_at(fs, i)
+    val pairCells = flatten(transform(sequence(lit(1), size(fs)), i =>
+      transform(sequence(lit(1), i), j =>
+        struct(
+          least(f(i).getField("b"), f(j).getField("b")).as("b1"),
+          greatest(f(i).getField("b"), f(j).getField("b")).as("b2"),
+          (f(i).getField("v") * f(j).getField("v")).as("p")))))
+    feats
+      .groupBy("_id")
+      .agg(collect_list(struct(col("b"), col("v"))).as("_fs"))
+      .select(explode(pairCells).as("_c"))
+      .groupBy(col("_c.b1").as("b1"), col("_c.b2").as("b2"))
+      .agg(sum(col("_c.p")).as("g"))
   }
 
   /** In-place Gaussian elimination with partial pivoting — D is

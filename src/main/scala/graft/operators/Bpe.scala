@@ -539,14 +539,6 @@ object Bpe {
         StructField("freq", LongType, nullable = false),
         StructField("piece_id", LongType, nullable = false))))
 
-  /** Documents encoded to BPE piece-id SEQUENCES — the actual
-    * curation→training handoff artifact: (id, pos, piece, piece_id)
-    * with `pos` the 1-based position in the document's piece stream.
-    * Corpus cost: one scan, two broadcast joins (word→pieces,
-    * piece→id), one per-document window (bounded by document length).
-    * Composes directly with [[Pack.packSequences]] /
-    * `TextAnalysis.chunkTokens` for packed context windows.
-    */
   /** Per-document token and PHRASE-piece counts under `rounds`
     * phrase-level merges (see [[learnPhraseMerges]]): (id, n_tokens,
     * n_pieces). Because the distinct token sequences ARE the training
@@ -587,9 +579,27 @@ object Bpe {
           .otherwise(fallbackN(col("toks"))).as("n_pieces"))
   }
 
+  /** Documents encoded to BPE piece-id SEQUENCES — the actual
+    * curation→training handoff artifact: (id, pos, piece, piece_id)
+    * with `pos` the 1-based position in the document's piece stream.
+    * Corpus cost: one scan, two broadcast joins (word→pieces,
+    * piece→id), one per-document window (bounded by document length).
+    * Composes directly with [[Pack.packSequences]] /
+    * `TextAnalysis.chunkTokens` for packed context windows.
+    */
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int, maxVocab: Int = 1 << 20): DataFrame = {
-    val learned = learnMerges(df, textCol, rounds, maxVocab)
+      rounds: Int, maxVocab: Int = 1 << 20): DataFrame =
+    encodeIdsWith(df, idCol, textCol, learnMerges(df, textCol, rounds, maxVocab))
+
+  /** [[encodeIds]] under a FROZEN tokenizer — the fit-once half of
+    * the handoff: `learned` comes from [[learnMerges]] on the
+    * curation cluster (or [[loadLearned]] from its persisted
+    * artifact), and encoding is the same one-scan + two-broadcast-
+    * join projection at any merge depth, so any batch split of a
+    * corpus encodes to exactly the union of its parts (the at-ingest
+    * face [[graft.streaming.StreamBpe]] is built on this). */
+  def encodeIdsWith(df: DataFrame, idCol: String, textCol: String,
+      learned: Learned): DataFrame = {
     val spark = df.sparkSession
     val vocabDf = encodedVocab(spark, learned)
     val ids = pieceVocab(spark, learned).select("piece", "piece_id")

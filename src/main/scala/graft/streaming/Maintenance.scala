@@ -96,7 +96,10 @@ object Maintenance {
       dropSinkLog = false, graceMillis = graceMillis)
     // incremental-index upkeep: fold streaming deltas back to their
     // one-shot size (posting sets / sketch cells). Each compaction is
-    // a no-op on a root that was never ingested.
+    // a no-op on a root that was never ingested, and all three use
+    // the merge-and-retire snapshot contract (StreamState): safe to
+    // drive from this maintenance job BESIDE a live ingest — a
+    // micro-batch landing mid-compaction is never erased.
     def exists(r: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(r)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

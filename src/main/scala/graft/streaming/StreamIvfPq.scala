@@ -31,18 +31,124 @@ import org.apache.spark.sql.functions._
   * Drift contract (the honest ANN caveat, stated rather than hidden):
   * appended vectors are quantized by the BASE corpus' model. If the
   * ingest distribution drifts far from the training distribution,
-  * recall decays on the new mass — the standard IVF practice applies
-  * (monitor per-cell fill; re-run buildIvfPq when imbalance crosses a
-  * threshold, which [[cellStats]] exposes).
+  * recall decays on the new mass — [[cellStats]] exposes the
+  * fill-imbalance signal, and [[refit]] acts on it: fit a NEW model
+  * generation on the current corpus, re-encode into a versioned
+  * subdirectory (`_v1`, `_v2`, …), and publish it atomically by
+  * creating the generation's `_COMMITTED` marker as the last step.
+  * Every entry point resolves the newest COMMITTED generation first
+  * ([[resolve]]), so a query reads ONE consistent (model, codes)
+  * pair: a crashed refit left no marker and is invisible; a reader
+  * that resolved v1 an instant before the v2 commit serves v1
+  * whole — never v2's model against v1's codes. The flat layout
+  * [[Similarity.buildIvfPq]] writes is generation 0 and keeps
+  * working untouched until the first refit.
   */
 object StreamIvfPq {
+
+  // ---- model generations ------------------------------------------
+
+  private val VDirName = """_v(\d+)""".r
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(spark: SparkSession, root: String,
+      committedOnly: Boolean): Seq[Int] = {
+    val fs = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VDirName(n)
+              if !committedOnly || fs.exists(
+                new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
+            n.toInt
+          case _ => -1
+        }
+    }.filter(_ > 0)
+  }
+
+  /** The directory holding the newest COMMITTED model generation —
+    * `root/_vN`, or `root` itself while the index is still on the
+    * flat generation-0 layout. All entry points resolve through this,
+    * so the (model, codes) pair a query sees is always one consistent
+    * generation. */
+  def resolve(spark: SparkSession, root: String): String =
+    versions(spark, root, committedOnly = true) match {
+      case Nil => root
+      case vs => s"$root/_v${vs.max}"
+    }
+
+  /** Fit a new model generation over `corpus` and atomically swap it
+    * in: [[Similarity.buildIvfPq]] writes the full (codes + `_meta`)
+    * table into `root/_vN` (N = one past the highest version dir,
+    * committed or not — a crashed refit's directory is simply left
+    * behind, never reused while half-written by someone else), and
+    * the generation becomes visible only when its `_COMMITTED` marker
+    * lands — one file create, so there is no window where a reader
+    * can pair the new model with old codes. Vectors that arrived
+    * after `corpus` was captured must be re-ingested (the upstream
+    * at-least-once redelivery contract); post-swap [[upsertBatch]]
+    * encodes under the new generation.
+    *
+    * `retireOld = true` deletes the superseded generations after the
+    * commit. That assumes no query is mid-scan on an old generation
+    * (the sandbox/spec shape); a long-lived deployment should pass
+    * `false` and retire from the maintenance window instead
+    * ([[retireOldVersions]]) once in-flight readers have drained.
+    */
+  def refit(corpus: DataFrame, idCol: String, vecCol: String,
+      root: String, nCells: Int = 8, iterations: Int = 2, m: Int = 8,
+      k: Int = 16, scale: Double = 1048576.0,
+      retireOld: Boolean = true): String = {
+    val spark = corpus.sparkSession
+    val next = (versions(spark, root, committedOnly = false) :+ 0).max + 1
+    val vdir = s"$root/_v$next"
+    Similarity.buildIvfPq(corpus, idCol, vecCol, vdir,
+      nCells, iterations, m, k, scale)
+    val marker = new org.apache.hadoop.fs.Path(vdir, "_COMMITTED")
+    hfs(spark, root).create(marker, true).close()
+    if (retireOld) retireOldVersions(spark, root)
+    vdir
+  }
+
+  /** Delete every generation older than the newest committed one:
+    * stale `_vK` directories, and — once any committed version
+    * exists — the flat generation-0 codes and `_meta`. Run from the
+    * maintenance window after in-flight readers drained. */
+  def retireOldVersions(spark: SparkSession, root: String): Unit = {
+    val committed = versions(spark, root, committedOnly = true)
+    if (committed.isEmpty) return
+    val keep = committed.max
+    val fs = hfs(spark, root)
+    versions(spark, root, committedOnly = false).filter(_ != keep)
+      .foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/_v$v"), true)
+      }
+    StreamState.deleteFiles(spark, root,
+      StreamState.listDataFiles(spark, root)) // flat gen-0 codes
+    val flatMeta = new org.apache.hadoop.fs.Path(root, "_meta")
+    if (fs.exists(flatMeta)) fs.delete(flatMeta, true)
+  }
+
+  /** Probe the newest committed generation — [[Similarity
+    * .queryIvfPqTable]] against [[resolve]]'s directory. */
+  def query(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, vecCol: String, queryVec: Seq[Double], kTop: Int,
+      nprobe: Int = 2, shortlist: Int = 200): DataFrame =
+    Similarity.queryIvfPqTable(spark, resolve(spark, root), corpus,
+      idCol, vecCol, queryVec, kTop, nprobe, shortlist)
 
   /** Encode + append one micro-batch under the frozen model at
     * `path`. One scan of the batch; writes only the touched cell
     * partitions. */
   def upsertBatch(batch: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Long): Unit = {
+      root: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val path = resolve(spark, root)
     val idx = Similarity.readIvfPqMeta(spark, path)
     val cells = Similarity.assignCells(batch, idCol, vecCol,
       idx.centroids, idx.scale)
@@ -57,30 +163,50 @@ object StreamIvfPq {
     * operator when the frozen coarse quantizer has drifted from the
     * ingest distribution and a re-fit is due. Reads code rows only
     * (m bytes per vector), never vectors. */
-  def cellStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def cellStats(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(resolve(spark, root))
       .groupBy("cluster").agg(count(lit(1)).as("rows"))
 
   /** Fold retried-batch duplicates away and rewrite each cell
     * partition once (batch_id −1): the table returns to exactly one
-    * row per id. The `_meta` sidecar is re-written after the
-    * overwrite from the model read before it (same contract as
-    * [[StreamTextIndex.compact]]). */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val idx = Similarity.readIvfPqMeta(spark, path)
-    val idCol = spark.read.parquet(path).columns.head
+    * row per id.
+    *
+    * MERGE-AND-RETIRE (see [[StreamState]]): the merged table is
+    * computed from a SNAPSHOT of the current code files, appended as
+    * new files, and only then are the snapshot files deleted. A
+    * concurrent `upsertBatch` writes files outside the snapshot and
+    * survives (safe beside a live ingest); the `_meta` sidecar is
+    * underscore-prefixed so it is never in a snapshot — the frozen
+    * model cannot be lost by a crash mid-compaction. A crash between
+    * the append and the retire leaves both copies; codes are
+    * DETERMINISTIC under the frozen model and readers keep the
+    * latest row per id, so the duplication costs space until the
+    * next compaction, never correctness.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val path = resolve(spark, root)
+    compactSnapshot(spark, path, StreamState.listDataFiles(spark, path))
+  }
+
+  /** The compaction body over an explicit snapshot — split out so the
+    * interleaving spec can pin the snapshot, land a concurrent
+    * `upsertBatch`, and prove the late batch survives. */
+  private[graft] def compactSnapshot(spark: SparkSession, path: String,
+      snapshot: Seq[String]): Unit = {
+    if (snapshot.isEmpty) return
+    val df = spark.read.option("basePath", path).parquet(snapshot: _*)
+    val idCol = df.columns.head
     // latest-wins PER ID ACROSS ALL CELLS (deterministic): this is the
     // point where a re-ingested id's older encoding — possibly in a
     // different cell partition — is actually removed
     val byId = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("batch_id").desc)
-    val merged = spark.read.parquet(path)
-      .withColumn("_rk", row_number().over(byId))
+    df.withColumn("_rk", row_number().over(byId))
       .filter(col("_rk") === 1)
       .withColumn("batch_id", lit(-1L))
       .select(col(idCol), col("codes"), col("batch_id"), col("cluster"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    Similarity.writeIvfPqMeta(spark, idx)
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    StreamState.deleteFiles(spark, path, snapshot)
   }
 }

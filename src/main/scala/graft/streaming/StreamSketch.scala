@@ -82,10 +82,28 @@ object StreamSketch {
     try out.write(s"$wm\n".getBytes("UTF-8")) finally out.close()
   }
 
+  /** The delta id a compaction at watermark `wm` writes its merged
+    * sketch under. Unique per watermark (and watermarks only grow),
+    * so a crashed compaction's half-written merge — or a stale merge
+    * a later compaction superseded — can NEVER be confused with the
+    * current one: the read rule below counts exactly one merge
+    * generation plus the deltas newer than its watermark. */
+  private def mergedId(wm: Long): Long = -(wm + 2)
+
   /** The merged sketch over every ingested batch: one (r, b, cnt) row
     * per touched cell — the same shape [[Sketch.cmsSketch]] emits, so
     * [[Sketch.estimateTokens]] serves point queries against it
     * unchanged.
+    *
+    * Fold rule: with watermark `wm`, count rows whose
+    * `batch_id > wm` (live deltas not yet folded) plus rows whose
+    * `batch_id == mergedId(wm)` (the one merge generation the
+    * watermark vouches for). Everything else is excluded as already
+    * folded mass: a redelivered pre-watermark batch that landed
+    * during a compaction window, a folded delta whose retire-delete
+    * crashed, or a half-written newer merge whose watermark write
+    * crashed — under this rule every cell's count is exact on either
+    * side of any crash or interleaving.
     */
   def readSketch(spark: SparkSession, root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -97,7 +115,9 @@ object StreamSketch {
       import spark.implicits._
       return Seq.empty[(Int, String, Long)].toDF("r", "b", "cnt")
     }
+    val wm = readWatermark(spark, root)
     spark.read.parquet(root)
+      .filter(col("batch_id") > wm || col("batch_id") === mergedId(wm))
       // a retried append duplicates whole delta rows; cells are
       // unique per (batch_id, r, b) by construction, so keeping one
       // copy restores exactly-once counts
@@ -105,33 +125,52 @@ object StreamSketch {
       .groupBy("r", "b").agg(sum("cnt").as("cnt"))
   }
 
-  /** Rewrite the accumulated deltas as a single merged delta
-    * (batch_id −1): state returns to O(depth × width). The merged
-    * sketch is eagerly materialized (localCheckpoint) before the
-    * source directory is overwritten — the same contract as
-    * [[StreamDedup.compact]]; a crash mid-rewrite can lose the
-    * sketch, so run compaction from the maintenance path that owns
-    * a re-ingestable upstream, not from the ingest path.
+  /** Fold the accumulated deltas into a single merged delta: state
+    * returns to O(depth × width).
+    *
+    * MERGE-AND-RETIRE (see [[StreamState]]): the merged sketch is
+    * computed from a SNAPSHOT of the current delta files, appended as
+    * new files under `mergedId(newWm)`, the watermark is advanced,
+    * and only then are the snapshot files deleted. A concurrent
+    * `upsertBatch` (id above the new watermark) writes files outside
+    * the snapshot and survives both the delete and the read-side
+    * fold rule; a concurrent REDELIVERY of a folded batch that slips
+    * past the watermark check lands at or below the new watermark
+    * and is excluded by the fold rule — not double-counted. Crashes:
+    * before the watermark write, the new merge is ignored (its id
+    * doesn't match the current watermark) and the old state still
+    * reads exactly; after it, the folded deltas are ignored as
+    * below-watermark mass. Either way the next compaction retires
+    * the leftovers. Counts are exact at every interleaving point.
     */
-  def compact(spark: SparkSession, root: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the watermark: highest real batch folded by this compaction.
-    // Written BEFORE the rewrite — if the rewrite crashes, the deltas
-    // (still batch_id-keyed and dedupable) survive and the watermark
-    // merely rejects redeliveries of batches those deltas already
-    // hold, so counts stay exact on either side of the crash.
-    val maxBatch =
-      if (!fs.exists(p)) -1L
-      else spark.read.parquet(root).agg(max("batch_id")).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+  def compact(spark: SparkSession, root: String): Unit =
+    compactSnapshot(spark, root, StreamState.listDataFiles(spark, root))
+
+  /** The compaction body over an explicit snapshot — split out so the
+    * interleaving spec can pin the snapshot, land a concurrent
+    * upsert/redelivery, and prove counts stay exact. */
+  private[graft] def compactSnapshot(spark: SparkSession, root: String,
+      snapshot: Seq[String]): Unit = {
+    if (snapshot.isEmpty) return
     val prior = readWatermark(spark, root)
-    val merged = readSketch(spark, root)
-      .withColumn("batch_id", lit(-1L))
-      .localCheckpoint(true)
-    writeWatermark(spark, root, math.max(maxBatch, prior))
-    merged.write.mode("overwrite").partitionBy("r").parquet(root)
+    val snap = spark.read.option("basePath", root).parquet(snapshot: _*)
+    val maxBatch = snap.agg(max("batch_id")).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val newWm = math.max(maxBatch, prior)
+    if (newWm < 0) return // nothing real ingested yet
+    // fold exactly what the read rule counts TODAY: the current merge
+    // generation plus deltas above the prior watermark (stale merges
+    // and already-folded deltas left by earlier crashes contribute
+    // nothing twice)
+    snap.filter(col("batch_id") > prior || col("batch_id") === mergedId(prior))
+      .dropDuplicates("batch_id", "r", "b")
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+      .withColumn("batch_id", lit(mergedId(newWm)))
+      .repartition(col("r"))
+      .write.mode("append").partitionBy("r").parquet(root)
+    writeWatermark(spark, root, newWm)
+    StreamState.deleteFiles(spark, root, snapshot)
   }
 }

@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
   * needs a compaction watermark). Retries cost space until the next
   * compaction, never correctness.
   *
-  * The index is APPEND-ONLY with respect to document content: set
-  * union can add postings but never retract them, so re-ingesting a
-  * MODIFIED document leaves its removed tokens matching it (grep
-  * false positives on stale terms) — the standard inverted-index
-  * limitation without a deletion log. Route updates through a
-  * rebuild (TextIndex.write) or a fresh root.
+  * UPDATES (latest-wins): re-ingesting a document under a HIGHER
+  * batch id replaces it — the removed tokens stop matching, no
+  * rebuild. Each upsert also appends (id, batch_id) rows to a tiny
+  * per-document generation log (`_docs` inside the root —
+  * underscore-prefixed, so the postings scan never sees it); a
+  * posting is live iff its batch_id equals its document's newest
+  * generation. Reads pay for this only where an update actually
+  * happened: the exclusion side is the set of documents with MORE
+  * than one live generation (empty until someone updates, tiny
+  * after — compaction folds resolved history away), broadcast
+  * against the pruned posting list. This is the reference's
+  * never-serve-stale rule (`supervisor/filter_manager.go:323-346`,
+  * the result ring buffer keeps only the newest write per slot)
+  * applied to postings, and the same latest-wins shape as
+  * [[StreamDedup]]. Postings are written BEFORE the generation row,
+  * so a crash mid-upsert leaves the PREVIOUS version served intact
+  * (never a half-visible update); the at-least-once redelivery
+  * completes it.
   *
   * Parity contract: ingesting a corpus in ANY batch split, with any
   * number of interleaved compactions and redeliveries, yields the
@@ -46,6 +58,42 @@ object StreamTextIndex {
 
   private def marker(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root, "_graft_buckets")
+
+  /** Per-document generation log: (id, batch_id) per upsert.
+    * Underscore-prefixed so `spark.read.parquet(root)` and
+    * [[StreamState.listDataFiles]] both skip it — it has its own
+    * merge-and-retire fold in [[compact]]. */
+  private def docLog(root: String): String = s"$root/_docs"
+
+  private def docLogExists(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(docLog(root))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Documents with more than one ingested generation, with the
+    * newest one: the read-side exclusion set. Empty (and free) until
+    * an update actually happens; compaction folds resolved history
+    * back out of it, so its size tracks UNRESOLVED updates, not
+    * corpus size — that is what makes it broadcastable next to a
+    * pruned posting lookup. */
+  private def updatedGens(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(docLog(root))
+      .groupBy("id")
+      .agg(max("batch_id").as("_gen"),
+        countDistinct("batch_id").as("_ngen"))
+      .filter(col("_ngen") > 1)
+      .select("id", "_gen")
+
+  /** Keep only live postings: a row whose document has a newer
+    * generation than the row's own batch is superseded. */
+  private def liveOnly(postings: DataFrame, root: String): DataFrame = {
+    val spark = postings.sparkSession
+    if (!docLogExists(spark, root)) return postings
+    postings
+      .join(broadcast(updatedGens(spark, root)), Seq("id"), "left")
+      .filter(col("_gen").isNull || col("batch_id") === col("_gen"))
+      .drop("_gen")
+  }
 
   /** The persisted bucket modulus, or −1 if the index does not exist
     * yet. */
@@ -69,23 +117,47 @@ object StreamTextIndex {
   }
 
   /** Append one micro-batch's posting delta. The FIRST batch fixes
-    * the bucket modulus; later batches use the persisted one (two
-    * call sites disagreeing on a constant is how postings silently
-    * land in directories lookups prune away).
+    * the bucket modulus (default 64 when the caller leaves `buckets`
+    * unset); later batches use the persisted one, and an EXPLICIT
+    * `buckets` that disagrees with it is rejected loudly — two call
+    * sites disagreeing on the constant is how postings silently land
+    * in directories lookups prune away.
+    *
+    * The marker is persisted BEFORE the first data append: if the
+    * append crashes, a redelivery (even one passing a different
+    * explicit modulus) reads the marker and lands in the same bucket
+    * layout, so no rows can end up under a modulus lookups don't use.
     */
   def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
-      root: String, batchId: Long, buckets: Int = 64): Unit = {
+      root: String, batchId: Long, buckets: Int = -1): Unit = {
     val spark = batch.sparkSession
     val persisted = bucketsOf(spark, root)
-    val b = if (persisted > 0) persisted else buckets
-    require(b > 0, s"buckets must be positive: $b")
+    val b =
+      if (persisted > 0) {
+        require(buckets == -1 || buckets == persisted,
+          s"index at $root has bucket modulus $persisted; caller passed " +
+            s"$buckets — pass no modulus (or the persisted one) for an " +
+            "existing index")
+        persisted
+      } else {
+        val chosen = if (buckets == -1) 64 else buckets
+        require(chosen > 0, s"buckets must be positive: $chosen")
+        writeMarker(spark, root, chosen)
+        chosen
+      }
     batch.select(col(idCol).as("id"),
         explode(TextFunctions.tokenSet(lower(col(textCol)))).as("tok"))
       .withColumn("bucket", pmod(hash(col("tok")), lit(b)))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(root)
-    if (persisted <= 0) writeMarker(spark, root, b)
+    // generation row LAST: a crash above leaves the previous version
+    // of every document in this batch fully served (see header)
+    batch.select(col(idCol).as("id")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      // 16 bytes/doc: one file per batch, distinct still parallel
+      .repartition(1)
+      .write.mode("append").parquet(docLog(root))
   }
 
   /** The merged posting set: one (tok, id, bucket) row per distinct
@@ -99,7 +171,8 @@ object StreamTextIndex {
       import spark.implicits._
       return Seq.empty[(String, Long, Int)].toDF("tok", "id", "bucket")
     }
-    spark.read.parquet(root).select("tok", "id", "bucket").distinct()
+    liveOnly(spark.read.parquet(root), root)
+      .select("tok", "id", "bucket").distinct()
   }
 
   /** Posting list of one token: DISTINCT ids, read from one pruned
@@ -109,9 +182,11 @@ object StreamTextIndex {
     val b = bucketsOf(spark, root)
     require(b > 0, s"no index at $root")
     val t = token.toLowerCase(java.util.Locale.ROOT)
-    spark.read.parquet(root)
-      .filter(col("bucket") === pmod(hash(lit(t)), lit(b)) &&
-        col("tok") === lit(t))
+    liveOnly(
+      spark.read.parquet(root)
+        .filter(col("bucket") === pmod(hash(lit(t)), lit(b)) &&
+          col("tok") === lit(t)),
+      root)
       .select("id").distinct()
   }
 
@@ -130,21 +205,59 @@ object StreamTextIndex {
     corpus.join(ids, Seq(idCol), "left_semi")
   }
 
-  /** Fold the accumulated deltas into one DISTINCT posting set per
-    * bucket (batch_id −1): state returns to the batch index's size
-    * regardless of how many batches (or retries) fed it. Same
-    * crash contract as [[StreamDedup.compact]]: the merged set is
-    * eagerly materialized before the directory is overwritten; the
-    * bucket marker is rewritten after (the overwrite clears the
-    * root), from the value read before.
+  /** Fold the accumulated deltas into one live posting set per
+    * bucket: retry duplicates collapse, superseded generations drop,
+    * and state returns to the batch index's size regardless of how
+    * many batches (or retries, or updates) fed it. Each kept row
+    * PRESERVES its batch id — that is its document's generation, and
+    * the read-side latest-wins rule needs it.
+    *
+    * MERGE-AND-RETIRE (see [[StreamState]]): the merged set is
+    * computed from a SNAPSHOT of the current data files, appended as
+    * new files, and only then are the snapshot files deleted — so an
+    * `upsertBatch` landing at any point during the compaction writes
+    * files outside the snapshot and is never erased (safe beside a
+    * live ingest), and the bucket marker is never rewritten. The
+    * fold keeps each id's newest generation WITHIN THE SNAPSHOT: a
+    * concurrent update's newer rows live outside it on both sides
+    * (postings and generation log), so the read rule keeps serving
+    * the newest version; what the fold kept is retired at the next
+    * compaction. A crash between the append and the retire leaves
+    * both copies on disk; same-generation duplication is absorbed by
+    * the DISTINCT on every read — space, never correctness. The
+    * generation log gets the same snapshot fold (max per id), so its
+    * size returns to one row per live document.
     */
   def compact(spark: SparkSession, root: String): Unit = {
     val b = bucketsOf(spark, root)
     if (b <= 0) return // nothing ingested yet
-    val merged = readIndex(spark, root)
-      .withColumn("batch_id", lit(-1L))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(root)
-    writeMarker(spark, root, b)
+    compactSnapshot(spark, root, StreamState.listDataFiles(spark, root))
+    if (docLogExists(spark, root)) {
+      val log = docLog(root)
+      val snap = StreamState.listDataFiles(spark, log)
+      if (snap.nonEmpty) {
+        spark.read.parquet(snap: _*)
+          .groupBy("id").agg(max("batch_id").as("batch_id"))
+          .repartition(1)
+          .write.mode("append").parquet(log)
+        StreamState.deleteFiles(spark, log, snap)
+      }
+    }
+  }
+
+  /** The posting-fold body over an explicit snapshot — split out so
+    * the interleaving spec can pin the snapshot, land a concurrent
+    * `upsertBatch`, and prove the late batch survives. */
+  private[graft] def compactSnapshot(spark: SparkSession, root: String,
+      snapshot: Seq[String]): Unit = {
+    if (snapshot.isEmpty) return
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    spark.read.option("basePath", root).parquet(snapshot: _*)
+      .withColumn("_gen", max("batch_id").over(byId))
+      .filter(col("batch_id") === col("_gen"))
+      .select("tok", "id", "bucket", "batch_id").distinct()
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(root)
+    StreamState.deleteFiles(spark, root, snapshot)
   }
 }

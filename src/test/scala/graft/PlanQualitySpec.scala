@@ -11,6 +11,20 @@ class PlanQualitySpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
 
+  test("linear-quality gram: row-local scatter — no corpus self-join in the fit plan") {
+    import org.apache.spark.sql.functions._
+    val feats = graft.operators.TextAnalysis.hashEmbed(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", hexDigits = 2)
+      .withColumnRenamed("doc_id", "_id")
+    val p = graft.ml.LinearQuality.gramCells(feats)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"gram must not self-join the corpus:\n$p")
+    // partial aggregation before the cell exchange: scan-side combine
+    // is what bounds the shuffle at one D(D+1)/2 cell set per partition
+    assert(p.split("HashAggregate").length >= 3, s"no partial agg:\n$p")
+  }
+
   test("grep pipeline: predicate pushed to parquet + column pruning + top-k operator") {
     val p = plan("q_grep_pipeline")
     assert(p.contains("PushedFilters") && p.contains("StringContains"),

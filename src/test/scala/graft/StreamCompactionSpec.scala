@@ -1,0 +1,265 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Sketch, Similarity}
+import graft.sources.Tables
+import graft.streaming.{StreamIvfPq, StreamSketch, StreamState, StreamTextIndex}
+import org.apache.spark.sql.functions._
+
+/** The merge-and-retire compaction contract ([[StreamState]]): every
+  * incremental-state compactor must be safe BESIDE a live ingest — a
+  * micro-batch landing inside the compaction window (after the file
+  * snapshot, before the retire) is never erased — and exact across
+  * the crash points a real maintenance job can hit. The interleaving
+  * is replayed deterministically by pinning the snapshot with
+  * `compactSnapshot` and upserting between the pin and the call.
+  */
+class StreamCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deliberately NOT cached: a cached documents plan would be
+  // substituted (as InMemoryRelation) into PlanQualitySpec's
+  // pushdown-asserting plans when this suite runs first
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/root"
+
+  private def hfs = new org.apache.hadoop.fs.Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def postings(root: String): Set[(String, Long)] =
+    StreamTextIndex.readIndex(spark, root)
+      .select("tok", "id").as[(String, Long)].collect().toSet
+
+  private def scanPostings(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+    df.select(col("doc_id"),
+        explode(TextFunctions.tokenSet(lower(col("text")))).as("tok"))
+      .select("tok", "doc_id").as[(String, Long)].collect().toSet
+
+  test("text index: an upsert landing mid-compaction survives the retire") {
+    val root = tmp("sci-idx")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 0L)
+    StreamTextIndex.upsertBatch(b1, "doc_id", "text", root, 1L)
+    // the compaction pins its snapshot …
+    val snapshot = StreamState.listDataFiles(spark, root)
+    // … and a live ingest lands INSIDE the compaction window
+    StreamTextIndex.upsertBatch(b2, "doc_id", "text", root, 2L)
+    StreamTextIndex.compactSnapshot(spark, root, snapshot)
+    // the late batch's postings were not erased: the index equals a
+    // full scan of the union, including b2-only terms
+    assert(postings(root) == scanPostings(docs))
+    // and the bucket marker survived (it is never rewritten)
+    assert(StreamTextIndex.bucketsOf(spark, root) == 64)
+  }
+
+  test("text index: a crash between merge-append and retire only costs space") {
+    val root = tmp("sci-idx-crash")
+    (0 until 3).foreach { k =>
+      StreamTextIndex.upsertBatch(docs.filter(col("doc_id") % 3 === k),
+        "doc_id", "text", root, k.toLong)
+    }
+    val want = scanPostings(docs)
+    // back the snapshot files up, compact, then restore them — the
+    // on-disk state is exactly a crash after the merged append but
+    // before the retire-delete
+    val snapshot = StreamState.listDataFiles(spark, root)
+    val backup = new org.apache.hadoop.fs.Path(tmp("sci-idx-bak"))
+    hfs.mkdirs(backup)
+    val conf = spark.sparkContext.hadoopConfiguration
+    snapshot.zipWithIndex.foreach { case (f, i) =>
+      org.apache.hadoop.fs.FileUtil.copy(hfs,
+        new org.apache.hadoop.fs.Path(f), hfs,
+        new org.apache.hadoop.fs.Path(backup, s"$i"), false, conf)
+    }
+    StreamTextIndex.compact(spark, root)
+    snapshot.zipWithIndex.foreach { case (f, i) =>
+      org.apache.hadoop.fs.FileUtil.copy(hfs,
+        new org.apache.hadoop.fs.Path(backup, s"$i"), hfs,
+        new org.apache.hadoop.fs.Path(f), false, conf)
+    }
+    // duplicated mass on disk, identical answers (postings are a set)
+    assert(postings(root) == want)
+    // the next compaction retires the leftovers and still agrees:
+    // state is back to exactly one row per live posting
+    StreamTextIndex.compact(spark, root)
+    assert(postings(root) == want)
+    assert(spark.read.parquet(root).count() == want.size)
+  }
+
+  test("text index: re-ingesting a modified document serves only the new version") {
+    val root = tmp("sci-idx-upd")
+    StreamTextIndex.upsertBatch(docs, "doc_id", "text", root, 0L)
+    StreamTextIndex.compact(spark, root)
+    // update every 7th document to entirely new content
+    val upd = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(lit("refreshedcontent marker"),
+        lit(" doc "), col("doc_id")))
+    StreamTextIndex.upsertBatch(upd, "doc_id", "text", root, 1L)
+    StreamTextIndex.upsertBatch(upd, "doc_id", "text", root, 1L) // retry
+    // latest-wins from the first read: equals a fresh build over the
+    // FINAL corpus — stale tokens of updated docs stop matching
+    val finalCorpus = docs.filter(col("doc_id") % 7 =!= 0).unionByName(upd)
+    val want = scanPostings(finalCorpus)
+    assert(postings(root) == want)
+    // updated docs match their new marker token, and none of them
+    // still matches a token that only their OLD text contained
+    val gotMarker = StreamTextIndex.lookup(spark, root, "refreshedcontent")
+      .as[Long].collect().toSet
+    assert(gotMarker == upd.select("doc_id").as[Long].collect().toSet)
+    // compaction folds the superseded generation away and agrees
+    StreamTextIndex.compact(spark, root)
+    assert(postings(root) == want)
+    assert(spark.read.parquet(root).count() == want.size)
+    // a redelivery of the ORIGINAL batch after compaction cannot
+    // resurrect the old content
+    StreamTextIndex.upsertBatch(docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", root, 0L)
+    assert(postings(root) == want)
+  }
+
+  test("text index: an explicit bucket modulus that disagrees with the persisted one is rejected") {
+    val root = tmp("sci-idx-mod")
+    val b0 = docs.limit(5)
+    StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 0L, buckets = 32)
+    assert(StreamTextIndex.bucketsOf(spark, root) == 32)
+    val e = intercept[IllegalArgumentException] {
+      StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 1L, buckets = 16)
+    }
+    assert(e.getMessage.contains("bucket modulus"))
+    // the persisted modulus (or no modulus at all) is accepted
+    StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 1L, buckets = 32)
+    StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 2L)
+  }
+
+  test("bpe stream: splits + retry + mid-compaction batch equal the one-shot encode; update is latest-wins") {
+    import graft.operators.Bpe
+    import graft.streaming.StreamBpe
+    val root = tmp("sci-bpe")
+    val frozen = Bpe.learnMerges(docs, "text", 4)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeIdsWith(df, "doc_id", "text", frozen)
+        .as[(Long, Long, String, Long)].collect().toSet
+    def got() = StreamBpe.readEncoded(spark, root)
+      .as[(Long, Long, String, Long)].collect().toSet
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    StreamBpe.encodeBatch(b0, "doc_id", "text", frozen, root, 0L)
+    StreamBpe.encodeBatch(b1, "doc_id", "text", frozen, root, 1L)
+    // a batch lands INSIDE the compaction window and must survive
+    val snapshot = StreamState.listDataFiles(spark, root)
+    StreamBpe.encodeBatch(b2, "doc_id", "text", frozen, root, 2L)
+    StreamBpe.compactSnapshot(spark, root, snapshot)
+    StreamBpe.encodeBatch(b1, "doc_id", "text", frozen, root, 1L) // retry
+    assert(got() == enc(docs))
+    // re-ingesting a MODIFIED document serves only the new encoding
+    val upd = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("text", concat(lit("fresh words only "), col("doc_id")))
+    StreamBpe.encodeBatch(upd, "doc_id", "text", frozen, root, 3L)
+    val finalCorpus = docs.filter(col("doc_id") % 11 =!= 0).unionByName(upd)
+    assert(got() == enc(finalCorpus))
+    StreamBpe.compact(spark, root)
+    assert(got() == enc(finalCorpus))
+    assert(spark.read.parquet(root).count() == enc(finalCorpus).size)
+    // the packed-shard face agrees with packing the one-shot counts
+    val want = graft.operators.Pack.packCounts(
+      Bpe.encodeIdsWith(finalCorpus, "doc_id", "text", frozen)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+      "doc_id", 512).collect().map(_.toSeq).toSet
+    val gotPack = StreamBpe.packShards(spark, root, 512)
+      .collect().map(_.toSeq).toSet
+    assert(gotPack == want)
+  }
+
+  test("IVF-PQ: an upsert landing mid-compaction survives, and _meta is never touched") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val query: Seq[Double] =
+      emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+    val corpus = emb.filter(col("vec_id") > 0)
+    val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+    val base = corpus.filter(col("vec_id") <= maxId / 2)
+    val b1 = corpus.filter(col("vec_id") > maxId / 2 && col("vec_id") % 2 === 0)
+    val b2 = corpus.filter(col("vec_id") > maxId / 2 && col("vec_id") % 2 === 1)
+    val dir = tmp("sci-ivfpq")
+    Similarity.buildIvfPq(base, "vec_id", "embedding", dir)
+    StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", dir, 0L)
+    val metaBefore = hfs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "_meta")).map(s =>
+        (s.getPath.getName, s.getModificationTime)).toSeq
+    val snapshot = StreamState.listDataFiles(spark, dir)
+    StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", dir, 1L) // mid-window
+    StreamIvfPq.compactSnapshot(spark, dir, snapshot)
+    // every id is served — including the batch that landed mid-window
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() ==
+      corpus.count())
+    val got = Similarity.queryIvfPqTable(spark, dir, corpus,
+      "vec_id", "embedding", query, kTop = 10).as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // the frozen model's sidecar was not rewritten or deleted
+    val metaAfter = hfs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, "_meta")).map(s =>
+        (s.getPath.getName, s.getModificationTime)).toSeq
+    assert(metaAfter == metaBefore, "_meta was touched by compaction")
+  }
+
+  private def cells(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("sketch: a new batch AND a folded-batch redelivery landing mid-compaction both stay exact") {
+    val root = tmp("sci-cms")
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 1)
+    val b3 = docs.filter(col("doc_id") % 3 === 2)
+    StreamSketch.upsertBatch(b1, "text", root, 1L)
+    StreamSketch.upsertBatch(b2, "text", root, 2L)
+    val snapshot = StreamState.listDataFiles(spark, root)
+    // mid-window: a genuinely NEW batch …
+    StreamSketch.upsertBatch(b3, "text", root, 3L)
+    // … and an at-least-once REDELIVERY of batch 1 that slipped past
+    // the watermark check (the watermark is still −1 here) — the
+    // pre-r12 design double-counted exactly this row set
+    StreamSketch.upsertBatch(b1, "text", root, 1L)
+    StreamSketch.compactSnapshot(spark, root, snapshot)
+    assert(StreamSketch.readWatermark(spark, root) == 2L)
+    val got = cells(StreamSketch.readSketch(spark, root))
+    val want = cells(Sketch.cmsSketch(docs, "text", 4, 3))
+    assert(got == want,
+      "mid-compaction interleaving lost or double-counted a batch")
+    // the next compaction folds the survivors in and still agrees
+    StreamSketch.compact(spark, root)
+    assert(StreamSketch.readWatermark(spark, root) == 3L)
+    assert(cells(StreamSketch.readSketch(spark, root)) == want)
+  }
+
+  test("sketch: a compaction that crashed before its watermark write is invisible, then converges") {
+    val root = tmp("sci-cms-crash")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    StreamSketch.upsertBatch(b1, "text", root, 1L)
+    StreamSketch.upsertBatch(b2, "text", root, 2L)
+    StreamSketch.compact(spark, root) // watermark 2, merge id −4
+    val extra = docs.filter(col("doc_id") % 5 === 0)
+    StreamSketch.upsertBatch(extra, "text", root, 3L)
+    val want = cells(Sketch.cmsSketch(docs.union(extra), "text", 4, 3))
+    assert(cells(StreamSketch.readSketch(spark, root)) == want)
+    // simulate the crash: a later compaction appended its merge
+    // (id −(3+2) = −5) and died before advancing the watermark —
+    // write exactly those rows, touch nothing else
+    StreamSketch.readSketch(spark, root)
+      .withColumn("batch_id", lit(-5L))
+      .write.mode("append").partitionBy("r").parquet(root)
+    // the half-written merge is ignored: watermark still vouches for −4
+    assert(cells(StreamSketch.readSketch(spark, root)) == want,
+      "half-written merge generation was double-counted")
+    // re-running compaction retires the wreckage and converges
+    StreamSketch.compact(spark, root)
+    assert(StreamSketch.readWatermark(spark, root) == 3L)
+    assert(cells(StreamSketch.readSketch(spark, root)) == want)
+    assert(spark.read.parquet(root).select("batch_id").distinct().count() == 1L)
+  }
+}
