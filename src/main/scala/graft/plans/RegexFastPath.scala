@@ -22,9 +22,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * word is containment on the lower-cased pair (safe here because the
   * rewrite is limited to ASCII `[A-Za-z0-9_-]` patterns — no Turkish-I
   * style case-folding edge cases).
+  *
+  * Known (?i) divergence, SUBJECT side: Java's `(?i)` without
+  * `UNICODE_CASE` folds ASCII only, while `Lower` folds full Unicode —
+  * a subject containing a non-ASCII letter whose lower-case IS the
+  * ASCII pattern letter (Kelvin sign U+212A → 'k', Å U+212B → 'å'…)
+  * matches the rewrite but not the original regex. The rewrite
+  * therefore assumes ASCII-dominant log subjects (the reference's
+  * domain; its own fast path lower-cases with Java `toLowerCase`,
+  * `storm/.../Filter.java:44-47`, and so carries the same fold). The
+  * deviation is deliberate, matched by an `(?iu)` regex instead, and
+  * pinned with a Kelvin-sign fixture in RegexFastPathSpec.
   */
 object RegexFastPathRule extends Rule[LogicalPlan] {
 
+  // ASCII-only pattern guard; see the header's subject-side caveat
+  // for why the ci rewrites still assume ASCII subjects
   private val WordOnly = "^[A-Za-z0-9_-]+$".r
   private val CiPrefix = "(?i)"
 

@@ -59,6 +59,37 @@ class RegexFastPathSpec extends SparkSpec {
     assert(tricky.filter(col("t").rlike("key$")).count() == 2L)
   }
 
+  test("(?i) subject-side fold deviation is exactly Unicode-vs-ASCII, pinned") {
+    import spark.implicits._
+    // Kelvin sign U+212A lower-cases to 'k': the rewrite
+    // Contains(lower(t), "kelvin") matches it, Java's ASCII-only (?i)
+    // does not — the documented ASCII-subject assumption. The rewrite
+    // agrees with the UNICODE_CASE regex `(?iu)` on the same fixture,
+    // so the deviation is precisely "(?i) behaves as (?iu)".
+    // via parquet, not a local Seq: ConvertToLocalRelation would
+    // otherwise evaluate the ORIGINAL RLike before the rewrite runs
+    val dir = java.nio.file.Files.createTempDirectory("rfp-kelvin").toString
+    val kelvinRow = "\u212Aelvin sign" // KELVIN SIGN + "elvin sign"
+    val rows = Seq("pure ascii kelvin", "SHOUTY KELVIN", kelvinRow)
+    rows.toDF("t").write.mode("overwrite").parquet(dir)
+    val tricky = spark.read.parquet(dir)
+    val p = tricky.filter(col("t").rlike("(?i)kelvin"))
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Contains") && !p.contains("RLIKE"),
+      s"ci rewrite did not apply:\n$p")
+    val viaRule = tricky.filter(col("t").rlike("(?i)kelvin"))
+      .as[String].collect().toSet
+    assert(viaRule == rows.toSet) // lower() folds U+212A -> 'k'
+    // ground truths, regex-evaluated OUTSIDE the session (no rewrite)
+    def re(flags: String) = java.util.regex.Pattern.compile(flags + "kelvin")
+    val asciiCi = rows.filter(s => re("(?i)").matcher(s).find()).toSet
+    val unicodeCi = rows.filter(s => re("(?iu)").matcher(s).find()).toSet
+    assert(asciiCi == Set("pure ascii kelvin", "SHOUTY KELVIN"),
+      "fixture no longer exercises the ASCII-only fold")
+    assert(viaRule == unicodeCi,
+      "rewrite must coincide with (?iu) Unicode-case semantics")
+  }
+
   test("applies to SQL-string queries too (rule is session-global)") {
     docs.createOrReplaceTempView("rfp_docs")
     val df = spark.sql("SELECT * FROM rfp_docs WHERE text RLIKE 'merge'")
