@@ -2629,6 +2629,40 @@ object SparkEntry {
       },
       None),
 
+    ("q_stream_pretrain", // the WHOLE curation→training pipeline AT
+      // INGEST — every frozen-model face composed into one streaming
+      // job: Gopher + learned-classifier + KN-perplexity gates, the
+      // exact keep-first fingerprint ledger, frozen-tokenizer BPE
+      // encode, and fixed-budget packing over the live encoded
+      // table. Three id-ordered micro-batches plus an at-least-once
+      // retry later, the packed spans equal the batch composition
+      // (gates ∩ keep-first dedup → encodeIds → packCounts) — the
+      // oracle replays the entire chain with every fit inlined as
+      // literals (weights, costs, thresholds, merges).
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_pretrain").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val SP = graft.streaming.StreamPretrain
+        val fz = SP.fit(docs, "doc_id", "text", "lang")
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+        val b1 = docs.filter(col("doc_id") * 3 > maxId &&
+          col("doc_id") * 3 <= maxId * 2)
+        val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+        SP.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root, 0L)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L) // retry
+        SP.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root, 2L)
+        val got = SP.packedShards(s, root, 512).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_topk_per_key", // exact top-5 per source through the CUSTOM
       // physical operator (TopKPerKeyNode → partial/final heap execs
       // via SparkSessionExtensions strategy injection): per-partition
@@ -4540,6 +4574,73 @@ object SparkEntry {
        |       (2*dom_rank - 1) * (1099511627776 // (2*dom_n)) AS stride
        |FROM cr JOIN cn USING (source)""".stripMargin
 
+  /** Oracle for q_stream_pretrain: the at-ingest curation chain as
+    * ONE SQL statement — Gopher gate, learned-classifier gate
+    * (weights inlined), exact keep-first dedup, KN gate against the
+    * frozen per-lang head-tercile thresholds (inlined), then
+    * frozen-BPE piece counts (the unrolled 6-round replay) and the
+    * fixed-budget pack prefix sum over the survivors. Every literal
+    * comes from the very [[graft.streaming.StreamPretrain.fit]] the
+    * streamed chain froze.
+    */
+  private def pretrainStreamOracleSql(s: SparkSession, dir: String): String = {
+    val fz = graft.streaming.StreamPretrain.fit(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+    require(fz.quality.weightsMicro.nonEmpty && fz.langT1.nonEmpty,
+      "stream-pretrain fit degenerate")
+    val wv = fz.quality.weightsMicro.toSeq.sorted
+      .map { case (b, w) => s"('$b', $w)" }.mkString(", ")
+    val t1v = fz.langT1.toSeq.sorted
+      .map { case (l, v) => s"('${l.replace("'", "''")}', $v)" }
+      .mkString(", ")
+    s"""${bpeCtesSql(6)},
+       |gop AS (SELECT doc_id FROM ($gopherOracleSql) WHERE keep),
+       |qtoks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                            x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |qhv AS (SELECT doc_id, b, CAST(sum(sg) AS BIGINT) AS v FROM (
+       |          SELECT doc_id, substring(md5('b:' || tok), 1, 2) AS b,
+       |                 CASE WHEN substring(md5('s:' || tok), 1, 1)
+       |                        IN ('0','1','2','3','4','5','6','7')
+       |                      THEN 1 ELSE -1 END AS sg
+       |          FROM qtoks) GROUP BY 1, 2 HAVING sum(sg) <> 0),
+       |qwt AS (SELECT a AS b, CAST(c AS BIGINT) AS w
+       |        FROM (VALUES $wv) v(a, c)),
+       |qsc AS (SELECT doc_id, CAST(sum(v * w) AS BIGINT) AS dot
+       |        FROM qhv JOIN qwt USING (b) GROUP BY 1),
+       |lq AS (SELECT d.doc_id FROM documents d LEFT JOIN qsc USING (doc_id)
+       |       WHERE (coalesce(qsc.dot, 0) + ${fz.quality.biasMicro}) * 2
+       |             > ${fz.quality.scale}),
+       |dk AS (SELECT min(doc_id) AS doc_id FROM documents
+       |       GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))),
+       |kq AS (SELECT doc_id, mean_nll_micro FROM (${knQualityOracleSql(s, dir)})),
+       |tl AS (SELECT a AS lang, CAST(c AS BIGINT) AS t1
+       |       FROM (VALUES $t1v) v(a, c)),
+       |surv AS (SELECT d.doc_id FROM documents d
+       |         JOIN gop USING (doc_id) JOIN lq USING (doc_id)
+       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)
+       |         JOIN tl ON d.lang = tl.lang
+       |         WHERE kq.mean_nll_micro <= tl.t1),
+       |stk AS (SELECT doc_id,
+       |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> len(x) > 0)) AS word
+       |        FROM documents JOIN surv USING (doc_id)),
+       |np AS (SELECT stk.doc_id, CAST(sum(len(v6.syms)) AS BIGINT) AS n
+       |       FROM stk JOIN v6 ON stk.word = v6.word GROUP BY 1),
+       |pcum AS (SELECT doc_id, n,
+       |           sum(n) OVER (ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+       |         FROM np)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(st AS BIGINT) AS start_token,
+       |       CAST(st // 512 AS BIGINT) AS pack_first,
+       |       CAST((st + greatest(n - 1, 0)) // 512 AS BIGINT) AS pack_last,
+       |       CAST(st % 512 AS BIGINT) AS pack_offset
+       |FROM pcum""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.operators.Sketch.cmsSketch]] (depth 4,
     * width 16³) — shared by q_cms_sketch and its at-ingest twin
     * q_stream_cms (mergeability makes the streamed sketch equal the
@@ -4672,6 +4773,7 @@ object SparkEntry {
     "q_embed_ivfpq_incr" -> ivfPqIncrOracleSql,
     "q_embed_rp" -> rpOracleSql,
     "q_kn_quality" -> knQualityOracleSql,
+    "q_stream_pretrain" -> pretrainStreamOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
 
   /** Oracle for q_kn_quality: [[graft.operators.LangModel.knCollectCosts]]

@@ -244,11 +244,20 @@ object LangModel {
     */
   def knScore(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L): DataFrame =
+    knScoreWith(docs, idCol, textCol,
+      knCollectCosts(knBigrams(ref, refTextCol), scale))
+
+  /** [[knScore]] under FROZEN cost tables (the [[knCollectCosts]]
+    * tuple): fit once on the reference slice, score any batch — the
+    * streaming-gate face ([[graft.streaming.StreamPretrain]]), same
+    * split as [[lmScoreCompiled]]'s literal costs. */
+  def knScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      costs: (Map[(String, String), Long], Map[String, Long],
+        Map[String, Long], Long)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (pairCost, b1Cost, cCost, oov) =
-      knCollectCosts(knBigrams(ref, refTextCol), scale)
+    val (pairCost, b1Cost, cCost, oov) = costs
     val pairDf = broadcast(pairCost.toSeq.map { case ((a, b), c) => (a, b, c) }
       .toDF("w1", "w2", "_pc"))
     val b1Df = broadcast(b1Cost.toSeq.toDF("w1", "_b1"))

@@ -1,0 +1,180 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import graft.ml.LinearQuality
+import graft.operators.{Bpe, Curate, Dedup, LangModel, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The WHOLE curation→training pipeline composed AT INGEST — the
+  * engine's closing argument: one streaming job takes raw document
+  * micro-batches through quality gates (Gopher rules + the learned
+  * linear classifier + the Kneser–Ney perplexity gate), an exact
+  * keep-first dedup ledger, and frozen-tokenizer BPE encoding, and
+  * maintains a live encoded table that packs into fixed-budget
+  * context windows plus a training manifest. This is the reference's
+  * continuous supervisor pipeline (parse → filter → sink,
+  * `supervisor/filter_manager.go`) scaled up to the full pretrain
+  * curation chain.
+  *
+  * Fit once, gate forever: every model the gates need — classifier
+  * weights, KN cost tables, per-language head-tercile thresholds,
+  * BPE merges — is fit ONCE on the curation corpus ([[fit]]) and
+  * frozen ([[Frozen]]); each micro-batch then costs one scan through
+  * stateless compiled gates, one anti-join against the fingerprint
+  * ledger, and one encode projection. No state ever rescans history.
+  *
+  * Parity contract (q_stream_pretrain hash-checks it): ingesting a
+  * corpus in ANY id-ordered batch split — with at-least-once
+  * redeliveries — yields exactly the batch composition: gates ∩
+  * exact keep-first dedup, encoded by [[Bpe.encodeIdsWith]], packed
+  * by [[graft.operators.Pack.packCounts]]. Ordered splits make
+  * first-arrival equal min-id, so the ledger's keep-first agrees
+  * with the batch [[Dedup.exactKeepFirst]].
+  *
+  * Delivery: the ledger append runs LAST in [[ingestBatch]] — a
+  * crash anywhere earlier means the redelivery simply re-runs the
+  * batch (gates are deterministic, the encode append is absorbed by
+  * [[StreamBpe.readEncoded]]'s latest-wins distinct, the kept table
+  * dedups on read); a crash after the ledger append only skips
+  * re-encoding rows that are already fully written.
+  */
+object StreamPretrain {
+
+  /** Every model parameter the per-batch gates need, fit once. */
+  final case class Frozen(
+      quality: LinearQuality.Model,
+      knCosts: (Map[(String, String), Long], Map[String, Long],
+        Map[String, Long], Long),
+      langT1: Map[String, Long],
+      tokenizer: Bpe.Learned,
+      stopWords: Seq[String])
+
+  private[graft] def encRoot(root: String) = s"$root/enc"
+  private def keptRoot(root: String) = s"$root/kept"
+  private def ledgerRoot(root: String) = s"$root/ledger"
+
+  /** Fit the full frozen-model set on the curation corpus:
+    *  - the learned quality classifier, labeled "is the reference
+    *    language" (the q_quality_classifier convention);
+    *  - KN bigram cost tables from the reference-language slice;
+    *  - per-language head-tercile perplexity thresholds, computed
+    *    over the corpus that survives the OTHER gates (so the
+    *    streamed chain applies them as frozen literals);
+    *  - the BPE tokenizer at `rounds` merges.
+    */
+  def fit(corpus: DataFrame, idCol: String, textCol: String,
+      langCol: String, refLang: String = "en",
+      stopWords: Seq[String] = Seq("the", "a"),
+      bpeRounds: Int = 6): Frozen = {
+    val m = LinearQuality.fit(
+      corpus.withColumn("_is", (col(langCol) === refLang).cast("int")),
+      idCol, textCol, "_is")
+    val costs = LangModel.knCollectCosts(
+      LangModel.knBigrams(corpus.filter(col(langCol) === refLang), textCol))
+    val gk = TextAnalysis.gopherRules(corpus, idCol, textCol,
+      stopWords = stopWords).filter(col("keep")).select(idCol)
+    val lk = LinearQuality.score(corpus, idCol, textCol, m)
+      .filter(col("keep")).select(idCol)
+    val dk = Dedup.exactKeepFirst(corpus, idCol, textCol).select(idCol)
+    val kq = LangModel.knScoreWith(corpus, idCol, textCol, costs)
+      .select(col(idCol), col("mean_nll_micro"))
+    val scored = corpus.select(col(idCol), col(langCol))
+      .join(gk, idCol).join(lk, idCol).join(dk, idCol).join(kq, idCol)
+    val t1 = Curate.perplexityBuckets(scored, langCol, "mean_nll_micro")
+      .filter(col("bucket") === "head")
+      .groupBy(langCol).agg(max("mean_nll_micro").as("_t1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Frozen(m, costs, t1,
+      Bpe.learnMerges(corpus, textCol, bpeRounds), stopWords)
+  }
+
+  /** Run one micro-batch through the whole chain: gates → ledger →
+    * encode → manifest row. One scan for the three gates (two are
+    * compiled projections, the KN gate three vocabulary-bounded
+    * broadcast joins), one anti-join against the fingerprint ledger,
+    * one encode projection over the survivors. */
+  def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String, fz: Frozen, root: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // stateless gates
+    val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
+      stopWords = fz.stopWords).filter(col("keep")).select(idCol)
+    val lks = batch
+      .filter(LinearQuality.scoreColumn(col(textCol), fz.quality) * 2 >
+        fz.quality.scale)
+      .select(idCol)
+    val t1Df = broadcast(fz.langT1.toSeq.toDF(langCol, "_t1"))
+    val knk = LangModel.knScoreWith(batch, idCol, textCol, fz.knCosts)
+      .join(batch.select(col(idCol), col(langCol)), idCol)
+      .join(t1Df, langCol)
+      .filter(col("mean_nll_micro") <= col("_t1"))
+      .select(idCol)
+    // keep-first ledger over ALL arrivals (gate-independent, so a
+    // gated-out first copy still blocks its later duplicates — the
+    // batch exactKeepFirst semantics), first-per-fp within the batch
+    val wFp = Window.partitionBy("_fp").orderBy(col(idCol))
+    val freshAll = batch
+      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(wFp))
+      .filter(col("_rn") === 1).drop("_rn")
+      .join(readLedger(spark, root), Seq("_fp"), "left_anti")
+    val kept = freshAll
+      .join(gop, Seq(idCol), "left_semi")
+      .join(lks, Seq(idCol), "left_semi")
+      .join(knk, Seq(idCol), "left_semi")
+    // encode + manifest BEFORE the ledger append (see header)
+    StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
+      encRoot(root), batchId)
+    kept.select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(1)
+      .write.mode("append").parquet(keptRoot(root))
+    freshAll.select(col("_fp"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(1)
+      .write.mode("append").parquet(ledgerRoot(root))
+  }
+
+  private def readLedger(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(ledgerRoot(root))
+    val exists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (!exists) {
+      import spark.implicits._
+      Seq.empty[String].toDF("_fp")
+    } else spark.read.parquet(ledgerRoot(root)).select(col("_fp")).distinct()
+  }
+
+  /** The surviving documents: (id, source), one row each — the
+    * manifest's row-level face. */
+  def keptDocs(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(keptRoot(root))
+      .select("id", "source").distinct()
+
+  /** Fixed-budget context windows over the live encoded survivors —
+    * [[StreamBpe.packShards]] on this pipeline's encoded table. */
+  def packedShards(spark: SparkSession, root: String,
+      tokenBudget: Int): DataFrame =
+    StreamBpe.packShards(spark, encRoot(root), tokenBudget)
+
+  /** The training manifest: per source, how many documents survived
+    * curation, their total BPE pieces, and which context-window span
+    * the source's documents touch under `tokenBudget` — the artifact
+    * a training job reads to locate its data. */
+  def manifest(spark: SparkSession, root: String,
+      tokenBudget: Int): DataFrame = {
+    val packed = packedShards(spark, root, tokenBudget)
+    val idc = packed.columns.head
+    keptDocs(spark, root).withColumnRenamed("id", idc)
+      .join(packed, idc)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_pieces"),
+        min("pack_first").as("first_shard"),
+        max("pack_last").as("last_shard"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Bpe, Dedup, LangModel, Pack, TextAnalysis}
+import graft.ml.LinearQuality
+import graft.streaming.StreamPretrain
+import org.apache.spark.sql.functions._
+
+/** The composed at-ingest curation pipeline ([[StreamPretrain]]):
+  * id-ordered batch splits with redeliveries equal the batch
+  * composition (gates ∩ exact keep-first dedup → frozen-BPE encode →
+  * packed windows), the fingerprint ledger enforces keep-first even
+  * when the first copy was gated out, and the manifest accounts for
+  * every surviving document exactly once.
+  */
+class StreamPretrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("spretrain").toString + "/pipe"
+
+  // the batch-side composition the stream must converge to
+  private def batchSurvivors(corpus: org.apache.spark.sql.DataFrame,
+      fz: StreamPretrain.Frozen): org.apache.spark.sql.DataFrame = {
+    val gk = TextAnalysis.gopherRules(corpus, "doc_id", "text",
+      stopWords = fz.stopWords).filter(col("keep")).select("doc_id")
+    val lk = LinearQuality.score(corpus, "doc_id", "text", fz.quality)
+      .filter(col("keep")).select("doc_id")
+    val dk = Dedup.exactKeepFirst(corpus, "doc_id", "text").select("doc_id")
+    val t1Df = broadcast(fz.langT1.toSeq.toDF("lang", "_t1"))
+    val kk = LangModel.knScoreWith(corpus, "doc_id", "text", fz.knCosts)
+      .join(corpus.select("doc_id", "lang"), "doc_id")
+      .join(t1Df, "lang")
+      .filter(col("mean_nll_micro") <= col("_t1")).select("doc_id")
+    corpus.join(gk, "doc_id").join(lk, "doc_id")
+      .join(dk, "doc_id").join(kk, "doc_id")
+  }
+
+  test("ordered splits + retry converge to the batch composition, manifest exact") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+    val b1 = docs.filter(col("doc_id") * 3 > maxId && col("doc_id") * 3 <= maxId * 2)
+    val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+    StreamPretrain.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root, 0L)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L) // retry
+    StreamPretrain.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root, 2L)
+    val surv = batchSurvivors(docs, fz)
+    // packed spans equal packing the batch composition's piece counts
+    val want = Pack.packCounts(
+      Bpe.encodeIdsWith(surv, "doc_id", "text", fz.tokenizer)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+      "doc_id", 512).collect().map(_.toSeq).toSet
+    val got = StreamPretrain.packedShards(spark, root, 512)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // kept table: every survivor exactly once, correct sources
+    val keptIds = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSeq
+    assert(keptIds.sorted == surv.select("doc_id").as[Long].collect().toSeq.sorted)
+    assert(keptIds.distinct.size == keptIds.size)
+    // manifest accounts for every survivor once, pieces sum to total
+    val mf = StreamPretrain.manifest(spark, root, 512)
+    assert(mf.agg(sum("n_docs")).head().getLong(0) == keptIds.size)
+    val totalPieces = Bpe.encodeIdsWith(surv, "doc_id", "text", fz.tokenizer).count()
+    assert(mf.agg(sum("n_pieces")).head().getLong(0) == totalPieces)
+  }
+
+  test("ledger keep-first holds even when the first copy was gated out") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val surv0 = batchSurvivors(docs, fz)
+    val survIds = surv0.select("doc_id").as[Long].collect().toSet
+    val p = surv0.orderBy("doc_id").limit(1)
+    val pid = p.select("doc_id").head().getLong(0)
+    // the decoy: a passing document's TEXT, arriving FIRST under a
+    // lower id with an unknown language — the KN gate has no frozen
+    // threshold for it, so it is gated out on arrival, but its
+    // fingerprint must still claim keep-first
+    val decoy = p.withColumn("doc_id", lit(-5L))
+      .withColumn("lang", lit("zz"))
+    StreamPretrain.ingestBatch(decoy, "doc_id", "text", "lang", "source",
+      fz, root, 0L)
+    StreamPretrain.ingestBatch(docs, "doc_id", "text", "lang", "source",
+      fz, root, 1L)
+    // the later, would-pass copy is blocked by the ledger: exactly
+    // the batch exactKeepFirst semantics on the union corpus (min id
+    // −5 holds the fingerprint and itself fails the gates)
+    val keptIds = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(survIds.contains(pid))
+    assert(keptIds == survIds - pid)
+    // and a straight re-ingest of an already-kept document's text
+    // under a new id is likewise refused
+    val dup = p.withColumn("doc_id", lit(maxId + 7))
+    StreamPretrain.ingestBatch(dup, "doc_id", "text", "lang", "source",
+      fz, root, 2L)
+    assert(StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet == survIds - pid)
+  }
+}
