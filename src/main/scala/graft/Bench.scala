@@ -197,9 +197,18 @@ object Bench {
       // three appends + retry); its operator costs are covered by
       // q_embed_ivfpq_table (build/query) and the per-batch encode is
       // one pqEncode projection.
+      // r12 siblings, same rationale: q_stream_text_index_upd and
+      // q_stream_bpe_ids are multi-batch ingest scenarios (operator
+      // costs covered by q_grep_index_lookup / q_bpe_ids);
+      // q_embed_ivfpq_refit is two full builds + an ingest
+      // (q_embed_ivfpq_table times the build/query split);
+      // q_stream_pretrain is the composed ingest scenario
+      // (q_pretrain_pipeline and each gate query time the operators).
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
         "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
-        "q_stream_text_index", "q_embed_ivfpq_incr")
+        "q_stream_text_index", "q_embed_ivfpq_incr",
+        "q_stream_text_index_upd", "q_stream_bpe_ids",
+        "q_embed_ivfpq_refit", "q_stream_pretrain")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).
