@@ -207,8 +207,8 @@ object Bench {
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
         "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
         "q_stream_text_index", "q_embed_ivfpq_incr",
-        "q_stream_text_index_upd", "q_stream_bpe_ids",
-        "q_embed_ivfpq_refit", "q_stream_pretrain")
+        "q_stream_text_index_upd", "q_stream_text_index_del",
+        "q_stream_bpe_ids", "q_embed_ivfpq_refit", "q_stream_pretrain")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).

@@ -1553,6 +1553,41 @@ object SparkEntry {
              |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
              |                                x -> len(x) > 0), 'window')""".stripMargin)),
 
+    ("q_stream_text_index_del", // DELETE path of the live index:
+      // the corpus ingests, every 5th document is tombstoned
+      // (deleteDocs — one log row, no posting touched), half of the
+      // deleted are re-ingested (resurrection), and a compaction
+      // physically retires the still-dead postings plus an original-
+      // batch redelivery that must NOT resurrect them — the final
+      // grep equals a fresh index over exactly the live documents.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_text_index_del").toString + "/idx"
+        val docs = t(s, dir, "documents")
+        val S = graft.streaming.StreamTextIndex
+        S.upsertBatch(docs, "doc_id", "text", root, 0L)
+        val dead = docs.filter(col("doc_id") % 5 === 0)
+        S.deleteDocs(dead.select("doc_id"), "doc_id", root, 1L)
+        S.upsertBatch(dead.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", root, 2L) // resurrect half
+        S.compact(s, root)
+        S.upsertBatch(dead, "doc_id", "text", root, 0L) // stale redelivery
+        val got = S.grepTokens(docs, "doc_id", root, Seq("spark", "window"))
+          .select("doc_id")
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE (doc_id % 5 <> 0 OR doc_id % 10 = 0)
+             |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'spark')
+             |  AND list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                x -> len(x) > 0), 'window')""".stripMargin)),
+
     ("q_phrase_index_lookup", // positional-index PHRASE grep: each
       // phrase token reads one pruned bucket of (tok, id, pos)
       // postings, shifts to a common start (pos - i), and the

@@ -33,22 +33,30 @@ object StreamBpe {
     * batch, two broadcast joins — no state read, no shuffle against
     * history. */
   def encodeBatch(batch: DataFrame, idCol: String, textCol: String,
-      learned: Bpe.Learned, root: String, batchId: Long): Unit =
+      learned: Bpe.Learned, root: String, batchId: Long): Unit = {
     Bpe.encodeIdsWith(batch, idCol, textCol, learned)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(root)
+    // generation row LAST (the StreamTextIndex crash contract): a
+    // crash above leaves the previous version fully served
+    StreamState.appendGens(batch.select(col(idCol)), root, batchId)
+  }
 
   /** The live encoded table: each document's newest generation, one
     * row per (id, pos) — [[Bpe.encodeIds]]'s exact shape, so every
     * downstream consumer (packing, chunking, vocab stats) reads it
-    * unchanged. */
+    * unchanged. The latest-wins rule is the broadcast generation-log
+    * exclusion ([[StreamState.liveOnly]]) — free until an update
+    * happens, NEVER a corpus-wide window over the token stream (that
+    * window was the 22×-at-x100 scale killer this replaced); the
+    * only remaining exchange is the (id, pos) retry dedup, which
+    * [[compact]] makes a no-op-sized shuffle again. */
   def readEncoded(spark: SparkSession, root: String): DataFrame = {
     val df = spark.read.parquet(root)
     val idc = df.columns.head
-    val byId = org.apache.spark.sql.expressions.Window.partitionBy(idc)
-    df.withColumn("_g", max("batch_id").over(byId))
-      .filter(col("batch_id") === col("_g"))
-      .drop("_g", "batch_id").distinct()
+    StreamState.liveOnly(df, root, idc)
+      .drop("batch_id")
+      .dropDuplicates(idc, "pos")
   }
 
   /** Fixed-budget context windows over the live piece stream:
@@ -72,8 +80,10 @@ object StreamBpe {
     * snapshot retires after, so an [[encodeBatch]] landing
     * mid-compaction is never erased. Kept rows preserve their batch
     * id (their document's generation) for the read rule. */
-  def compact(spark: SparkSession, root: String): Unit =
+  def compact(spark: SparkSession, root: String): Unit = {
     compactSnapshot(spark, root, StreamState.listDataFiles(spark, root))
+    StreamState.compactGenLog(spark, root)
+  }
 
   private[graft] def compactSnapshot(spark: SparkSession, root: String,
       snapshot: Seq[String]): Unit = {
@@ -83,7 +93,7 @@ object StreamBpe {
     val byId = org.apache.spark.sql.expressions.Window.partitionBy(idc)
     df.withColumn("_g", max("batch_id").over(byId))
       .filter(col("batch_id") === col("_g"))
-      .distinct()
+      .select(df.columns.map(col): _*).distinct()
       .write.mode("append").parquet(root)
     StreamState.deleteFiles(spark, root, snapshot)
   }

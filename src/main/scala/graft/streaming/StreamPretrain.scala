@@ -139,6 +139,25 @@ object StreamPretrain {
       .write.mode("append").parquet(ledgerRoot(root))
   }
 
+  /** Attach the whole chain to a live document stream as ONE
+    * Structured Streaming job: every micro-batch runs
+    * [[ingestBatch]] under the frozen models, exactly the
+    * [[StreamDedup.attach]] shape. Batch ids come from the stream
+    * (epoch ids are monotone — the ledger/generation contract); the
+    * checkpoint makes redelivery at-least-once, which the chain is
+    * built for. */
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String, fz: Frozen, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("stream_pretrain")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, idCol, textCol, langCol, sourceCol, fz,
+          root, batchId)
+      }
+      .start()
+
   private def readLedger(spark: SparkSession, root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerRoot(root))
     val exists =

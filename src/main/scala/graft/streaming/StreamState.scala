@@ -59,4 +59,104 @@ private[graft] object StreamState {
       if (hfs.exists(p)) hfs.delete(p, false)
     }
   }
+
+  // ---- per-document generation log --------------------------------
+  //
+  // Shared by the latest-wins incremental tables (StreamTextIndex,
+  // StreamBpe): each upsert appends tiny (id, batch_id, del) rows to
+  // a `_docs` sidecar inside the root (underscore-prefixed — data
+  // scans and snapshots never see it); a data row is live iff its
+  // batch equals its document's newest generation and that
+  // generation is not a tombstone. The read-side exclusion set is
+  // only the documents with history to resolve (>1 generation, or a
+  // live tombstone) — empty until an update/delete happens, tiny
+  // after, broadcastable beside any pruned read. No corpus-wide
+  // window anywhere on the read path.
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def genLogPath(root: String): String = s"$root/_docs"
+
+  def genLogExists(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(
+      new org.apache.hadoop.fs.Path(genLogPath(root)))
+
+  /** Append one batch's generation rows. `ids` must be a single
+    * column of document ids (any name). ~17 bytes a document. */
+  def appendGens(ids: DataFrame, root: String, batchId: Long,
+      del: Boolean = false): Unit =
+    ids.toDF("id").distinct()
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("del", lit(del))
+      // one file per batch; the distinct stays parallel
+      .repartition(1)
+      .write.mode("append").parquet(genLogPath(root))
+
+  /** The log with the tombstone flag normalized (rows written before
+    * deletions existed read as live generations). */
+  def readGenLog(spark: SparkSession, root: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(genLogPath(root))
+    if (raw.columns.contains("del"))
+      raw.withColumn("del", coalesce(col("del"), lit(false)))
+    else raw.withColumn("del", lit(false))
+  }
+
+  /** Documents whose history needs a read-side decision, with their
+    * newest generation and whether it is a tombstone. */
+  def updatedGens(spark: SparkSession, root: String): DataFrame =
+    readGenLog(spark, root)
+      .groupBy("id")
+      .agg(max(struct(col("batch_id"), col("del"))).as("_m"),
+        countDistinct("batch_id").as("_ngen"))
+      .filter(col("_ngen") > 1 || col("_m.del"))
+      .select(col("id"), col("_m.batch_id").as("_gen"),
+        col("_m.del").as("_del"))
+
+  /** Keep only live rows of a (… idCol …, batch_id) table: a row
+    * whose document has a newer generation is superseded; a document
+    * whose newest generation is a tombstone has no live rows. */
+  def liveOnly(df: DataFrame, root: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!genLogExists(spark, root)) return df
+    df.join(
+        broadcast(updatedGens(spark, root).withColumnRenamed("id", idCol)),
+        Seq(idCol), "left")
+      .filter(col("_gen").isNull ||
+        (col("batch_id") === col("_gen") && !col("_del")))
+      .drop("_gen", "_del")
+  }
+
+  /** Newest tombstone per document, or null when the log (or any
+    * tombstone) does not exist — the physical-retire input for
+    * compaction folds. */
+  def tombstones(spark: SparkSession, root: String): DataFrame =
+    if (!genLogExists(spark, root)) null
+    else readGenLog(spark, root).filter(col("del"))
+      .groupBy("id").agg(max("batch_id").as("_tomb"))
+
+  /** Merge-and-retire fold of the generation log itself: one row per
+    * document — its newest entry, tombstones included (a deleted,
+    * never-resurrected document keeps its tombstone row forever;
+    * that row IS the deletion record). */
+  def compactGenLog(spark: SparkSession, root: String): Unit = {
+    if (!genLogExists(spark, root)) return
+    val log = genLogPath(root)
+    val snap = listDataFiles(spark, log)
+    if (snap.isEmpty) return
+    val raw = spark.read.option("mergeSchema", "true").parquet(snap: _*)
+    val withDel =
+      if (raw.columns.contains("del"))
+        raw.withColumn("del", coalesce(col("del"), lit(false)))
+      else raw.withColumn("del", lit(false))
+    withDel
+      .groupBy("id")
+      .agg(max(struct(col("batch_id"), col("del"))).as("_m"))
+      .select(col("id"), col("_m.batch_id").as("batch_id"),
+        col("_m.del").as("del"))
+      .repartition(1)
+      .write.mode("append").parquet(log)
+    deleteFiles(spark, log, snap)
+  }
 }

@@ -45,7 +45,11 @@ import org.apache.spark.sql.functions._
   * [[StreamDedup]]. Postings are written BEFORE the generation row,
   * so a crash mid-upsert leaves the PREVIOUS version served intact
   * (never a half-visible update); the at-least-once redelivery
-  * completes it.
+  * completes it. DELETES ([[deleteDocs]]) are tombstone generations
+  * in the same log: the document stops matching from the next read,
+  * a later re-ingest under a higher batch id resurrects it, and
+  * compaction physically retires the dead postings (race-proof
+  * guard in [[compactSnapshot]]).
   *
   * Parity contract: ingesting a corpus in ANY batch split, with any
   * number of interleaved compactions and redeliveries, yields the
@@ -59,41 +63,12 @@ object StreamTextIndex {
   private def marker(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root, "_graft_buckets")
 
-  /** Per-document generation log: (id, batch_id) per upsert.
-    * Underscore-prefixed so `spark.read.parquet(root)` and
-    * [[StreamState.listDataFiles]] both skip it — it has its own
-    * merge-and-retire fold in [[compact]]. */
-  private def docLog(root: String): String = s"$root/_docs"
-
-  private def docLogExists(spark: SparkSession, root: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(docLog(root))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Documents with more than one ingested generation, with the
-    * newest one: the read-side exclusion set. Empty (and free) until
-    * an update actually happens; compaction folds resolved history
-    * back out of it, so its size tracks UNRESOLVED updates, not
-    * corpus size — that is what makes it broadcastable next to a
-    * pruned posting lookup. */
-  private def updatedGens(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(docLog(root))
-      .groupBy("id")
-      .agg(max("batch_id").as("_gen"),
-        countDistinct("batch_id").as("_ngen"))
-      .filter(col("_ngen") > 1)
-      .select("id", "_gen")
-
-  /** Keep only live postings: a row whose document has a newer
-    * generation than the row's own batch is superseded. */
-  private def liveOnly(postings: DataFrame, root: String): DataFrame = {
-    val spark = postings.sparkSession
-    if (!docLogExists(spark, root)) return postings
-    postings
-      .join(broadcast(updatedGens(spark, root)), Seq("id"), "left")
-      .filter(col("_gen").isNull || col("batch_id") === col("_gen"))
-      .drop("_gen")
-  }
+  // Per-document generation log (`_docs` inside the root) and the
+  // latest-wins/tombstone read rule are the shared [[StreamState]]
+  // machinery; postings here just carry their batch as the
+  // generation. The exclusion side is only documents with unresolved
+  // history — empty until an update/delete, broadcastable beside a
+  // pruned lookup.
 
   /** The persisted bucket modulus, or −1 if the index does not exist
     * yet. */
@@ -153,12 +128,23 @@ object StreamTextIndex {
       .write.mode("append").partitionBy("bucket").parquet(root)
     // generation row LAST: a crash above leaves the previous version
     // of every document in this batch fully served (see header)
-    batch.select(col(idCol).as("id")).distinct()
-      .withColumn("batch_id", lit(batchId))
-      // 16 bytes/doc: one file per batch, distinct still parallel
-      .repartition(1)
-      .write.mode("append").parquet(docLog(root))
+    StreamState.appendGens(batch.select(col(idCol)), root, batchId)
   }
+
+  /** DELETE documents from the live index: append a TOMBSTONE
+    * generation — one tiny log row per id, NO posting is touched, and
+    * from the next read on the documents stop matching anything
+    * (the reference's never-serve-stale rule taken to its end:
+    * `supervisor/filter_manager.go:323-346`). Batch ids must be
+    * monotone (the upsert contract): a LATER `upsertBatch` under a
+    * higher batch id resurrects a deleted id as a normal update.
+    * The postings are physically retired at the first [[compact]]
+    * whose snapshot holds no generation newer than the tombstone —
+    * until then the read-side exclusion hides them. */
+  def deleteDocs(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    StreamState.appendGens(ids.select(col(idCol)), root, batchId,
+      del = true)
 
   /** The merged posting set: one (tok, id, bucket) row per distinct
     * posting — the batch index's shape, so every
@@ -171,7 +157,7 @@ object StreamTextIndex {
       import spark.implicits._
       return Seq.empty[(String, Long, Int)].toDF("tok", "id", "bucket")
     }
-    liveOnly(spark.read.parquet(root), root)
+    StreamState.liveOnly(spark.read.parquet(root), root, "id")
       .select("tok", "id", "bucket").distinct()
   }
 
@@ -182,11 +168,11 @@ object StreamTextIndex {
     val b = bucketsOf(spark, root)
     require(b > 0, s"no index at $root")
     val t = token.toLowerCase(java.util.Locale.ROOT)
-    liveOnly(
+    StreamState.liveOnly(
       spark.read.parquet(root)
         .filter(col("bucket") === pmod(hash(lit(t)), lit(b)) &&
           col("tok") === lit(t)),
-      root)
+      root, "id")
       .select("id").distinct()
   }
 
@@ -232,30 +218,36 @@ object StreamTextIndex {
     val b = bucketsOf(spark, root)
     if (b <= 0) return // nothing ingested yet
     compactSnapshot(spark, root, StreamState.listDataFiles(spark, root))
-    if (docLogExists(spark, root)) {
-      val log = docLog(root)
-      val snap = StreamState.listDataFiles(spark, log)
-      if (snap.nonEmpty) {
-        spark.read.parquet(snap: _*)
-          .groupBy("id").agg(max("batch_id").as("batch_id"))
-          .repartition(1)
-          .write.mode("append").parquet(log)
-        StreamState.deleteFiles(spark, log, snap)
-      }
-    }
+    StreamState.compactGenLog(spark, root)
   }
 
   /** The posting-fold body over an explicit snapshot — split out so
     * the interleaving spec can pin the snapshot, land a concurrent
-    * `upsertBatch`, and prove the late batch survives. */
+    * `upsertBatch`, and prove the late batch survives.
+    *
+    * Tombstones retire PHYSICALLY here, with a race-proof guard: a
+    * document's postings are dropped only when its tombstone batch is
+    * at least the document's newest generation WITHIN THE SNAPSHOT —
+    * batch ids are monotone, so no snapshot posting can belong to a
+    * generation newer than such a tombstone; a resurrection landing
+    * concurrently writes outside the snapshot (and a newer
+    * in-snapshot generation disables the drop by the guard itself).
+    * A tombstone not yet visible at fold time merely leaves the
+    * postings for the NEXT compaction — the read-side exclusion
+    * already hides them. */
   private[graft] def compactSnapshot(spark: SparkSession, root: String,
       snapshot: Seq[String]): Unit = {
     if (snapshot.isEmpty) return
     val byId = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    spark.read.option("basePath", root).parquet(snapshot: _*)
+    val tombs = StreamState.tombstones(spark, root)
+    val newest = spark.read.option("basePath", root).parquet(snapshot: _*)
       .withColumn("_gen", max("batch_id").over(byId))
       .filter(col("batch_id") === col("_gen"))
-      .select("tok", "id", "bucket", "batch_id").distinct()
+    val kept =
+      if (tombs == null) newest
+      else newest.join(broadcast(tombs), Seq("id"), "left")
+        .filter(col("_tomb").isNull || col("_tomb") < col("_gen"))
+    kept.select("tok", "id", "bucket", "batch_id").distinct()
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(root)
     StreamState.deleteFiles(spark, root, snapshot)

@@ -136,6 +136,38 @@ class StreamCompactionSpec extends SparkSpec {
     StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 2L)
   }
 
+  test("text index: deletes tombstone, resurrect, and physically retire at compaction") {
+    val root = tmp("sci-idx-del")
+    StreamTextIndex.upsertBatch(docs, "doc_id", "text", root, 0L)
+    // delete every 5th doc — postings untouched, one log row each
+    val dead = docs.filter(col("doc_id") % 5 === 0)
+    StreamTextIndex.deleteDocs(dead.select("doc_id"), "doc_id", root, 1L)
+    val alive = docs.filter(col("doc_id") % 5 =!= 0)
+    assert(postings(root) == scanPostings(alive))
+    // resurrect half of the deleted under a higher batch id
+    val back = dead.filter(col("doc_id") % 10 === 0)
+    StreamTextIndex.upsertBatch(back, "doc_id", "text", root, 2L)
+    val fin = alive.unionByName(back)
+    assert(postings(root) == scanPostings(fin))
+    // compaction physically retires the still-dead postings …
+    StreamTextIndex.compact(spark, root)
+    assert(postings(root) == scanPostings(fin))
+    val stillDead = dead.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    val onDisk = spark.read.parquet(root)
+      .select("id").as[Long].collect().toSet
+    assert(onDisk.intersect(stillDead).isEmpty,
+      "tombstoned postings not physically retired")
+    // … keeps the tombstone (a redelivery of the ORIGINAL batch
+    // cannot resurrect deleted content) …
+    StreamTextIndex.upsertBatch(dead, "doc_id", "text", root, 0L)
+    assert(postings(root) == scanPostings(fin))
+    // … and a second compaction converges back to one live row each
+    StreamTextIndex.compact(spark, root)
+    assert(postings(root) == scanPostings(fin))
+    assert(spark.read.parquet(root).count() == scanPostings(fin).size)
+  }
+
   test("bpe stream: splits + retry + mid-compaction batch equal the one-shot encode; update is latest-wins") {
     import graft.operators.Bpe
     import graft.streaming.StreamBpe

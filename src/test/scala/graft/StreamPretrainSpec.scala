@@ -70,6 +70,32 @@ class StreamPretrainSpec extends SparkSpec {
     assert(mf.agg(sum("n_pieces")).head().getLong(0) == totalPieces)
   }
 
+  test("attach: the whole chain runs as one Structured Streaming job") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val root = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("spretrain-ck").toString
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val input = MemoryStream[(Long, String, String, String)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = StreamPretrain.attach(stream, "doc_id", "text", "lang",
+      "source", fz, root, ckpt)
+    try {
+      val rows = docs.select("doc_id", "text", "lang", "source")
+        .as[(Long, String, String, String)].collect().sortBy(_._1)
+      val (lo, hi) = rows.splitAt(rows.length / 2)
+      input.addData(lo.toSeq)
+      q.processAllAvailable()
+      input.addData(hi.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val keptIds = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet
+    val survIds = batchSurvivors(docs, fz)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == survIds && keptIds.nonEmpty)
+  }
+
   test("ledger keep-first holds even when the first copy was gated out") {
     val root = tmp()
     val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")

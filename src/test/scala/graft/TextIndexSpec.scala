@@ -150,6 +150,11 @@ class TextIndexSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(bucket") &&
       """\(bucket#\d+ = \d+\)""".r.findFirstIn(p).isDefined,
       s"no folded bucket partition filter on the streamed index:\n$p")
+    // the latest-wins exclusion side must stay broadcast: it is the
+    // unresolved-history set (empty here), never a corpus-sized
+    // relation worth a sort-merge exchange
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"generation exclusion not broadcast:\n$p")
   }
 
   test("streaming index compaction shrinks files and Maintenance drives it") {
