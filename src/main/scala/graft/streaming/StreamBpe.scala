@@ -42,6 +42,18 @@ object StreamBpe {
     StreamState.appendGens(batch.select(col(idCol)), root, batchId)
   }
 
+  /** DELETE documents from the live encoded table — the compliance
+    * path a training-data store needs: one tombstone generation per
+    * id ([[StreamState.appendGens]]), the document's pieces stop
+    * serving from the next read, a later [[encodeBatch]] under a
+    * higher batch id resurrects it, and [[compact]] physically
+    * retires the dead rows (same race-proof guard as
+    * [[StreamTextIndex.compactSnapshot]]). */
+  def deleteDocs(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    StreamState.appendGens(ids.select(col(idCol)), root, batchId,
+      del = true)
+
   /** The live encoded table: each document's newest generation, one
     * row per (id, pos) — [[Bpe.encodeIds]]'s exact shape, so every
     * downstream consumer (packing, chunking, vocab stats) reads it
@@ -91,9 +103,19 @@ object StreamBpe {
     val df = spark.read.parquet(snapshot: _*)
     val idc = df.columns.head
     val byId = org.apache.spark.sql.expressions.Window.partitionBy(idc)
-    df.withColumn("_g", max("batch_id").over(byId))
+    val newest = df.withColumn("_g", max("batch_id").over(byId))
       .filter(col("batch_id") === col("_g"))
-      .select(df.columns.map(col): _*).distinct()
+    // physical retire of tombstoned documents — the StreamTextIndex
+    // guard: drop only when the tombstone is at least the newest
+    // IN-SNAPSHOT generation (monotone batch ids make that safe
+    // beside a concurrent resurrection)
+    val tombs = StreamState.tombstones(spark, root)
+    val kept =
+      if (tombs == null) newest
+      else newest.join(
+          broadcast(tombs.withColumnRenamed("id", idc)), Seq(idc), "left")
+        .filter(col("_tomb").isNull || col("_tomb") < col("_g"))
+    kept.select(df.columns.map(col): _*).distinct()
       .write.mode("append").parquet(root)
     StreamState.deleteFiles(spark, root, snapshot)
   }

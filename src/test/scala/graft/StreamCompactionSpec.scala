@@ -206,6 +206,19 @@ class StreamCompactionSpec extends SparkSpec {
     val gotPack = StreamBpe.packShards(spark, root, 512)
       .collect().map(_.toSeq).toSet
     assert(gotPack == want)
+    // the compliance path: delete every 13th doc — pieces stop
+    // serving immediately, compaction physically retires them
+    val dead = docs.filter(col("doc_id") % 13 === 0)
+    StreamBpe.deleteDocs(dead.select("doc_id"), "doc_id", root, 4L)
+    val afterDel = finalCorpus.filter(col("doc_id") % 13 =!= 0)
+    assert(got() == enc(afterDel))
+    StreamBpe.compact(spark, root)
+    assert(got() == enc(afterDel))
+    val deadIds = dead.select("doc_id").as[Long].collect().toSet
+    val onDisk = spark.read.parquet(root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(onDisk.intersect(deadIds).isEmpty,
+      "tombstoned piece rows not physically retired")
   }
 
   test("IVF-PQ: an upsert landing mid-compaction survives, and _meta is never touched") {
