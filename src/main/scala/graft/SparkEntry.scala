@@ -1756,6 +1756,76 @@ object SparkEntry {
              |       piece, piece_id
              |FROM px JOIN pid USING (piece)""".stripMargin)),
 
+    ("q_stream_bpe_del", // the compliance path for the live encoded
+      // table: ingest the corpus in three batches under the frozen
+      // tokenizer, tombstone every 13th document (StreamBpe.deleteDocs
+      // — its pieces stop serving from the next read), compact (the
+      // dead rows are physically retired), replay a STALE pre-delete
+      // batch (its generation cannot outrank the tombstone), and
+      // resurrect the % 26 == 0 half under a higher batch id. The
+      // live table must equal the one-shot Bpe.encodeIds over exactly
+      // the live documents (all but doc_id % 26 == 13) — the
+      // q_bpe_ids oracle with the dead docs excluded from the final
+      // encode scan (the tokenizer fit, which predates the deletes,
+      // still sees the full corpus).
+      (s: SparkSession, dir: String) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("q_stream_bpe_del").toString
+        val root = s"$base/enc"
+        val docs = t(s, dir, "documents")
+        val learned = graft.operators.Bpe.learnMerges(docs, "text", 6)
+        graft.operators.Bpe.saveLearned(s, learned, s"$base/tok")
+        val frozen = graft.operators.Bpe.loadLearned(s, s"$base/tok")
+        val S = graft.streaming.StreamBpe
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", frozen, root, 0L)
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", frozen, root, 1L)
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", frozen, root, 2L)
+        S.deleteDocs(docs.filter(col("doc_id") % 13 === 0)
+          .select("doc_id"), "doc_id", root, 3L)
+        S.compact(s, root) // physical retire of the dead rows
+        S.encodeBatch(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", frozen, root, 1L) // stale redelivery
+        S.encodeBatch(docs.filter(col("doc_id") % 26 === 0),
+          "doc_id", "text", frozen, root, 4L) // resurrection
+        val got = S.readEncoded(s, root).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(s"""${bpeCtesSql(6)},
+             |pf AS (SELECT piece, CAST(sum(weight) AS BIGINT) AS freq
+             |       FROM (SELECT weight, unnest(syms) AS piece FROM v6)
+             |       GROUP BY 1),
+             |pid AS (SELECT piece,
+             |          CAST(row_number() OVER (ORDER BY freq DESC, piece)
+             |               AS BIGINT) AS piece_id
+             |        FROM pf),
+             |tk AS (SELECT doc_id, u.widx AS widx, u.word AS word FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |        generate_series(1, len(t)),
+             |        i -> {'widx': i, 'word': t[i]})) AS u
+             |    FROM (SELECT doc_id, list_filter(
+             |            string_split_regex(lower(text), '\\s+'),
+             |            x -> len(x) > 0) AS t
+             |          FROM documents
+             |          WHERE doc_id % 26 <> 13))),
+             |px AS (SELECT tk.doc_id, tk.widx, u.pidx AS pidx,
+             |              u.piece AS piece
+             |       FROM tk JOIN v6 ON tk.word = v6.word,
+             |            LATERAL (SELECT unnest(list_transform(
+             |                generate_series(1, len(v6.syms)),
+             |                j -> {'pidx': j, 'piece': v6.syms[j]})) AS u))
+             |SELECT doc_id,
+             |       CAST(row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY widx, pidx) AS BIGINT) AS pos,
+             |       piece, piece_id
+             |FROM px JOIN pid USING (piece)""".stripMargin)),
+
     ("q_text_profile",
       (s: SparkSession, dir: String) =>
         TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text"),
@@ -3987,6 +4057,51 @@ object SparkEntry {
       },
       None),
 
+    ("q_embed_ivfpq_del", // DELETES for the at-ingest index (the
+      // compliance path a training-data store needs, applied to
+      // vectors): build on the lower half, stream the upper half in,
+      // then tombstone vec_id % 7 == 3 (StreamIvfPq.deleteVecs — one
+      // generation-log row per id, no rebuild), resurrect the % 14 ==
+      // 3 half under a higher batch id, redeliver a pre-delete batch
+      // (its stale generation cannot outrank the tombstone), and
+      // compact (physical retire under the race-proof guard). The
+      // query must rank exactly the live ids — all but the
+      // never-resurrected % 14 == 10 — under the unchanged frozen
+      // model; the oracle is the frozen-model replay chain with the
+      // dead ids excluded from ranking (fits untouched).
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+        val mid = maxId / 2
+        val root = java.nio.file.Files
+          .createTempDirectory("q_embed_ivfpq_del").toString + "/index"
+        Similarity.buildIvfPq(corpus.filter(col("vec_id") <= mid),
+          "vec_id", "embedding", root)
+        val b1 = corpus.filter(col("vec_id") > mid && col("vec_id") % 2 === 0)
+        val b2 = corpus.filter(col("vec_id") > mid && col("vec_id") % 2 === 1)
+        graft.streaming.StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", root, 0L)
+        graft.streaming.StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", root, 1L)
+        graft.streaming.StreamIvfPq.deleteVecs(
+          corpus.filter(col("vec_id") % 7 === 3).select("vec_id"),
+          "vec_id", root, 2L)
+        graft.streaming.StreamIvfPq.upsertBatch(
+          corpus.filter(col("vec_id") % 14 === 3),
+          "vec_id", "embedding", root, 3L) // resurrection
+        graft.streaming.StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", root, 0L) // stale redelivery
+        graft.streaming.StreamIvfPq.compact(s, root)
+        val got = graft.streaming.StreamIvfPq.query(s, root, corpus,
+          "vec_id", "embedding", q, kTop = 20).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_knn_multiprobe", // multi-probe LSH kNN (Lv et al. 2007): each
       // anchor also probes every Hamming-1 bucket of its signature —
       // per-table recall rises steeply, so a target recall needs
@@ -4806,6 +4921,7 @@ object SparkEntry {
     // the swap is checked against the very same replay chain
     "q_embed_ivfpq_refit" -> ivfPqOracleSql,
     "q_embed_ivfpq_incr" -> ivfPqIncrOracleSql,
+    "q_embed_ivfpq_del" -> ivfPqDelOracleSql,
     "q_embed_rp" -> rpOracleSql,
     "q_kn_quality" -> knQualityOracleSql,
     "q_stream_pretrain" -> pretrainStreamOracleSql,
@@ -4932,7 +5048,20 @@ object SparkEntry {
     * retried batch the query leaves uncompacted must be invisible
     * (one row per id), so a hash match also certifies the read-side
     * dedup. */
-  private def ivfPqIncrOracleSql(s: SparkSession, dir: String): String = {
+  private def ivfPqIncrOracleSql(s: SparkSession, dir: String): String =
+    ivfPqFrozenOracleSql(s, dir, liveCond = "")
+
+  /** Oracle for q_embed_ivfpq_del: the same frozen-model replay, with
+    * the never-resurrected tombstoned ids (`vec_id % 14 = 10`)
+    * excluded from assignment/encoding/ranking — exactly what the
+    * read-side dead-set anti-join (and, post-compact, the physical
+    * retire) serves. The fits still see the full base half: deletion
+    * does not retrain the frozen model. */
+  private def ivfPqDelOracleSql(s: SparkSession, dir: String): String =
+    ivfPqFrozenOracleSql(s, dir, liveCond = " AND vec_id % 14 <> 10")
+
+  private def ivfPqFrozenOracleSql(s: SparkSession, dir: String,
+      liveCond: String): String = {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
     val maxId = corpus.agg(max("vec_id")).head().getLong(0)
@@ -4949,7 +5078,7 @@ object SparkEntry {
     val ccVals = cents.sortBy(_._1).map { case (cl, c) =>
       s"($cl, [${c.mkString(", ")}])" }.mkString(", ")
     s"""WITH raw AS (SELECT vec_id, embedding FROM embeddings
-       |             WHERE vec_id > 0),
+       |             WHERE vec_id > 0$liveCond),
        |cq AS (SELECT vec_id, list_transform(embedding,
        |         x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT))
        |         AS qv FROM raw),

@@ -1176,7 +1176,7 @@ object Similarity {
   def queryIvfPqTable(spark: SparkSession, path: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], kTop: Int, nprobe: Int = 2,
-      shortlist: Int = 200): DataFrame = {
+      shortlist: Int = 200, excludeIds: DataFrame = null): DataFrame = {
     val idx = readIvfPqMeta(spark, path)
     val probes = probeCells(idx.centroids, query, nprobe, idx.scale)
     // an incrementally-grown table ([[graft.streaming.StreamIvfPq]])
@@ -1188,10 +1188,18 @@ object Similarity {
     // cells serves from its old cell until [[graft.streaming
     // .StreamIvfPq.compact]] folds the table (which is latest-wins
     // across ALL cells).
+    // `excludeIds` (one id column; StreamIvfPq's tombstone dead set)
+    // is anti-joined BEFORE the shortlist so the top-k is always k
+    // live results, never a post-filtered stump.
     val byId = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("batch_id").desc)
-    val enc = spark.read.parquet(path)
+    val probed = spark.read.parquet(path)
       .filter(col("cluster").isInCollection(probes))
+    val live =
+      if (excludeIds == null) probed
+      else probed.join(broadcast(excludeIds.toDF(idCol)), Seq(idCol),
+        "left_anti")
+    val enc = live
       .withColumn("_rk", row_number().over(byId))
       .filter(col("_rk") === 1)
       .select(col(idCol), col("codes"))

@@ -26,7 +26,25 @@ import org.apache.spark.sql.functions._
   * with one caveat: until the next [[compact]] (which dedups across
   * all cells), a vector that moved cells still serves from its old
   * cell when only that cell is probed. Treat updates as
-  * eventually-consistent until compaction; deletions need a rebuild.
+  * eventually-consistent until compaction.
+  *
+  * DELETES ([[deleteVecs]]) are tombstone generations in the shared
+  * [[StreamState]] generation log (the [[StreamTextIndex]] /
+  * [[StreamBpe]] compliance path applied to vectors): every
+  * `upsertBatch` and every delete appends tiny (id, batch, del) rows
+  * to a `_docs` sidecar at the TOP root (so the record survives model
+  * refits), a vector is dead iff its NEWEST log entry is a tombstone,
+  * and [[query]] anti-joins the probed rows against that broadcast
+  * dead set — the vector stops ranking from the next read, without a
+  * rebuild. A later `upsertBatch` under a higher batch id resurrects
+  * it; [[compact]] physically retires dead code rows under the
+  * race-proof guard (drop only when the tombstone is at least the
+  * id's newest IN-SNAPSHOT batch, so a resurrection landing
+  * mid-compaction survives). A redelivery of a pre-delete batch
+  * re-appends the dead id's rows, but its stale generation cannot
+  * outrank the tombstone — the id stays dead. [[refit]] does NOT
+  * clear tombstones: fit new generations on the LIVE corpus; re-adding
+  * a deleted vector is `upsertBatch`'s job, not refit's.
   *
   * Drift contract (the honest ANN caveat, stated rather than hidden):
   * appended vectors are quantized by the BASE corpus' model. If the
@@ -135,12 +153,16 @@ object StreamIvfPq {
   }
 
   /** Probe the newest committed generation — [[Similarity
-    * .queryIvfPqTable]] against [[resolve]]'s directory. */
+    * .queryIvfPqTable]] against [[resolve]]'s directory, with
+    * tombstoned ids ([[deleteVecs]]) excluded at the codes scan
+    * (before the shortlist, so the top-k is always k live results,
+    * never a post-filtered stump). */
   def query(spark: SparkSession, root: String, corpus: DataFrame,
       idCol: String, vecCol: String, queryVec: Seq[Double], kTop: Int,
       nprobe: Int = 2, shortlist: Int = 200): DataFrame =
     Similarity.queryIvfPqTable(spark, resolve(spark, root), corpus,
-      idCol, vecCol, queryVec, kTop, nprobe, shortlist)
+      idCol, vecCol, queryVec, kTop, nprobe, shortlist,
+      excludeIds = deadDocs(spark, root))
 
   /** Encode + append one micro-batch under the frozen model at
     * `path`. One scan of the batch; writes only the touched cell
@@ -157,7 +179,31 @@ object StreamIvfPq {
       .select(col(idCol), col("codes"), lit(batchId).as("batch_id"),
         col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
+    // generation row LAST (the StreamTextIndex crash contract): a
+    // crash above is healed by the at-least-once redelivery, which
+    // re-appends deterministic rows AND the generation
+    StreamState.appendGens(batch.select(col(idCol)), root, batchId)
   }
+
+  /** DELETE vectors from the index — one tombstone generation per id.
+    * The id stops ranking from the next [[query]]; a later
+    * [[upsertBatch]] under a higher batch id resurrects it; [[compact]]
+    * physically retires the dead code rows. Ties (a delete and an
+    * upsert under the SAME batch id) resolve to deleted. */
+  def deleteVecs(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    StreamState.appendGens(ids.select(col(idCol)), root, batchId,
+      del = true)
+
+  /** Ids whose newest generation-log entry is a tombstone — the
+    * read-side exclusion set (single `id` column; null when no log
+    * exists). Empty until a delete happens, tiny after, broadcast
+    * beside the partition-pruned probe read. */
+  private[graft] def deadDocs(spark: SparkSession,
+      root: String): DataFrame =
+    if (!StreamState.genLogExists(spark, root)) null
+    else StreamState.updatedGens(spark, root).filter(col("_del"))
+      .select("id")
 
   /** Per-cell row counts — the fill-imbalance signal that tells an
     * operator when the frozen coarse quantizer has drifted from the
@@ -185,14 +231,16 @@ object StreamIvfPq {
     */
   def compact(spark: SparkSession, root: String): Unit = {
     val path = resolve(spark, root)
-    compactSnapshot(spark, path, StreamState.listDataFiles(spark, path))
+    compactSnapshot(spark, root, path,
+      StreamState.listDataFiles(spark, path))
+    StreamState.compactGenLog(spark, root)
   }
 
   /** The compaction body over an explicit snapshot — split out so the
     * interleaving spec can pin the snapshot, land a concurrent
     * `upsertBatch`, and prove the late batch survives. */
-  private[graft] def compactSnapshot(spark: SparkSession, path: String,
-      snapshot: Seq[String]): Unit = {
+  private[graft] def compactSnapshot(spark: SparkSession, root: String,
+      path: String, snapshot: Seq[String]): Unit = {
     if (snapshot.isEmpty) return
     val df = spark.read.option("basePath", path).parquet(snapshot: _*)
     val idCol = df.columns.head
@@ -201,9 +249,20 @@ object StreamIvfPq {
     // different cell partition — is actually removed
     val byId = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("batch_id").desc)
-    df.withColumn("_rk", row_number().over(byId))
+    val newest = df.withColumn("_rk", row_number().over(byId))
       .filter(col("_rk") === 1)
-      .withColumn("batch_id", lit(-1L))
+    // physical retire of tombstoned ids ([[deleteVecs]]) — the
+    // race-proof guard: drop only when the tombstone is at least the
+    // id's newest IN-SNAPSHOT batch, so a resurrection upsert landing
+    // mid-compaction (outside the snapshot) survives untouched
+    val tombs = StreamState.tombstones(spark, root)
+    val kept =
+      if (tombs == null) newest
+      else newest.join(
+          broadcast(tombs.withColumnRenamed("id", idCol)), Seq(idCol),
+          "left")
+        .filter(col("_tomb").isNull || col("_tomb") < col("batch_id"))
+    kept.withColumn("batch_id", lit(-1L))
       .select(col(idCol), col("codes"), col("batch_id"), col("cluster"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)

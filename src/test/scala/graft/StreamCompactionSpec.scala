@@ -238,7 +238,7 @@ class StreamCompactionSpec extends SparkSpec {
         (s.getPath.getName, s.getModificationTime)).toSeq
     val snapshot = StreamState.listDataFiles(spark, dir)
     StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", dir, 1L) // mid-window
-    StreamIvfPq.compactSnapshot(spark, dir, snapshot)
+    StreamIvfPq.compactSnapshot(spark, dir, dir, snapshot)
     // every id is served — including the batch that landed mid-window
     assert(spark.read.parquet(dir).select("vec_id").distinct().count() ==
       corpus.count())
@@ -250,6 +250,56 @@ class StreamCompactionSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dir, "_meta")).map(s =>
         (s.getPath.getName, s.getModificationTime)).toSeq
     assert(metaAfter == metaBefore, "_meta was touched by compaction")
+  }
+
+  test("IVF-PQ: tombstone deletes stop ranking, resurrect, and are physically retired") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val query: Seq[Double] =
+      emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble)
+    val corpus = emb.filter(col("vec_id") > 0)
+    val maxId = corpus.agg(max("vec_id")).head().getLong(0)
+    val base = corpus.filter(col("vec_id") <= maxId / 2)
+    val b1 = corpus.filter(col("vec_id") > maxId / 2 && col("vec_id") % 2 === 0)
+    val b2 = corpus.filter(col("vec_id") > maxId / 2 && col("vec_id") % 2 === 1)
+    val dir = tmp("sci-ivfpq-del")
+    Similarity.buildIvfPq(base, "vec_id", "embedding", dir)
+    StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", dir, 0L)
+    StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", dir, 1L)
+    def top(k: Int): Seq[(Long, Long)] =
+      StreamIvfPq.query(spark, dir, corpus, "vec_id", "embedding",
+        query, k).as[(Long, Long)].collect().toSeq
+    val before = top(10)
+    val deadIds = before.take(2).map(_._1)
+    // delete the current top 2: they stop ranking from the next read,
+    // the rest of the list is unchanged
+    StreamIvfPq.deleteVecs(deadIds.toDF("vec_id"), "vec_id", dir, 2L)
+    assert(top(10).take(8) == before.drop(2))
+    // a stale redelivery of the pre-delete batches re-appends dead
+    // rows, but their generations cannot outrank the tombstone
+    StreamIvfPq.upsertBatch(b1, "vec_id", "embedding", dir, 0L)
+    StreamIvfPq.upsertBatch(b2, "vec_id", "embedding", dir, 1L)
+    assert(top(10).take(8) == before.drop(2))
+    // a LATER upsert resurrects: answers return to the original list
+    StreamIvfPq.upsertBatch(corpus.filter(col("vec_id").isin(deadIds: _*)),
+      "vec_id", "embedding", dir, 3L)
+    assert(top(10) == before)
+    // delete again + compact: the dead code rows are physically gone
+    StreamIvfPq.deleteVecs(deadIds.toDF("vec_id"), "vec_id", dir, 4L)
+    StreamIvfPq.compact(spark, dir)
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id").isin(deadIds: _*)).count() == 0,
+      "tombstoned code rows not physically retired")
+    assert(top(8) == before.drop(2))
+    // the race: a resurrection landing INSIDE the compaction window
+    // survives the tombstone retire (its file is outside the snapshot)
+    val x = before.drop(2).head._1
+    StreamIvfPq.deleteVecs(Seq(x).toDF("vec_id"), "vec_id", dir, 5L)
+    val snapshot = StreamState.listDataFiles(spark, dir)
+    StreamIvfPq.upsertBatch(corpus.filter(col("vec_id") === x),
+      "vec_id", "embedding", dir, 6L) // mid-window
+    StreamIvfPq.compactSnapshot(spark, dir, dir, snapshot)
+    assert(top(8).map(_._1).contains(x),
+      "mid-compaction resurrection was erased by the tombstone retire")
   }
 
   private def cells(df: org.apache.spark.sql.DataFrame) =
