@@ -158,6 +158,29 @@ object StreamPretrain {
       }
       .start()
 
+  /** FORGET documents across the pipeline's live state — the
+    * compliance path ("this content must leave the training set")
+    * composed end-to-end: one tombstone generation in the encoded
+    * table's shared log ([[StreamBpe.deleteDocs]]) and the pieces
+    * stop serving from the next read, so [[packedShards]] and
+    * [[manifest]] rebuild without them and [[keptDocs]] drops the
+    * rows; the next compaction physically retires the dead state.
+    * The fingerprint LEDGER keeps its first-arrival record ON
+    * PURPOSE: forgetting the content must not re-admit a later copy
+    * of the same text — the ledger row is the dedup decision, not
+    * the content (and it stores a fingerprint, nothing readable). */
+  def forgetDocs(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    StreamBpe.deleteDocs(ids, idCol, encRoot(root), batchId)
+
+  /** Ids whose newest encoded-table generation is a tombstone —
+    * [[forgetDocs]]' read-side exclusion, shared with the kept
+    * table so both faces forget together. */
+  private def forgotten(spark: SparkSession, root: String): DataFrame =
+    if (!StreamState.genLogExists(spark, encRoot(root))) null
+    else StreamState.updatedGens(spark, encRoot(root))
+      .filter(col("_del")).select("id")
+
   private def readLedger(spark: SparkSession, root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerRoot(root))
     val exists =
@@ -169,10 +192,16 @@ object StreamPretrain {
   }
 
   /** The surviving documents: (id, source), one row each — the
-    * manifest's row-level face. */
-  def keptDocs(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(keptRoot(root))
+    * manifest's row-level face. Forgotten documents
+    * ([[forgetDocs]]) are excluded via the same broadcast dead set
+    * the encoded table serves under. */
+  def keptDocs(spark: SparkSession, root: String): DataFrame = {
+    val raw = spark.read.parquet(keptRoot(root))
       .select("id", "source").distinct()
+    val dead = forgotten(spark, root)
+    if (dead == null) raw
+    else raw.join(broadcast(dead), Seq("id"), "left_anti")
+  }
 
   /** Fixed-budget context windows over the live encoded survivors —
     * [[StreamBpe.packShards]] on this pipeline's encoded table. */

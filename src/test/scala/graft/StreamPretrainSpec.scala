@@ -96,6 +96,42 @@ class StreamPretrainSpec extends SparkSpec {
     assert(keptIds == survIds && keptIds.nonEmpty)
   }
 
+  test("forgetDocs removes a document from every served face, but its ledger claim holds") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    StreamPretrain.ingestBatch(docs, "doc_id", "text", "lang", "source",
+      fz, root, 0L)
+    val surv = batchSurvivors(docs, fz)
+    val forgetIds = surv.select("doc_id").as[Long].collect().sorted.take(3)
+    StreamPretrain.forgetDocs(forgetIds.toSeq.toDF("doc_id"), "doc_id",
+      root, 1L)
+    val live = surv.filter(!col("doc_id").isin(forgetIds: _*))
+    // packed windows rebuild over exactly the live survivors
+    val want = Pack.packCounts(
+      Bpe.encodeIdsWith(live, "doc_id", "text", fz.tokenizer)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+      "doc_id", 512).collect().map(_.toSeq).toSet
+    assert(StreamPretrain.packedShards(spark, root, 512)
+      .collect().map(_.toSeq).toSet == want)
+    // the kept table forgets the same rows
+    val keptIds = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(keptIds == live.select("doc_id").as[Long].collect().toSet)
+    // the manifest accounts for exactly the live documents
+    val mf = StreamPretrain.manifest(spark, root, 512)
+    assert(mf.agg(sum("n_docs")).head().getLong(0) == keptIds.size)
+    // the ledger claim survives the forget: re-ingesting the
+    // forgotten TEXT under a new id is still refused (forgetting
+    // content must not re-admit a later copy of it)
+    val again = docs.filter(col("doc_id") === forgetIds.head)
+      .withColumn("doc_id", lit(maxId + 11))
+    StreamPretrain.ingestBatch(again, "doc_id", "text", "lang", "source",
+      fz, root, 2L)
+    assert(StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet == keptIds)
+  }
+
   test("ledger keep-first holds even when the first copy was gated out") {
     val root = tmp()
     val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
