@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One-call upkeep for a pipeline root — the Spark face of the
   * reference's background maintenance loop (7-day purge every 5
@@ -28,10 +28,35 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Acting on the IVF-PQ drift signal: when the resolved generation's
+    * fill imbalance ([[StreamIvfPq.imbalance]], measured AFTER this
+    * run's compaction folds retried duplicates) reaches
+    * `imbalanceThreshold`, the maintenance window fits a new model
+    * generation over `corpus(spark)` — the CURRENT live corpus, loaded
+    * at decision time — and atomically swaps it in
+    * ([[StreamIvfPq.refit]]). Below the threshold the run leaves the
+    * frozen model untouched, so a healthy index never flaps.
+    * `retireOld` defaults to false here: a long-lived deployment
+    * retires superseded generations on a later run, once in-flight
+    * readers have drained ([[StreamIvfPq.retireOldVersions]]). */
+  final case class IvfPqRefitPolicy(
+      root: String,
+      corpus: SparkSession => DataFrame,
+      idCol: String, vecCol: String,
+      imbalanceThreshold: Double = 4.0,
+      nCells: Int = 8, iterations: Int = 2, m: Int = 8, k: Int = 16,
+      scale: Double = 1048576.0,
+      retireOld: Boolean = false) {
+    require(imbalanceThreshold > 1.0,
+      s"imbalanceThreshold must exceed the balanced value 1.0: " +
+        s"$imbalanceThreshold")
+  }
+
   final case class Report(
       expiredResults: Seq[String], expiredStats: Seq[String],
       compactedResults: Seq[String], compactedStats: Seq[String],
-      compactedIndexes: Seq[String] = Nil) {
+      compactedIndexes: Seq[String] = Nil,
+      refitIndexes: Seq[String] = Nil) {
     def render: String =
       s"expired results partitions: ${expiredResults.size}" +
         (if (expiredResults.isEmpty) "" else expiredResults.mkString(" (", ", ", ")")) +
@@ -43,6 +68,8 @@ object Maintenance {
         (if (compactedStats.isEmpty) "" else compactedStats.mkString(" (", ", ", ")")) +
         s"\ncompacted index/sketch roots: ${compactedIndexes.size}" +
         (if (compactedIndexes.isEmpty) "" else compactedIndexes.mkString(" (", ", ", ")")) +
+        s"\nrefit IVF-PQ generations: ${refitIndexes.size}" +
+        (if (refitIndexes.isEmpty) "" else refitIndexes.mkString(" (", ", ", ")")) +
         "\n"
   }
 
@@ -55,7 +82,8 @@ object Maintenance {
       nowMillis: Long = System.currentTimeMillis(),
       indexRoots: Seq[String] = Nil,
       sketchRoots: Seq[String] = Nil,
-      ivfPqRoots: Seq[String] = Nil): Report = {
+      ivfPqRoots: Seq[String] = Nil,
+      ivfPqRefit: Seq[IvfPqRefitPolicy] = Nil): Report = {
     val results = s"$root/results"
     val stats = s"$root/stats"
     val sinkLog = new org.apache.hadoop.fs.Path(results, "_spark_metadata")
@@ -112,7 +140,17 @@ object Maintenance {
       } ++ ivfPqRoots.filter(exists).map { r =>
         StreamIvfPq.compact(spark, r); r
       }
+    // drift repair LAST — the imbalance read must see this run's
+    // compaction (retried batches' duplicate rows inflate cell fills),
+    // and a refit over a just-folded table re-encodes one row per id
+    val refitted = ivfPqRefit.filter(p => exists(p.root)).flatMap { p =>
+      val imb = StreamIvfPq.imbalance(spark, p.root)
+      if (imb < p.imbalanceThreshold) None
+      else Some(StreamIvfPq.refit(p.corpus(spark), p.idCol, p.vecCol,
+        p.root, p.nCells, p.iterations, p.m, p.k, p.scale,
+        retireOld = p.retireOld))
+    }
     Report(expiredResults, expiredStats, compactedResults, compactedStats,
-      compactedIdx)
+      compactedIdx, refitted)
   }
 }

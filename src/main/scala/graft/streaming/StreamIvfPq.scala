@@ -213,6 +213,19 @@ object StreamIvfPq {
     spark.read.parquet(resolve(spark, root))
       .groupBy("cluster").agg(count(lit(1)).as("rows"))
 
+  /** [[cellStats]] folded to ONE drift number: max cell fill over mean
+    * cell fill. 1.0 is perfectly balanced; a value far above it means
+    * the ingest distribution has drifted from the frozen coarse
+    * quantizer's training distribution (new mass piling into few
+    * cells) and a [[refit]] is due. Run after [[compact]] — retried
+    * batches' duplicate rows inflate their cells' counts until folded.
+    * An empty index reads as balanced (1.0). */
+  def imbalance(spark: SparkSession, root: String): Double = {
+    val r = cellStats(spark, root)
+      .agg(max(col("rows")).cast("double"), avg(col("rows"))).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
   /** Fold retried-batch duplicates away and rewrite each cell
     * partition once (batch_id −1): the table returns to exactly one
     * row per id.

@@ -89,4 +89,57 @@ class StreamIvfPqRefitSpec extends SparkSpec {
     assert(StreamIvfPq.cellStats(spark, root)
       .agg(sum("rows")).head().getLong(0) == corpus.count())
   }
+
+  test("Maintenance acts on the drift signal: no-op below the threshold, refit at it") {
+    import graft.streaming.Maintenance
+    val root = tmp("refit-auto")
+    val pipeRoot = tmp("refit-auto-pipe")
+    Similarity.buildIvfPq(corpus, "vec_id", "embedding", root)
+    val imb0 = StreamIvfPq.imbalance(spark, root)
+    assert(imb0 >= 1.0)
+    // healthy index, threshold above its imbalance → the window must
+    // leave the frozen model alone (no flapping)
+    val calm = Maintenance.run(spark, pipeRoot, ivfPqRoots = Seq(root),
+      ivfPqRefit = Seq(Maintenance.IvfPqRefitPolicy(root,
+        _ => corpus, "vec_id", "embedding",
+        imbalanceThreshold = imb0 * 1.5 + 0.01)))
+    assert(calm.refitIndexes.isEmpty)
+    assert(StreamIvfPq.resolve(spark, root) == root)
+    // drift: the heaviest cell's vectors arrive twice more under fresh
+    // ids — its fill triples while the others stand still
+    val heavy = StreamIvfPq.cellStats(spark, root)
+      .orderBy(col("rows").desc, col("cluster")).head().get(0)
+    // materialize the member ids NOW — the refit below retires the
+    // generation-0 files this read depends on
+    val heavyIds = spark.read.parquet(StreamIvfPq.resolve(spark, root))
+      .filter(col("cluster") === lit(heavy)).select("vec_id")
+      .as[Long].collect().toSeq
+    val members = corpus.filter(col("vec_id").isin(heavyIds: _*))
+    val shift1 = members.withColumn("vec_id", col("vec_id") + lit(maxId))
+    val shift2 = members.withColumn("vec_id", col("vec_id") + lit(2 * maxId))
+    StreamIvfPq.upsertBatch(shift1, "vec_id", "embedding", root, 1L)
+    StreamIvfPq.upsertBatch(shift2, "vec_id", "embedding", root, 2L)
+    val imb1 = StreamIvfPq.imbalance(spark, root)
+    assert(imb1 > imb0, s"drift must raise the signal: $imb0 -> $imb1")
+    // drifted index, threshold between the calm and drifted readings →
+    // the window refits on the live corpus and swaps atomically
+    val live = corpus.select("vec_id", "embedding")
+      .union(shift1.select("vec_id", "embedding"))
+      .union(shift2.select("vec_id", "embedding"))
+    val report = Maintenance.run(spark, pipeRoot, ivfPqRoots = Seq(root),
+      ivfPqRefit = Seq(Maintenance.IvfPqRefitPolicy(root,
+        _ => live, "vec_id", "embedding",
+        imbalanceThreshold = (imb0 + imb1) / 2, retireOld = true)))
+    assert(report.refitIndexes.size == 1)
+    assert(StreamIvfPq.resolve(spark, root) == report.refitIndexes.head)
+    // post-swap answers equal a fresh one-shot build over the live set
+    val fresh = tmp("refit-auto-fresh")
+    Similarity.buildIvfPq(live, "vec_id", "embedding", fresh)
+    val want = Similarity.queryIvfPqTable(spark, fresh, live,
+      "vec_id", "embedding", queryVec, kTop = 10)
+      .as[(Long, Long)].collect().toSeq
+    val got = StreamIvfPq.query(spark, root, live, "vec_id", "embedding",
+      queryVec, kTop = 10).as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }
