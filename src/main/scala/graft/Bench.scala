@@ -202,8 +202,10 @@ object Bench {
       // costs covered by q_grep_index_lookup / q_bpe_ids);
       // q_embed_ivfpq_refit is two full builds + an ingest
       // (q_embed_ivfpq_table times the build/query split);
-      // q_stream_pretrain is the composed ingest scenario
-      // (q_pretrain_pipeline and each gate query time the operators);
+      // q_stream_pretrain / q_stream_pretrain_decon are the composed
+      // ingest scenarios (q_pretrain_pipeline and each gate query —
+      // incl. q_decontaminate_bloom for the decon gate — time the
+      // operators);
       // q_embed_ivfpq_del is the delete/resurrect/compact ingest
       // choreography (the served-query cost is q_embed_ivfpq_table's
       // probe plus one broadcast anti-join on the tiny dead set).
@@ -212,7 +214,8 @@ object Bench {
         "q_stream_text_index", "q_embed_ivfpq_incr",
         "q_stream_text_index_upd", "q_stream_text_index_del",
         "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
-        "q_stream_pretrain", "q_embed_ivfpq_del")
+        "q_stream_pretrain", "q_stream_pretrain_decon",
+        "q_embed_ivfpq_del")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).

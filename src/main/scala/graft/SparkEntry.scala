@@ -2768,6 +2768,46 @@ object SparkEntry {
       },
       None),
 
+    ("q_stream_pretrain_decon", // the composed pipeline WITH the
+      // frozen DECONTAMINATION gate — the one pretrain stage the
+      // streamed chain was still missing: the benchmark set's
+      // distinct 8-grams (the q_decontaminate phrase shape; the
+      // doc_id % 23 selector is chosen so the gate provably BITES —
+      // it flags documents that survive every other gate, and the
+      // packed output differs from q_stream_pretrain's) freeze at
+      // fit time as a broadcast-sized union set, and every
+      // micro-batch streams through it at scan speed (no corpus
+      // shuffle); a document sharing >= 3 distinct grams with the
+      // union is refused. The per-lang perplexity thresholds re-freeze
+      // over the corpus surviving ALL gates including this one, and
+      // the oracle replays the whole chain with the gate as SQL.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_pretrain_decon").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val SP = graft.streaming.StreamPretrain
+        val bench = docs.filter(col("doc_id") % 23 === 7)
+          .select(substring(col("text"), 20, 120).as("phrase"))
+        val fz = SP.fit(docs, "doc_id", "text", "lang",
+          bench = Some(bench), deconN = 8, deconMinShared = 3L)
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+        val b1 = docs.filter(col("doc_id") * 3 > maxId &&
+          col("doc_id") * 3 <= maxId * 2)
+        val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+        SP.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root, 0L)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L) // retry
+        SP.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root, 2L)
+        val got = SP.packedShards(s, root, 512).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_topk_per_key", // exact top-5 per source through the CUSTOM
       // physical operator (TopKPerKeyNode → partial/final heap execs
       // via SparkSessionExtensions strategy injection): per-partition
@@ -4733,11 +4773,50 @@ object SparkEntry {
     * comes from the very [[graft.streaming.StreamPretrain.fit]] the
     * streamed chain froze.
     */
-  private def pretrainStreamOracleSql(s: SparkSession, dir: String): String = {
+  private def pretrainStreamOracleSql(s: SparkSession, dir: String): String =
+    pretrainStreamOracle(s, dir, decon = false)
+
+  private def pretrainStreamDeconOracleSql(s: SparkSession,
+      dir: String): String =
+    pretrainStreamOracle(s, dir, decon = true)
+
+  private def pretrainStreamOracle(s: SparkSession, dir: String,
+      decon: Boolean): String = {
+    val docs = t(s, dir, "documents")
+    val bench =
+      if (!decon) None
+      else Some(docs.filter(col("doc_id") % 23 === 7)
+        .select(substring(col("text"), 20, 120).as("phrase")))
     val fz = graft.streaming.StreamPretrain.fit(
-      t(s, dir, "documents"), "doc_id", "text", "lang")
+      docs, "doc_id", "text", "lang",
+      bench = bench, deconN = 8, deconMinShared = 3L)
     require(fz.quality.weightsMicro.nonEmpty && fz.langT1.nonEmpty,
       "stream-pretrain fit degenerate")
+    // the frozen gate's SQL replay: the benchmark's distinct 8-grams
+    // (the q_decontaminate bench convention) vs each document's
+    // distinct 8-grams, contaminated at >= 3 shared grams with the
+    // UNION of the benchmark set (the frozen-gate semantics)
+    val ng8 =
+      """unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(t)-7),
+        |                i -> array_to_string(list_slice(t, i, i+7), ' ')) END))
+        |""".stripMargin.trim
+    val deconCtes = if (!decon) "" else
+      s"""bt8 AS (SELECT list_filter(string_split_regex(lower(substr(text, 20, 120)), '\\s+'),
+         |                           x -> len(x) > 0) AS t
+         |        FROM documents WHERE doc_id % 23 = 7),
+         |bgr AS (SELECT DISTINCT $ng8 AS ng FROM bt8),
+         |ct8 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                                   x -> len(x) > 0) AS t
+         |        FROM documents),
+         |cg8 AS (SELECT doc_id, $ng8 AS ng FROM ct8),
+         |dfl AS (SELECT doc_id FROM cg8 JOIN bgr USING (ng)
+         |        GROUP BY 1 HAVING count(*) >= 3),
+         |dck AS (SELECT doc_id FROM documents
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM dfl)),
+         |""".stripMargin
+    val deconJoin = if (!decon) "" else " JOIN dck USING (doc_id)"
     val wv = fz.quality.weightsMicro.toSeq.sorted
       .map { case (b, w) => s"('$b', $w)" }.mkString(", ")
     val t1v = fz.langT1.toSeq.sorted
@@ -4768,9 +4847,9 @@ object SparkEntry {
        |kq AS (SELECT doc_id, mean_nll_micro FROM (${knQualityOracleSql(s, dir)})),
        |tl AS (SELECT a AS lang, CAST(c AS BIGINT) AS t1
        |       FROM (VALUES $t1v) v(a, c)),
-       |surv AS (SELECT d.doc_id FROM documents d
+       |${deconCtes}surv AS (SELECT d.doc_id FROM documents d
        |         JOIN gop USING (doc_id) JOIN lq USING (doc_id)
-       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)
+       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)$deconJoin
        |         JOIN tl ON d.lang = tl.lang
        |         WHERE kq.mean_nll_micro <= tl.t1),
        |stk AS (SELECT doc_id,
@@ -4925,6 +5004,7 @@ object SparkEntry {
     "q_embed_rp" -> rpOracleSql,
     "q_kn_quality" -> knQualityOracleSql,
     "q_stream_pretrain" -> pretrainStreamOracleSql,
+    "q_stream_pretrain_decon" -> pretrainStreamDeconOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
 
   /** Oracle for q_kn_quality: [[graft.operators.LangModel.knCollectCosts]]

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.TextFunctions
 import graft.ml.LinearQuality
-import graft.operators.{Bpe, Curate, Dedup, LangModel, TextAnalysis}
+import graft.operators.{Bpe, Curate, Decontaminate, Dedup, LangModel, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,6 +42,21 @@ import org.apache.spark.sql.functions._
   */
 object StreamPretrain {
 
+  /** The frozen decontamination gate: the benchmark set's DISTINCT
+    * token `n`-grams, collected once at [[fit]] time (eval suites are
+    * thousands of rows by nature — the set is broadcast-sized, and a
+    * cap enforces it). A document is contaminated iff it shares at
+    * least `minShared` distinct grams with the UNION of the benchmark
+    * grams — [[Decontaminate.decontaminate]]'s semantics at
+    * `minShared = 1`, and the union-counting variant above it (the
+    * per-bench-row pair counts need the bench ids, which a frozen
+    * gate deliberately does not carry). */
+  final case class Decon(grams: Seq[String], n: Int, minShared: Long) {
+    require(grams.size <= (1 << 20),
+      s"benchmark gram set too large to freeze: ${grams.size}")
+    require(minShared >= 1L, s"minShared must be >= 1: $minShared")
+  }
+
   /** Every model parameter the per-batch gates need, fit once. */
   final case class Frozen(
       quality: LinearQuality.Model,
@@ -49,7 +64,8 @@ object StreamPretrain {
         Map[String, Long], Long),
       langT1: Map[String, Long],
       tokenizer: Bpe.Learned,
-      stopWords: Seq[String])
+      stopWords: Seq[String],
+      decon: Option[Decon] = None)
 
   private[graft] def encRoot(root: String) = s"$root/enc"
   private def keptRoot(root: String) = s"$root/kept"
@@ -67,12 +83,24 @@ object StreamPretrain {
   def fit(corpus: DataFrame, idCol: String, textCol: String,
       langCol: String, refLang: String = "en",
       stopWords: Seq[String] = Seq("the", "a"),
-      bpeRounds: Int = 6): Frozen = {
+      bpeRounds: Int = 6,
+      bench: Option[DataFrame] = None, benchTextCol: String = "phrase",
+      deconN: Int = 8, deconMinShared: Long = 1L): Frozen = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val m = LinearQuality.fit(
       corpus.withColumn("_is", (col(langCol) === refLang).cast("int")),
       idCol, textCol, "_is")
     val costs = LangModel.knCollectCosts(
       LangModel.knBigrams(corpus.filter(col(langCol) === refLang), textCol))
+    // the decontamination gate freezes as the benchmark's distinct
+    // gram set — ONE pass over the small side, sorted for determinism
+    val dec = bench.map { b =>
+      Decon(b.select(explode(
+          Decontaminate.ngramSet(col(benchTextCol), deconN)).as("_ng"))
+        .distinct().as[String].collect().toSeq.sorted,
+        deconN, deconMinShared)
+    }
     val gk = TextAnalysis.gopherRules(corpus, idCol, textCol,
       stopWords = stopWords).filter(col("keep")).select(idCol)
     val lk = LinearQuality.score(corpus, idCol, textCol, m)
@@ -80,14 +108,113 @@ object StreamPretrain {
     val dk = Dedup.exactKeepFirst(corpus, idCol, textCol).select(idCol)
     val kq = LangModel.knScoreWith(corpus, idCol, textCol, costs)
       .select(col(idCol), col("mean_nll_micro"))
-    val scored = corpus.select(col(idCol), col(langCol))
+    // the per-lang thresholds freeze over the corpus that survives the
+    // OTHER gates — including the decon gate when one is configured
+    val scored0 = corpus.select(col(idCol), col(langCol))
       .join(gk, idCol).join(lk, idCol).join(dk, idCol).join(kq, idCol)
+    val scored = dec match {
+      case None => scored0
+      case Some(d) =>
+        scored0.join(deconKeep(corpus, idCol, textCol, d), Seq(idCol),
+          "left_semi")
+    }
     val t1 = Curate.perplexityBuckets(scored, langCol, "mean_nll_micro")
       .filter(col("bucket") === "head")
       .groupBy(langCol).agg(max("mean_nll_micro").as("_t1"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Frozen(m, costs, t1,
-      Bpe.learnMerges(corpus, textCol, bpeRounds), stopWords)
+      Bpe.learnMerges(corpus, textCol, bpeRounds), stopWords, dec)
+  }
+
+  /** Persist the frozen model set — the fit-on-the-curation-cluster /
+    * attach-anywhere split for the WHOLE pipeline (the
+    * [[graft.operators.Bpe.saveLearned]] contract extended to every
+    * gate). Layout under `path`: `tokenizer/` (the BPE artifact),
+    * `quality/` (hashed-bucket weights), `kn/` (the three cost tables
+    * + OOV floor as one kind-tagged relation), `langt1/` (per-lang
+    * thresholds), `decon/` (the benchmark gram set, present only when
+    * the gate is configured), `meta/` (scalars + stop words). Every
+    * relation is model-bounded (never corpus-sized) and written
+    * sorted/coalesced so the artifact's ROWS are stable for a given
+    * fit (two saves of the same model load equal).
+    */
+  def save(spark: SparkSession, fz: Frozen, path: String): Unit = {
+    import spark.implicits._
+    Bpe.saveLearned(spark, fz.tokenizer, s"$path/tokenizer")
+    fz.quality.weightsMicro.toSeq.sorted.toDF("b", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/quality")
+    val (pair, b1, cont, oov) = fz.knCosts
+    val knRows =
+      pair.toSeq.sortBy(_._1)
+        .map { case ((a, b), c) => ("pair", a, b, c) } ++
+      b1.toSeq.sorted.map { case (a, c) => ("b1", a, "", c) } ++
+      cont.toSeq.sorted.map { case (a, c) => ("cont", a, "", c) } :+
+      (("oov", "", "", oov))
+    knRows.toDF("kind", "w1", "w2", "cost")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/kn")
+    fz.langT1.toSeq.sorted.toDF("lang", "t1")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/langt1")
+    fz.decon.foreach { d =>
+      d.grams.toDF("ng")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/decon")
+    }
+    Seq((fz.quality.biasMicro, fz.quality.scale, fz.quality.hexDigits,
+        fz.stopWords, fz.decon.map(_.n), fz.decon.map(_.minShared)))
+      .toDF("bias_micro", "scale", "hex_digits", "stop_words",
+        "decon_n", "decon_min_shared")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[save]] artifact. Round-trips exactly: the loaded
+    * [[Frozen]] equals the fit one field for field, so every gate
+    * decision — and therefore the packed output — is identical. */
+  def load(spark: SparkSession, path: String): Frozen = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val quality = LinearQuality.Model(
+      spark.read.parquet(s"$path/quality").as[(String, Long)]
+        .collect().toMap,
+      meta.getAs[Long]("bias_micro"), meta.getAs[Long]("scale"),
+      meta.getAs[Int]("hex_digits"))
+    val kn = spark.read.parquet(s"$path/kn")
+      .as[(String, String, String, Long)].collect()
+    val knCosts = (
+      kn.collect { case ("pair", a, b, c) => (a, b) -> c }.toMap,
+      kn.collect { case ("b1", a, _, c) => a -> c }.toMap,
+      kn.collect { case ("cont", a, _, c) => a -> c }.toMap,
+      kn.collectFirst { case ("oov", _, _, c) => c }.getOrElse(
+        sys.error(s"$path/kn: missing oov row")))
+    val langT1 = spark.read.parquet(s"$path/langt1")
+      .as[(String, Long)].collect().toMap
+    val deconP = new org.apache.hadoop.fs.Path(s"$path/decon")
+    val dec =
+      if (!deconP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(deconP)) None
+      else Some(Decon(
+        spark.read.parquet(s"$path/decon").as[String]
+          .collect().toSeq.sorted,
+        meta.getAs[Int]("decon_n"), meta.getAs[Long]("decon_min_shared")))
+    Frozen(quality, knCosts, langT1,
+      Bpe.loadLearned(spark, s"$path/tokenizer"),
+      meta.getSeq[String](meta.fieldIndex("stop_words")), dec)
+  }
+
+  /** Ids of `df` NOT contaminated under the frozen gate: explode the
+    * document's distinct `n`-grams, stream them through the broadcast
+    * benchmark gram set at scan speed (the [[Decontaminate]] design —
+    * no corpus shuffle), and drop documents with `minShared`+ hits. */
+  private def deconKeep(df: DataFrame, idCol: String, textCol: String,
+      d: Decon): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bg = broadcast(d.grams.toDF("_ng"))
+    val flagged = df.select(col(idCol),
+        explode(Decontaminate.ngramSet(col(textCol), d.n)).as("_ng"))
+      .join(bg, "_ng")
+      .groupBy(idCol).agg(count(lit(1)).as("_ns"))
+      .filter(col("_ns") >= d.minShared)
+      .select(idCol)
+    df.select(col(idCol)).join(flagged, Seq(idCol), "left_anti")
   }
 
   /** Run one micro-batch through the whole chain: gates → ledger →
@@ -122,10 +249,18 @@ object StreamPretrain {
       .withColumn("_rn", row_number().over(wFp))
       .filter(col("_rn") === 1).drop("_rn")
       .join(readLedger(spark, root), Seq("_fp"), "left_anti")
-    val kept = freshAll
+    val kept0 = freshAll
       .join(gop, Seq(idCol), "left_semi")
       .join(lks, Seq(idCol), "left_semi")
       .join(knk, Seq(idCol), "left_semi")
+    // the frozen decontamination gate (when configured): stateless and
+    // deterministic like the others, so redelivery replays it exactly
+    val kept = fz.decon match {
+      case None => kept0
+      case Some(d) =>
+        kept0.join(deconKeep(batch, idCol, textCol, d), Seq(idCol),
+          "left_semi")
+    }
     // encode + manifest BEFORE the ledger append (see header)
     StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
       encRoot(root), batchId)

@@ -165,4 +165,72 @@ class StreamPretrainSpec extends SparkSpec {
     assert(StreamPretrain.keptDocs(spark, root)
       .select("id").as[Long].collect().toSet == survIds - pid)
   }
+
+  test("the frozen decontamination gate composes at ingest, and it provably bites") {
+    val root = tmp()
+    val bench = docs.filter(col("doc_id") % 23 === 7)
+      .select(substring(col("text"), 20, 120).as("phrase"))
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang",
+      bench = Some(bench), deconN = 8, deconMinShared = 3L)
+    val d = fz.decon.get
+    assert(d.grams.nonEmpty && d.n == 8 && d.minShared == 3L)
+    // the batch-side gate, replayed from the frozen gram set
+    val bg = broadcast(d.grams.toDF("_ng"))
+    val flagged = docs.select(col("doc_id"),
+        explode(graft.operators.Decontaminate.ngramSet(col("text"), d.n))
+          .as("_ng"))
+      .join(bg, "_ng").groupBy("doc_id").agg(count(lit(1)).as("_ns"))
+      .filter(col("_ns") >= d.minShared).select("doc_id")
+    val want = batchSurvivors(docs, fz)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // the gate is NOT vacuous on this fixture: without it, flagged
+    // documents survive the other gates
+    val noDecon = batchSurvivors(docs,
+      StreamPretrain.fit(docs, "doc_id", "text", "lang"))
+    assert(noDecon.join(flagged, "doc_id").count() > 0,
+      "bench selector must flag documents the other gates keep")
+    // streamed splits + an at-least-once retry converge to the gated
+    // batch composition
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val b0 = docs.filter(col("doc_id") * 2 <= maxId)
+    val b1 = docs.filter(col("doc_id") * 2 > maxId)
+    StreamPretrain.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root, 0L)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L) // retry
+    val got = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    assert(flagged.as[Long].collect().toSet.intersect(got).isEmpty)
+  }
+
+  test("the frozen model set persists: save/load round-trips every gate and the packed output") {
+    val dir = java.nio.file.Files.createTempDirectory("spfrozen").toString
+    val bench = docs.filter(col("doc_id") % 23 === 7)
+      .select(substring(col("text"), 20, 120).as("phrase"))
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang",
+      bench = Some(bench), deconN = 8, deconMinShared = 3L)
+    StreamPretrain.save(spark, fz, s"$dir/frozen")
+    val fz2 = StreamPretrain.load(spark, s"$dir/frozen")
+    // every frozen field round-trips exactly
+    assert(fz2.quality == fz.quality)
+    assert(fz2.knCosts == fz.knCosts)
+    assert(fz2.langT1 == fz.langT1)
+    assert(fz2.stopWords == fz.stopWords)
+    assert(fz2.decon == fz.decon)
+    assert(fz2.tokenizer.merges == fz.tokenizer.merges)
+    assert(fz2.tokenizer.words.toSet == fz.tokenizer.words.toSet)
+    // and the LOADED set drives the pipeline to the identical output
+    // (fit on one cluster, attach on another)
+    val rootA = tmp(); val rootB = tmp()
+    StreamPretrain.ingestBatch(docs, "doc_id", "text", "lang", "source",
+      fz, rootA, 0L)
+    StreamPretrain.ingestBatch(docs, "doc_id", "text", "lang", "source",
+      fz2, rootB, 0L)
+    val a = StreamPretrain.packedShards(spark, rootA, 512)
+      .collect().map(_.toSeq).toSet
+    val b = StreamPretrain.packedShards(spark, rootB, 512)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
