@@ -215,7 +215,7 @@ object Bench {
         "q_stream_text_index_upd", "q_stream_text_index_del",
         "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
         "q_stream_pretrain", "q_stream_pretrain_decon",
-        "q_embed_ivfpq_del")
+        "q_stream_pretrain_stats", "q_embed_ivfpq_del")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).

@@ -2808,6 +2808,38 @@ object SparkEntry {
       },
       None),
 
+    ("q_stream_pretrain_stats", // per-batch GATE ACCOUNTING — the
+      // operational "why did my corpus shrink" face of the composed
+      // pipeline: one tiny opt-in record per micro-batch with each
+      // gate's individual pass count plus the first-arrival and
+      // composed-survivor counts. The corpus ingests as one batch,
+      // then the SAME batch redelivers after the ledger append (the
+      // at-least-once worst case: its fingerprints are all claimed,
+      // so the replay records zeros) — gateStats' per-batch max-fold
+      // must reconstruct the first delivery's accounting exactly,
+      // and the oracle reads every count off the replayed chain.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_pretrain_stats").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val SP = graft.streaming.StreamPretrain
+        val bench = docs.filter(col("doc_id") % 23 === 7)
+          .select(substring(col("text"), 20, 120).as("phrase"))
+        val fz = SP.fit(docs, "doc_id", "text", "lang",
+          bench = Some(bench), deconN = 8, deconMinShared = 3L)
+        SP.ingestBatch(docs, "doc_id", "text", "lang", "source", fz,
+          root, 0L, recordStats = true)
+        SP.ingestBatch(docs, "doc_id", "text", "lang", "source", fz,
+          root, 0L, recordStats = true) // post-ledger redelivery
+        val got = SP.gateStats(s, root).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_topk_per_key", // exact top-5 per source through the CUSTOM
       // physical operator (TopKPerKeyNode → partial/final heap execs
       // via SparkSessionExtensions strategy injection): per-partition
@@ -4781,6 +4813,48 @@ object SparkEntry {
     pretrainStreamOracle(s, dir, decon = true)
 
   private def pretrainStreamOracle(s: SparkSession, dir: String,
+      decon: Boolean): String =
+    s"""${pretrainChainCtes(s, dir, decon)},
+       |stk AS (SELECT doc_id,
+       |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> len(x) > 0)) AS word
+       |        FROM documents JOIN surv USING (doc_id)),
+       |np AS (SELECT stk.doc_id, CAST(sum(len(v6.syms)) AS BIGINT) AS n
+       |       FROM stk JOIN v6 ON stk.word = v6.word GROUP BY 1),
+       |pcum AS (SELECT doc_id, n,
+       |           sum(n) OVER (ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+       |         FROM np)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(st AS BIGINT) AS start_token,
+       |       CAST(st // 512 AS BIGINT) AS pack_first,
+       |       CAST((st + greatest(n - 1, 0)) // 512 AS BIGINT) AS pack_last,
+       |       CAST(st % 512 AS BIGINT) AS pack_offset
+       |FROM pcum""".stripMargin
+
+  /** Oracle for q_stream_pretrain_stats: the gate-accounting row —
+    * each gate's individual pass count over the single-batch corpus,
+    * the first-arrival count, and the composed survivor count, all
+    * read off the same replayed chain. */
+  private def pretrainStatsOracleSql(s: SparkSession,
+      dir: String): String =
+    s"""${pretrainChainCtes(s, dir, decon = true)}
+       |SELECT CAST(0 AS BIGINT) AS batch_id,
+       |       (SELECT count(*) FROM documents) AS n_in,
+       |       (SELECT count(*) FROM dk) AS n_fresh,
+       |       (SELECT count(*) FROM gop) AS n_gopher,
+       |       (SELECT count(*) FROM lq) AS n_quality,
+       |       (SELECT count(*) FROM kq JOIN documents d USING (doc_id)
+       |          JOIN tl ON d.lang = tl.lang
+       |          WHERE kq.mean_nll_micro <= tl.t1) AS n_kn,
+       |       (SELECT count(*) FROM dck) AS n_decon,
+       |       (SELECT count(*) FROM surv) AS n_kept""".stripMargin
+
+  /** The shared WITH-chain of the composed-pipeline oracles: every
+    * frozen fit inlined as literals, ending at `surv` (the gated ∩
+    * deduped survivor set). `decon = true` adds the benchmark-gram
+    * CTEs and the gate's join. */
+  private def pretrainChainCtes(s: SparkSession, dir: String,
       decon: Boolean): String = {
     val docs = t(s, dir, "documents")
     val bench =
@@ -4851,23 +4925,7 @@ object SparkEntry {
        |         JOIN gop USING (doc_id) JOIN lq USING (doc_id)
        |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)$deconJoin
        |         JOIN tl ON d.lang = tl.lang
-       |         WHERE kq.mean_nll_micro <= tl.t1),
-       |stk AS (SELECT doc_id,
-       |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-       |                             x -> len(x) > 0)) AS word
-       |        FROM documents JOIN surv USING (doc_id)),
-       |np AS (SELECT stk.doc_id, CAST(sum(len(v6.syms)) AS BIGINT) AS n
-       |       FROM stk JOIN v6 ON stk.word = v6.word GROUP BY 1),
-       |pcum AS (SELECT doc_id, n,
-       |           sum(n) OVER (ORDER BY doc_id
-       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
-       |         FROM np)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |       CAST(st AS BIGINT) AS start_token,
-       |       CAST(st // 512 AS BIGINT) AS pack_first,
-       |       CAST((st + greatest(n - 1, 0)) // 512 AS BIGINT) AS pack_last,
-       |       CAST(st % 512 AS BIGINT) AS pack_offset
-       |FROM pcum""".stripMargin
+       |         WHERE kq.mean_nll_micro <= tl.t1)""".stripMargin
   }
 
   /** DuckDB replay of [[graft.operators.Sketch.cmsSketch]] (depth 4,
@@ -5005,6 +5063,7 @@ object SparkEntry {
     "q_kn_quality" -> knQualityOracleSql,
     "q_stream_pretrain" -> pretrainStreamOracleSql,
     "q_stream_pretrain_decon" -> pretrainStreamDeconOracleSql,
+    "q_stream_pretrain_stats" -> pretrainStatsOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
 
   /** Oracle for q_kn_quality: [[graft.operators.LangModel.knCollectCosts]]

@@ -70,6 +70,7 @@ object StreamPretrain {
   private[graft] def encRoot(root: String) = s"$root/enc"
   private def keptRoot(root: String) = s"$root/kept"
   private def ledgerRoot(root: String) = s"$root/ledger"
+  private def statsRoot(root: String) = s"$root/gatestats"
 
   /** Fit the full frozen-model set on the curation corpus:
     *  - the learned quality classifier, labeled "is the reference
@@ -224,7 +225,7 @@ object StreamPretrain {
     * one encode projection over the survivors. */
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       langCol: String, sourceCol: String, fz: Frozen, root: String,
-      batchId: Long): Unit = {
+      batchId: Long, recordStats: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // stateless gates
@@ -255,12 +256,9 @@ object StreamPretrain {
       .join(knk, Seq(idCol), "left_semi")
     // the frozen decontamination gate (when configured): stateless and
     // deterministic like the others, so redelivery replays it exactly
-    val kept = fz.decon match {
-      case None => kept0
-      case Some(d) =>
-        kept0.join(deconKeep(batch, idCol, textCol, d), Seq(idCol),
-          "left_semi")
-    }
+    val dkp = fz.decon.map(d => deconKeep(batch, idCol, textCol, d))
+    val kept = dkp.fold(kept0)(k =>
+      kept0.join(k, Seq(idCol), "left_semi"))
     // encode + manifest BEFORE the ledger append (see header)
     StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
       encRoot(root), batchId)
@@ -268,10 +266,48 @@ object StreamPretrain {
       .withColumn("batch_id", lit(batchId))
       .repartition(1)
       .write.mode("append").parquet(keptRoot(root))
+    // OPT-IN gate accounting — the "why did my corpus shrink" row:
+    // one tiny record per batch with each gate's individual pass
+    // count over the batch plus the composed result. Counts cost
+    // extra jobs over the micro-batch (that is why it is opt-in).
+    // Written before the ledger append so the crash contract stays
+    // "ledger last"; a redelivery AFTER the ledger append re-records
+    // the batch with the ledger-dependent counts at zero (its
+    // fingerprints are already claimed) — [[gateStats]]' per-batch
+    // max-fold reconstructs the first delivery's accounting exactly,
+    // because every count can only shrink on a replay.
+    if (recordStats) {
+      import batch.sparkSession.implicits._
+      Seq((batchId, batch.count(), freshAll.count(), gop.count(),
+          lks.count(), knk.count(), dkp.map(_.count()), kept.count()))
+        .toDF("batch_id", "n_in", "n_fresh", "n_gopher", "n_quality",
+          "n_kn", "n_decon", "n_kept")
+        .repartition(1)
+        .write.mode("append").parquet(statsRoot(root))
+    }
     freshAll.select(col("_fp"))
       .withColumn("batch_id", lit(batchId))
       .repartition(1)
       .write.mode("append").parquet(ledgerRoot(root))
+  }
+
+  /** The per-batch gate accounting rows ([[ingestBatch]] with
+    * `recordStats = true`): (batch_id, n_in, n_fresh, n_gopher,
+    * n_quality, n_kn, n_decon, n_kept) — each gate's INDIVIDUAL pass
+    * count over its batch (n_decon null when no gate is configured),
+    * n_fresh the first-arrival count after the ledger, n_kept the
+    * composed survivors. One row per batch: the ledger append is
+    * all-or-nothing per batch (a Spark write commits or leaves
+    * nothing), so a replayed batch's row either repeats the original
+    * exactly (crash before the append) or shrinks its
+    * ledger-dependent counts toward zero (redelivery after it) — the
+    * per-batch MAX of every column is therefore exactly the first
+    * full delivery's accounting. */
+  def gateStats(spark: SparkSession, root: String): DataFrame = {
+    val raw = spark.read.parquet(statsRoot(root))
+    val aggs = raw.columns.filter(_ != "batch_id")
+      .map(c => max(col(c)).as(c))
+    raw.groupBy("batch_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Attach the whole chain to a live document stream as ONE

@@ -233,4 +233,32 @@ class StreamPretrainSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("gate accounting survives a post-ledger redelivery via the per-batch max-fold") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val b0 = docs.filter(col("doc_id") * 2 <= maxId)
+    val b1 = docs.filter(col("doc_id") * 2 > maxId)
+    StreamPretrain.ingestBatch(b0, "doc_id", "text", "lang", "source",
+      fz, root, 0L, recordStats = true)
+    // the at-least-once worst case: the ledger append committed, then
+    // the batch replays — its row records zeros for the
+    // ledger-dependent counts and must not poison the accounting
+    StreamPretrain.ingestBatch(b0, "doc_id", "text", "lang", "source",
+      fz, root, 0L, recordStats = true)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source",
+      fz, root, 1L, recordStats = true)
+    val st = StreamPretrain.gateStats(spark, root)
+      .orderBy("batch_id").collect()
+    assert(st.length == 2)
+    val r0 = st(0)
+    assert(r0.getLong(r0.fieldIndex("n_in")) == b0.count())
+    assert(r0.getLong(r0.fieldIndex("n_fresh")) > 0,
+      "the replay's zero row must fold away under the first delivery")
+    assert(r0.isNullAt(r0.fieldIndex("n_decon")), "no decon gate configured")
+    // the accounting adds up to the served table
+    assert(st.map(r => r.getLong(r.fieldIndex("n_kept"))).sum ==
+      StreamPretrain.keptDocs(spark, root).count())
+  }
 }
