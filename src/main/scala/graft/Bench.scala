@@ -202,9 +202,11 @@ object Bench {
       // costs covered by q_grep_index_lookup / q_bpe_ids);
       // q_embed_ivfpq_refit is two full builds + an ingest
       // (q_embed_ivfpq_table times the build/query split);
-      // q_stream_pretrain / q_stream_pretrain_decon are the composed
-      // ingest scenarios (q_pretrain_pipeline and each gate query —
-      // incl. q_decontaminate_bloom for the decon gate — time the
+      // q_stream_pretrain / q_stream_pretrain_decon /
+      // q_stream_pretrain_near are the composed ingest scenarios
+      // (q_pretrain_pipeline and each gate query — incl.
+      // q_decontaminate_bloom for the decon gate and
+      // q_dedup_minhash_lsh for the near-dup gate — time the
       // operators);
       // q_embed_ivfpq_del is the delete/resurrect/compact ingest
       // choreography (the served-query cost is q_embed_ivfpq_table's
@@ -215,7 +217,8 @@ object Bench {
         "q_stream_text_index_upd", "q_stream_text_index_del",
         "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
         "q_stream_pretrain", "q_stream_pretrain_decon",
-        "q_stream_pretrain_stats", "q_embed_ivfpq_del")
+        "q_stream_pretrain_near", "q_stream_pretrain_stats",
+        "q_pretrain_monitor", "q_embed_ivfpq_del")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).

@@ -2808,6 +2808,47 @@ object SparkEntry {
       },
       None),
 
+    ("q_stream_pretrain_near", // the composed pipeline WITH the
+      // incrementally-maintained NEAR-dup cluster gate — the one
+      // dedup face the at-ingest chain still lacked (exact keep-first
+      // only): every micro-batch also upserts into the StreamDedup
+      // MinHash index (bands probe the accumulated history, labels
+      // fold via delta-edge propagation — the q_dedup_clusters_incr
+      // machinery), documents already known non-canonical skip
+      // encoding, and the packed read excludes any LATE transitive
+      // merges. Canonical-only survives: the packed spans must equal
+      // the batch composition gates ∩ keep-first ∩ canonical-under-
+      // whole-corpus-clusters — the oracle replays the chain with the
+      // brute-force shingle-Jaccard closure nested as one subquery.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_pretrain_near").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val SP = graft.streaming.StreamPretrain
+        val fz = SP.fit(docs, "doc_id", "text", "lang")
+        val near = Some(graft.streaming.StreamDedup.Config(threshold = 0.5))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+        val b1 = docs.filter(col("doc_id") * 3 > maxId &&
+          col("doc_id") * 3 <= maxId * 2)
+        val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+        SP.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root,
+          0L, nearDup = near)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root,
+          1L, nearDup = near)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root,
+          1L, nearDup = near) // retry
+        SP.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root,
+          2L, nearDup = near)
+        val got = SP.packedShards(s, root, 512).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_stream_pretrain_stats", // per-batch GATE ACCOUNTING — the
       // operational "why did my corpus shrink" face of the composed
       // pipeline: one tiny opt-in record per micro-batch with each
@@ -2839,6 +2880,52 @@ object SparkEntry {
         got
       },
       None),
+
+    ("q_pretrain_monitor", // the pipeline watches ITSELF — the
+      // reference's outlier-detection loop (OutlierDetectionBolt over
+      // every filter's series) turned onto the composed pipeline's
+      // OWN per-batch gate accounting: seven mod-7 feed slices ingest
+      // with recordStats, then the eighth feed is a RE-CRAWL — the
+      // whole corpus re-sent under fresh ids — whose composed keep
+      // rate collapses to zero because the fingerprint ledger refuses
+      // every re-seen text. The z-score analyzer over the per-batch
+      // keep rate (integer ppm) must flag exactly the dedup-storm
+      // feed — "an upstream re-crawl surfaces before it skews the
+      // training mix". The lang-sensitive gates are CONFIGURED
+      // pass-all (empty-weight classifier at bias = scale, per-lang
+      // thresholds at MAX), so the healthy keep rate is the stable
+      // Gopher∩ledger rate (~45%), not per-batch noise; the encode
+      // still runs under the real frozen tokenizer. Oracle: gopher ∩
+      // arrival-first keep-first per batch, then the q_outlier_zscore
+      // formulation.
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("q_pretrain_monitor").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val SP = graft.streaming.StreamPretrain
+        val fz0 = SP.fit(docs, "doc_id", "text", "lang")
+        val langs = docs.select("lang").distinct().as[String].collect()
+        val fz = fz0.copy(
+          quality = fz0.quality.copy(weightsMicro = Map.empty,
+            biasMicro = fz0.quality.scale),
+          langT1 = langs.map(_ -> Long.MaxValue).toMap)
+        (0 to 6).foreach { k =>
+          SP.ingestBatch(docs.filter(col("doc_id") % 7 === k), "doc_id",
+            "text", "lang", "source", fz, root, k.toLong,
+            recordStats = true)
+        }
+        SP.ingestBatch(
+          docs.withColumn("doc_id", col("doc_id") + 1000000L), "doc_id",
+          "text", "lang", "source", fz, root, 7L, recordStats = true)
+        val got = SP.monitor(s, root).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(pretrainMonitorOracleSql)),
 
     ("q_topk_per_key", // exact top-5 per source through the CUSTOM
       // physical operator (TopKPerKeyNode → partial/final heap execs
@@ -4812,9 +4899,20 @@ object SparkEntry {
       dir: String): String =
     pretrainStreamOracle(s, dir, decon = true)
 
+  /** Oracle for q_stream_pretrain_near: the composed chain with the
+    * incrementally-maintained near-dup cluster gate — canonical-only
+    * survives, replayed as brute-force shingle-Jaccard pairs +
+    * recursive transitive closure over the WHOLE corpus (the
+    * q_dedup_clusters oracle nested as one subquery; LSH at these
+    * settings has full recall, verified vs brute force in DedupSpec).
+    */
+  private def pretrainStreamNearOracleSql(s: SparkSession,
+      dir: String): String =
+    pretrainStreamOracle(s, dir, decon = false, near = true)
+
   private def pretrainStreamOracle(s: SparkSession, dir: String,
-      decon: Boolean): String =
-    s"""${pretrainChainCtes(s, dir, decon)},
+      decon: Boolean, near: Boolean = false): String =
+    s"""${pretrainChainCtes(s, dir, decon, near)},
        |stk AS (SELECT doc_id,
        |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
        |                             x -> len(x) > 0)) AS word
@@ -4848,14 +4946,54 @@ object SparkEntry {
        |          JOIN tl ON d.lang = tl.lang
        |          WHERE kq.mean_nll_micro <= tl.t1) AS n_kn,
        |       (SELECT count(*) FROM dck) AS n_decon,
+       |       CAST(NULL AS BIGINT) AS n_near,
        |       (SELECT count(*) FROM surv) AS n_kept""".stripMargin
+
+  /** Oracle for q_pretrain_monitor: the self-monitoring face. The
+    * scenario's surviving set is gopher ∩ arrival-first keep-first
+    * (the lang-sensitive gates are configured pass-all); batches 0–6
+    * are the mod-7 feed slices and batch 7 the re-crawl (the whole
+    * corpus again — its n_in is the corpus count and its n_kept is 0
+    * by the ledger). kept_ppm is integer parts-per-million, then the
+    * z-score flag — exactly the q_outlier_zscore formulation over
+    * the pipeline's own accounting. Static SQL (no fit literals: the
+    * neutralized gates drop out of the replay), but the keep-first
+    * order is ARRIVAL order (batch, id) — the feeds are not
+    * id-ordered.
+    */
+  private val pretrainMonitorOracleSql: String =
+    s"""WITH gop AS (SELECT doc_id FROM ($gopherOracleSql) WHERE keep),
+       |dk AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (
+       |    PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |    ORDER BY doc_id % 7, doc_id) AS _rn
+       |  FROM documents) WHERE _rn = 1),
+       |surv AS (SELECT d.doc_id FROM documents d
+       |         JOIN gop USING (doc_id) JOIN dk USING (doc_id)),
+       |bat AS (SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS batch_id
+       |        FROM documents),
+       |bin AS (SELECT batch_id, count(*) AS n_in FROM bat GROUP BY 1
+       |        UNION ALL
+       |        SELECT CAST(7 AS BIGINT), count(*) FROM documents),
+       |bk AS (SELECT b.batch_id, count(*) AS n_kept
+       |       FROM surv JOIN bat b USING (doc_id) GROUP BY 1),
+       |ser AS (SELECT bin.batch_id, n_in,
+       |          coalesce(n_kept, 0) AS n_kept,
+       |          CAST(coalesce(n_kept, 0) * 1000000 AS BIGINT) // n_in
+       |            AS kept_ppm
+       |        FROM bin LEFT JOIN bk USING (batch_id)),
+       |st AS (SELECT avg(kept_ppm) AS mu,
+       |              stddev_samp(kept_ppm) AS sigma FROM ser)
+       |SELECT batch_id, n_in, n_kept, kept_ppm,
+       |       round((kept_ppm - mu)/sigma, 6) AS z
+       |FROM ser, st WHERE abs((kept_ppm - mu)/sigma) > 1.5""".stripMargin
 
   /** The shared WITH-chain of the composed-pipeline oracles: every
     * frozen fit inlined as literals, ending at `surv` (the gated ∩
     * deduped survivor set). `decon = true` adds the benchmark-gram
     * CTEs and the gate's join. */
   private def pretrainChainCtes(s: SparkSession, dir: String,
-      decon: Boolean): String = {
+      decon: Boolean, near: Boolean = false): String = {
     val docs = t(s, dir, "documents")
     val bench =
       if (!decon) None
@@ -4891,6 +5029,26 @@ object SparkEntry {
          |        WHERE doc_id NOT IN (SELECT doc_id FROM dfl)),
          |""".stripMargin
     val deconJoin = if (!decon) "" else " JOIN dck USING (doc_id)"
+    // the near-dup cluster gate: canonical-only survives. The whole
+    // q_dedup_clusters oracle (brute-force 3-shingle Jaccard pairs +
+    // recursive transitive closure, keep min id) nests as ONE derived
+    // table, so its CTE names cannot collide with the chain's.
+    val nearCtes = if (!near) "" else
+      s"""nck AS (SELECT doc_id FROM documents WHERE doc_id NOT IN (
+         |  SELECT id FROM (
+         |    ${shinglePairsSql(0.5)},
+         |    edges AS (SELECT id_a AS id, id_b AS r FROM pairs
+         |              UNION SELECT id_b, id_a FROM pairs),
+         |    reach AS (
+         |      WITH RECURSIVE rr(id, r) AS (
+         |        SELECT id, r FROM edges
+         |        UNION
+         |        SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
+         |      ) SELECT * FROM rr)
+         |    SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id
+         |  ) WHERE id <> cluster)),
+         |""".stripMargin
+    val nearJoin = if (!near) "" else " JOIN nck USING (doc_id)"
     val wv = fz.quality.weightsMicro.toSeq.sorted
       .map { case (b, w) => s"('$b', $w)" }.mkString(", ")
     val t1v = fz.langT1.toSeq.sorted
@@ -4921,9 +5079,9 @@ object SparkEntry {
        |kq AS (SELECT doc_id, mean_nll_micro FROM (${knQualityOracleSql(s, dir)})),
        |tl AS (SELECT a AS lang, CAST(c AS BIGINT) AS t1
        |       FROM (VALUES $t1v) v(a, c)),
-       |${deconCtes}surv AS (SELECT d.doc_id FROM documents d
+       |$deconCtes${nearCtes}surv AS (SELECT d.doc_id FROM documents d
        |         JOIN gop USING (doc_id) JOIN lq USING (doc_id)
-       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)$deconJoin
+       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)$deconJoin$nearJoin
        |         JOIN tl ON d.lang = tl.lang
        |         WHERE kq.mean_nll_micro <= tl.t1)""".stripMargin
   }
@@ -5063,6 +5221,7 @@ object SparkEntry {
     "q_kn_quality" -> knQualityOracleSql,
     "q_stream_pretrain" -> pretrainStreamOracleSql,
     "q_stream_pretrain_decon" -> pretrainStreamDeconOracleSql,
+    "q_stream_pretrain_near" -> pretrainStreamNearOracleSql,
     "q_stream_pretrain_stats" -> pretrainStatsOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
 

@@ -200,6 +200,35 @@ object StreamDedup {
   def indexLabels(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(labelsPath(root)).select("id", "cluster")
 
+  /** Whether any labels have been folded yet ([[upsertBatchWithLabels]]
+    * writes none until a first near-dup pair exists) — lets a composed
+    * consumer ([[StreamPretrain]]) skip the exclusion read entirely on
+    * a duplicate-free corpus. */
+  def labelsExist(spark: SparkSession, root: String): Boolean =
+    hasData(spark, labelsPath(root))
+
+  /** The subset of `ids` currently labeled NON-canonical (an
+    * earlier-id near-dup exists), read with partition pruning on the
+    * ids' own `pl` directories — the [[upsertBatch]] probe-scan
+    * pattern applied to the label table, so a per-batch membership
+    * check costs O(batch + touched directories), never a scan of the
+    * all-time dup index. The pl list is ≤ dirBuckets ints (a bounded
+    * driver collect, same contract as the bands probe). */
+  def nonCanonicalOf(ids: DataFrame, idCol: String, root: String,
+      cfg: Config = Config()): DataFrame = {
+    val spark = ids.sparkSession
+    if (!labelsExist(spark, root))
+      return ids.select(col(idCol)).limit(0)
+    val pls = ids
+      .select(pmod(hash(col(idCol)), lit(cfg.dirBuckets)).as("pl"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(labelsPath(root))
+      .filter(col("pl").isin(pls: _*))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+      .join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** All near-dup pairs derivable from the index as it stands — the
     * batch-query face of the incrementally-built index. Equals
     * [[Dedup.minhashLsh]] over every ingested document, computed from

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * engine's closing argument: one streaming job takes raw document
   * micro-batches through quality gates (Gopher rules + the learned
   * linear classifier + the Kneser–Ney perplexity gate), an exact
-  * keep-first dedup ledger, and frozen-tokenizer BPE encoding, and
-  * maintains a live encoded table that packs into fixed-budget
-  * context windows plus a training manifest. This is the reference's
+  * keep-first dedup ledger, optionally the incrementally-maintained
+  * MinHash NEAR-dup cluster index ([[StreamDedup]] — canonical-only
+  * survives, see [[ingestBatch]]'s `nearDup`), and frozen-tokenizer
+  * BPE encoding, and maintains a live encoded table that packs into
+  * fixed-budget context windows plus a training manifest. This is
+  * the reference's
   * continuous supervisor pipeline (parse → filter → sink,
   * `supervisor/filter_manager.go`) scaled up to the full pretrain
   * curation chain.
@@ -71,6 +74,7 @@ object StreamPretrain {
   private def keptRoot(root: String) = s"$root/kept"
   private def ledgerRoot(root: String) = s"$root/ledger"
   private def statsRoot(root: String) = s"$root/gatestats"
+  private def nearRoot(root: String) = s"$root/near"
 
   /** Fit the full frozen-model set on the curation corpus:
     *  - the learned quality classifier, labeled "is the reference
@@ -225,9 +229,24 @@ object StreamPretrain {
     * one encode projection over the survivors. */
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       langCol: String, sourceCol: String, fz: Frozen, root: String,
-      batchId: Long, recordStats: Boolean = false): Unit = {
+      batchId: Long, recordStats: Boolean = false,
+      nearDup: Option[StreamDedup.Config] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // NEAR-dup structure first (when configured): the batch's bands
+    // probe the accumulated index and the cluster-label table folds
+    // the new pairs in ([[StreamDedup.upsertBatchWithLabels]] — the
+    // q_dedup_clusters_incr machinery). Like the fingerprint ledger,
+    // the index ingests ALL arrivals — near-dup structure is a
+    // property of the content, not of what the gates kept — so the
+    // maintained clusters equal the batch clustering over the whole
+    // corpus. The upsert is retry-idempotent (duplicate-proof readers,
+    // label fold converges), so it can safely run before the ledger.
+    nearDup.foreach { cfg =>
+      StreamDedup.upsertBatchWithLabels(
+        batch.select(col(idCol), col(textCol)), idCol, textCol,
+        nearRoot(root), cfg)
+    }
     // stateless gates
     val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
       stopWords = fz.stopWords).filter(col("keep")).select(idCol)
@@ -257,8 +276,26 @@ object StreamPretrain {
     // the frozen decontamination gate (when configured): stateless and
     // deterministic like the others, so redelivery replays it exactly
     val dkp = fz.decon.map(d => deconKeep(batch, idCol, textCol, d))
-    val kept = dkp.fold(kept0)(k =>
+    val kept1 = dkp.fold(kept0)(k =>
       kept0.join(k, Seq(idCol), "left_semi"))
+    // near-dup pre-filter (when configured): documents ALREADY known
+    // non-canonical — an earlier-id near-dup exists in the index —
+    // skip encoding. With monotone batch/document ids non-canonical
+    // is PERMANENT (a doc can only lose canonicity to a smaller id,
+    // never regain it), so nothing dropped here is ever needed again;
+    // a doc that merges into an older cluster only LATER (a
+    // transitive bridge arrives) is caught by the read-side exclusion
+    // ([[nearNonCanonical]]) instead. The membership check partition-
+    // prunes the label table to the batch's own directories
+    // ([[StreamDedup.nonCanonicalOf]]) — per-batch cost tracks the
+    // batch, never the all-time dup index.
+    val nkp = nearDup.map { cfg =>
+      batch.select(col(idCol)).join(
+        StreamDedup.nonCanonicalOf(batch.select(col(idCol)), idCol,
+          nearRoot(root), cfg),
+        Seq(idCol), "left_anti")
+    }
+    val kept = nkp.fold(kept1)(k => kept1.join(k, Seq(idCol), "left_semi"))
     // encode + manifest BEFORE the ledger append (see header)
     StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
       encRoot(root), batchId)
@@ -279,9 +316,10 @@ object StreamPretrain {
     if (recordStats) {
       import batch.sparkSession.implicits._
       Seq((batchId, batch.count(), freshAll.count(), gop.count(),
-          lks.count(), knk.count(), dkp.map(_.count()), kept.count()))
+          lks.count(), knk.count(), dkp.map(_.count()),
+          nkp.map(_.count()), kept.count()))
         .toDF("batch_id", "n_in", "n_fresh", "n_gopher", "n_quality",
-          "n_kn", "n_decon", "n_kept")
+          "n_kn", "n_decon", "n_near", "n_kept")
         .repartition(1)
         .write.mode("append").parquet(statsRoot(root))
     }
@@ -293,10 +331,11 @@ object StreamPretrain {
 
   /** The per-batch gate accounting rows ([[ingestBatch]] with
     * `recordStats = true`): (batch_id, n_in, n_fresh, n_gopher,
-    * n_quality, n_kn, n_decon, n_kept) — each gate's INDIVIDUAL pass
-    * count over its batch (n_decon null when no gate is configured),
-    * n_fresh the first-arrival count after the ledger, n_kept the
-    * composed survivors. One row per batch: the ledger append is
+    * n_quality, n_kn, n_decon, n_near, n_kept) — each gate's
+    * INDIVIDUAL pass count over its batch (n_decon / n_near null when
+    * that gate is not configured), n_fresh the first-arrival count
+    * after the ledger, n_kept the composed survivors. One row per
+    * batch: the ledger append is
     * all-or-nothing per batch (a Spark write commits or leaves
     * nothing), so a replayed batch's row either repeats the original
     * exactly (crash before the append) or shrinks its
@@ -308,6 +347,33 @@ object StreamPretrain {
     val aggs = raw.columns.filter(_ != "batch_id")
       .map(c => max(col(c)).as(c))
     raw.groupBy("batch_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The pipeline watches ITSELF — the reference's outlier-detection
+    * shape (the `ml/Outliers` z-score analyzer its topology runs over
+    * every filter's log series, `storm/src/main/java/nl/us2/
+    * cloudpelican/stormprocessor/OutlierDetectionBolt.java`) applied
+    * to the pipeline's own per-batch gate accounting: a micro-batch whose
+    * composed keep rate sits more than `k`σ from the series mean is
+    * flagged with its z-score. A broken scraper, a wrong-language
+    * feed, or an upstream dedup storm surfaces HERE — one tiny
+    * relation read — before it poisons the training mix. kept_ppm is
+    * integer parts-per-million (truncating division), so the series
+    * itself is engine-exact; only the final z carries float rounding
+    * (round 6, the q_outlier_zscore precedent). Requires
+    * [[ingestBatch]] `recordStats = true`; never reads the corpus. */
+  def monitor(spark: SparkSession, root: String,
+      k: Double = 1.5): DataFrame = {
+    val st = gateStats(spark, root)
+      .withColumn("kept_ppm",
+        expr("CAST(n_kept * 1000000 AS BIGINT) DIV n_in"))
+    val g = st.agg(avg("kept_ppm").as("mu"),
+      stddev_samp("kept_ppm").as("sigma"))
+    st.crossJoin(broadcast(g))
+      .withColumn("z", (col("kept_ppm") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > lit(k))
+      .select(col("batch_id"), col("n_in"), col("n_kept"),
+        col("kept_ppm"), round(col("z"), 6).as("z"))
   }
 
   /** Attach the whole chain to a live document stream as ONE
@@ -352,6 +418,21 @@ object StreamPretrain {
     else StreamState.updatedGens(spark, encRoot(root))
       .filter(col("_del")).select("id")
 
+  /** Ids currently known NON-canonical in the near-dup cluster index
+    * (an earlier-id near-dup exists), or null when no near-dup gate
+    * ever ran — the read-side face of the [[ingestBatch]] `nearDup`
+    * option. The pre-filter at encode drops the non-canonicals known
+    * at arrival (the vast majority — within-batch and probe-vs-history
+    * pairs surface immediately), so this exclusion only actually
+    * bites on LATE transitive merges; it is one id column, joined
+    * WITHOUT a broadcast hint (at 100 TB the all-time dup set is
+    * corpus-proportional — let AQE pick the join side). */
+  private def nearNonCanonical(spark: SparkSession,
+      root: String): DataFrame =
+    if (!StreamDedup.labelsExist(spark, nearRoot(root))) null
+    else StreamDedup.indexLabels(spark, nearRoot(root))
+      .filter(col("id") =!= col("cluster")).select("id")
+
   private def readLedger(spark: SparkSession, root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerRoot(root))
     val exists =
@@ -370,15 +451,32 @@ object StreamPretrain {
     val raw = spark.read.parquet(keptRoot(root))
       .select("id", "source").distinct()
     val dead = forgotten(spark, root)
-    if (dead == null) raw
-    else raw.join(broadcast(dead), Seq("id"), "left_anti")
+    val base = if (dead == null) raw
+      else raw.join(broadcast(dead), Seq("id"), "left_anti")
+    val nc = nearNonCanonical(spark, root)
+    if (nc == null) base else base.join(nc, Seq("id"), "left_anti")
   }
 
   /** Fixed-budget context windows over the live encoded survivors —
-    * [[StreamBpe.packShards]] on this pipeline's encoded table. */
+    * [[StreamBpe.packShards]]' packing over this pipeline's encoded
+    * table, with the near-dup read-side exclusion applied BEFORE the
+    * pack prefix sum when the `nearDup` gate ran (a late transitive
+    * merge must vacate its window slots, exactly like a forgotten
+    * document). */
   def packedShards(spark: SparkSession, root: String,
-      tokenBudget: Int): DataFrame =
-    StreamBpe.packShards(spark, encRoot(root), tokenBudget)
+      tokenBudget: Int): DataFrame = {
+    val nc = nearNonCanonical(spark, root)
+    if (nc == null)
+      StreamBpe.packShards(spark, encRoot(root), tokenBudget)
+    else {
+      val enc = StreamBpe.readEncoded(spark, encRoot(root))
+      val idc = enc.columns.head
+      graft.operators.Pack.packCounts(
+        enc.join(nc.withColumnRenamed("id", idc), Seq(idc), "left_anti")
+          .groupBy(col(idc)).agg(count(lit(1)).as("n_tokens")),
+        idc, tokenBudget)
+    }
+  }
 
   /** The training manifest: per source, how many documents survived
     * curation, their total BPE pieces, and which context-window span

@@ -204,6 +204,93 @@ class StreamPretrainSpec extends SparkSpec {
     assert(flagged.as[Long].collect().toSet.intersect(got).isEmpty)
   }
 
+  test("the near-dup cluster gate composes at ingest: canonical-only survives, and it bites") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val near = Some(graft.streaming.StreamDedup.Config(threshold = 0.5))
+    // the batch twin: gates ∩ keep-first ∩ canonical under the
+    // whole-corpus clustering (brute-force exact — StreamDedup's LSH
+    // has full recall on this fixture, the q_dedup_clusters_incr
+    // contract)
+    val canon = Dedup.dropNearDuplicatesExact(docs, "doc_id", "text",
+      threshold = 0.5).select("doc_id")
+    val surv0 = batchSurvivors(docs, fz)
+    val want = surv0.join(canon, Seq("doc_id"), "left_semi")
+    // NOT vacuous: the near-dup gate removes documents every other
+    // gate keeps
+    assert(surv0.join(canon, Seq("doc_id"), "left_anti").count() > 0,
+      "fixture must contain non-canonical near-dups that pass the gates")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+    val b1 = docs.filter(col("doc_id") * 3 > maxId && col("doc_id") * 3 <= maxId * 2)
+    val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+    StreamPretrain.ingestBatch(b0, "doc_id", "text", "lang", "source",
+      fz, root, 0L, nearDup = near)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source",
+      fz, root, 1L, nearDup = near)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source",
+      fz, root, 1L, nearDup = near) // retry
+    StreamPretrain.ingestBatch(b2, "doc_id", "text", "lang", "source",
+      fz, root, 2L, nearDup = near)
+    // every served face excludes the non-canonicals
+    val keptIds = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(keptIds == want.select("doc_id").as[Long].collect().toSet)
+    val wantPacked = Pack.packCounts(
+      Bpe.encodeIdsWith(want, "doc_id", "text", fz.tokenizer)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+      "doc_id", 512).collect().map(_.toSeq).toSet
+    assert(StreamPretrain.packedShards(spark, root, 512)
+      .collect().map(_.toSeq).toSet == wantPacked && wantPacked.nonEmpty)
+    val mf = StreamPretrain.manifest(spark, root, 512)
+    assert(mf.agg(sum("n_docs")).head().getLong(0) == keptIds.size)
+  }
+
+  test("a LATE transitive bridge vacates an already-encoded document's window slots") {
+    val root = tmp()
+    // three synthetic documents over a sliding window of one shared
+    // token stream: A~B and B~C are near-dups (3-shingle Jaccard
+    // 43/73 ≈ 0.589) but A~C is not (28/88 ≈ 0.318) — C is canonical
+    // until the BRIDGE B arrives and merges {A, B, C} under min id A.
+    // Every window is 60 words with both stop words inside the region
+    // all three share, so the Gopher gate passes each document.
+    val toks = (1 to 90).map {
+      case 35 => "the"
+      case 40 => "a"
+      case i => f"tok$i%02d"
+    }
+    def text(lo: Int, hi: Int) = toks.slice(lo - 1, hi).mkString(" ")
+    val a = (10L, text(1, 60), "en", "s1")
+    val c = (30L, text(31, 90), "en", "s1")
+    val b = (20L, text(16, 75), "en", "s1")
+    val corpus = Seq(a, c, b).toDF("doc_id", "text", "lang", "source")
+    // gates that pass everything: fit on the tiny corpus itself, then
+    // neutralize the thresholded gates so only the near-dup structure
+    // decides (this test pins the MECHANISM, not the gates)
+    val fz0 = StreamPretrain.fit(corpus, "doc_id", "text", "lang")
+    val fz = fz0.copy(
+      quality = fz0.quality.copy(
+        weightsMicro = Map.empty, biasMicro = fz0.quality.scale),
+      langT1 = Map("en" -> Long.MaxValue))
+    val near = Some(graft.streaming.StreamDedup.Config(threshold = 0.5))
+    val batch0 = Seq(a, c).toDF("doc_id", "text", "lang", "source")
+    val batch1 = Seq(b).toDF("doc_id", "text", "lang", "source")
+    StreamPretrain.ingestBatch(batch0, "doc_id", "text", "lang", "source",
+      fz, root, 0L, nearDup = near)
+    // C was canonical at encode time — it is being served
+    assert(StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet == Set(10L, 30L))
+    StreamPretrain.ingestBatch(batch1, "doc_id", "text", "lang", "source",
+      fz, root, 1L, nearDup = near)
+    // the bridge merged {10, 20, 30}: only canonical A=10 serves now,
+    // and the packed windows rebuilt without B and C
+    assert(StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet == Set(10L))
+    val packedIds = StreamPretrain.packedShards(spark, root, 512)
+      .select("doc_id").as[Long].collect().toSet
+    assert(packedIds == Set(10L))
+  }
+
   test("the frozen model set persists: save/load round-trips every gate and the packed output") {
     val dir = java.nio.file.Files.createTempDirectory("spfrozen").toString
     val bench = docs.filter(col("doc_id") % 23 === 7)
@@ -232,6 +319,42 @@ class StreamPretrainSpec extends SparkSpec {
     val b = StreamPretrain.packedShards(spark, rootB, 512)
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  test("monitor flags the anomalous feed from the pipeline's own accounting") {
+    val root = tmp()
+    // lang-sensitive gates configured pass-all so the healthy keep
+    // rate is the stable Gopher∩ledger rate, not small-batch noise;
+    // the encode still runs under the real frozen tokenizer
+    val fz0 = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val fz = fz0.copy(
+      quality = fz0.quality.copy(weightsMicro = Map.empty,
+        biasMicro = fz0.quality.scale),
+      langT1 = langs.map(_ -> Long.MaxValue).toMap)
+    // seven healthy mod-7 feed slices, then the broken feed: a
+    // RE-CRAWL ships the whole corpus again under fresh ids — the
+    // fingerprint ledger refuses every re-seen text, so that feed's
+    // composed keep rate collapses to zero
+    (0 to 6).foreach { k =>
+      StreamPretrain.ingestBatch(docs.filter(col("doc_id") % 7 === k),
+        "doc_id", "text", "lang", "source", fz, root, k.toLong,
+        recordStats = true)
+    }
+    StreamPretrain.ingestBatch(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", "lang", "source", fz, root, 7L,
+      recordStats = true)
+    val flagged = StreamPretrain.monitor(spark, root).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(7L),
+      s"exactly the re-crawl feed must flag, got ${flagged.toSeq}")
+    assert(flagged.head.getDouble(flagged.head.fieldIndex("z")) < 0,
+      "the anomaly is a keep-rate COLLAPSE, so its z is negative")
+    assert(flagged.head.getLong(flagged.head.fieldIndex("n_kept")) == 0L,
+      "the ledger refused the entire re-crawl")
+    // and the healthy feeds sit inside the band: eight stats rows,
+    // seven of them unflagged
+    assert(StreamPretrain.gateStats(spark, root).count() == 8)
   }
 
   test("gate accounting survives a post-ledger redelivery via the per-batch max-fold") {
