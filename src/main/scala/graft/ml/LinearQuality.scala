@@ -48,10 +48,29 @@ object LinearQuality {
     * a 0/1-valued (or boolean) column; `lambda` is the L2 penalty on
     * the normal equations' diagonal (the bias is regularized too —
     * a defined, replayable choice).
+    *
+    * `sampleFraction` < 1 is the 100 TB fit contract (the PQ/k-means
+    * shape, [[graft.operators.Scale.deterministicSample]]): the
+    * normal equations build from a deterministic md5-keyed sample of
+    * the corpus, so the fit cost PLATEAUS at the sample size while
+    * scoring stays a full-corpus scan. The sample is a pure filter —
+    * `fit(df, sampleFraction = f)` equals
+    * `fit(deterministicSample(df, f))` weight for weight, so the
+    * contract costs no new semantics (spec-pinned).
     */
   def fit(df: DataFrame, idCol: String, textCol: String, labelCol: String,
       hexDigits: Int = 2, lambda: Double = 1.0,
-      scale: Long = 1L << 20): Model = {
+      scale: Long = 1L << 20, sampleFraction: Double = 1.0): Model = {
+    val dfS =
+      if (sampleFraction >= 1.0) df
+      else graft.operators.Scale.deterministicSample(df, idCol,
+        sampleFraction)
+    fitAll(dfS, idCol, textCol, labelCol, hexDigits, lambda, scale)
+  }
+
+  private def fitAll(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, hexDigits: Int, lambda: Double,
+      scale: Long): Model = {
     // three consumers (gram, Xᵀy, column sums) — materialize the scan
     // once and RELEASE it before returning: fit is called repeatedly
     // (oracle build + query + bench passes) and a leaked block per
@@ -64,10 +83,16 @@ object LinearQuality {
       col(labelCol).cast("long").as("_y"))
 
     // XᵀX: per-document bucket-pair products, one combinable agg —
-    // emitted row-locally (no self-join; see gramCells).
-    val gram = gramCells(feats)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
+    // emitted row-locally (no self-join; see gramCells). Cells come
+    // back int-packed (min·base + max); the driver unpacks the ≤
+    // base² keys back to hex here, off the hot path.
+    val base = 1 << (4 * hexDigits)
+    def hex(i: Int) = ("%0" + hexDigits + "x").format(i)
+    val gram = gramCells(feats, base)
+      .collect().map { r =>
+        val k = r.getInt(0)
+        (hex(k / base), hex(k % base)) -> r.getLong(1)
+      }.toMap
     // Xᵀy and the bias row's moments: Σ_d x_d (column sums), Σ y, n.
     val xty = feats.join(labels, "_id")
       .groupBy("b").agg(sum(col("v") * col("_y")).as("s"))
@@ -107,30 +132,38 @@ object LinearQuality {
     } finally feats.unpersist(false)
   }
 
-  /** The UNORDERED-pair gram cells (b1 ≤ b2, g = Σ_d v_d(b1)·v_d(b2)):
-    * each document's feature list is gathered once (bounded at
-    * 16^hexDigits entries) and its upper triangle explodes
-    * ROW-LOCALLY into canonicalized (b1, b2, product) cells — the
+  /** The UNORDERED-pair gram cells (g = Σ_d v_d(b1)·v_d(b2), keyed
+    * `k = min(b1,b2)·base + max(b1,b2)` over the buckets' INTEGER
+    * values): each document's feature list is gathered once (bounded
+    * at 16^hexDigits entries) and its upper triangle explodes
+    * ROW-LOCALLY into packed (k, product) cells — the
     * [[graft.operators.Similarity.pcaPowerFit]] scatter shape. The
-    * corpus never self-joins: the plan is scan → hash-agg → explode →
-    * hash-agg (PlanQualitySpec gates join-freedom), and map-side
-    * partial aggregation caps the exchange at one cell set per
-    * partition. The driver mirrors the triangle when it builds the
-    * dense normal equations. */
-  private[graft] def gramCells(feats: DataFrame): DataFrame = {
+    * hex bucket labels convert to ints ONCE per (doc, bucket) row,
+    * so the k²-per-document hot loop is integer min/max/multiply and
+    * the final aggregation hashes one int key — no string compares
+    * or string hashing anywhere in the explode (measured ~2× on the
+    * fit at sf0.1). The corpus never self-joins: the plan is scan →
+    * hash-agg → explode → hash-agg (PlanQualitySpec gates
+    * join-freedom), and map-side partial aggregation caps the
+    * exchange at one cell set per partition. The driver unpacks the
+    * keys and mirrors the triangle when it builds the dense normal
+    * equations. */
+  private[graft] def gramCells(feats: DataFrame, base: Int): DataFrame = {
     val fs = col("_fs")
     def f(i: org.apache.spark.sql.Column) = element_at(fs, i)
     val pairCells = flatten(transform(sequence(lit(1), size(fs)), i =>
       transform(sequence(lit(1), i), j =>
         struct(
-          least(f(i).getField("b"), f(j).getField("b")).as("b1"),
-          greatest(f(i).getField("b"), f(j).getField("b")).as("b2"),
+          (least(f(i).getField("bi"), f(j).getField("bi")) * base +
+            greatest(f(i).getField("bi"), f(j).getField("bi"))).as("k"),
           (f(i).getField("v") * f(j).getField("v")).as("p")))))
     feats
+      .select(col("_id"),
+        conv(col("b"), 16, 10).cast("int").as("bi"), col("v"))
       .groupBy("_id")
-      .agg(collect_list(struct(col("b"), col("v"))).as("_fs"))
+      .agg(collect_list(struct(col("bi"), col("v"))).as("_fs"))
       .select(explode(pairCells).as("_c"))
-      .groupBy(col("_c.b1").as("b1"), col("_c.b2").as("b2"))
+      .groupBy(col("_c.k").as("k"))
       .agg(sum(col("_c.p")).as("g"))
   }
 

@@ -195,6 +195,20 @@ object ScaleProbe {
             .qualityScoreScaled(col("text"))),
           "doc_id", "q", labels, boundedShuffle = true)
       }),
+      // the 100 TB quality-classifier shape: the ridge fit runs on a
+      // deterministic sample bounded at ~2^16 docs (the PQ/k-means
+      // fit contract — fit cost plateaus), scoring stays the
+      // full-corpus scan (q_quality_classifier fits the WHOLE corpus
+      // for oracle exactness; this is what a deployment runs)
+      "x_quality_fit_auto" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+        val frac = math.min(1.0, 65536.0 / math.max(1L, docs.count()))
+        val m = graft.ml.LinearQuality.fit(
+          docs.withColumn("_is", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "_is", sampleFraction = frac)
+        graft.ml.LinearQuality.score(docs, "doc_id", "text", m)
+      }),
       "x_grep_scan" -> ((s, dir) =>
         Tables.load(s, dir, "documents")
           .filter(org.apache.spark.sql.functions.array_contains(

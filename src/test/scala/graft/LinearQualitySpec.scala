@@ -34,6 +34,30 @@ class LinearQualitySpec extends SparkSpec {
     assert(m1 == m2, "weights drifted across partitionings")
   }
 
+  test("the bounded-sample fit contract: a sampled fit IS the fit of the sample") {
+    // the 100 TB contract (fit cost plateaus at the sample while
+    // scoring scans the corpus): sampling must be a pure
+    // deterministic filter, nothing more — weight for weight
+    val sampled = LinearQuality.fit(corpus, "doc_id", "text", "label",
+      sampleFraction = 0.5)
+    val ofSample = LinearQuality.fit(
+      graft.operators.Scale.deterministicSample(corpus, "doc_id", 0.5),
+      "doc_id", "text", "label")
+    assert(sampled == ofSample, "sampled fit must equal fit of the sample")
+    assert(sampled != LinearQuality.fit(corpus, "doc_id", "text", "label"),
+      "the half-corpus sample must actually change the fit on this fixture")
+    // partitioning-independent like the full fit
+    assert(sampled == LinearQuality.fit(corpus.repartition(7), "doc_id",
+      "text", "label", sampleFraction = 0.5))
+    // and the sampled model still separates the separable corpus
+    val scored = LinearQuality.score(corpus, "doc_id", "text", sampled)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val acc = corpus.collect().map { r =>
+      if (scored(r.getLong(0)) == (r.getInt(2) == 1)) 1 else 0
+    }.sum / 80.0
+    assert(acc >= 0.9, s"sampled-fit train accuracy $acc")
+  }
+
   test("heavier ridge shrinks weights toward the bias") {
     val loose = LinearQuality.fit(corpus, "doc_id", "text", "label", lambda = 1.0)
     val tight = LinearQuality.fit(corpus, "doc_id", "text", "label", lambda = 1e6)

@@ -17,7 +17,7 @@ class PlanQualitySpec extends SparkSpec {
         spark.read.parquet(s"$sfDir/documents.parquet"),
         "doc_id", "text", hexDigits = 2)
       .withColumnRenamed("doc_id", "_id")
-    val p = graft.ml.LinearQuality.gramCells(feats)
+    val p = graft.ml.LinearQuality.gramCells(feats, 256)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"gram must not self-join the corpus:\n$p")
     // partial aggregation before the cell exchange: scan-side combine
