@@ -55,4 +55,21 @@ object GraftSession {
     */
   def releaseCachedBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+  /** Release ONE eagerly-`localCheckpoint`ed frame's executor blocks,
+    * deterministically. `Dataset.unpersist` cannot (the CacheManager
+    * never saw the checkpoint) and [[releaseCachedBlocks]] is a sweep
+    * that would also drop blocks concurrent work still needs — this
+    * unpersists exactly the RDDs the frame's own plan holds (a
+    * checkpointed plan is a single `LogicalRDD` leaf). The per-batch
+    * ingest paths ([[graft.streaming.StreamDedup]],
+    * [[graft.streaming.StreamPretrain]]) call it after each
+    * micro-batch's delta is consumed, so a long ingest never pins N
+    * batches of materialized deltas waiting for a driver GC. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

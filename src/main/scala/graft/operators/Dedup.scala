@@ -244,6 +244,7 @@ object Dedup {
               .as("cluster"))
         // pointer doubling: cluster ← label(cluster); every cluster
         // value is itself a labeled id, so the lookup always resolves
+        val prev = labels
         labels = propagated.as("l")
           .join(propagated.select(col("id").as("_cid"),
             col("cluster").as("_cc")).as("r"),
@@ -251,6 +252,10 @@ object Dedup {
           .select(col("id"),
             coalesce(col("_cc"), col("cluster")).as("cluster"))
           .localCheckpoint(true)
+        // the new round is materialized — the previous round's blocks
+        // are dead NOW, not at the next driver GC (a deep component
+        // chain would otherwise pin O(log d) label snapshots)
+        graft.GraftSession.releaseCheckpoint(prev)
         val newSum = labelSum()
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum

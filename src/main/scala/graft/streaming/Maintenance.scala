@@ -83,6 +83,7 @@ object Maintenance {
       indexRoots: Seq[String] = Nil,
       sketchRoots: Seq[String] = Nil,
       ivfPqRoots: Seq[String] = Nil,
+      dedupRoots: Seq[String] = Nil,
       ivfPqRefit: Seq[IvfPqRefitPolicy] = Nil): Report = {
     val results = s"$root/results"
     val stats = s"$root/stats"
@@ -123,11 +124,12 @@ object Maintenance {
       maxFiles, skipDate, targetFileBytes,
       dropSinkLog = false, graceMillis = graceMillis)
     // incremental-index upkeep: fold streaming deltas back to their
-    // one-shot size (posting sets / sketch cells). Each compaction is
-    // a no-op on a root that was never ingested, and all three use
-    // the merge-and-retire snapshot contract (StreamState): safe to
-    // drive from this maintenance job BESIDE a live ingest — a
-    // micro-batch landing mid-compaction is never erased.
+    // one-shot size (posting sets / sketch cells / band+sig sets).
+    // Each compaction is a no-op on a root that was never ingested,
+    // and all four use the merge-and-retire snapshot contract
+    // (StreamState): safe to drive from this maintenance job BESIDE
+    // a live ingest — a micro-batch landing mid-compaction is never
+    // erased.
     def exists(r: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(r)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -139,6 +141,8 @@ object Maintenance {
         StreamSketch.compact(spark, r); r
       } ++ ivfPqRoots.filter(exists).map { r =>
         StreamIvfPq.compact(spark, r); r
+      } ++ dedupRoots.filter(exists).map { r =>
+        StreamDedup.compact(spark, r); r
       }
     // drift repair LAST — the imbalance read must see this run's
     // compaction (retried batches' duplicate rows inflate cell fills),

@@ -63,7 +63,12 @@ object StreamDedup {
     * document), then append the batch's band buckets + signatures to
     * the index. Returns the verified pairs (id_a, id_b, jaccard),
     * id_a < id_b, eagerly materialized — callers write or collect it;
-    * the index on disk is already updated when this returns.
+    * the index on disk is already updated when this returns. The
+    * materialization holds executor blocks: a long-lived caller (one
+    * upsert per micro-batch) must [[StreamState.release]] the returned
+    * frame once consumed, as [[attach]] and
+    * [[StreamPretrain.ingestBatch]] do, or the per-batch deltas
+    * accumulate until the executors OOM.
     */
   def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
       root: String, cfg: Config = Config()): DataFrame = {
@@ -169,26 +174,36 @@ object StreamDedup {
       df.withColumn("pl", pmod(hash(col("id")), lit(cfg.dirBuckets)))
     if (!hasData(spark, path)) {
       val labels = Dedup.nearDupClusters(deltaPairs)
-      if (!labels.isEmpty)
-        withPl(labels).write.mode("overwrite").partitionBy("pl")
-          .parquet(path)
+      try {
+        if (!labels.isEmpty)
+          withPl(labels).write.mode("overwrite").partitionBy("pl")
+            .parquet(path)
+      } finally StreamState.release(labels)
     } else {
       val existing = spark.read.parquet(path).select("id", "cluster")
       val updated = Dedup.incrementalClusters(existing, deltaPairs)
-      // directories holding a row whose label changed (or a new row)
-      val changed = updated
-        .join(existing.withColumnRenamed("cluster", "_old"), Seq("id"), "left")
-        .filter(col("_old").isNull || col("_old") =!= col("cluster"))
-      val touched = withPl(changed).select("pl").distinct()
-      // materialize BEFORE the overwrite — the semi-join replays the
-      // `existing` scan, which must not race the commit's deletes
-      val toWrite = withPl(updated)
-        .join(touched, Seq("pl"), "left_semi")
-        .localCheckpoint(true)
-      if (!toWrite.isEmpty)
-        toWrite.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("pl").parquet(path)
+      try {
+        // directories holding a row whose label changed (or a new row)
+        val changed = updated
+          .join(existing.withColumnRenamed("cluster", "_old"), Seq("id"), "left")
+          .filter(col("_old").isNull || col("_old") =!= col("cluster"))
+        val touched = withPl(changed).select("pl").distinct()
+        // materialize BEFORE the overwrite — the semi-join replays the
+        // `existing` scan, which must not race the commit's deletes
+        val toWrite = withPl(updated)
+          .join(touched, Seq("pl"), "left_semi")
+          .localCheckpoint(true)
+        try {
+          if (!toWrite.isEmpty)
+            toWrite.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("pl").parquet(path)
+        } finally StreamState.release(toWrite)
+        // one delta's worth of checkpoint blocks per micro-batch
+        // (labels / updated / toWrite) is released HERE, not left to
+        // the driver's GC — a long ingest must not pin N batches of
+        // label snapshots in executor storage
+      } finally StreamState.release(updated)
     }
   }
 
@@ -249,20 +264,44 @@ object StreamDedup {
     Dedup.verifyCandidates(cand, sides, cfg.numHashes, cfg.threshold)
   }
 
-  /** Rewrite both index tables with duplicates (from at-least-once
-    * retries) removed, preserving the partition layout. Offline
-    * maintenance — run while no ingest stream is writing.
+  /** Fold retry duplicates out of both index tables, preserving the
+    * partition layout. MERGE-AND-RETIRE (the [[StreamState]] snapshot
+    * contract every incremental-state compactor follows): deduped
+    * rows are computed from a pinned file snapshot, appended as new
+    * files, and only then is the snapshot deleted — an
+    * [[upsertBatch]] landing anywhere inside the compaction window
+    * writes files outside the snapshot and survives, so
+    * [[graft.streaming.Maintenance.run]] can drive this BESIDE a
+    * live ingest by contract. (The labels table needs no compaction:
+    * [[updateLabels]] rewrites whole directories via guarded dynamic
+    * partition overwrite, so retries never accumulate rows there.)
+    * A crash between append and retire leaves both copies; readers
+    * are duplicate-proof, so that costs space until the next
+    * compaction, never correctness.
     */
   def compact(spark: SparkSession, root: String): Unit = {
-    def rewrite(path: String, keyCols: Seq[String], partCol: String): Unit = {
-      if (!hasData(spark, path)) return
-      val deduped = spark.read.parquet(path)
+    compactSnapshots(spark,
+      StreamState.listDataFiles(spark, bandsPath(root)),
+      StreamState.listDataFiles(spark, sigsPath(root)), root)
+  }
+
+  /** The compaction body over explicit snapshots — split out so the
+    * interleaving spec can pin the snapshots, land a concurrent
+    * [[upsertBatch]], and prove the late batch survives. */
+  private[graft] def compactSnapshots(spark: SparkSession,
+      bandsSnap: Seq[String], sigsSnap: Seq[String],
+      root: String): Unit = {
+    def fold(path: String, snapshot: Seq[String], keyCols: Seq[String],
+        partCol: String): Unit = {
+      if (snapshot.isEmpty) return
+      spark.read.option("basePath", path).parquet(snapshot: _*)
         .dropDuplicates(keyCols)
-        .localCheckpoint(true) // materialize before overwriting source
-      deduped.write.mode("overwrite").partitionBy(partCol).parquet(path)
+        .repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(path)
+      StreamState.deleteFiles(spark, path, snapshot)
     }
-    rewrite(bandsPath(root), Seq("id", "band", "bucket"), "pb")
-    rewrite(sigsPath(root), Seq("id"), "pid")
+    fold(bandsPath(root), bandsSnap, Seq("id", "band", "bucket"), "pb")
+    fold(sigsPath(root), sigsSnap, Seq("id"), "pid")
   }
 
   /** Attach the ingest-and-match flow to a streaming document source:
@@ -277,8 +316,9 @@ object StreamDedup {
       .queryName("stream_dedup_index")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, idCol, textCol, root, cfg)
-          .write.mode("append").parquet(pairsOut)
+        val pairs = upsertBatch(batch, idCol, textCol, root, cfg)
+        try pairs.write.mode("append").parquet(pairsOut)
+        finally StreamState.release(pairs) // checkpointed per batch
         ()
       }
       .start()

@@ -243,9 +243,12 @@ object StreamPretrain {
     // corpus. The upsert is retry-idempotent (duplicate-proof readers,
     // label fold converges), so it can safely run before the ledger.
     nearDup.foreach { cfg =>
-      StreamDedup.upsertBatchWithLabels(
+      // the returned pair delta is consumed by the label fold inside
+      // the call; release its checkpoint blocks (one delta per
+      // micro-batch in a long-lived ingest)
+      StreamState.release(StreamDedup.upsertBatchWithLabels(
         batch.select(col(idCol), col(textCol)), idCol, textCol,
-        nearRoot(root), cfg)
+        nearRoot(root), cfg))
     }
     // stateless gates
     val gop = TextAnalysis.gopherRules(batch, idCol, textCol,

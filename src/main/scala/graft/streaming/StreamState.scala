@@ -49,6 +49,14 @@ private[graft] object StreamState {
     out.result()
   }
 
+  /** Drop the executor blocks behind an eagerly `localCheckpoint`ed
+    * per-batch delta once its last consumer is done — the streaming
+    * face of [[graft.GraftSession.releaseCheckpoint]] (see there for
+    * why `Dataset.unpersist` cannot do this and why a
+    * `getPersistentRDDs` sweep must not run beside live queries). */
+  def release(df: org.apache.spark.sql.DataFrame): Unit =
+    graft.GraftSession.releaseCheckpoint(df)
+
   /** Retire a compaction's snapshot files. Idempotent: a file already
     * gone (a crashed earlier retire got partway) is skipped. */
   def deleteFiles(spark: SparkSession, root: String,

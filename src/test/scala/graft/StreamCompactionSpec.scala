@@ -305,6 +305,64 @@ class StreamCompactionSpec extends SparkSpec {
   private def cells(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
 
+  test("dedup index: an upsert landing mid-compaction survives, and the fold removes retry duplicates") {
+    import graft.streaming.StreamDedup
+    val root = tmp("sci-ndx")
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    StreamDedup.upsertBatchWithLabels(b0, "doc_id", "text", root, cfg)
+    StreamDedup.upsertBatchWithLabels(b1, "doc_id", "text", root, cfg)
+    StreamDedup.upsertBatchWithLabels(b1, "doc_id", "text", root, cfg) // retry
+    // the batch clustering over the whole corpus is the target
+    val want = graft.operators.Dedup.nearDupClusters(
+      graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.threshold))
+      .as[(Long, Long)].collect().toSet
+    // the compaction pins its snapshots …
+    val bandsSnap = StreamState.listDataFiles(spark, s"$root/bands")
+    val sigsSnap = StreamState.listDataFiles(spark, s"$root/sigs")
+    // … and a live ingest lands INSIDE the compaction window
+    StreamDedup.upsertBatchWithLabels(b2, "doc_id", "text", root, cfg)
+    StreamDedup.compactSnapshots(spark, bandsSnap, sigsSnap, root)
+    // the late batch's bands/sigs were not erased: pairs derivable
+    // from the index still equal the batch operator over the union,
+    // and the maintained labels equal the batch clustering
+    val idxPairs = StreamDedup.indexPairs(spark, root, cfg)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchPairs = graft.operators.Dedup.minhashLsh(docs, "doc_id",
+        "text", cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(idxPairs == batchPairs && idxPairs.nonEmpty)
+    assert(StreamDedup.indexLabels(spark, root)
+      .as[(Long, Long)].collect().toSet == want)
+    // the fold actually removed the retry's duplicate rows: one
+    // (id, band, bucket) row each for the compacted batches (the
+    // mid-compaction batch keeps its own single copy regardless)
+    val bands = spark.read.parquet(s"$root/bands")
+    assert(bands.count() == bands.dropDuplicates("id", "band", "bucket").count())
+  }
+
+  test("per-batch label ingest releases its checkpoint blocks — no storage growth across batches") {
+    import graft.streaming.StreamDedup
+    val root = tmp("sci-rel")
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // three micro-batches, each materializing a pair delta + a label
+    // fold — the long-lived-ingest shape (StreamPretrain.ingestBatch /
+    // StreamDedup.attach), where unreleased deltas would pin executor
+    // blocks until a driver GC happens to run
+    for (i <- 0 to 2) {
+      StreamState.release(StreamDedup.upsertBatchWithLabels(
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "text", root, cfg))
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"ingest left pinned RDDs behind: $leaked")
+    // releasing blocks must not have broken the maintained state
+    assert(StreamDedup.indexLabels(spark, root).count() > 0)
+  }
+
   test("sketch: a new batch AND a folded-batch redelivery landing mid-compaction both stay exact") {
     val root = tmp("sci-cms")
     val b1 = docs.filter(col("doc_id") % 3 === 0)
