@@ -211,6 +211,11 @@ object Bench {
       // q_embed_ivfpq_del is the delete/resurrect/compact ingest
       // choreography (the served-query cost is q_embed_ivfpq_table's
       // probe plus one broadcast anti-join on the tiny dead set).
+      // q_dedup_clusters_del is q_dedup_clusters_incr's deletion
+      // sibling (three-batch ingest + tombstone + label repair); the
+      // repair's operator costs are q_dedup_minhash_lsh's banding/
+      // verify over the affected members plus q_dedup_clusters'
+      // propagation.
       val excluded = Set("q_stream_dedup_index", "q_write_shards",
         "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
         "q_stream_text_index", "q_embed_ivfpq_incr",
@@ -218,7 +223,8 @@ object Bench {
         "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
         "q_stream_pretrain", "q_stream_pretrain_decon",
         "q_stream_pretrain_near", "q_stream_pretrain_stats",
-        "q_pretrain_monitor", "q_embed_ivfpq_del")
+        "q_pretrain_monitor", "q_embed_ivfpq_del",
+        "q_dedup_clusters_del")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).

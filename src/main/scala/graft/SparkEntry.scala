@@ -3228,11 +3228,12 @@ object SparkEntry {
     * at engine settings — verified vs brute force in DedupSpec, and by
     * these oracles at every gate sf).
     */
-  private def shinglePairsSql(threshold: Double): String =
+  private def shinglePairsSql(threshold: Double,
+      docWhere: String = ""): String =
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
        |                             x -> len(x) > 0) AS t
-       |  FROM documents),
+       |  FROM documents$docWhere),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(generate_series(1, greatest(1, len(t) - 2)),
@@ -3483,6 +3484,48 @@ object SparkEntry {
         got
       },
       Some(s"""${shinglePairsSql(0.5)},
+             |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE rr(id, r) AS (
+             |    SELECT id, r FROM edges
+             |    UNION
+             |    SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
+             |  ) SELECT * FROM rr)
+             |SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id""".stripMargin)),
+    ("q_dedup_clusters_del", // the DELETION face of the incremental
+      // cluster ledger: ingest in three generation-tracked batches,
+      // tombstone every doc_id % 7 == 3 (StreamDedup.deleteDocs — one
+      // log append + exact repair of the affected components from the
+      // index's own stored signatures), and the served labels must
+      // equal the batch clustering over the LIVE corpus: component
+      // splits where a bridge died, canonical promotions where the
+      // min id died, and member removals all included. The oracle is
+      // the q_dedup_clusters_incr brute-force shingle-Jaccard +
+      // recursive-closure replay with the tombstoned set excluded at
+      // the source.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_dedup_clusters_del").toString
+        val docs = t(s, dir, "documents")
+        val cfg = graft.streaming.StreamDedup.Config(threshold = 0.5)
+        (0 until 3).foreach { k =>
+          graft.GraftSession.releaseCheckpoint(
+            graft.streaming.StreamDedup.upsertBatchWithLabels(
+              docs.filter(col("doc_id") % 3 === k), "doc_id", "text",
+              root, cfg, batchId = k.toLong))
+        }
+        graft.streaming.StreamDedup.deleteDocs(s, root,
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"), 3L, cfg)
+        val got = graft.streaming.StreamDedup.indexLabels(s, root)
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(s"""${shinglePairsSql(0.5, " WHERE doc_id % 7 <> 3")},
              |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
              |          UNION SELECT id_b, id_a FROM pairs),
              |reach AS (

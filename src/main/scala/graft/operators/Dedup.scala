@@ -309,8 +309,8 @@ object Dedup {
       .distinct()
     // propagate over the contracted delta graph only; its node ids are
     // old component labels and never-seen delta ids
-    val m = nearDupClusters(cPairs, maxIter)
-      .withColumnRenamed("cluster", "_nc")
+    val cc = nearDupClusters(cPairs, maxIter)
+    val m = cc.withColumnRenamed("cluster", "_nc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // old ids follow their component: new label = contracted label of
@@ -323,7 +323,13 @@ object Dedup {
       val fresh = m.join(lab.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("_nc").as("cluster"))
       relabeled.unionByName(fresh).localCheckpoint(true)
-    } finally m.unpersist(false)
+    } finally {
+      m.unpersist(false)
+      // the persist wrapper above does not cover the checkpoint blocks
+      // behind nearDupClusters' returned frame — release them here or
+      // every per-batch label fold pins one label snapshot until GC
+      graft.GraftSession.releaseCheckpoint(cc)
+    }
   }
 
   /** Quality-aware canonical selection: keep ONE representative per

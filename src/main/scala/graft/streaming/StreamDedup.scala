@@ -37,6 +37,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * through `distinct`, verification sides through
   * `dropDuplicates(id)`), so a retry costs space, not correctness;
   * [[compact]] reclaims the space by rewriting both tables deduped.
+  *
+  * Deletion ([[deleteDocs]]): MinHash signatures and band buckets are
+  * DERIVED DATA of the document — a compliance forget must remove
+  * them, and near-dup structure must behave as if the document never
+  * existed. One tombstone generation in the shared `_docs` log
+  * ([[StreamState]]) hides the id from every read face from the next
+  * read on, and the label table is REPAIRED EXACTLY in the same call:
+  * removing a node can split its component (a bridge document) or
+  * promote a new canonical (the min id leaves), so the affected
+  * components — and only those — are re-clustered from the stored
+  * signatures of their live members (the sigs read prunes to the
+  * members' pid directories; no document text is ever needed). An id
+  * here names an IMMUTABLE document (the pipeline's append-only id
+  * contract), so presence is the only generation that matters: a
+  * later [[upsertBatch]] carrying a tombstoned id under a higher
+  * `batchId` resurrects it, and its re-emitted pairs re-fold into the
+  * labels. Physical retire of dead bands/sigs rows happens at
+  * [[compact]]. Generation tracking is opt-in: pass `batchId` to the
+  * upserts once you intend to delete (monotone with the delete's —
+  * the [[StreamTextIndex]] contract); a root with a generation log
+  * rejects an upsert without one, loudly.
   */
 object StreamDedup {
 
@@ -58,6 +79,19 @@ object StreamDedup {
     fs.exists(p)
   }
 
+  /** Ids whose newest generation is a tombstone, or null when no
+    * deletion ever happened (the common case — zero read-side cost
+    * until then). Deletions are compliance events, so the set is
+    * broadcast-small by assumption, like the text index's exclusion. */
+  private def deadIds(spark: SparkSession, root: String): DataFrame =
+    if (!StreamState.genLogExists(spark, root)) null
+    else StreamState.updatedGens(spark, root)
+      .filter(col("_del")).select("id")
+
+  private def dropDead(df: DataFrame, dead: DataFrame): DataFrame =
+    if (dead == null) df
+    else df.join(broadcast(dead), Seq("id"), "left_anti")
+
   /** Ingest one batch of documents: emit the near-dup pairs the batch
     * forms (within itself AND against every previously-ingested
     * document), then append the batch's band buckets + signatures to
@@ -71,8 +105,22 @@ object StreamDedup {
     * accumulate until the executors OOM.
     */
   def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
-      root: String, cfg: Config = Config()): DataFrame = {
+      root: String, cfg: Config = Config(), batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
+    // generation tracking (see the deletion section of the header):
+    // logging the batch FIRST makes a resurrected id live before the
+    // dead set below is read — and a crash after this append serves
+    // the id's pre-delete rows, which is correct for immutable ids
+    if (StreamState.genLogExists(spark, root)) {
+      require(batchId >= 0,
+        s"index at $root tracks generations (a deleteDocs ran); pass " +
+          "a monotone batchId to every upsert so deletes and " +
+          "resurrections order against ingests")
+      StreamState.appendGens(batch.select(col(idCol)), root, batchId)
+    } else if (batchId >= 0) {
+      StreamState.appendGens(batch.select(col(idCol)), root, batchId)
+    }
+    val dead = deadIds(spark, root)
     // the batch's signature relation feeds banding, verification, and
     // the index append — persist or it recomputes per branch
     val sig = Dedup.signatureRelation(batch, idCol, textCol,
@@ -98,8 +146,9 @@ object StreamDedup {
           else {
             val pbs = banded.select("pb").distinct()
               .collect().map(_.getInt(0)).toSeq
-            val hist = spark.read.parquet(bandsPath(root))
-              .filter(col("pb").isin(pbs: _*))
+            // tombstoned documents never surface as partners
+            val hist = dropDead(spark.read.parquet(bandsPath(root))
+              .filter(col("pb").isin(pbs: _*)), dead)
             Some(banded.as("a").join(hist.as("b"),
                 col("a.band") === col("b.band") &&
                 col("a.bucket") === col("b.bucket") &&
@@ -118,8 +167,8 @@ object StreamDedup {
             val wanted = cand.select(col("id_a").as("id"))
               .union(cand.select(col("id_b").as("id"))).distinct()
             sig.unionByName(
-              spark.read.parquet(sigsPath(root))
-                .select("id", "hs", "sig")
+              dropDead(spark.read.parquet(sigsPath(root))
+                .select("id", "hs", "sig"), dead)
                 .join(wanted, Seq("id"), "left_semi"))
               .dropDuplicates("id")
           }
@@ -146,10 +195,108 @@ object StreamDedup {
     * are maintained at ingest, never recomputed from scratch.
     */
   def upsertBatchWithLabels(batch: DataFrame, idCol: String,
-      textCol: String, root: String, cfg: Config = Config()): DataFrame = {
-    val pairs = upsertBatch(batch, idCol, textCol, root, cfg)
+      textCol: String, root: String, cfg: Config = Config(),
+      batchId: Long = -1L): DataFrame = {
+    val pairs = upsertBatch(batch, idCol, textCol, root, cfg, batchId)
     updateLabels(batch.sparkSession, root, pairs, cfg)
     pairs
+  }
+
+  /** Forget documents: from the next read on, tombstoned ids appear in
+    * no pair, no label, and no probe result, and [[compact]] physically
+    * retires their signatures and band buckets — the index behaves as
+    * if the documents were never ingested (see the deletion section of
+    * the object header). The cluster labels are repaired EXACTLY in
+    * this call: components that lose a member are re-clustered over
+    * their live members' stored signatures, so splits (a deleted
+    * bridge) and canonical promotions (the min id leaves) come out as
+    * the batch operator would over the live corpus. Runs on the ingest
+    * timeline (same single-writer contract as [[updateLabels]]) with a
+    * `batchId` monotone against the upserts'. Retry-idempotent: the
+    * tombstone append is first, so a crash mid-call leaves every PAIR
+    * read already exact and the redelivery finishes the label repair.
+    * Cost: O(affected components), never O(corpus) — the sigs read
+    * prunes to the members' pid directories, the label rewrite touches
+    * only directories holding an affected row.
+    */
+  def deleteDocs(spark: SparkSession, root: String, ids: DataFrame,
+      batchId: Long, cfg: Config = Config()): Unit = {
+    StreamState.appendGens(ids, root, batchId, del = true)
+    repairLabels(spark, root, ids.toDF("id"), cfg)
+  }
+
+  /** Re-cluster every component that currently contains one of
+    * `seedIds`, from the stored signatures of its live members, and
+    * rewrite exactly the label directories those components touch. */
+  private def repairLabels(spark: SparkSession, root: String,
+      seedIds: DataFrame, cfg: Config): Unit = {
+    val path = labelsPath(root)
+    if (!labelsExist(spark, root)) return
+    val labels = spark.read.parquet(path)
+    val affected = labels.join(seedIds, Seq("id"), "left_semi")
+      .select("cluster").distinct()
+    // seeds that never appeared in a pair have no label row — nothing
+    // can split or relabel
+    if (affected.isEmpty) return
+    val members = labels
+      .join(affected, Seq("cluster"), "left_semi").select("id", "pl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val liveMembers = dropDead(members, deadIds(spark, root))
+      // the affected components' live pair set, recomputed from the
+      // index's own signatures (pairs only ever exist inside one
+      // cluster, so the member set closes over every edge we touch);
+      // the sigs read prunes to the members' pid directories
+      val pids = liveMembers
+        .select(pmod(hash(col("id")), lit(cfg.dirBuckets)).as("pid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val newLabels =
+        if (pids.isEmpty) null // every member died
+        else {
+          val mSigs = spark.read.parquet(sigsPath(root))
+            .filter(col("pid").isin(pids: _*))
+            .join(liveMembers.select("id"), Seq("id"), "left_semi")
+            .select("id", "hs", "sig").dropDuplicates("id")
+          val banded = Dedup.bandBuckets(mSigs, cfg.numHashes, cfg.bands)
+          val cand = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+            .distinct()
+          Dedup.nearDupClusters(
+            Dedup.verifyCandidates(cand, mSigs, cfg.numHashes, cfg.threshold))
+        }
+      try {
+        // rewrite = (untouched rows sharing a directory) ∪ (new labels);
+        // a member that lost its last partner gets NO row, matching the
+        // batch contract (labels list only ids in ≥1 pair)
+        val plDirs = members.select("pl").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val keepOld = labels.filter(col("pl").isin(plDirs: _*))
+          .join(members.select("id"), Seq("id"), "left_anti")
+          .select("id", "cluster")
+        val out = (if (newLabels == null) keepOld
+          else keepOld.unionByName(newLabels))
+          .withColumn("pl", pmod(hash(col("id")), lit(cfg.dirBuckets)))
+          .localCheckpoint(true)
+        try {
+          val outDirs = out.select("pl").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (outDirs.nonEmpty)
+            out.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("pl").parquet(path)
+          // dynamic overwrite only rewrites directories it has rows
+          // for — a directory whose every row was affected and got no
+          // replacement must be emptied by hand
+          (plDirs.toSet -- outDirs).foreach { d =>
+            StreamState.deleteFiles(spark, path,
+              StreamState.listDataFiles(spark, s"$path/pl=$d"))
+          }
+        } finally StreamState.release(out)
+      } finally if (newLabels != null) StreamState.release(newLabels)
+    } finally members.unpersist(false)
   }
 
   /** Fold one batch's near-dup pairs into the persistent label table.
@@ -172,7 +319,9 @@ object StreamDedup {
     val path = labelsPath(root)
     def withPl(df: DataFrame) =
       df.withColumn("pl", pmod(hash(col("id")), lit(cfg.dirBuckets)))
-    if (!hasData(spark, path)) {
+    // file-based check: a deleteDocs can empty the table while its
+    // directories remain — the next fold restarts from scratch
+    if (!labelsExist(spark, root)) {
       val labels = Dedup.nearDupClusters(deltaPairs)
       try {
         if (!labels.isEmpty)
@@ -212,15 +361,32 @@ object StreamDedup {
     * id of its connected component — exactly
     * [[Dedup.nearDupClusters]] over the union of all emitted pairs.
     */
-  def indexLabels(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(labelsPath(root)).select("id", "cluster")
+  def indexLabels(spark: SparkSession, root: String): DataFrame = {
+    // a delete can empty the table entirely (its directories remain,
+    // file-less) — serve the typed empty labeling rather than letting
+    // the parquet reader fail schema inference
+    if (!labelsExist(spark, root)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("cluster", LongType))))
+    }
+    // the anti-join is belt: [[deleteDocs]] repairs the table in the
+    // same call, so dead rows only exist inside a crashed delete's
+    // redelivery window (and cost nothing when no delete ever ran)
+    dropDead(spark.read.parquet(labelsPath(root)).select("id", "cluster"),
+      deadIds(spark, root))
+  }
 
-  /** Whether any labels have been folded yet ([[upsertBatchWithLabels]]
-    * writes none until a first near-dup pair exists) — lets a composed
+  /** Whether any labels are currently folded ([[upsertBatchWithLabels]]
+    * writes none until a first near-dup pair exists, and a
+    * [[deleteDocs]] can empty the table again) — lets a composed
     * consumer ([[StreamPretrain]]) skip the exclusion read entirely on
-    * a duplicate-free corpus. */
+    * a duplicate-free corpus. File-based: an existing but emptied
+    * directory counts as no labels. */
   def labelsExist(spark: SparkSession, root: String): Boolean =
-    hasData(spark, labelsPath(root))
+    StreamState.listDataFiles(spark, labelsPath(root)).nonEmpty
 
   /** The subset of `ids` currently labeled NON-canonical (an
     * earlier-id near-dup exists), read with partition pruning on the
@@ -251,7 +417,8 @@ object StreamDedup {
     */
   def indexPairs(spark: SparkSession, root: String,
       cfg: Config = Config()): DataFrame = {
-    val banded = spark.read.parquet(bandsPath(root))
+    val dead = deadIds(spark, root)
+    val banded = dropDead(spark.read.parquet(bandsPath(root)), dead)
       .select("id", "band", "bucket").distinct()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -259,7 +426,7 @@ object StreamDedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sides = spark.read.parquet(sigsPath(root))
+    val sides = dropDead(spark.read.parquet(sigsPath(root)), dead)
       .select("id", "hs", "sig").dropDuplicates("id")
     Dedup.verifyCandidates(cand, sides, cfg.numHashes, cfg.threshold)
   }
@@ -291,10 +458,16 @@ object StreamDedup {
   private[graft] def compactSnapshots(spark: SparkSession,
       bandsSnap: Seq[String], sigsSnap: Seq[String],
       root: String): Unit = {
+    // physical retire: rows of ids dead AT THE SNAPSHOT READ drop from
+    // the fold. Safe beside a concurrent resurrection: resurrecting IS
+    // an upsert, so the id's fresh rows land outside the snapshot and
+    // survive the retire regardless of what the fold dropped
+    val dead = deadIds(spark, root)
     def fold(path: String, snapshot: Seq[String], keyCols: Seq[String],
         partCol: String): Unit = {
       if (snapshot.isEmpty) return
-      spark.read.option("basePath", path).parquet(snapshot: _*)
+      dropDead(spark.read.option("basePath", path).parquet(snapshot: _*),
+          dead)
         .dropDuplicates(keyCols)
         .repartition(col(partCol))
         .write.mode("append").partitionBy(partCol).parquet(path)
@@ -302,6 +475,9 @@ object StreamDedup {
     }
     fold(bandsPath(root), bandsSnap, Seq("id", "band", "bucket"), "pb")
     fold(sigsPath(root), sigsSnap, Seq("id"), "pid")
+    // fold the generation log itself (newest row per id, tombstones
+    // kept — they ARE the deletion record)
+    StreamState.compactGenLog(spark, root)
   }
 
   /** Attach the ingest-and-match flow to a streaming document source:

@@ -344,6 +344,93 @@ class StreamCompactionSpec extends SparkSpec {
     assert(bands.count() == bands.dropDuplicates("id", "band", "bucket").count())
   }
 
+  test("dedup index: deletes split components, promote canonicals, resurrect, and physically retire") {
+    import graft.streaming.StreamDedup
+    val root = tmp("sci-del")
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    // two disjoint token streams, three sliding windows each:
+    // chain a~b, b~c, a!~c (3-shingle Jaccard .589/.589/.318) — b is
+    // the bridge; clique g~h~i (.78/.78/.61) — g is the min id
+    def stream(p: String) = (1 to 90).map(i => f"$p$i%02d")
+    def sl(t: Seq[String], lo: Int, hi: Int) =
+      t.slice(lo - 1, hi).mkString(" ")
+    val at = stream("at"); val gt = stream("gt")
+    val a = (10L, sl(at, 1, 60)); val b = (20L, sl(at, 16, 75))
+    val c = (30L, sl(at, 31, 90))
+    val g = (40L, sl(gt, 1, 60)); val h = (50L, sl(gt, 8, 67))
+    val i9 = (60L, sl(gt, 15, 74))
+    def up(rows: Seq[(Long, String)], bid: Long) =
+      StreamState.release(StreamDedup.upsertBatchWithLabels(
+        rows.toDF("doc_id", "text"), "doc_id", "text", root, cfg,
+        batchId = bid))
+    def labels() = StreamDedup.indexLabels(spark, root)
+      .as[(Long, Long)].collect().toSet
+    def pairIds() = StreamDedup.indexPairs(spark, root, cfg)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    up(Seq(a, c, g, h), 0L)
+    up(Seq(b, i9), 1L)
+    assert(labels() == Set((10L, 10L), (20L, 10L), (30L, 10L),
+      (40L, 40L), (50L, 40L), (60L, 40L)))
+    // delete the bridge (splits {10,20,30}: survivors lose their only
+    // partner) and the clique's canonical (promotes min(50,60))
+    StreamDedup.deleteDocs(spark, root,
+      Seq(20L, 40L).toDF("id"), 2L, cfg)
+    assert(labels() == Set((50L, 50L), (60L, 50L)))
+    assert(pairIds() == Set((50L, 60L)))
+    // the index still ingests: a fresh doc with the dead bridge's text
+    // pairs with the live chain ends, never with the tombstoned id
+    up(Seq((70L, sl(at, 16, 75))), 3L)
+    assert(labels() == Set((10L, 10L), (30L, 10L), (70L, 10L),
+      (50L, 50L), (60L, 50L)))
+    // resurrect the bridge: a later upsert under a higher batch id
+    up(Seq(b), 4L)
+    assert(labels() == Set((10L, 10L), (20L, 10L), (30L, 10L),
+      (70L, 10L), (50L, 50L), (60L, 50L)))
+    // compaction physically retires the still-dead doc's derived data
+    // and keeps the resurrected one's
+    StreamDedup.compact(spark, root)
+    val sigIds = spark.read.parquet(s"$root/sigs")
+      .select("id").as[Long].collect().toSet
+    val bandIds = spark.read.parquet(s"$root/bands")
+      .select("id").as[Long].collect().toSet
+    assert(!sigIds.contains(40L) && !bandIds.contains(40L))
+    assert(sigIds.contains(20L) && bandIds.contains(20L))
+    assert(labels() == Set((10L, 10L), (20L, 10L), (30L, 10L),
+      (70L, 10L), (50L, 50L), (60L, 50L))) // reads unchanged
+  }
+
+  test("dedup index: after deletions, labels and pairs equal the batch operator over the live corpus") {
+    import graft.streaming.StreamDedup
+    val root = tmp("sci-delx")
+    val cfg = StreamDedup.Config(threshold = 0.5)
+    (0 until 3).foreach { k =>
+      StreamState.release(StreamDedup.upsertBatchWithLabels(
+        docs.filter(col("doc_id") % 3 === k), "doc_id", "text", root,
+        cfg, batchId = k.toLong))
+    }
+    StreamDedup.deleteDocs(spark, root,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), 3L, cfg)
+    val live = docs.filter(col("doc_id") % 7 =!= 3)
+    val wantPairs = graft.operators.Dedup.minhashLsh(live, "doc_id",
+        "text", cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wantLabels = graft.operators.Dedup.nearDupClusters(
+      graft.operators.Dedup.minhashLsh(live, "doc_id", "text",
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.threshold))
+      .as[(Long, Long)].collect().toSet
+    assert(StreamDedup.indexPairs(spark, root, cfg)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      == wantPairs && wantPairs.nonEmpty)
+    assert(StreamDedup.indexLabels(spark, root)
+      .as[(Long, Long)].collect().toSet == wantLabels)
+    // deletions actually bit: the live clustering is a strict subset
+    // of the full-corpus one
+    assert(wantLabels != graft.operators.Dedup.nearDupClusters(
+      graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.threshold))
+      .as[(Long, Long)].collect().toSet)
+  }
+
   test("per-batch label ingest releases its checkpoint blocks — no storage growth across batches") {
     import graft.streaming.StreamDedup
     val root = tmp("sci-rel")
