@@ -484,6 +484,9 @@ object StreamDedup {
     * every micro-batch upserts into the index and appends the pairs it
     * discovered to `pairsOut` (parquet). The emitted stream over time =
     * the full [[Dedup.minhashLsh]] pair set of everything ingested.
+    * The stream's epoch ids (monotone, replay-stable) thread through
+    * as generation batch ids, so [[deleteDocs]] can order against a
+    * live attached ingest from day one.
     */
   def attach(docs: DataFrame, idCol: String, textCol: String,
       root: String, pairsOut: String, checkpoint: String,
@@ -491,8 +494,9 @@ object StreamDedup {
     docs.writeStream
       .queryName("stream_dedup_index")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = upsertBatch(batch, idCol, textCol, root, cfg)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val pairs = upsertBatch(batch, idCol, textCol, root, cfg,
+          batchId = epochId)
         try pairs.write.mode("append").parquet(pairsOut)
         finally StreamState.release(pairs) // checkpointed per batch
         ()

@@ -245,10 +245,12 @@ object StreamPretrain {
     nearDup.foreach { cfg =>
       // the returned pair delta is consumed by the label fold inside
       // the call; release its checkpoint blocks (one delta per
-      // micro-batch in a long-lived ingest)
+      // micro-batch in a long-lived ingest). The pipeline's batch id
+      // threads through as the index's generation id, so a later
+      // StreamDedup.deleteDocs can order against this ingest.
       StreamState.release(StreamDedup.upsertBatchWithLabels(
         batch.select(col(idCol), col(textCol)), idCol, textCol,
-        nearRoot(root), cfg))
+        nearRoot(root), cfg, batchId = batchId))
     }
     // stateless gates
     val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
@@ -408,7 +410,17 @@ object StreamPretrain {
     * The fingerprint LEDGER keeps its first-arrival record ON
     * PURPOSE: forgetting the content must not re-admit a later copy
     * of the same text — the ledger row is the dedup decision, not
-    * the content (and it stores a fingerprint, nothing readable). */
+    * the content (and it stores a fingerprint, nothing readable).
+    * The near-dup index is likewise NOT auto-deleted from: a strict
+    * signature purge is [[StreamDedup.deleteDocs]] on `nearRoot`,
+    * but its exact label repair can PROMOTE a surviving cluster-mate
+    * to canonical, and that mate was never encoded (non-canonicals
+    * skip encoding at arrival) — its text is gone, so the promoted
+    * document could not serve anyway. Keeping the forgotten id's
+    * labels means the mates stay non-canonical (never OVER-serving),
+    * which is the conservative composition; run the index delete
+    * separately when the derived signatures themselves must go, and
+    * re-ingest a mate if its content should start serving. */
   def forgetDocs(ids: DataFrame, idCol: String, root: String,
       batchId: Long): Unit =
     StreamBpe.deleteDocs(ids, idCol, encRoot(root), batchId)
