@@ -203,7 +203,8 @@ object Bench {
       // q_embed_ivfpq_refit is two full builds + an ingest
       // (q_embed_ivfpq_table times the build/query split);
       // q_stream_pretrain / q_stream_pretrain_decon /
-      // q_stream_pretrain_near are the composed ingest scenarios
+      // q_stream_pretrain_near / q_stream_pretrain_mix are the
+      // composed ingest scenarios
       // (q_pretrain_pipeline and each gate query — incl.
       // q_decontaminate_bloom for the decon gate and
       // q_dedup_minhash_lsh for the near-dup gate — time the
@@ -222,7 +223,8 @@ object Bench {
         "q_stream_text_index_upd", "q_stream_text_index_del",
         "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
         "q_stream_pretrain", "q_stream_pretrain_decon",
-        "q_stream_pretrain_near", "q_stream_pretrain_stats",
+        "q_stream_pretrain_near", "q_stream_pretrain_mix",
+        "q_stream_pretrain_stats",
         "q_pretrain_monitor", "q_embed_ivfpq_del",
         "q_dedup_clusters_del")
       // benchQueries: the three pinned-plane LSH entries time their

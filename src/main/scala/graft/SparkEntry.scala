@@ -2927,6 +2927,50 @@ object SparkEntry {
       },
       Some(pretrainMonitorOracleSql)),
 
+    ("q_stream_pretrain_mix", // the training mix CORRECTS ITSELF at
+      // ingest — the ACT half of the loop whose DETECT half is
+      // q_pretrain_monitor: batch 0 ingests under no rates, then the
+      // maintenance window measures the live per-source token mass
+      // and publishes a mix-rates version (mixtureTarget's
+      // DoReMi-style arithmetic over the LIVE mass toward equal-mass
+      // targets, made visible by one atomic _COMMITTED create — the
+      // IVF-PQ refit publish pattern); batches 1 and 2, with an
+      // at-least-once retry, admit documents at the corrected
+      // per-source rates via the deterministic md5-threshold rule.
+      // The oracle replays the whole chain AND the policy arithmetic
+      // from batch 0's replayed survivors, so the packed output is
+      // pinned end to end. (The drift-threshold trigger itself —
+      // Maintenance.MixPolicy's no-op-below-tolerance — is
+      // spec-pinned in StreamPretrainSpec; the scenario publishes
+      // unconditionally so the oracle needs no drift branch.)
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_pretrain_mix").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val SP = graft.streaming.StreamPretrain
+        val fz = SP.fit(docs, "doc_id", "text", "lang")
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+        val b1 = docs.filter(col("doc_id") * 3 > maxId &&
+          col("doc_id") * 3 <= maxId * 2)
+        val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+        SP.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root, 0L)
+        val targets = docs.select("source").distinct().orderBy("source")
+          .as[String].collect().toSeq.map(_ -> 100000L)
+        SP.publishMixRates(s, root, targets)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L) // retry
+        SP.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root, 2L)
+        val got = SP.packedShards(s, root, 512).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_topk_per_key", // exact top-5 per source through the CUSTOM
       // physical operator (TopKPerKeyNode → partial/final heap execs
       // via SparkSessionExtensions strategy injection): per-partition
@@ -4973,6 +5017,69 @@ object SparkEntry {
        |       CAST(st % 512 AS BIGINT) AS pack_offset
        |FROM pcum""".stripMargin
 
+  /** Oracle for q_stream_pretrain_mix: the composed chain where the
+    * maintenance window publishes mix rates from batch 0's live mass.
+    * The policy arithmetic ([[graft.operators.Curate.mixtureTarget]]'s
+    * DoReMi-style rule, all-IEEE on integer inputs) is replayed in SQL
+    * over the replayed batch-0 survivors' per-source token mass, then
+    * the md5-threshold gate applies to the later batches' survivors —
+    * chain, policy, and gate pinned end to end in one statement. */
+  private def pretrainStreamMixOracleSql(s: SparkSession,
+      dir: String): String = {
+    val docs = t(s, dir, "documents")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    import s.implicits._
+    val wv = docs.select("source").distinct().orderBy("source")
+      .as[String].collect().toSeq
+      .map(src => s"('${src.replace("'", "''")}', 100000)")
+      .mkString(", ")
+    s"""${pretrainChainCtes(s, dir, decon = false)},
+       |stk AS (SELECT doc_id,
+       |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> len(x) > 0)) AS word
+       |        FROM documents JOIN surv USING (doc_id)),
+       |np AS (SELECT stk.doc_id, CAST(sum(len(v6.syms)) AS BIGINT) AS n
+       |       FROM stk JOIN v6 ON stk.word = v6.word GROUP BY 1),
+       |b0s AS (SELECT doc_id FROM surv WHERE doc_id * 3 <= $maxId),
+       |msrc AS (SELECT d.source, CAST(sum(np.n) AS BIGINT) AS dom_tokens
+       |         FROM np JOIN b0s USING (doc_id)
+       |         JOIN documents d USING (doc_id) GROUP BY 1),
+       |mw(source, wppm) AS (VALUES $wv),
+       |mdw AS (SELECT mw.source, mw.wppm,
+       |               coalesce(m.dom_tokens, 0) AS dom_tokens
+       |        FROM mw LEFT JOIN msrc m USING (source)),
+       |mmr AS (SELECT min(CAST(dom_tokens AS DOUBLE) / CAST(wppm AS DOUBLE))
+       |                 AS minr
+       |        FROM mdw WHERE dom_tokens > 0),
+       |mann AS (SELECT source,
+       |           CASE WHEN dom_tokens = 0 THEN 1.0
+       |                ELSE least(1.0, minr * CAST(wppm AS DOUBLE)
+       |                                / CAST(dom_tokens AS DOUBLE)) END
+       |             AS keep_frac
+       |         FROM mdw, mmr),
+       |fin AS (SELECT doc_id FROM b0s
+       |        UNION ALL
+       |        SELECT sv.doc_id FROM surv sv
+       |        JOIN documents d USING (doc_id)
+       |        LEFT JOIN mann a ON d.source = a.source
+       |        WHERE sv.doc_id * 3 > $maxId
+       |          AND (a.source IS NULL OR a.keep_frac >= 1.0
+       |               OR substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8)
+       |                  < printf('%08x',
+       |                      CAST(floor(a.keep_frac * 4294967296.0) AS BIGINT)))),
+       |npf AS (SELECT np.doc_id, np.n FROM np JOIN fin USING (doc_id)),
+       |pcum AS (SELECT doc_id, n,
+       |           sum(n) OVER (ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+       |         FROM npf)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(st AS BIGINT) AS start_token,
+       |       CAST(st // 512 AS BIGINT) AS pack_first,
+       |       CAST((st + greatest(n - 1, 0)) // 512 AS BIGINT) AS pack_last,
+       |       CAST(st % 512 AS BIGINT) AS pack_offset
+       |FROM pcum""".stripMargin
+  }
+
   /** Oracle for q_stream_pretrain_stats: the gate-accounting row —
     * each gate's individual pass count over the single-batch corpus,
     * the first-arrival count, and the composed survivor count, all
@@ -4990,6 +5097,7 @@ object SparkEntry {
        |          WHERE kq.mean_nll_micro <= tl.t1) AS n_kn,
        |       (SELECT count(*) FROM dck) AS n_decon,
        |       CAST(NULL AS BIGINT) AS n_near,
+       |       CAST(NULL AS BIGINT) AS n_mix,
        |       (SELECT count(*) FROM surv) AS n_kept""".stripMargin
 
   /** Oracle for q_pretrain_monitor: the self-monitoring face. The
@@ -5265,6 +5373,7 @@ object SparkEntry {
     "q_stream_pretrain" -> pretrainStreamOracleSql,
     "q_stream_pretrain_decon" -> pretrainStreamDeconOracleSql,
     "q_stream_pretrain_near" -> pretrainStreamNearOracleSql,
+    "q_stream_pretrain_mix" -> pretrainStreamMixOracleSql,
     "q_stream_pretrain_stats" -> pretrainStatsOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
 

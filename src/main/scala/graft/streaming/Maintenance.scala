@@ -52,11 +52,30 @@ object Maintenance {
         s"$imbalanceThreshold")
   }
 
+  /** Acting on the training-mix signal: when some targeted source's
+    * live token share ([[StreamPretrain.liveSourceTokens]]) drifts
+    * more than `tolerancePpm` from its target share, the maintenance
+    * window publishes a new mix-rates version
+    * ([[StreamPretrain.rebalanceMix]] → [[StreamPretrain
+    * .publishMixRates]]) and every later micro-batch admits documents
+    * at the corrected per-source rates. Below the tolerance the run
+    * leaves the rates untouched — a healthy mix never flaps. This is
+    * the ACT half of the loop whose DETECT half is
+    * [[StreamPretrain.monitor]] (q_pretrain_monitor). */
+  final case class MixPolicy(
+      root: String,
+      targets: Seq[(String, Long)],
+      tolerancePpm: Long = 50000L) {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(tolerancePpm >= 0, s"tolerancePpm must be >= 0: $tolerancePpm")
+  }
+
   final case class Report(
       expiredResults: Seq[String], expiredStats: Seq[String],
       compactedResults: Seq[String], compactedStats: Seq[String],
       compactedIndexes: Seq[String] = Nil,
-      refitIndexes: Seq[String] = Nil) {
+      refitIndexes: Seq[String] = Nil,
+      rebalancedMix: Seq[String] = Nil) {
     def render: String =
       s"expired results partitions: ${expiredResults.size}" +
         (if (expiredResults.isEmpty) "" else expiredResults.mkString(" (", ", ", ")")) +
@@ -70,6 +89,8 @@ object Maintenance {
         (if (compactedIndexes.isEmpty) "" else compactedIndexes.mkString(" (", ", ", ")")) +
         s"\nrefit IVF-PQ generations: ${refitIndexes.size}" +
         (if (refitIndexes.isEmpty) "" else refitIndexes.mkString(" (", ", ", ")")) +
+        s"\nrebalanced mix rates: ${rebalancedMix.size}" +
+        (if (rebalancedMix.isEmpty) "" else rebalancedMix.mkString(" (", ", ", ")")) +
         "\n"
   }
 
@@ -84,7 +105,8 @@ object Maintenance {
       sketchRoots: Seq[String] = Nil,
       ivfPqRoots: Seq[String] = Nil,
       dedupRoots: Seq[String] = Nil,
-      ivfPqRefit: Seq[IvfPqRefitPolicy] = Nil): Report = {
+      ivfPqRefit: Seq[IvfPqRefitPolicy] = Nil,
+      mixPolicies: Seq[MixPolicy] = Nil): Report = {
     val results = s"$root/results"
     val stats = s"$root/stats"
     val sinkLog = new org.apache.hadoop.fs.Path(results, "_spark_metadata")
@@ -154,7 +176,13 @@ object Maintenance {
         p.root, p.nCells, p.iterations, p.m, p.k, p.scale,
         retireOld = p.retireOld))
     }
+    // mix rebalance after compaction for the same reason as the refit:
+    // the live-mass read must not count a retried batch's duplicates
+    val rebalanced = mixPolicies.filter(p => exists(p.root)).collect {
+      case p if StreamPretrain.rebalanceMix(spark, p.root, p.targets,
+          p.tolerancePpm) => p.root
+    }
     Report(expiredResults, expiredStats, compactedResults, compactedStats,
-      compactedIdx, refitted)
+      compactedIdx, refitted, rebalanced)
   }
 }

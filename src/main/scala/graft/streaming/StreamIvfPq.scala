@@ -66,28 +66,16 @@ object StreamIvfPq {
 
   // ---- model generations ------------------------------------------
 
-  private val VDirName = """_v(\d+)""".r
-
   private def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // the versioned-publish plumbing is shared machinery now
+  // ([[StreamState.versionIds]] — the same `_vN` + `_COMMITTED`
+  // contract also backs [[StreamPretrain]]'s mix-rates publishes)
   private def versions(spark: SparkSession, root: String,
-      committedOnly: Boolean): Seq[Int] = {
-    val fs = hfs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq.collect {
-      case st if st.isDirectory =>
-        st.getPath.getName match {
-          case VDirName(n)
-              if !committedOnly || fs.exists(
-                new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
-            n.toInt
-          case _ => -1
-        }
-    }.filter(_ > 0)
-  }
+      committedOnly: Boolean): Seq[Int] =
+    StreamState.versionIds(spark, root, committedOnly)
 
   /** The directory holding the newest COMMITTED model generation —
     * `root/_vN`, or `root` itself while the index is still on the

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.TextFunctions
 import graft.ml.LinearQuality
-import graft.operators.{Bpe, Curate, Decontaminate, Dedup, LangModel, TextAnalysis}
+import graft.operators.{Bpe, Curate, Decontaminate, Dedup, LangModel, Scale, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,6 +75,7 @@ object StreamPretrain {
   private def ledgerRoot(root: String) = s"$root/ledger"
   private def statsRoot(root: String) = s"$root/gatestats"
   private def nearRoot(root: String) = s"$root/near"
+  private[graft] def mixRoot(root: String) = s"$root/_mix"
 
   /** Fit the full frozen-model set on the curation corpus:
     *  - the learned quality classifier, labeled "is the reference
@@ -300,7 +301,33 @@ object StreamPretrain {
           nearRoot(root), cfg),
         Seq(idCol), "left_anti")
     }
-    val kept = nkp.fold(kept1)(k => kept1.join(k, Seq(idCol), "left_semi"))
+    val kept2 = nkp.fold(kept1)(k => kept1.join(k, Seq(idCol), "left_semi"))
+    // the training-mix gate (when a rates version is committed): the
+    // maintenance-window policy publishes per-source keep fractions
+    // ([[publishMixRates]]) and every later batch admits documents by
+    // the deterministic md5-threshold rule — one broadcast join
+    // against a sources-sized table, zero shuffle, one directory
+    // listing per batch to resolve the version. A source absent from
+    // the rates keeps everything (an unconfigured feed must not be
+    // silently downsampled). The decision is a pure function of
+    // (doc id, rates version): a redelivery under the SAME version
+    // replays exactly; one under a NEWER version may ADMIT documents
+    // the first delivery dropped — the encoded table serves the union
+    // (append-only), nothing is ever un-admitted. Rates changes are
+    // rare by the policy's tolerance ([[rebalanceMix]]).
+    val mixGate = currentMixRates(spark, root).map { r =>
+      val ann = broadcast(r
+        .withColumn("_thr", format_string("%08x",
+          floor(col("keep_frac") * lit(4294967296.0)).cast("long")))
+        .select(col("source").as("_mix_src"), col("keep_frac").as("_kf"),
+          col("_thr")))
+      (df: DataFrame) => df
+        .join(ann, df(sourceCol) === col("_mix_src"), "left")
+        .filter(col("_kf").isNull || col("_kf") >= 1.0 ||
+          Scale.sampleBucket(col(idCol)) < col("_thr"))
+        .drop("_mix_src", "_kf", "_thr")
+    }
+    val kept = mixGate.fold(kept2)(g => g(kept2))
     // encode + manifest BEFORE the ledger append (see header)
     StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
       encRoot(root), batchId)
@@ -322,9 +349,10 @@ object StreamPretrain {
       import batch.sparkSession.implicits._
       Seq((batchId, batch.count(), freshAll.count(), gop.count(),
           lks.count(), knk.count(), dkp.map(_.count()),
-          nkp.map(_.count()), kept.count()))
+          nkp.map(_.count()), mixGate.map(g => g(batch).count()),
+          kept.count()))
         .toDF("batch_id", "n_in", "n_fresh", "n_gopher", "n_quality",
-          "n_kn", "n_decon", "n_near", "n_kept")
+          "n_kn", "n_decon", "n_near", "n_mix", "n_kept")
         .repartition(1)
         .write.mode("append").parquet(statsRoot(root))
     }
@@ -336,9 +364,9 @@ object StreamPretrain {
 
   /** The per-batch gate accounting rows ([[ingestBatch]] with
     * `recordStats = true`): (batch_id, n_in, n_fresh, n_gopher,
-    * n_quality, n_kn, n_decon, n_near, n_kept) — each gate's
-    * INDIVIDUAL pass count over its batch (n_decon / n_near null when
-    * that gate is not configured), n_fresh the first-arrival count
+    * n_quality, n_kn, n_decon, n_near, n_mix, n_kept) — each gate's
+    * INDIVIDUAL pass count over its batch (n_decon / n_near / n_mix
+    * null when that gate is not configured), n_fresh the first-arrival count
     * after the ledger, n_kept the composed survivors. One row per
     * batch: the ledger append is
     * all-or-nothing per batch (a Spark write commits or leaves
@@ -379,6 +407,110 @@ object StreamPretrain {
       .filter(abs(col("z")) > lit(k))
       .select(col("batch_id"), col("n_in"), col("n_kept"),
         col("kept_ppm"), round(col("z"), 6).as("z"))
+  }
+
+  // ---- training-mix control (detect → ACT) --------------------------
+
+  /** Per-source LIVE token mass — the training mix as it stands: each
+    * surviving document's encoded piece count, summed per source. One
+    * aggregate over the live encoded table; the result is
+    * sources-sized, never corpus-sized. */
+  def liveSourceTokens(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val encP = new org.apache.hadoop.fs.Path(encRoot(root))
+    if (!encP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(encP))
+      return Seq.empty[(String, Long)].toDF("source", "dom_tokens")
+    val enc = StreamBpe.readEncoded(spark, encRoot(root))
+    val idc = enc.columns.head
+    val perDoc = enc.groupBy(col(idc)).agg(count(lit(1)).as("_n"))
+    keptDocs(spark, root).withColumnRenamed("id", idc)
+      .join(perDoc, idc)
+      .groupBy("source").agg(sum("_n").cast("long").as("dom_tokens"))
+  }
+
+  /** Publish a new mix-rates version computed from the live mix:
+    * [[graft.operators.Curate.mixtureTarget]]'s DoReMi-style rule —
+    * with r_s = dom_tokens_s / w_s, keep_frac_s = min(1,
+    * min_e(r_e) · w_s / dom_tokens_s) — evaluated over the CURRENT
+    * per-source token mass, so future admissions steer the kept mass
+    * toward the target ratios (assuming arriving traffic resembles
+    * the history that produced the imbalance — the standard feedback
+    * control premise; the next policy run re-measures and corrects).
+    * Every arithmetic step is plain IEEE double on integer inputs
+    * (the q_mixture_target replay contract), so an external engine
+    * reproduces the kept set exactly.
+    *
+    * The rates land as a tiny (source, dom_tokens, keep_frac) parquet
+    * in a `_vN` directory made visible by one atomic `_COMMITTED`
+    * create ([[StreamState.commitVersion]] — the [[StreamIvfPq.refit]]
+    * publish pattern), so ingest always reads one consistent,
+    * fully-written rates table and a crashed publish is invisible.
+    * A target must be positive; a targeted source with no live mass
+    * keeps everything (it is the under-represented one). Returns the
+    * published directory. */
+  def publishMixRates(spark: SparkSession, root: String,
+      targets: Seq[(String, Long)]): String = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.forall(_._2 > 0), s"weights must be positive: $targets")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate source in targets: $targets")
+    import spark.implicits._
+    val w = targets.toDF("source", "_w")
+    val dw = w.join(liveSourceTokens(spark, root), Seq("source"), "left")
+      .na.fill(0L, Seq("dom_tokens"))
+    val minR = dw.filter(col("dom_tokens") > 0)
+      .agg(min(col("dom_tokens").cast("double") / col("_w").cast("double"))
+        .as("_minr"))
+    val rates = dw.crossJoin(minR)
+      .withColumn("keep_frac", when(col("dom_tokens") === 0, lit(1.0))
+        .otherwise(least(lit(1.0),
+          col("_minr") * col("_w").cast("double") /
+            col("dom_tokens").cast("double"))))
+      .select("source", "dom_tokens", "keep_frac")
+      .orderBy("source")
+    val vdir = StreamState.nextVersionDir(spark, mixRoot(root))
+    // the rates live under a normal-named leaf: Spark's file listing
+    // skips underscore-prefixed roots, so `_vN` itself cannot be a
+    // parquet root (the StreamIvfPq layout convention)
+    rates.coalesce(1).write.mode("overwrite").parquet(s"$vdir/rates")
+    StreamState.commitVersion(spark, vdir)
+    vdir
+  }
+
+  /** The newest committed mix-rates table, or None before the first
+    * publish (ingest keeps everything). */
+  def currentMixRates(spark: SparkSession,
+      root: String): Option[DataFrame] =
+    StreamState.newestCommitted(spark, mixRoot(root))
+      .map(v => spark.read.parquet(s"$v/rates"))
+
+  /** The ACT face of the mix signal (the [[Maintenance
+    * .IvfPqRefitPolicy]] pattern for the training mix): measure the
+    * live mix against the target ratios and publish a new rates
+    * version only when some targeted source's share drifts more than
+    * `tolerancePpm` from its target share — a healthy mix never
+    * flaps, a drifted one self-corrects from the next micro-batch on.
+    * Shares are integer parts-per-million over the TARGETED sources'
+    * mass (an untargeted source is out of scope by construction: the
+    * ingest gate keeps it whole — a feed the operator never
+    * configured must not be silently downsampled). Returns true iff
+    * a version was published. */
+  def rebalanceMix(spark: SparkSession, root: String,
+      targets: Seq[(String, Long)], tolerancePpm: Long = 50000L): Boolean = {
+    require(tolerancePpm >= 0, s"tolerancePpm must be >= 0: $tolerancePpm")
+    import spark.implicits._
+    val wSum = targets.map(_._2).sum
+    val live = liveSourceTokens(spark, root)
+      .as[(String, Long)].collect().toMap
+    val masses = targets.map { case (s0, _) => live.getOrElse(s0, 0L) }
+    val total = masses.sum
+    if (total == 0L) return false // nothing live yet — no signal
+    val drift = targets.zip(masses).map { case ((_, w0), m) =>
+      math.abs(m * 1000000L / total - w0 * 1000000L / wSum)
+    }.max
+    if (drift <= tolerancePpm) false
+    else { publishMixRates(spark, root, targets); true }
   }
 
   /** Attach the whole chain to a live document stream as ONE

@@ -144,6 +144,54 @@ private[graft] object StreamState {
     else readGenLog(spark, root).filter(col("del"))
       .groupBy("id").agg(max("batch_id").as("_tomb"))
 
+  // ---- versioned publish (the StreamIvfPq refit pattern, shared) --
+
+  private val VDir = """_v(\d+)""".r
+
+  /** The `_vN` version directories under `root` — a version is
+    * visible only once its `_COMMITTED` marker lands (one atomic file
+    * create, so a reader can never pair a half-written version's
+    * contents with anything). `committedOnly = false` also counts
+    * crashed publishes, so the next publish never reuses a directory
+    * someone may still be half-writing. */
+  def versionIds(spark: SparkSession, root: String,
+      committedOnly: Boolean): Seq[Int] = {
+    val hfs = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!hfs.exists(p)) return Nil
+    hfs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VDir(n)
+              if !committedOnly || hfs.exists(
+                new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
+            n.toInt
+          case _ => -1
+        }
+    }.filter(_ > 0)
+  }
+
+  /** Directory of the newest COMMITTED version, or None before the
+    * first successful publish. */
+  def newestCommitted(spark: SparkSession, root: String): Option[String] =
+    versionIds(spark, root, committedOnly = true) match {
+      case Nil => None
+      case vs => Some(s"$root/_v${vs.max}")
+    }
+
+  /** The next version directory to publish into — one past the
+    * highest existing version, committed or not. */
+  def nextVersionDir(spark: SparkSession, root: String): String =
+    s"$root/_v${(versionIds(spark, root, committedOnly = false) :+ 0).max + 1}"
+
+  /** Make a fully-written version directory visible: one atomic
+    * `_COMMITTED` create. */
+  def commitVersion(spark: SparkSession, vdir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(vdir, "_COMMITTED")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, false).close()
+  }
+
   /** Merge-and-retire fold of the generation log itself: one row per
     * document — its newest entry, tombstones included (a deleted,
     * never-resurrected document keeps its tombstone row forever;

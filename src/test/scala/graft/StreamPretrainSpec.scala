@@ -384,4 +384,136 @@ class StreamPretrainSpec extends SparkSpec {
     assert(st.map(r => r.getLong(r.fieldIndex("n_kept"))).sum ==
       StreamPretrain.keptDocs(spark, root).count())
   }
+
+  // independent replay of the published rates: batch-0 survivors'
+  // per-source piece mass → mixtureTarget's rule in plain Scala
+  // doubles (the exact IEEE association the engine and the oracle
+  // share: (minr * w) / dom)
+  private def expectedMixRates(b0surv: org.apache.spark.sql.DataFrame,
+      fz: StreamPretrain.Frozen,
+      targets: Seq[(String, Long)]): Map[String, Double] = {
+    val mass = Bpe.encodeIdsWith(b0surv, "doc_id", "text", fz.tokenizer)
+      .groupBy("doc_id").agg(count(lit(1)).as("_n"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("_n").cast("long").as("m"))
+      .as[(String, Long)].collect().toMap
+    val dw = targets.map { case (s0, w) => (s0, w, mass.getOrElse(s0, 0L)) }
+    val minr = dw.collect { case (_, w, m) if m > 0 =>
+      m.toDouble / w.toDouble }.min
+    dw.map { case (s0, w, m) =>
+      s0 -> (if (m == 0) 1.0
+             else math.min(1.0, minr * w.toDouble / m.toDouble))
+    }.toMap
+  }
+
+  test("mix rates from the maintenance window steer later batches exactly") {
+    val root = tmp()
+    // pass-all lang-sensitive gates (the monitor-test configuration):
+    // the fixture's full chain leaves too few later survivors at this
+    // scale to exercise the mix gate non-vacuously; the full-chain
+    // composition is pinned by the q_stream_pretrain_mix oracle
+    val fz0 = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val fz = fz0.copy(
+      quality = fz0.quality.copy(weightsMicro = Map.empty,
+        biasMicro = fz0.quality.scale),
+      langT1 = langs.map(_ -> Long.MaxValue).toMap)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+    val b1 = docs.filter(col("doc_id") * 3 > maxId && col("doc_id") * 3 <= maxId * 2)
+    val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+    StreamPretrain.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root, 0L)
+    val targets = docs.select("source").distinct().orderBy("source")
+      .as[String].collect().toSeq.map(_ -> 100000L)
+    StreamPretrain.publishMixRates(spark, root, targets)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L)
+    StreamPretrain.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root, 1L) // retry
+    StreamPretrain.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root, 2L)
+    // independent expectation: batch-0 survivors whole; later
+    // survivors admitted by the md5 rule under independently-replayed
+    // rates from batch 0's mass
+    val surv = batchSurvivors(docs, fz)
+    val b0surv = surv.filter(col("doc_id") * 3 <= maxId)
+    val rates = expectedMixRates(b0surv, fz, targets)
+    val thr = rates.map { case (s0, kf) =>
+      s0 -> f"${math.floor(kf * 4294967296.0).toLong}%08x" }
+    val thrDf = broadcast(thr.toSeq.toDF("source", "_thr")
+      .join(rates.toSeq.toDF("source", "_kf"), "source"))
+    val later = surv.filter(col("doc_id") * 3 > maxId)
+      .join(thrDf, Seq("source"), "left")
+      .filter(col("_kf").isNull || col("_kf") >= 1.0 ||
+        graft.operators.Scale.sampleBucket(col("doc_id")) < col("_thr"))
+      .drop("_kf", "_thr")
+    val expected = b0surv.select("doc_id").union(later.select("doc_id"))
+    // the gate BITES: some later survivor of every other gate was
+    // downsampled away (otherwise this test is vacuous)
+    assert(later.count() <
+      surv.filter(col("doc_id") * 3 > maxId).count(),
+      "equal-mass targets must actually downsample some source")
+    val keptIds = StreamPretrain.keptDocs(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(keptIds == expected.as[Long].collect().toSet && keptIds.nonEmpty)
+    // the packed windows rebuild over exactly the admitted set
+    val want = Pack.packCounts(
+      Bpe.encodeIdsWith(docs.join(expected, "doc_id"), "doc_id", "text",
+        fz.tokenizer)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+      "doc_id", 512).collect().map(_.toSeq).toSet
+    val got = StreamPretrain.packedShards(spark, root, 512)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // a source the operator never targeted is kept whole
+    val untargeted = StreamPretrain.currentMixRates(spark, root).get
+      .filter(col("keep_frac") >= 1.0).select("source")
+      .as[String].collect().toSet
+    assert(untargeted.nonEmpty,
+      "the most under-represented source keeps everything")
+  }
+
+  test("MixPolicy: no-op below tolerance, publishes at drift, never flaps") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    val targets = docs.select("source").distinct().orderBy("source")
+      .as[String].collect().toSeq.map(_ -> 100000L)
+    // before any ingest: no live mass, no signal, no publish
+    assert(!StreamPretrain.rebalanceMix(spark, root, targets, 0L))
+    StreamPretrain.ingestBatch(docs, "doc_id", "text", "lang", "source",
+      fz, root, 0L)
+    // a huge tolerance: the mix is "healthy", the window must not flap
+    val calm = graft.streaming.Maintenance.run(spark, root,
+      mixPolicies = Seq(graft.streaming.Maintenance.MixPolicy(
+        root, targets, tolerancePpm = 1000000L)))
+    assert(calm.rebalancedMix.isEmpty)
+    assert(StreamPretrain.currentMixRates(spark, root).isEmpty)
+    // zero tolerance: the fixture's sources are unbalanced — publish
+    val act = graft.streaming.Maintenance.run(spark, root,
+      mixPolicies = Seq(graft.streaming.Maintenance.MixPolicy(
+        root, targets, tolerancePpm = 0L)))
+    assert(act.rebalancedMix == Seq(root))
+    val rates = StreamPretrain.currentMixRates(spark, root)
+    assert(rates.isDefined)
+    assert(rates.get.count() == targets.size.toLong)
+    assert(rates.get.filter(col("keep_frac") < 1.0).count() > 0)
+  }
+
+  test("a crashed rates publish is invisible; the next one supersedes it") {
+    val root = tmp()
+    val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
+    StreamPretrain.ingestBatch(docs, "doc_id", "text", "lang", "source",
+      fz, root, 0L)
+    // a fully-written rates table whose _COMMITTED create never ran
+    val crashed = s"${StreamPretrain.mixRoot(root)}/_v1"
+    Seq(("web", 1L, 0.5)).toDF("source", "dom_tokens", "keep_frac")
+      .coalesce(1).write.parquet(crashed)
+    assert(StreamPretrain.currentMixRates(spark, root).isEmpty,
+      "an uncommitted version must never serve")
+    // the next publish lands beside it and wins
+    val targets = docs.select("source").distinct().orderBy("source")
+      .as[String].collect().toSeq.map(_ -> 100000L)
+    val vdir = StreamPretrain.publishMixRates(spark, root, targets)
+    assert(vdir.endsWith("_v2"), s"crashed _v1 must not be reused: $vdir")
+    assert(StreamPretrain.currentMixRates(spark, root).get
+      .filter(col("source") === "web" && col("keep_frac") === 0.5)
+      .isEmpty, "the crashed table's rows must not serve")
+  }
 }
