@@ -224,7 +224,7 @@ object Bench {
         "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
         "q_stream_pretrain", "q_stream_pretrain_decon",
         "q_stream_pretrain_near", "q_stream_pretrain_mix",
-        "q_stream_pretrain_stats",
+        "q_stream_pretrain_sem", "q_stream_pretrain_stats",
         "q_pretrain_monitor", "q_embed_ivfpq_del",
         "q_dedup_clusters_del")
       // benchQueries: the three pinned-plane LSH entries time their

@@ -2849,6 +2849,56 @@ object SparkEntry {
       },
       None),
 
+    ("q_stream_pretrain_sem", // the composed pipeline WITH the
+      // incrementally-maintained SEMANTIC dedup gate — SemDeDup at
+      // ingest, the embedding face of the dedup family beside the
+      // exact fingerprint ledger and the MinHash cluster gate: the
+      // coarse quantizer freezes at fit time (integer-exact k-means,
+      // k=8 it=2 — the q_dedup_semantic / q_embed_kmeans replay
+      // machinery), each micro-batch assigns its vectors to a frozen
+      // cell with one compiled projection and probes ONLY its own
+      // cells' accumulated vectors for an earlier-id partner at
+      // cosine >= 0.3 (exact verification, cell-pruned scan — the
+      // candidate scope IS the semantics, no LSH recall question).
+      // Refusal is final at arrival (direct-pair keep-first under
+      // monotone ids), so there is no read-side late exclusion.
+      // Oracle: the whole q_dedup_semantic replay (fit included)
+      // nests as one subquery inside the chain SQL.
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_stream_pretrain_sem").toString + "/pipe"
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val corpus = docs.join(emb, "doc_id")
+        val SP = graft.streaming.StreamPretrain
+        val fz = SP.fit(docs, "doc_id", "text", "lang")
+        val sem = Some(SP.SemGate(
+          graft.streaming.StreamSemDedup.fit(corpus, "doc_id",
+            "embedding", k = 8, iterations = 2, threshold = 0.3),
+          "embedding"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val b0 = corpus.filter(col("doc_id") * 3 <= maxId)
+        val b1 = corpus.filter(col("doc_id") * 3 > maxId &&
+          col("doc_id") * 3 <= maxId * 2)
+        val b2 = corpus.filter(col("doc_id") * 3 > maxId * 2)
+        SP.ingestBatch(b0, "doc_id", "text", "lang", "source", fz, root,
+          0L, semDup = sem)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root,
+          1L, semDup = sem)
+        SP.ingestBatch(b1, "doc_id", "text", "lang", "source", fz, root,
+          1L, semDup = sem) // retry
+        SP.ingestBatch(b2, "doc_id", "text", "lang", "source", fz, root,
+          2L, semDup = sem)
+        val got = SP.packedShards(s, root, 512).localCheckpoint(true)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      None),
+
     ("q_stream_pretrain_stats", // per-batch GATE ACCOUNTING — the
       // operational "why did my corpus shrink" face of the composed
       // pipeline: one tiny opt-in record per micro-batch with each
@@ -4997,9 +5047,19 @@ object SparkEntry {
       dir: String): String =
     pretrainStreamOracle(s, dir, decon = false, near = true)
 
+  /** Oracle for q_stream_pretrain_sem: the composed chain with the
+    * incrementally-maintained SEMANTIC dedup gate — the whole
+    * q_dedup_semantic replay (frozen k-means fit + within-cluster
+    * exact cosine keep-first) nested as one subquery, exactly the
+    * near-gate pattern. */
+  private def pretrainStreamSemOracleSql(s: SparkSession,
+      dir: String): String =
+    pretrainStreamOracle(s, dir, decon = false, sem = true)
+
   private def pretrainStreamOracle(s: SparkSession, dir: String,
-      decon: Boolean, near: Boolean = false): String =
-    s"""${pretrainChainCtes(s, dir, decon, near)},
+      decon: Boolean, near: Boolean = false,
+      sem: Boolean = false): String =
+    s"""${pretrainChainCtes(s, dir, decon, near, sem)},
        |stk AS (SELECT doc_id,
        |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
        |                             x -> len(x) > 0)) AS word
@@ -5097,6 +5157,7 @@ object SparkEntry {
        |          WHERE kq.mean_nll_micro <= tl.t1) AS n_kn,
        |       (SELECT count(*) FROM dck) AS n_decon,
        |       CAST(NULL AS BIGINT) AS n_near,
+       |       CAST(NULL AS BIGINT) AS n_sem,
        |       CAST(NULL AS BIGINT) AS n_mix,
        |       (SELECT count(*) FROM surv) AS n_kept""".stripMargin
 
@@ -5144,7 +5205,8 @@ object SparkEntry {
     * deduped survivor set). `decon = true` adds the benchmark-gram
     * CTEs and the gate's join. */
   private def pretrainChainCtes(s: SparkSession, dir: String,
-      decon: Boolean, near: Boolean = false): String = {
+      decon: Boolean, near: Boolean = false,
+      sem: Boolean = false): String = {
     val docs = t(s, dir, "documents")
     val bench =
       if (!decon) None
@@ -5200,6 +5262,34 @@ object SparkEntry {
          |  ) WHERE id <> cluster)),
          |""".stripMargin
     val nearJoin = if (!near) "" else " JOIN nck USING (doc_id)"
+    // the semantic gate: the WHOLE q_dedup_semantic oracle (frozen
+    // integer-exact k-means fit + within-cluster exact cosine +
+    // non-greedy id_b drops) nests as ONE derived table, so its CTE
+    // names (q, fin, …) cannot collide with the chain's
+    val semCtes = if (!sem) "" else
+      s"""smk AS (SELECT vec_id AS doc_id FROM (
+         |  ${kmeansCtesSql(8, "")},
+         |  svv AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |                 generate_subscripts(embedding, 1) AS i
+         |          FROM embeddings),
+         |  snn AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM svv GROUP BY 1),
+         |  spd AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+         |                 sum(va.x * vb.x) AS dot
+         |          FROM fin ca JOIN fin cb ON ca.cl = cb.cl
+         |                                  AND ca.vec_id < cb.vec_id
+         |          JOIN svv va ON va.vec_id = ca.vec_id
+         |          JOIN svv vb ON vb.vec_id = cb.vec_id AND vb.i = va.i
+         |          GROUP BY 1, 2),
+         |  sdr AS (SELECT DISTINCT spd.id_b FROM spd
+         |          JOIN snn na ON na.vec_id = spd.id_a
+         |          JOIN snn nb ON nb.vec_id = spd.id_b
+         |          WHERE na.nrm * nb.nrm <> 0
+         |            AND spd.dot / (na.nrm * nb.nrm) >= 0.3)
+         |  SELECT vec_id FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT id_b FROM sdr)
+         |)),
+         |""".stripMargin
+    val semJoin = if (!sem) "" else " JOIN smk USING (doc_id)"
     val wv = fz.quality.weightsMicro.toSeq.sorted
       .map { case (b, w) => s"('$b', $w)" }.mkString(", ")
     val t1v = fz.langT1.toSeq.sorted
@@ -5230,9 +5320,9 @@ object SparkEntry {
        |kq AS (SELECT doc_id, mean_nll_micro FROM (${knQualityOracleSql(s, dir)})),
        |tl AS (SELECT a AS lang, CAST(c AS BIGINT) AS t1
        |       FROM (VALUES $t1v) v(a, c)),
-       |$deconCtes${nearCtes}surv AS (SELECT d.doc_id FROM documents d
+       |$deconCtes$nearCtes${semCtes}surv AS (SELECT d.doc_id FROM documents d
        |         JOIN gop USING (doc_id) JOIN lq USING (doc_id)
-       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)$deconJoin$nearJoin
+       |         JOIN dk USING (doc_id) JOIN kq USING (doc_id)$deconJoin$nearJoin$semJoin
        |         JOIN tl ON d.lang = tl.lang
        |         WHERE kq.mean_nll_micro <= tl.t1)""".stripMargin
   }
@@ -5374,6 +5464,7 @@ object SparkEntry {
     "q_stream_pretrain_decon" -> pretrainStreamDeconOracleSql,
     "q_stream_pretrain_near" -> pretrainStreamNearOracleSql,
     "q_stream_pretrain_mix" -> pretrainStreamMixOracleSql,
+    "q_stream_pretrain_sem" -> pretrainStreamSemOracleSql,
     "q_stream_pretrain_stats" -> pretrainStatsOracleSql,
     "q_pretrain_pipeline" -> pretrainOracleSql)
 

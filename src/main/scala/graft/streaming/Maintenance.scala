@@ -105,6 +105,7 @@ object Maintenance {
       sketchRoots: Seq[String] = Nil,
       ivfPqRoots: Seq[String] = Nil,
       dedupRoots: Seq[String] = Nil,
+      semRoots: Seq[String] = Nil,
       ivfPqRefit: Seq[IvfPqRefitPolicy] = Nil,
       mixPolicies: Seq[MixPolicy] = Nil): Report = {
     val results = s"$root/results"
@@ -165,6 +166,8 @@ object Maintenance {
         StreamIvfPq.compact(spark, r); r
       } ++ dedupRoots.filter(exists).map { r =>
         StreamDedup.compact(spark, r); r
+      } ++ semRoots.filter(exists).map { r =>
+        StreamSemDedup.compact(spark, r); r
       }
     // drift repair LAST — the imbalance read must see this run's
     // compaction (retried batches' duplicate rows inflate cell fills),

@@ -75,7 +75,13 @@ object StreamPretrain {
   private def ledgerRoot(root: String) = s"$root/ledger"
   private def statsRoot(root: String) = s"$root/gatestats"
   private def nearRoot(root: String) = s"$root/near"
+  private def semRoot(root: String) = s"$root/sem"
   private[graft] def mixRoot(root: String) = s"$root/_mix"
+
+  /** The semantic-dedup gate's configuration: the frozen quantizer +
+    * threshold ([[StreamSemDedup.Model]]) and the batch column
+    * carrying the document embedding. */
+  final case class SemGate(model: StreamSemDedup.Model, embCol: String)
 
   /** Fit the full frozen-model set on the curation corpus:
     *  - the learned quality classifier, labeled "is the reference
@@ -231,7 +237,8 @@ object StreamPretrain {
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       langCol: String, sourceCol: String, fz: Frozen, root: String,
       batchId: Long, recordStats: Boolean = false,
-      nearDup: Option[StreamDedup.Config] = None): Unit = {
+      nearDup: Option[StreamDedup.Config] = None,
+      semDup: Option[SemGate] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // NEAR-dup structure first (when configured): the batch's bands
@@ -252,6 +259,17 @@ object StreamPretrain {
       StreamState.release(StreamDedup.upsertBatchWithLabels(
         batch.select(col(idCol), col(textCol)), idCol, textCol,
         nearRoot(root), cfg, batchId = batchId))
+    }
+    // SEMANTIC structure likewise ingests ALL arrivals (a refused
+    // document still refuses later lookalikes — the batch
+    // semanticDedup's non-greedy rule). The refusal decision is
+    // final at arrival (direct-pair keep-first under monotone ids),
+    // so unlike the near gate there is no read-side late exclusion:
+    // the anti-join below is the whole composition.
+    val semRefused = semDup.map { g =>
+      StreamSemDedup.upsertBatch(
+        batch.select(col(idCol), col(g.embCol)), idCol, g.embCol,
+        g.model, semRoot(root), batchId)
     }
     // stateless gates
     val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
@@ -301,7 +319,11 @@ object StreamPretrain {
           nearRoot(root), cfg),
         Seq(idCol), "left_anti")
     }
-    val kept2 = nkp.fold(kept1)(k => kept1.join(k, Seq(idCol), "left_semi"))
+    val kept1a = nkp.fold(kept1)(k => kept1.join(k, Seq(idCol), "left_semi"))
+    // the semantic gate: refused-at-arrival ids drop before encoding
+    val kept2 = semRefused.fold(kept1a)(r =>
+      kept1a.join(r.withColumnRenamed("id", idCol), Seq(idCol),
+        "left_anti"))
     // the training-mix gate (when a rates version is committed): the
     // maintenance-window policy publishes per-source keep fractions
     // ([[publishMixRates]]) and every later batch admits documents by
@@ -349,10 +371,12 @@ object StreamPretrain {
       import batch.sparkSession.implicits._
       Seq((batchId, batch.count(), freshAll.count(), gop.count(),
           lks.count(), knk.count(), dkp.map(_.count()),
-          nkp.map(_.count()), mixGate.map(g => g(batch).count()),
+          nkp.map(_.count()),
+          semRefused.map(r => batch.count() - r.count()),
+          mixGate.map(g => g(batch).count()),
           kept.count()))
         .toDF("batch_id", "n_in", "n_fresh", "n_gopher", "n_quality",
-          "n_kn", "n_decon", "n_near", "n_mix", "n_kept")
+          "n_kn", "n_decon", "n_near", "n_sem", "n_mix", "n_kept")
         .repartition(1)
         .write.mode("append").parquet(statsRoot(root))
     }
@@ -360,12 +384,16 @@ object StreamPretrain {
       .withColumn("batch_id", lit(batchId))
       .repartition(1)
       .write.mode("append").parquet(ledgerRoot(root))
+    // the semantic delta's checkpoint blocks release once the batch's
+    // last consumer (encode/kept/stats above) has run
+    semRefused.foreach(StreamState.release)
   }
 
   /** The per-batch gate accounting rows ([[ingestBatch]] with
     * `recordStats = true`): (batch_id, n_in, n_fresh, n_gopher,
-    * n_quality, n_kn, n_decon, n_near, n_mix, n_kept) — each gate's
-    * INDIVIDUAL pass count over its batch (n_decon / n_near / n_mix
+    * n_quality, n_kn, n_decon, n_near, n_sem, n_mix, n_kept) — each
+    * gate's INDIVIDUAL pass count over its batch (n_decon / n_near /
+    * n_sem / n_mix
     * null when that gate is not configured), n_fresh the first-arrival count
     * after the ledger, n_kept the composed survivors. One row per
     * batch: the ledger append is
