@@ -83,8 +83,23 @@ object Bench {
       streamJson: String, streamSustained: Option[Boolean],
       loadBefore: Double, loadAfter: Double,
       calibBefore: Double, calibAfter: Double,
-      calibParBefore: Double, calibParAfter: Double) {
+      calibParBefore: Double, calibParAfter: Double,
+      // the streaming window's OWN calibration endpoints (r12 verdict
+      // item 4: the stats-leg p95 doubled and the artifact could not
+      // prove whether that was the engine or a co-tenant — the whole-
+      // attempt probes bracket 130 s of unrelated queries). A
+      // contended streaming window now marks the attempt contended
+      // even when the query sweep itself ran clean.
+      streamCalibBefore: Double = -1.0, streamCalibAfter: Double = -1.0,
+      streamCalibParBefore: Double = -1.0,
+      streamCalibParAfter: Double = -1.0) {
     def total: Double = queries.map(_._2).filter(_ >= 0).sum
+    private def streamContended: Boolean =
+      streamCalibBefore > 0 && (
+        streamCalibParBefore > 1.6 * streamCalibBefore ||
+          streamCalibParAfter > 1.6 * streamCalibAfter ||
+          streamCalibAfter > 1.3 * streamCalibBefore ||
+          streamCalibBefore > 1.3 * streamCalibAfter)
     def contended: Boolean =
       calibParBefore > 1.6 * calibBefore ||
         calibParAfter > 1.6 * calibAfter ||
@@ -96,12 +111,17 @@ object Bench {
         // under 1.6; clean runs drift ≤ ~1.17)
         calibAfter > 1.3 * calibBefore ||
         calibBefore > 1.3 * calibAfter ||
+        streamContended ||
         streamSustained.contains(false)
     def telemetryJson: String =
       f"""{"total":$total%.3f,"contended":$contended,""" +
         f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,""" +
         f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
         f""""calib_par_before":$calibParBefore%.3f,"calib_par_after":$calibParAfter%.3f,""" +
+        f""""stream_calib_sec_before":$streamCalibBefore%.3f,""" +
+        f""""stream_calib_sec_after":$streamCalibAfter%.3f,""" +
+        f""""stream_calib_par_before":$streamCalibParBefore%.3f,""" +
+        f""""stream_calib_par_after":$streamCalibParAfter%.3f,""" +
         f""""stream_sustained":${streamSustained.map(_.toString).getOrElse("null")}}"""
   }
 
@@ -115,6 +135,28 @@ object Bench {
   private def envLong(name: String, default: Long): Long =
     sys.env.get(name).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .getOrElse(default)
+
+  /** The ingest-scenario queries excluded from the latency table (each
+    * drives a whole multi-batch choreography — temp-dir builds, sink
+    * starts, redeliveries — so in a latency table they would measure
+    * trigger scheduling and disk IO, not operator cost). They are
+    * timed SEPARATELY in the artifact's `scenarios` section instead:
+    * wall seconds plus the per-batch p95 the [[graft.streaming
+    * .BatchTimer]] hooks record inside each run (r12 verdict item 2 —
+    * the at-ingest story's cost evidence belongs in the driver's
+    * artifact, not only in builder-run survey prose).
+    */
+  private[graft] val scenarioQueries: Set[String] = Set(
+    "q_stream_dedup_index", "q_write_shards",
+    "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
+    "q_stream_text_index", "q_embed_ivfpq_incr",
+    "q_stream_text_index_upd", "q_stream_text_index_del",
+    "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
+    "q_stream_pretrain", "q_stream_pretrain_decon",
+    "q_stream_pretrain_near", "q_stream_pretrain_mix",
+    "q_stream_pretrain_sem", "q_stream_pretrain_stats",
+    "q_pretrain_monitor", "q_embed_ivfpq_del",
+    "q_dedup_clusters_del")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,6 +204,19 @@ object Bench {
       // the 10 s stats leg accumulates ≥12 triggers — a p95 over 3
       // samples isn't a p95 (round-6 verdict).
       val streamSecs = envLong("SPARK_GRAFT_STREAM_SECS", 130L).toInt
+      // the streaming window gets its own calibration bracket so a
+      // p95 shift is self-adjudicating like the query table (r12
+      // verdict item 4: stats p95 2.2 s vs r11's 1.1 s with only
+      // whole-attempt probes — ambiguous between engine and host).
+      // The parallel probe here runs INSIDE a hot JVM (right after
+      // the warmup query: lingering task threads, GC, JIT) and a
+      // single sample reads that settle noise as contention (observed
+      // 1.75× on an idle box); best-of-2 keeps the co-tenant signal —
+      // real contention covers both samples — and sheds the transient.
+      def calPar2(): Double = math.min(calibrateParallel(), calibrateParallel())
+      val (sCalB, sParB) =
+        if (streamSecs <= 0) (-1.0, -1.0)
+        else (calibrate(), calPar2())
       val stream: Option[StreamBench.Result] =
         if (streamSecs <= 0) None
         else try Some(StreamBench.run(spark,
@@ -173,7 +228,18 @@ object Bench {
           e.printStackTrace()
           None
         }
-      val streamJson = stream.map(_.json).getOrElse("null")
+      val (sCalA, sParA) =
+        if (streamSecs <= 0) (-1.0, -1.0)
+        else (calibrate(), calPar2())
+      // splice the window's calib endpoints INTO the streaming JSON
+      // object so the artifact carries them beside the p95s they vouch for
+      val streamJson = stream.map { r =>
+        val base = r.json.trim
+        if (!base.endsWith("}")) base
+        else base.dropRight(1) +
+          f""","calib_sec_before":$sCalB%.3f,"calib_sec_after":$sCalA%.3f,""" +
+          f""""calib_par_before":$sParB%.3f,"calib_par_after":$sParA%.3f}"""
+      }.getOrElse("null")
 
       // Scenario queries drive a whole streaming pipeline inside the
       // query body (start real sinks, replay micro-batches, stop) —
@@ -217,21 +283,11 @@ object Bench {
       // repair's operator costs are q_dedup_minhash_lsh's banding/
       // verify over the affected members plus q_dedup_clusters'
       // propagation.
-      val excluded = Set("q_stream_dedup_index", "q_write_shards",
-        "q_shard_manifest", "q_dedup_clusters_incr", "q_stream_cms",
-        "q_stream_text_index", "q_embed_ivfpq_incr",
-        "q_stream_text_index_upd", "q_stream_text_index_del",
-        "q_stream_bpe_ids", "q_stream_bpe_del", "q_embed_ivfpq_refit",
-        "q_stream_pretrain", "q_stream_pretrain_decon",
-        "q_stream_pretrain_near", "q_stream_pretrain_mix",
-        "q_stream_pretrain_sem", "q_stream_pretrain_stats",
-        "q_pretrain_monitor", "q_embed_ivfpq_del",
-        "q_dedup_clusters_del")
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).
       val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-        .filterNot(q => excluded(q._1))
+        .filterNot(q => scenarioQueries(q._1))
         .map { case (name, fn) => name -> run(fn) }
 
       // Fan-out throughput (BASELINE.md: ≥50k lines/s at sf0.1): lines =
@@ -294,7 +350,8 @@ object Bench {
       val loadAfter = loadAvg()
       Attempt(results, fanoutRate, writeMbPerSec, streamJson,
         stream.map(_.sustained), loadBefore, loadAfter,
-        calibBefore, calibAfter, calibParBefore, calibParAfter)
+        calibBefore, calibAfter, calibParBefore, calibParAfter,
+        sCalB, sCalA, sParB, sParA)
     }
 
     // Self-adjudication: a contended attempt triggers re-runs — the
@@ -334,6 +391,57 @@ object Bench {
       .minBy { case (att, _) => rank(att) }
     val chosenIdx = chosenIdx0 + 1
 
+    // Ingest scenarios: timed once each AFTER adjudication — they are
+    // deterministic choreographies whose cost belongs in the artifact
+    // but must not multiply the contended-retry loop (a retry would
+    // re-pay ~4 min of choreography for numbers the latency table
+    // never reads). The leg carries its OWN calibration bracket and
+    // contended flag; totals stay out of `value` so the headline
+    // number remains comparable across rounds. Disable with
+    // SPARK_GRAFT_SCENARIOS=0 for quick local loops.
+    val scenariosJson: String =
+      if (envLong("SPARK_GRAFT_SCENARIOS", 1L) == 0L)
+        """"scenarios":null"""
+      else {
+        // best-of-2 parallel probes: the bracket runs inside a hot JVM
+        // (see the streaming bracket note) — a single sample reads
+        // settle noise as contention
+        def calPar2(): Double =
+          math.min(calibrateParallel(), calibrateParallel())
+        val scCalB = calibrate(); val scParB = calPar2()
+        val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter(q => scenarioQueries(q._1))
+          .map { case (name, fn) =>
+            graft.streaming.BatchTimer.start()
+            val t0 = System.nanoTime()
+            val ok =
+              try {
+                fn(spark, sfDir).write.format("noop")
+                  .mode("overwrite").save()
+                true
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] scenario $name failed: $e")
+                false
+              } finally GraftSession.releaseCachedBlocks(spark)
+            val wall = (System.nanoTime() - t0) / 1e9
+            val byKind = graft.streaming.BatchTimer.stop()
+              .groupBy(_._1).toSeq.sortBy(_._1)
+              .map { case (kind, xs) =>
+                val ds = xs.map(_._2)
+                f""""$kind":{"n":${ds.size},"p95_sec":${graft.streaming.BatchTimer.p95(ds)}%.3f}"""
+              }.mkString("{", ",", "}")
+            f""""$name":{"wall_sec":${if (ok) wall else -1.0}%.3f,"batches":$byKind}"""
+          }
+        val scCalA = calibrate(); val scParA = calPar2()
+        val scContended = scParB > 1.6 * scCalB || scParA > 1.6 * scCalA ||
+          scCalA > 1.3 * scCalB || scCalB > 1.3 * scCalA
+        s""""scenarios":${rows.mkString("{", ",", "}")},""" +
+          f""""scenarios_contended":$scContended,""" +
+          f""""scenarios_calib":{"calib_sec_before":$scCalB%.3f,""" +
+          f""""calib_sec_after":$scCalA%.3f,"calib_par_before":$scParB%.3f,""" +
+          f""""calib_par_after":$scParA%.3f}"""
+      }
+
     val qs = a.queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = a.total
@@ -345,7 +453,7 @@ object Bench {
     // aggregates because they led the line) — with totals at the end, a
     // tail-scrape always keeps the headline numbers, and the file
     // artifact below keeps everything regardless.
-    val line = f"""{"queries":$qs,"fanout_lines_per_sec":${a.fanoutRate}%.0f,"write_mb_per_sec":${a.writeMbPerSec}%.1f,"streaming":${a.streamJson},"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"fanout_lines_per_sec":${a.fanoutRate}%.0f,"write_mb_per_sec":${a.writeMbPerSec}%.1f,"streaming":${a.streamJson},$scenariosJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Also write the complete artifact to a file: the round driver's
     // stdout tail-scrape truncated 28 of 90 per-query numbers in

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the serving-side composition of the engine's
+  * index investments (reference anchor: the CLI's `search` verb,
+  * `cli/cloudpelican-lsd.go:322-348`, which serves one lexical path;
+  * this is its two-tower successor): LEXICAL candidates (Okapi BM25,
+  * optionally pruned by [[graft.sources.TextIndex]] posting lookups)
+  * ∪ VECTOR candidates (exact cosine top-k, or IVF-PQ probes at index
+  * scale), fused by reciprocal-rank fusion (Cormack et al., SIGIR'09):
+  *
+  *   rrf_ppm(d) = Σ_lists floor(10⁶ / (k + rank_list(d)))
+  *
+  * RRF is the standard score-free fusion — ranks, not raw scores, so
+  * a BM25 micro-nat and a cosine never need a common scale. Both
+  * contributions are floors of 10⁶/(k+r) with r ≤ the candidate list
+  * length: integer-exact in IEEE double, replayed verbatim by the SQL
+  * oracle.
+  *
+  * Scale shape: each tower returns a k-BOUNDED list (the towers
+  * themselves are the scale paths — posting-pruned BM25 scoring is
+  * O(matching postings), IVF-PQ probes are cell-pruned), so the rank
+  * windows and the fusion join run on ≤ kLex + kVec rows — driver-
+  * trivial at any corpus size. Nothing here touches the corpus beyond
+  * what the towers already read.
+  */
+object Retrieval {
+
+  /** Fuse two ranked candidate frames by RRF. Each input must carry
+    * (idCol, its score column); ranks are assigned over
+    * (score desc, id asc) — the deterministic total order both
+    * engines share. Output: (idCol, rrf_ppm), best first, id
+    * tiebreak, at most `topN` rows. */
+  def rrfFuse(idCol: String, topN: Int, rrfK: Int,
+      lists: Seq[(DataFrame, String)]): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(rrfK >= 1, s"rrfK must be >= 1: $rrfK")
+    val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
+      // the candidate frame is k-bounded by contract — a single-
+      // partition window over ≤ k rows, not a corpus sort
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol), col(scoreCol))
+        .withColumn(s"_r$i",
+          floor(lit(1000000.0) / (lit(rrfK) + row_number().over(w)))
+            .cast("long"))
+        .select(col(idCol), col(s"_r$i"))
+    }
+    ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+      .na.fill(0L)
+      .withColumn("rrf_ppm",
+        ranked.indices.map(i => col(s"_r$i")).reduce(_ + _))
+      .orderBy(col("rrf_ppm").desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col("rrf_ppm"))
+  }
+
+  /** Hybrid lexical+vector search over a documents table and its
+    * embedding sidecar. `indexPath` switches the lexical tower to the
+    * posting-pruned serving shape ([[TextAnalysis.bm25RankIndexed]] —
+    * equal output by construction); `queryVec` drives the exact
+    * cosine top-k ([[Similarity.topKByQuery]]); swap in
+    * [[Similarity.queryIvfPqTable]] candidates for the ANN serving
+    * shape when an IVF-PQ table exists (same fused contract — RRF
+    * only sees ranks). */
+  def hybridSearch(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      queryTokens: Seq[String], queryVec: Seq[Double],
+      topN: Int = 20, kLex: Int = 50, kVec: Int = 50, rrfK: Int = 60,
+      indexPath: Option[String] = None): DataFrame = {
+    val lex = indexPath match {
+      case Some(p) => TextAnalysis.bm25RankIndexed(docs, idCol, textCol,
+        p, queryTokens, kLex)
+      case None => TextAnalysis.bm25Rank(docs, idCol, textCol,
+        queryTokens, kLex)
+    }
+    val vec = Similarity.topKByQuery(emb, embIdCol, vecCol, queryVec, kVec)
+      .withColumnRenamed(embIdCol, idCol)
+    rrfFuse(idCol, topN, rrfK,
+      Seq(lex -> "bm25_micro", vec -> "cos"))
+  }
+}

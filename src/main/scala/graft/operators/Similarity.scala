@@ -19,6 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard ceiling on the corpus the compiled exact paths
+    * ([[knnJoinCompiled]], [[hardNegatives]]) will collect to the
+    * driver. 2²¹ rows ≈ 1.1 GB of driver heap at dim 64 doubles —
+    * comfortable on any real driver, and far past the point where
+    * the LSH twins win anyway. Checked BEFORE the collect so the
+    * failure is a message, not an OOM. */
+  val defaultMaxCorpusRows: Long = 1L << 21
+
+  private def requireCorpusBounded(n: Long, maxRows: Long,
+      op: String, scalePath: String): Unit =
+    require(n <= maxRows,
+      s"$op collects the corpus to the driver and is bounded at " +
+        s"$maxRows rows (got $n). For corpora past the bound use the " +
+        s"bucketed twin ($scalePath) — same output contract, no " +
+        "driver materialization — or raise maxCorpusRows with driver " +
+        "memory to match.")
+
   /** Cosine of every row's `vecCol` against a literal query vector. */
   def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
     VectorFunctions.cosine(vecCol, array(query.map(lit): _*))
@@ -475,15 +492,24 @@ object Similarity {
     * (cos desc, id asc) ranking — SimilaritySpec asserts set equality
     * against [[knnJoin]] on the fixtures. Same sample-scale contract
     * as knnJoin's broadcast side (the corpus must fit an executor);
-    * the 100 TB path remains [[knnJoinLsh]].
+    * the 100 TB path remains [[knnJoinLsh]]. The contract is
+    * ENFORCED, not advisory: the corpus row count is checked BEFORE
+    * the driver collect (one metadata-cheap count job), so a caller
+    * pointing this at a big table gets a loud error naming the LSH
+    * twin instead of a driver OOM — the reference's own
+    * bounded-memory ethos (`supervisor/filter_manager.go:323-346`
+    * caps every in-memory buffer). Raise `maxCorpusRows` only with
+    * driver memory to match (~(8·dim+24) bytes per row collected).
     */
   def knnJoinCompiled(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxCorpusRows: Long = defaultMaxCorpusRows): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
+    requireCorpusBounded(vecs.count(), maxCorpusRows,
+      "knnJoinCompiled", "knnJoinLsh / knnJoinMultiProbe")
     val corpus = vecs.collect()
     val norms = corpus.map { case (_, v) => math.sqrt(dotArr(v, v)) }
     val bc = spark.sparkContext.broadcast((corpus, norms))
@@ -942,17 +968,22 @@ object Similarity {
     * summation order, HALF_UP 6-decimal rounding, (cos desc, id asc)
     * ranking), labels compared by their string rendering (null = mine
     * nothing / serve no one). Sample-scale contract as knnJoinCompiled
-    * (the corpus must fit an executor); the 100 TB path is
-    * [[hardNegativesLsh]].
+    * (the corpus must fit an executor) and equally ENFORCED: the row
+    * count is checked before the collect, so an oversized corpus
+    * fails loudly naming [[hardNegativesLsh]] as the 100 TB path
+    * instead of OOMing the driver.
     */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
+      labelCol: String, k: Int,
+      maxCorpusRows: Long = defaultMaxCorpusRows): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"),
         col(labelCol).cast("string"))
       .as[(Long, Array[Double], String)]
+    requireCorpusBounded(vecs.count(), maxCorpusRows,
+      "hardNegatives", "hardNegativesLsh")
     val corpus = vecs.collect()
     val norms = corpus.map { case (_, v, _) => math.sqrt(dotArr(v, v)) }
     val bc = spark.sparkContext.broadcast((corpus, norms))

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   show stats <filter>      (durable stats table, when configured)
   *   remove filter <name>
   *   maintain [root]          (TTL + compaction, [[graft.streaming.Maintenance]])
+  *   hybrid <token> [token...] (two-tower lexical∪vector retrieval,
+  *                              [[graft.operators.Retrieval]])
   *   cat/select/tail/stats/count ...
   *   quit
   *
@@ -134,6 +136,38 @@ object Repl {
               out ++= "ERR maintain <pipeline-root> (no durable tables configured)\n"
             case Some(r) =>
               out ++= graft.streaming.Maintenance.run(spark, r).render
+          }
+        } else if (lower == "hybrid" || lower.startsWith("hybrid ")) {
+          // hybrid retrieval verb (the CLI `search` verb's two-tower
+          // successor, cli/cloudpelican-lsd.go:322-348): BM25 lexical
+          // tower over the query tokens ∪ cosine vector tower seeded
+          // by the TOP LEXICAL HIT's embedding ("more like the best
+          // match" — one-document pseudo-relevance feedback), fused by
+          // RRF (graft.operators.Retrieval). Deterministic end to end.
+          val toks = t.drop("hybrid".length).trim
+            .split("\\s+").toSeq.filter(_.nonEmpty)
+            .map(_.toLowerCase(java.util.Locale.ROOT))
+          if (toks.isEmpty) out ++= "ERR hybrid <token> [token...]\n"
+          else {
+            val docs = Tables.load(spark, sfDir, "documents")
+            val emb = Tables.load(spark, sfDir, "embeddings")
+            val lexTop = graft.operators.TextAnalysis.bm25Rank(
+              docs, "doc_id", "text", toks, topN = 1).collect()
+            if (lexTop.isEmpty) out ++= "0 row(s) shown\n"
+            else {
+              val seed = lexTop.head.getLong(0)
+              val qv = emb.filter(col("vec_id") === seed)
+                .head().getSeq[Float](1).map(_.toDouble)
+              val hits = graft.operators.Retrieval.hybridSearch(
+                  docs, "doc_id", "text", emb, "vec_id", "embedding",
+                  toks, qv, topN = 10)
+                .join(docs.select(col("doc_id"),
+                  substring(col("text"), 1, 60).as("_snippet")), "doc_id")
+                .orderBy(col("rrf_ppm").desc, col("doc_id"))
+                .collect()
+              hits.foreach(r => out ++= s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getString(2)}\n")
+              out ++= s"${hits.length} row(s) shown\n"
+            }
           }
         } else if (lower.startsWith("remove filter ")) {
           val name = t.drop("remove filter ".length).trim

@@ -67,6 +67,12 @@ object Maintenance {
       targets: Seq[(String, Long)],
       tolerancePpm: Long = 50000L) {
     require(targets.nonEmpty, "targets must not be empty")
+    // mirror publishMixRates' own preconditions so a bad config fails
+    // at construction, not mid-maintenance-run (an all-zero weight set
+    // would otherwise divide by wSum == 0 inside rebalanceMix)
+    require(targets.forall(_._2 > 0), s"weights must be positive: $targets")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate source in targets: $targets")
     require(tolerancePpm >= 0, s"tolerancePpm must be >= 0: $tolerancePpm")
   }
 

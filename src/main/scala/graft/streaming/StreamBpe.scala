@@ -33,7 +33,8 @@ object StreamBpe {
     * batch, two broadcast joins — no state read, no shuffle against
     * history. */
   def encodeBatch(batch: DataFrame, idCol: String, textCol: String,
-      learned: Bpe.Learned, root: String, batchId: Long): Unit = {
+      learned: Bpe.Learned, root: String, batchId: Long): Unit =
+    BatchTimer.timed("bpe.encode") {
     Bpe.encodeIdsWith(batch, idCol, textCol, learned)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(root)
@@ -51,8 +52,10 @@ object StreamBpe {
     * [[StreamTextIndex.compactSnapshot]]). */
   def deleteDocs(ids: DataFrame, idCol: String, root: String,
       batchId: Long): Unit =
-    StreamState.appendGens(ids.select(col(idCol)), root, batchId,
-      del = true)
+    BatchTimer.timed("bpe.delete") {
+      StreamState.appendGens(ids.select(col(idCol)), root, batchId,
+        del = true)
+    }
 
   /** The live encoded table: each document's newest generation, one
     * row per (id, pos) — [[Bpe.encodeIds]]'s exact shape, so every

@@ -105,7 +105,8 @@ object StreamDedup {
     * accumulate until the executors OOM.
     */
   def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
-      root: String, cfg: Config = Config(), batchId: Long = -1L): DataFrame = {
+      root: String, cfg: Config = Config(), batchId: Long = -1L): DataFrame =
+    BatchTimer.timed("dedup.upsert") {
     val spark = batch.sparkSession
     // generation tracking (see the deletion section of the header):
     // logging the batch FIRST makes a resurrected id live before the
@@ -220,10 +221,11 @@ object StreamDedup {
     * only directories holding an affected row.
     */
   def deleteDocs(spark: SparkSession, root: String, ids: DataFrame,
-      batchId: Long, cfg: Config = Config()): Unit = {
-    StreamState.appendGens(ids, root, batchId, del = true)
-    repairLabels(spark, root, ids.toDF("id"), cfg)
-  }
+      batchId: Long, cfg: Config = Config()): Unit =
+    BatchTimer.timed("dedup.delete") {
+      StreamState.appendGens(ids, root, batchId, del = true)
+      repairLabels(spark, root, ids.toDF("id"), cfg)
+    }
 
   /** Re-cluster every component that currently contains one of
     * `seedIds`, from the stored signatures of its live members, and
@@ -315,7 +317,8 @@ object StreamDedup {
     * directories, not the corpus-wide table.
     */
   def updateLabels(spark: SparkSession, root: String,
-      deltaPairs: DataFrame, cfg: Config = Config()): Unit = {
+      deltaPairs: DataFrame, cfg: Config = Config()): Unit =
+    BatchTimer.timed("dedup.labels") {
     val path = labelsPath(root)
     def withPl(df: DataFrame) =
       df.withColumn("pl", pmod(hash(col("id")), lit(cfg.dirBuckets)))

@@ -109,7 +109,8 @@ object StreamIvfPq {
   def refit(corpus: DataFrame, idCol: String, vecCol: String,
       root: String, nCells: Int = 8, iterations: Int = 2, m: Int = 8,
       k: Int = 16, scale: Double = 1048576.0,
-      retireOld: Boolean = true): String = {
+      retireOld: Boolean = true): String =
+    BatchTimer.timed("ivfpq.refit") {
     val spark = corpus.sparkSession
     val next = (versions(spark, root, committedOnly = false) :+ 0).max + 1
     val vdir = s"$root/_v$next"
@@ -156,7 +157,8 @@ object StreamIvfPq {
     * `path`. One scan of the batch; writes only the touched cell
     * partitions. */
   def upsertBatch(batch: DataFrame, idCol: String, vecCol: String,
-      root: String, batchId: Long): Unit = {
+      root: String, batchId: Long): Unit =
+    BatchTimer.timed("ivfpq.upsert") {
     val spark = batch.sparkSession
     val path = resolve(spark, root)
     val idx = Similarity.readIvfPqMeta(spark, path)

@@ -238,7 +238,8 @@ object StreamPretrain {
       langCol: String, sourceCol: String, fz: Frozen, root: String,
       batchId: Long, recordStats: Boolean = false,
       nearDup: Option[StreamDedup.Config] = None,
-      semDup: Option[SemGate] = None): Unit = {
+      semDup: Option[SemGate] = None): Unit =
+    BatchTimer.timed("pretrain.ingest") {
     val spark = batch.sparkSession
     import spark.implicits._
     // NEAR-dup structure first (when configured): the batch's bands
@@ -401,8 +402,16 @@ object StreamPretrain {
     * nothing), so a replayed batch's row either repeats the original
     * exactly (crash before the append) or shrinks its
     * ledger-dependent counts toward zero (redelivery after it) — the
-    * per-batch MAX of every column is therefore exactly the first
-    * full delivery's accounting. */
+    * per-batch MAX of every ledger-dependent column is therefore
+    * exactly the first full delivery's accounting. EXCEPTION: n_mix
+    * is evaluated against the mix-rates version current AT DELIVERY
+    * TIME (the gate is a frozen-per-batch closure over
+    * [[currentMixRates]]), so a redelivery that lands after a newer
+    * [[publishMixRates]] can record a different — possibly larger —
+    * n_mix than the first delivery; read n_mix as "the mix gate's
+    * pass count under SOME published rates version", not as a
+    * replay-stable count. n_kept stays safe: the ledger anti-join
+    * zeroes a redelivered batch's survivors regardless of rates. */
   def gateStats(spark: SparkSession, root: String): DataFrame = {
     val raw = spark.read.parquet(statsRoot(root))
     val aggs = raw.columns.filter(_ != "batch_id")
@@ -519,11 +528,15 @@ object StreamPretrain {
     * version only when some targeted source's share drifts more than
     * `tolerancePpm` from its target share — a healthy mix never
     * flaps, a drifted one self-corrects from the next micro-batch on.
-    * Shares are integer parts-per-million over the TARGETED sources'
-    * mass (an untargeted source is out of scope by construction: the
+    * Shares are parts-per-million over the TARGETED sources' mass
+    * (an untargeted source is out of scope by construction: the
     * ingest gate keeps it whole — a feed the operator never
-    * configured must not be silently downsampled). Returns true iff
-    * a version was published. */
+    * configured must not be silently downsampled), computed in
+    * double: a 100 TB corpus carries ~2.5e13 token masses, so the
+    * integer form `m * 1000000L` would overflow Long (limit ~9.2e12
+    * after the multiply); a ppm share needs no more than double's
+    * 2⁵³ mantissa anyway — the tolerance check is a threshold, not a
+    * replayable hash. Returns true iff a version was published. */
   def rebalanceMix(spark: SparkSession, root: String,
       targets: Seq[(String, Long)], tolerancePpm: Long = 50000L): Boolean = {
     require(tolerancePpm >= 0, s"tolerancePpm must be >= 0: $tolerancePpm")
@@ -535,7 +548,7 @@ object StreamPretrain {
     val total = masses.sum
     if (total == 0L) return false // nothing live yet — no signal
     val drift = targets.zip(masses).map { case ((_, w0), m) =>
-      math.abs(m * 1000000L / total - w0 * 1000000L / wSum)
+      math.abs(m.toDouble / total * 1e6 - w0.toDouble / wSum * 1e6)
     }.max
     if (drift <= tolerancePpm) false
     else { publishMixRates(spark, root, targets); true }

@@ -107,7 +107,8 @@ object StreamSemDedup {
     * must [[StreamState.release]] it once consumed, like the other
     * per-batch deltas. */
   def upsertBatch(batch: DataFrame, idCol: String, vecCol: String,
-      m: Model, root: String, batchId: Long = -1L): DataFrame = {
+      m: Model, root: String, batchId: Long = -1L): DataFrame =
+    BatchTimer.timed("semdedup.upsert") {
     val spark = batch.sparkSession
     val ann = annotate(batch, idCol, vecCol, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -37,7 +37,8 @@ object StreamSketch {
     * the retry-safety contract across compactions.
     */
   def upsertBatch(batch: DataFrame, textCol: String, root: String,
-      batchId: Long, depth: Int = 4, hexDigits: Int = 3): Unit = {
+      batchId: Long, depth: Int = 4, hexDigits: Int = 3): Unit =
+    BatchTimer.timed("cms.upsert") {
     val spark = batch.sparkSession
     val wm = readWatermark(spark, root)
     if (batchId <= wm) {

@@ -192,6 +192,55 @@ private[graft] object StreamState {
       .create(marker, false).close()
   }
 
+  /** Atomically CLAIM a sidecar marker for a fresh root. Of N
+    * concurrent claimers exactly one wins; returns true iff THIS call
+    * created the marker. A loser must re-read the marker and conform
+    * to (or loudly reject) the winner's value. This is the
+    * single-writer boundary for the first append on an incremental
+    * root: merge-and-retire already makes writer+compactor safe, and
+    * this closes the remaining writer+writer window on root CREATION
+    * (two upsertBatch callers racing the bucket-modulus claim could
+    * otherwise interleave `exists`/`create` and land postings under
+    * two layouts).
+    *
+    * Mechanism by scheme: on local filesystems the claim is a hard
+    * LINK from a content-complete temp sibling — link(2) is atomic
+    * and fails if the destination exists (a rename would silently
+    * REPLACE it: POSIX rename overwrites, which is exactly the race
+    * being closed — caught by the StreamCompactionSpec 8-thread
+    * probe). On HDFS-like stores it is `create(overwrite = false)`,
+    * an atomic namespace operation; there a reader could briefly see
+    * a created-but-unwritten marker, which [[StreamTextIndex
+    * .claimModulus]] already surfaces as the loud
+    * "winner crashed mid-claim; retry" path rather than silently
+    * misreading. */
+  def claimSidecar(spark: SparkSession,
+      path: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val hfs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(path)) return false
+    hfs.mkdirs(path.getParent)
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val scheme = path.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val dst = java.nio.file.Paths.get(path.toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".${dst.getFileName}.claim.${java.util.UUID.randomUUID}")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(dst, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = hfs.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Merge-and-retire fold of the generation log itself: one row per
     * document — its newest entry, tombstones included (a deleted,
     * never-resurrected document keeps its tombstone row forever;

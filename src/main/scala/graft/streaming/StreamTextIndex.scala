@@ -81,15 +81,29 @@ object StreamTextIndex {
     finally in.close()
   }
 
-  private def writeMarker(spark: SparkSession, root: String,
-      buckets: Int): Unit = {
-    val m = marker(spark, root)
-    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(m, true)
-    try out.write(buckets.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  /** Claim the bucket-modulus marker for a fresh root — atomic
+    * temp+rename via [[StreamState.claimSidecar]], so two concurrent
+    * first appends cannot each "create" the marker (the pre-r13
+    * overwrite-create let the second silently replace the first's
+    * modulus; postings could land under two layouts). Returns the
+    * modulus this writer must use: its own claim if it won, the
+    * winner's if it lost — with a loud rejection when the loser
+    * passed an explicit, conflicting modulus. */
+  private[graft] def claimModulus(spark: SparkSession, root: String,
+      requested: Int, chosen: Int): Int =
+    if (StreamState.claimSidecar(spark, marker(spark, root),
+        chosen.toString)) chosen
+    else {
+      val won = bucketsOf(spark, root)
+      require(won > 0,
+        s"lost the bucket-modulus claim race at $root but no marker is " +
+          "readable — the winning writer crashed mid-claim; retry")
+      require(requested == -1 || requested == won,
+        s"concurrent first append claimed bucket modulus $won for " +
+          s"$root; this caller passed $requested — an index root is " +
+          "single-modulus by contract (pass no modulus, or the same one)")
+      won
+    }
 
   /** Append one micro-batch's posting delta. The FIRST batch fixes
     * the bucket modulus (default 64 when the caller leaves `buckets`
@@ -104,7 +118,8 @@ object StreamTextIndex {
     * layout, so no rows can end up under a modulus lookups don't use.
     */
   def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
-      root: String, batchId: Long, buckets: Int = -1): Unit = {
+      root: String, batchId: Long, buckets: Int = -1): Unit =
+    BatchTimer.timed("textindex.upsert") {
     val spark = batch.sparkSession
     val persisted = bucketsOf(spark, root)
     val b =
@@ -117,8 +132,7 @@ object StreamTextIndex {
       } else {
         val chosen = if (buckets == -1) 64 else buckets
         require(chosen > 0, s"buckets must be positive: $chosen")
-        writeMarker(spark, root, chosen)
-        chosen
+        claimModulus(spark, root, buckets, chosen)
       }
     batch.select(col(idCol).as("id"),
         explode(TextFunctions.tokenSet(lower(col(textCol)))).as("tok"))
@@ -143,8 +157,10 @@ object StreamTextIndex {
     * until then the read-side exclusion hides them. */
   def deleteDocs(ids: DataFrame, idCol: String, root: String,
       batchId: Long): Unit =
-    StreamState.appendGens(ids.select(col(idCol)), root, batchId,
-      del = true)
+    BatchTimer.timed("textindex.delete") {
+      StreamState.appendGens(ids.select(col(idCol)), root, batchId,
+        del = true)
+    }
 
   /** The merged posting set: one (tok, id, bucket) row per distinct
     * posting — the batch index's shape, so every

@@ -96,4 +96,51 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubCodec.decodeImage(b, 8).toSeq)
     assert(Multimodal.StubCodec.sampleFrames(b, 3).length == 3)
   }
+
+  test("PNG codec: encode→decode round trip is pixel-exact against the generating formula") {
+    val id = 12345L
+    val (w, h) = (23, 17)
+    val img = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.renderPng(id, w, h))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (x <- 0 until w; y <- 0 until h) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xFF) == Multimodal.ImageCodec.r(id, x, y), s"($x,$y) R")
+      assert(((p >> 8) & 0xFF) == Multimodal.ImageCodec.g(id, x, y), s"($x,$y) G")
+      assert((p & 0xFF) == Multimodal.ImageCodec.b(id, x, y), s"($x,$y) B")
+    }
+  }
+
+  test("PNG codec: nearest-neighbor resize maps exactly the indices the oracle replays") {
+    val id = 7L
+    val src = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.renderPng(id, 20, 14))
+    val out = Multimodal.ImageCodec.resizeNearest(src, 8, 6)
+    for (x2 <- 0 until 8; y2 <- 0 until 6) {
+      val (sx, sy) = (x2 * 20 / 8, y2 * 14 / 6)
+      assert((out.getRGB(x2, y2) & 0xFFFFFF) == (src.getRGB(sx, sy) & 0xFFFFFF),
+        s"($x2,$y2) should be src($sx,$sy)")
+    }
+  }
+
+  test("PNG decode profile: distributed decode sums equal the formula; payload never shuffles") {
+    // a pushed filter, not limit(): a global limit inserts the one
+    // shuffle this gate exists to forbid in the decode path itself
+    val png = Multimodal.pngMediaTable(
+      Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 40))
+    val prof = Multimodal.decodeProfile(png)
+    val rows = prof.collect()
+    assert(rows.length == 40)
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      val (w, h) = ((16 + id % 16).toInt, (12 + id % 8).toInt)
+      assert(row.getInt(1) == w && row.getInt(2) == h)
+      var rs = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        rs += Multimodal.ImageCodec.r(id, x, y)
+      assert(row.getLong(3) == rs, s"id=$id r_sum")
+    }
+    val lineage = prof.rdd.toDebugString
+    assert(!lineage.contains("Shuffled"), s"decode shuffles:\n$lineage")
+  }
 }

@@ -49,6 +49,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p5.contains("CartesianProduct"))
   }
 
+  test("bucketed 5-way: the fact-fact edge joins with NO shuffle on either side") {
+    // q_join_5way's one honest shuffle (lineitem⋈orders) disappears
+    // when both facts are pre-bucketed on the orderkey: the SMJ reads
+    // co-located buckets. Gate: SOME SortMergeJoin whose subtree has
+    // no shuffle Exchange (the later customer join and the final agg
+    // still shuffle — expected; the demonstration is the edge). AQE
+    // is disabled for the inspection only: AdaptiveSparkPlanExec hides
+    // its input tree from collect(); the bucketed no-shuffle property
+    // is static (bucketing satisfies the join's required distribution
+    // with or without AQE).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_join_5way_bucketed")(spark, sfDir)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val smjs = exec.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"no SortMergeJoin in:\n$exec")
+      val clean = smjs.filter(j =>
+        j.collect { case e: ShuffleExchangeLike => e }.isEmpty)
+      assert(clean.nonEmpty,
+        s"every SortMergeJoin has a shuffle below it:\n$exec")
+      // and the clean edge really reads bucketed scans, not a rebucket
+      assert(clean.exists(_.toString.contains("Bucketed: true")),
+        s"shuffle-free SMJ is not over bucketed scans:\n${clean.head}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS g5w_lineitem")
+      spark.sql("DROP TABLE IF EXISTS g5w_orders")
+    }
+  }
+
   test("filter fan-out is scan → generate → project: no join, no shuffle") {
     val p = plan("q_filter_fanout")
     assert(p.contains("Generate"), s"no generate:\n$p")

@@ -176,6 +176,27 @@ class SimilaritySpec extends SparkSpec {
       "embedding", 0).isEmpty)
   }
 
+  test("compiled exact paths: the driver-collect bound fails LOUDLY, naming the LSH twin") {
+    // the sample-scale contract is enforced BEFORE the collect: a
+    // corpus past maxCorpusRows must produce a message pointing at
+    // the bucketed 100 TB path, never a driver OOM. Exercised with a
+    // tiny bound so the spec itself stays cheap.
+    val eKnn = intercept[IllegalArgumentException] {
+      Similarity.knnJoinCompiled(emb, "vec_id", "embedding", k = 5,
+        maxCorpusRows = 3L)
+    }
+    assert(eKnn.getMessage.contains("knnJoinLsh"), eKnn.getMessage)
+    assert(eKnn.getMessage.contains("knnJoinCompiled"), eKnn.getMessage)
+    val eHn = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        k = 5, maxCorpusRows = 3L)
+    }
+    assert(eHn.getMessage.contains("hardNegativesLsh"), eHn.getMessage)
+    // at or under the bound the paths run untouched
+    assert(Similarity.knnJoinCompiled(emb.limit(3), "vec_id",
+      "embedding", k = 2, maxCorpusRows = 3L).count() > 0)
+  }
+
   test("int8 quantization: components bounded, zero vectors safe, top-k recall holds") {
     import spark.implicits._
     val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")

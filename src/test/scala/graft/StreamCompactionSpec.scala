@@ -136,6 +136,41 @@ class StreamCompactionSpec extends SparkSpec {
     StreamTextIndex.upsertBatch(b0, "doc_id", "text", root, 2L)
   }
 
+  test("fresh-root modulus claim is single-winner: concurrent claimers cannot fork the layout") {
+    // the r12 verdict's remaining writer+writer window: two upsertBatch
+    // callers on a FRESH root both observe "no marker" and race the
+    // creation. The claim is temp+rename (atomic, content-complete
+    // before the name exists) — of N concurrent claimers exactly one
+    // wins, losers conform to the winner's modulus or reject loudly.
+    val root = tmp("claimrace")
+    // N threads claim DISTINCT moduli at once
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]
+    val threads = (1 to 8).map { i =>
+      new Thread(() => results.put(i * 8,
+        StreamState.claimSidecar(spark,
+          new org.apache.hadoop.fs.Path(root, "_graft_buckets"),
+          (i * 8).toString)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.filter(_._2).keys.toSeq
+    assert(winners.size == 1, s"claim race had ${winners.size} winners")
+    // the marker content IS the winner's — never a loser's, never torn
+    assert(StreamTextIndex.bucketsOf(spark, root) == winners.head)
+    // a losing writer that passed NO explicit modulus conforms silently
+    assert(StreamTextIndex.claimModulus(spark, root,
+      requested = -1, chosen = 64) == winners.head)
+    // one that passed a CONFLICTING explicit modulus is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamTextIndex.claimModulus(spark, root,
+        requested = 1000, chosen = 1000)
+    }
+    assert(e.getMessage.contains("single-modulus"), e.getMessage)
+    // and the full upsert path over the claimed root works as usual
+    StreamTextIndex.upsertBatch(docs.limit(50), "doc_id", "text", root, 0L)
+    assert(postings(root) == scanPostings(docs.limit(50)))
+  }
+
   test("text index: deletes tombstone, resurrect, and physically retire at compaction") {
     val root = tmp("sci-idx-del")
     StreamTextIndex.upsertBatch(docs, "doc_id", "text", root, 0L)
