@@ -76,8 +76,10 @@ class PlanQualitySpec extends SparkSpec {
         s"shuffle-free SMJ is not over bucketed scans:\n${clean.head}")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.sql("DROP TABLE IF EXISTS g5w_lineitem")
-      spark.sql("DROP TABLE IF EXISTS g5w_orders")
+      // the g5w_* tables stay registered on purpose: the query's
+      // build-once guard (SparkEntry.ensureBucketedFacts) assumes
+      // they survive within the JVM — dropping them here would break
+      // a later run of the same query in this suite
     }
   }
 
