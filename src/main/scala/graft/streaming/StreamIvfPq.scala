@@ -168,6 +168,10 @@ object StreamIvfPq {
       .join(cells, Seq(idCol))
       .select(col(idCol), col("codes"), lit(batchId).as("batch_id"),
         col("cluster"))
+      // one file per touched cell, not tasks×cells (the StreamDedup
+      // append lesson: partitioned appends from a many-partition frame
+      // litter the directory and every later probe pays the listing)
+      .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
     // generation row LAST (the StreamTextIndex crash contract): a
     // crash above is healed by the at-least-once redelivery, which

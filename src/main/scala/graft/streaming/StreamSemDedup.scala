@@ -129,7 +129,9 @@ object StreamSemDedup {
         }
       val refused = cross.fold(intra)(intra.union).distinct()
         .localCheckpoint(true)
-      ann.write.mode("append").partitionBy("cl").parquet(vecsPath(root))
+      // one file per touched cell (the StreamDedup append lesson)
+      ann.repartition(col("cl"))
+        .write.mode("append").partitionBy("cl").parquet(vecsPath(root))
       refused
     } finally ann.unpersist(false)
   }

@@ -56,6 +56,9 @@ object StreamSketch {
     }
     Sketch.cmsSketch(batch, textCol, depth, hexDigits)
       .withColumn("batch_id", lit(batchId))
+      // one file per row-partition (the StreamDedup append lesson —
+      // the delta is depth×width rows; tasks×depth files is litter)
+      .repartition(col("r"))
       .write.mode("append").partitionBy("r").parquet(root)
   }
 

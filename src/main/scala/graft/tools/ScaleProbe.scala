@@ -108,6 +108,8 @@ object ScaleProbe {
     "q_knn_multiprobe", "x_knn_multiprobe_auto",         // r10 leg 2
     "q_bpe_deep", "q_bpe_ids", "q_quality_classifier",
     "q_quality_gate",                                    // r11
+    "q_hybrid_search", "q_multimodal_png_decode",
+    "q_multimodal_png_resize",                           // r13
 
     "x_grep_scan", "x_grep_index_lookup", "x_phrase_lookup") // index vs scan
 
