@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *   maintain [root]          (TTL + compaction, [[graft.streaming.Maintenance]])
   *   hybrid <token> [token...] (two-tower lexical∪vector retrieval,
   *                              [[graft.operators.Retrieval]])
+  *   history / clearhistory / save / clearsession
+  *                            (session conveniences,
+  *                             `cli/cloudpelican-lsd.go:204-220`)
   *   cat/select/tail/stats/count ...
   *   quit
   *
@@ -61,7 +64,35 @@ object Repl {
     * (`supervisor/supervisor.go:155-160`).
     */
   final class Session(spark: SparkSession, sfDir: String,
-      val registry: FilterRegistry, statsPath: Option[String] = None) {
+      val registry: FilterRegistry, statsPath: Option[String] = None,
+      sessionPath: Option[String] = None) {
+
+    // Command history — the reference console's session conveniences
+    // (`cli/cloudpelican-lsd.go:204-220`, `consoleAddHistory` at
+    // :669-682: every line appends, FIFO-purged at 100; `history`
+    // prints numbered; `clearhistory` empties; `save` persists the
+    // session; `clearsession` wipes session state). Our session state
+    // is the history plus the registry's TEMP filters; named filters
+    // persist through the registry's own path, exactly as the
+    // reference keeps filters supervisor-side while session/history
+    // live in the CLI's conf file.
+    private val history = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val HistoryMax = 100 // consoleAddHistory's max
+    sessionPath.foreach { p =>
+      val f = new java.io.File(p)
+      if (f.isFile)
+        scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .foreach(l => if (l.nonEmpty) history += l)
+    }
+    private def addHistory(cmd: String): Unit = {
+      history += cmd
+      if (history.length > HistoryMax) history.remove(0)
+    }
+    private def saveSession(): Unit = sessionPath.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (history.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     // The results "table": fixture docs as matched lines, fanned out
     // over the registered filters on demand (batch stand-in for the
@@ -92,7 +123,31 @@ object Repl {
       val out = new StringBuilder
       try {
         val lower = t.toLowerCase(java.util.Locale.ROOT)
-        if (lower.startsWith("create filter ")) {
+        addHistory(t.trim) // every line, like _handleConsole:202
+        if (lower == "history") {
+          // printHistory (:663-667): numbered from 0
+          history.zipWithIndex.foreach { case (cmd, i) =>
+            out ++= s"$i $cmd\n"
+          }
+        } else if (lower == "clearhistory") {
+          history.clear()
+          saveSession()
+          out ++= "Cleared history\n"
+        } else if (lower == "save") {
+          // save (:709-713): persist the session state
+          if (sessionPath.isEmpty)
+            out ++= "ERR no session file configured for this session\n"
+          else { saveSession(); out ++= "Saved session\n" }
+        } else if (lower == "clearsession") {
+          // clearSession (:684-692): wipe session state — here the
+          // history and the registry's TEMP filters (named filters
+          // persist through the registry path, like the reference
+          // keeps them supervisor-side)
+          history.clear()
+          registry.list().filter(_.temp).foreach(f => registry.drop(f.id))
+          saveSession()
+          out ++= "Cleared session\n"
+        } else if (lower.startsWith("create filter ")) {
           val rest = t.drop("create filter ".length).split("\\s+", 2)
           val f = registry.create(rest(0), rest(1))
           out ++= s"filter created: ${f.name} (${f.id})\n"
@@ -211,7 +266,7 @@ object Repl {
     val spark = graft.GraftSession.builder(4).appName("graft-repl").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val session = new Session(spark, sfDir, new FilterRegistry(regPath),
-      statsPath = args.lift(2))
+      statsPath = args.lift(2), sessionPath = args.lift(3))
 
     val in = scala.io.Source.stdin.getLines()
     print("> "); System.out.flush()

@@ -57,4 +57,91 @@ class SlackGatewaySpec extends SparkSpec {
     assert(r.text.startsWith("```"))
     assert(r.text.contains("ERR"))
   }
+
+  // --- the HTTP transport (SlackHttp): a real socket round trip ---
+
+  private def post(port: Int, body: String): (Int, String) = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port/slack/command")
+      .toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(is.readAllBytes(), "UTF-8")
+    (code, text)
+  }
+
+  test("SlackHttp: full slash-command round trip over a real socket") {
+    val srv = graft.queries.SlackHttp.start(0, token = "s3cret") {
+      cmd => s"ran:$cmd\n"
+    }
+    try {
+      val (code, body) = post(srv.port,
+        "token=s3cret&user_name=alice&channel_name=ops&text=" +
+          java.net.URLEncoder.encode("count docs +share", "UTF-8"))
+      assert(code == 200, body)
+      assert(body.contains("\"channel\":\"#ops\""), body)
+      // +share stripped before execution, output fenced
+      assert(body.contains("ran:count docs"), body)
+      assert(body.contains("```"), body)
+    } finally srv.stop()
+  }
+
+  test("SlackHttp: a wrong token is 403 and the command never executes") {
+    var executed = false
+    val srv = graft.queries.SlackHttp.start(0, token = "s3cret") {
+      _ => executed = true; "x"
+    }
+    try {
+      val (code, body) = post(srv.port,
+        "token=WRONG&user_name=a&channel_name=c&text=count")
+      assert(code == 403, body)
+      assert(!executed, "handler ran despite token mismatch")
+      val (code2, _) = post(srv.port, "user_name=a&channel_name=c&text=count")
+      assert(code2 == 403, "missing token must reject too")
+    } finally srv.stop()
+  }
+
+  test("SlackHttp: form decoding handles URL-encoded fields") {
+    assert(graft.queries.SlackHttp.parseForm(
+      "a=1&b=x%20y%2Bz&empty=&flag") ==
+      Map("a" -> "1", "b" -> "x y+z", "empty" -> "", "flag" -> ""))
+  }
+
+  // --- Repl session conveniences (cli/cloudpelican-lsd.go:204-220) ---
+
+  test("Repl session: history / clearhistory / save / clearsession") {
+    val dir = java.nio.file.Files.createTempDirectory("replsess")
+    val sessFile = dir.resolve("session.txt").toString
+    val reg = new FilterRegistry(None)
+    val s1 = new Repl.Session(spark, sfDir, reg, sessionPath = Some(sessFile))
+    s1.exec("count docs")
+    s1.exec("show filters")
+    val h = s1.exec("history")
+    // numbered from 0, includes the history command itself (the
+    // reference appends before dispatch)
+    assert(h.linesIterator.toSeq == Seq("0 count docs", "1 show filters", "2 history"), h)
+    assert(s1.exec("save") == "Saved session\n")
+    // a new session over the same file restores the history
+    val s2 = new Repl.Session(spark, sfDir, reg, sessionPath = Some(sessFile))
+    assert(s2.exec("history").startsWith("0 count docs"), "history not restored")
+    // clearsession wipes history AND temp filters; named filters survive
+    reg.create("keepme", "spark")
+    reg.createTemp("err.r")
+    assert(reg.list().exists(_.temp))
+    assert(s2.exec("clearsession") == "Cleared session\n")
+    assert(!reg.list().exists(_.temp), "temp filters survived clearsession")
+    assert(reg.list().exists(_.name == "keepme"), "named filter must survive")
+    assert(s2.exec("history").linesIterator.toSeq == Seq("0 history"))
+    // clearhistory empties too
+    s2.exec("count docs")
+    assert(s2.exec("clearhistory") == "Cleared history\n")
+    assert(s2.exec("history").linesIterator.toSeq == Seq("0 history"))
+    // without a session file, save reports the missing config loudly
+    val s3 = new Repl.Session(spark, sfDir, reg)
+    assert(s3.exec("save").startsWith("ERR"))
+  }
 }
