@@ -2191,6 +2191,31 @@ object SparkEntry {
       },
       None),
 
+    ("q_hybrid_search_ann", // the SERVING-SCALE face of the hybrid
+      // verb: the vector tower is the IVF-PQ pipeline (cell-pruned
+      // probes + ADC shortlist + exact integer re-rank — the
+      // q_embed_ivfpq machinery at kTop=50) instead of the exact
+      // brute-force scan; RRF only sees ranks, so the fusion contract
+      // is unchanged. Smaller-distance-first becomes rank order by
+      // negating d2 into the shared (score desc, id) window. Oracle:
+      // the whole IVF-PQ replay (centroids/probes/codebooks/distance
+      // tables as literals) nests as the vector tower beside the
+      // BM25 CTEs, both rank windows and the fusion in one statement.
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val lex = TextAnalysis.bm25Rank(t(s, dir, "documents"),
+          "doc_id", "text", bm25QueryTokens, topN = 50)
+        val ann = Similarity.ivfPqSearch(emb.filter(col("vec_id") > 0),
+            "vec_id", "embedding", q, kTop = 50)
+          .withColumnRenamed("vec_id", "doc_id")
+          .withColumn("neg_d2", -col("d2"))
+        graft.operators.Retrieval.rrfFuse("doc_id", topN = 20, rrfK = 60,
+          Seq(lex -> "bm25_micro", ann -> "neg_d2"))
+      },
+      None),
+
     ("q_cms_sketch", // count-min sketch build (depth 4, width 16^3):
       // the constant-shuffle face of token counting — every partition
       // emits at most depth×width partials regardless of vocabulary,
@@ -2507,7 +2532,10 @@ object SparkEntry {
     * each rank-windowed over its k-bounded list, fused by the same
     * floor(10⁶/(60+rank)) arithmetic — IEEE-double-exact on small
     * integers in both engines. */
-  private def hybridOracleSql(s: SparkSession, dir: String): String = {
+  /** The shared lexical-tower CTEs of both hybrid oracles: the q_bm25
+    * replay (idf/avgdl literals) limited to its top-50 list plus its
+    * rank window `lr(doc_id, r)`. */
+  private def hybridLexCtes(s: SparkSession, dir: String): String = {
     val (_, avgdl, idfs) =
       TextAnalysis.bm25Stats(t(s, dir, "documents"), "text", bm25QueryTokens)
     val vals = bm25QueryTokens.map(q => s"('$q', ${idfs(q)})").mkString(",")
@@ -2533,7 +2561,21 @@ object SparkEntry {
        |        ORDER BY bm25_micro DESC, doc_id LIMIT 50),
        |lr AS (SELECT doc_id,
        |         row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r
-       |       FROM lex),
+       |       FROM lex)""".stripMargin
+  }
+
+  /** The shared fusion tail: RRF over `lr` and `vr` (each
+    * (doc_id, r)), floor(10⁶/(60+r)) per list, top-20. */
+  private val hybridFuseTail: String =
+    s"""f AS (SELECT doc_id,
+       |        coalesce(CAST(floor(1000000.0/(60+lr.r)) AS BIGINT), 0) +
+       |        coalesce(CAST(floor(1000000.0/(60+vr.r)) AS BIGINT), 0) AS rrf_ppm
+       |      FROM lr FULL OUTER JOIN vr USING (doc_id))
+       |SELECT doc_id, rrf_ppm FROM f
+       |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  private def hybridOracleSql(s: SparkSession, dir: String): String =
+    s"""${hybridLexCtes(s, dir)},
        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
        |             generate_subscripts(embedding, 1) AS i
        |      FROM embeddings WHERE vec_id = 0),
@@ -2548,13 +2590,20 @@ object SparkEntry {
        |vr AS (SELECT doc_id,
        |         row_number() OVER (ORDER BY cos DESC, doc_id) AS r
        |       FROM vc),
-       |f AS (SELECT doc_id,
-       |        coalesce(CAST(floor(1000000.0/(60+lr.r)) AS BIGINT), 0) +
-       |        coalesce(CAST(floor(1000000.0/(60+vr.r)) AS BIGINT), 0) AS rrf_ppm
-       |      FROM lr FULL OUTER JOIN vr USING (doc_id))
-       |SELECT doc_id, rrf_ppm FROM f
-       |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
-  }
+       |$hybridFuseTail""".stripMargin
+
+  /** Oracle for q_hybrid_search_ann: the vector tower is the ENTIRE
+    * q_embed_ivfpq replay (centroids, probe choice, codebooks, ADC
+    * tables as literals) nested as one derived table at kTop = 50 —
+    * its CTE names are scoped inside the parens, so they cannot
+    * collide with the lexical tower's. Rank order (d2 asc, id) is the
+    * query's (neg_d2 desc, id). */
+  private def hybridAnnOracleSql(s: SparkSession, dir: String): String =
+    s"""${hybridLexCtes(s, dir)},
+       |vr AS (SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY d2 ASC, vec_id) AS r
+       |       FROM ( ${ivfPqOracleSqlK(s, dir, kTop = 50)} )),
+       |$hybridFuseTail""".stripMargin
 
   // --- corpus curation (training-data assembly: budgeted selection +
   // mixture balancing; builder brief: first-class extension ops) ---
@@ -5632,6 +5681,7 @@ object SparkEntry {
         dim = embDim(s, dir), k = 5)),
     "q_bm25" -> bm25OracleSql _,
     "q_hybrid_search" -> hybridOracleSql _,
+    "q_hybrid_search_ann" -> hybridAnnOracleSql _,
     "q_lm_quality" -> ((s, dir) =>
       s"""WITH ${lmCostLiteralCtes(s, dir)}
          |$lmQualityTailSql""".stripMargin),
@@ -5766,7 +5816,13 @@ object SparkEntry {
     * dimension is derived from the trained codebooks (m · dim/m), not
     * hardcoded, so a fixture regeneration at another dimension cannot
     * silently desync the coarse argmin (round-9 ADVICE). */
-  private def ivfPqOracleSql(s: SparkSession, dir: String): String = {
+  private def ivfPqOracleSql(s: SparkSession, dir: String): String =
+    ivfPqOracleSqlK(s, dir, kTop = 20)
+
+  /** [[ivfPqOracleSql]] with a caller-chosen kTop — the hybrid-ANN
+    * oracle nests this as its vector tower at kTop = 50. */
+  private def ivfPqOracleSqlK(s: SparkSession, dir: String,
+      kTop: Int): String = {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") > 0)
       val q = emb.filter(col("vec_id") === 0)
@@ -5795,7 +5851,7 @@ object SparkEntry {
          |${pqEncodeCtes(cb,
             "SELECT r.vec_id, r.embedding FROM raw r JOIN ca USING (vec_id)")},
          |${pqAdcCtesSql(tables)},
-         |${pqRerankTailSql(shortlist = 200, kTop = 20)}""".stripMargin
+         |${pqRerankTailSql(shortlist = 200, kTop = kTop)}""".stripMargin
   }
 
   /** Oracle for q_embed_ivfpq_incr: [[ivfPqOracleSql]]'s replay chain
