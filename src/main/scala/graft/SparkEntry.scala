@@ -2216,6 +2216,27 @@ object SparkEntry {
       },
       None),
 
+    ("q_hybrid_rerank", // the candidates-then-EXACT-RE-RANK face of
+      // hybrid retrieval (the classic two-stage shape: cheap towers
+      // nominate ≤ kLex+kVec ids, one exact scorer decides): the
+      // union of the BM25 top-50 and the cosine top-50 re-ranked by
+      // exact cosine to the query — a lexical-only hit gets a true
+      // vector score, and the final order is one comparable scale
+      // instead of fused ranks. The re-rank reads only the candidate
+      // embeddings (broadcast semi-join, never the corpus). A
+      // candidate with no embedding row drops out in BOTH engines
+      // (the re-rank is over the embeddings relation).
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        graft.operators.Retrieval.hybridRerank(
+          t(s, dir, "documents"), "doc_id", "text",
+          emb.filter(col("vec_id") > 0), "vec_id", "embedding",
+          bm25QueryTokens, q, topN = 20)
+      },
+      None),
+
     ("q_cms_sketch", // count-min sketch build (depth 4, width 16^3):
       // the constant-shuffle face of token counting — every partition
       // emits at most depth×width partials regardless of vocabulary,
@@ -2604,6 +2625,28 @@ object SparkEntry {
        |         row_number() OVER (ORDER BY d2 ASC, vec_id) AS r
        |       FROM ( ${ivfPqOracleSqlK(s, dir, kTop = 50)} )),
        |$hybridFuseTail""".stripMargin
+
+  /** Oracle for q_hybrid_rerank: the union of the two towers' top-50
+    * id lists re-ranked by the exact cosine relation `d` — the same
+    * rounding grid and (raw desc, id) selection as q_embed_topk. */
+  private def hybridRerankOracleSql(s: SparkSession, dir: String): String =
+    s"""${hybridLexCtes(s, dir)},
+       |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+       |             generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings WHERE vec_id = 0),
+       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
+       |             generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings WHERE vec_id > 0),
+       |d AS (SELECT vec_id, sum(xv*qv) AS dot, sum(xv*xv) AS n2
+       |      FROM v JOIN q USING (i) GROUP BY 1),
+       |qn AS (SELECT sum(qv*qv) AS qn2 FROM q),
+       |vc AS (SELECT vec_id AS doc_id FROM d, qn
+       |       ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 50),
+       |cand AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM vc)
+       |SELECT d.vec_id AS doc_id,
+       |       round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
+       |FROM d JOIN cand ON d.vec_id = cand.doc_id, qn
+       |ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 20""".stripMargin
 
   // --- corpus curation (training-data assembly: budgeted selection +
   // mixture balancing; builder brief: first-class extension ops) ---
@@ -5682,6 +5725,7 @@ object SparkEntry {
     "q_bm25" -> bm25OracleSql _,
     "q_hybrid_search" -> hybridOracleSql _,
     "q_hybrid_search_ann" -> hybridAnnOracleSql _,
+    "q_hybrid_rerank" -> hybridRerankOracleSql _,
     "q_lm_quality" -> ((s, dir) =>
       s"""WITH ${lmCostLiteralCtes(s, dir)}
          |$lmQualityTailSql""".stripMargin),

@@ -57,6 +57,36 @@ object Retrieval {
       .select(col(idCol), col("rrf_ppm"))
   }
 
+  /** The candidates-then-exact-re-rank composition (the classic
+    * two-stage retrieval shape: cheap towers nominate, one exact
+    * scorer decides): take the UNION of both towers' k-bounded
+    * candidate ids and re-rank the whole union by exact cosine to the
+    * query vector — so a document that only the lexical tower found
+    * still gets a true vector score, and the final order is a single
+    * comparable scale instead of fused ranks. Output:
+    * (idCol, cos) best-first on the 6-decimal grid with id tiebreak,
+    * at most `topN` rows. The re-rank reads only the ≤ kLex + kVec
+    * candidate embeddings (broadcast semi-join — never the corpus). */
+  def hybridRerank(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      queryTokens: Seq[String], queryVec: Seq[Double],
+      topN: Int = 20, kLex: Int = 50, kVec: Int = 50,
+      indexPath: Option[String] = None): DataFrame = {
+    val lex = indexPath match {
+      case Some(p) => TextAnalysis.bm25RankIndexed(docs, idCol, textCol,
+        p, queryTokens, kLex)
+      case None => TextAnalysis.bm25Rank(docs, idCol, textCol,
+        queryTokens, kLex)
+    }
+    val vec = Similarity.topKByQuery(emb, embIdCol, vecCol, queryVec, kVec)
+    val cand = lex.select(col(idCol))
+      .unionByName(vec.select(col(embIdCol).as(idCol)))
+      .distinct()
+    val candVecs = emb.select(col(embIdCol).as(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+    Similarity.topKByQuery(candVecs, idCol, vecCol, queryVec, topN)
+  }
+
   /** Hybrid lexical+vector search over a documents table and its
     * embedding sidecar. `indexPath` switches the lexical tower to the
     * posting-pruned serving shape ([[TextAnalysis.bm25RankIndexed]] —

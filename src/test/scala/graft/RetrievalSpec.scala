@@ -70,6 +70,29 @@ class RetrievalSpec extends SparkSpec {
     assert(session.exec("hybrid").startsWith("ERR"), "usage error expected")
   }
 
+  test("hybridRerank: exact re-rank of the tower-union candidates, never beyond them") {
+    val corpus = emb.filter(col("vec_id") > 0)
+    val out = Retrieval.hybridRerank(docs, "doc_id", "text",
+        corpus, "vec_id", "embedding", tokens, queryVec, topN = 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(out.nonEmpty && out.size <= 20)
+    // candidates only: every id came from one of the towers
+    val lexIds = TextAnalysis.bm25Rank(docs, "doc_id", "text", tokens, 50)
+      .select("doc_id").as[Long].collect().toSet
+    val vecIds = Similarity.topKByQuery(corpus, "vec_id", "embedding",
+      queryVec, 50).select("vec_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet.subsetOf(lexIds ++ vecIds))
+    // exact scores, descending on the 6-decimal grid
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse)
+    // and equals a hand-built re-rank over the same union
+    val expect = Similarity.topKByQuery(
+        corpus.join(broadcast((lexIds ++ vecIds).toSeq.toDF("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", queryVec, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(out == expect)
+  }
+
   test("hybridSearch with a TextIndex equals the scan path (posting pruning is lossless)") {
     val root = java.nio.file.Files
       .createTempDirectory("hybridix").toString + "/ix"
