@@ -72,10 +72,30 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Contended when either endpoint's all-cores probe runs >1.6× its
-    * serial twin (idle ratio on this box: 1.1–1.2; a 24-thread
-    * co-tenant: ~2.5), or the streaming leg failed to sustain cadence —
-    * the two signals that invalidated the round-7 artifact.
+  /** Best-of-2 all-cores probe for brackets taken INSIDE a hot JVM
+    * (post-warmup: lingering task threads, GC, JIT) — a single sample
+    * reads that settle noise as contention (observed 1.75× on an idle
+    * box); real co-tenant load covers both samples.
+    */
+  private def calPar2(): Double =
+    math.min(calibrateParallel(), calibrateParallel())
+
+  /** THE contention predicate, one source of truth for the attempt,
+    * streaming, and scenario brackets: either endpoint's all-cores
+    * probe runs >1.6× its serial twin (idle ratio on this box:
+    * 1.1–1.2; a 24-thread co-tenant: ~2.5), or the serial probe
+    * drifts >1.3× between the endpoints (an every-core co-tenant
+    * inflates both probes together and hides from the ratio — round
+    * 7's artifact; clean runs drift ≤ ~1.17).
+    */
+  private[graft] def calibContended(calB: Double, calA: Double,
+      parB: Double, parA: Double): Boolean =
+    parB > 1.6 * calB || parA > 1.6 * calA ||
+      calA > 1.3 * calB || calB > 1.3 * calA
+
+  /** Contended per [[calibContended]] on the attempt's own bracket or
+    * the streaming window's, or the streaming leg failed to sustain
+    * cadence — the signals that invalidated the round-7 artifact.
     */
   final case class Attempt(
       queries: Seq[(String, Double)], fanoutRate: Double,
@@ -94,24 +114,12 @@ object Bench {
       streamCalibParBefore: Double = -1.0,
       streamCalibParAfter: Double = -1.0) {
     def total: Double = queries.map(_._2).filter(_ >= 0).sum
-    private def streamContended: Boolean =
-      streamCalibBefore > 0 && (
-        streamCalibParBefore > 1.6 * streamCalibBefore ||
-          streamCalibParAfter > 1.6 * streamCalibAfter ||
-          streamCalibAfter > 1.3 * streamCalibBefore ||
-          streamCalibBefore > 1.3 * streamCalibAfter)
     def contended: Boolean =
-      calibParBefore > 1.6 * calibBefore ||
-        calibParAfter > 1.6 * calibAfter ||
-        // a co-tenant loading EVERY core inflates the serial and
-        // parallel probes together, hiding from the ratio tests above
-        // — but the serial probe drifting between the run's endpoints
-        // exposes it (observed: 0.47 → 0.63 across a run whose
-        // untouched queries ran 15-25× slow while both ratios stayed
-        // under 1.6; clean runs drift ≤ ~1.17)
-        calibAfter > 1.3 * calibBefore ||
-        calibBefore > 1.3 * calibAfter ||
-        streamContended ||
+      calibContended(calibBefore, calibAfter,
+        calibParBefore, calibParAfter) ||
+        (streamCalibBefore > 0 &&
+          calibContended(streamCalibBefore, streamCalibAfter,
+            streamCalibParBefore, streamCalibParAfter)) ||
         streamSustained.contains(false)
     def telemetryJson: String =
       f"""{"total":$total%.3f,"contended":$contended,""" +
@@ -208,12 +216,6 @@ object Bench {
       // p95 shift is self-adjudicating like the query table (r12
       // verdict item 4: stats p95 2.2 s vs r11's 1.1 s with only
       // whole-attempt probes — ambiguous between engine and host).
-      // The parallel probe here runs INSIDE a hot JVM (right after
-      // the warmup query: lingering task threads, GC, JIT) and a
-      // single sample reads that settle noise as contention (observed
-      // 1.75× on an idle box); best-of-2 keeps the co-tenant signal —
-      // real contention covers both samples — and sheds the transient.
-      def calPar2(): Double = math.min(calibrateParallel(), calibrateParallel())
       val (sCalB, sParB) =
         if (streamSecs <= 0) (-1.0, -1.0)
         else (calibrate(), calPar2())
@@ -403,11 +405,6 @@ object Bench {
       if (envLong("SPARK_GRAFT_SCENARIOS", 1L) == 0L)
         """"scenarios":null"""
       else {
-        // best-of-2 parallel probes: the bracket runs inside a hot JVM
-        // (see the streaming bracket note) — a single sample reads
-        // settle noise as contention
-        def calPar2(): Double =
-          math.min(calibrateParallel(), calibrateParallel())
         val scCalB = calibrate(); val scParB = calPar2()
         val rows = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(q => scenarioQueries(q._1))
@@ -433,8 +430,7 @@ object Bench {
             f""""$name":{"wall_sec":${if (ok) wall else -1.0}%.3f,"batches":$byKind}"""
           }
         val scCalA = calibrate(); val scParA = calPar2()
-        val scContended = scParB > 1.6 * scCalB || scParA > 1.6 * scCalA ||
-          scCalA > 1.3 * scCalB || scCalB > 1.3 * scCalA
+        val scContended = calibContended(scCalB, scCalA, scParB, scParA)
         s""""scenarios":${rows.mkString("{", ",", "}")},""" +
           f""""scenarios_contended":$scContended,""" +
           f""""scenarios_calib":{"calib_sec_before":$scCalB%.3f,""" +

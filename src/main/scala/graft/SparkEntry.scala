@@ -2490,7 +2490,13 @@ object SparkEntry {
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private def ensureBucketedFacts(s: SparkSession, dir: String): Unit =
     bucketedFactsFor.synchronized {
-      if (bucketedFactsFor.get != dir) {
+      // the guard is JVM-scoped but the in-memory catalog is SESSION-
+      // scoped: a later SparkSession in the same JVM would pass the
+      // dir check yet lack the table registrations — re-check the
+      // catalog, not just the dir
+      if (bucketedFactsFor.get != dir ||
+          !s.catalog.tableExists("g5w_lineitem") ||
+          !s.catalog.tableExists("g5w_orders")) {
         // a previous JVM may have left the managed-table DIRECTORY
         // behind without catalog metadata (the in-memory catalog dies
         // with the session) — saveAsTable then refuses with
@@ -2521,32 +2527,14 @@ object SparkEntry {
     * double expression mirrors [[TextAnalysis.bm25Rank]] operation for
     * operation (integer/double literal divisions included), so the
     * floor grid agrees bit-for-bit. */
-  private def bm25OracleSql(s: SparkSession, dir: String): String = {
-    val (_, avgdl, idfs) =
-      TextAnalysis.bm25Stats(t(s, dir, "documents"), "text", bm25QueryTokens)
-    val vals = bm25QueryTokens.map(q => s"('$q', ${idfs(q)})").mkString(",")
-    s"""WITH idf(tok, idf_micro) AS (VALUES $vals),
-       |base AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-       |                             x -> len(x) > 0) AS tk
-       |  FROM documents),
-       |pt AS (
-       |  SELECT doc_id, idf_micro,
-       |         CAST(len(list_filter(tk, x -> x = tok)) AS DOUBLE) AS tf,
-       |         len(tk) AS dl
-       |  FROM base, idf),
-       |sc AS (
-       |  SELECT doc_id,
-       |         CAST(sum(CAST(floor(idf_micro *
-       |           ((tf * ((1200000 / 1000000.0) + 1.0)) /
-       |            (tf + (1200000 / 1000000.0) *
-       |             ((1.0 - (750000 / 1000000.0)) + (750000 / 1000000.0) *
-       |              ((dl * 1000000.0) / $avgdl))))) AS BIGINT)) AS BIGINT) AS bm25_micro
-       |  FROM pt GROUP BY 1)
-       |SELECT doc_id, bm25_micro FROM sc
-       |WHERE bm25_micro > 0
-       |ORDER BY bm25_micro DESC, doc_id LIMIT 50""".stripMargin
-  }
+  private def bm25OracleSql(s: SparkSession, dir: String): String =
+    // ONE source of truth for the BM25 replay arithmetic: this is
+    // [[hybridLexCtes]]' `lex` (its top-50 list) re-ordered for the
+    // artifact — a grid fix lands in one place for q_bm25 and both
+    // hybrid oracles alike
+    s"""${hybridLexCtes(s, dir)}
+       |SELECT doc_id, bm25_micro FROM lex
+       |ORDER BY bm25_micro DESC, doc_id""".stripMargin
 
   /** Oracle for q_hybrid_search: the q_bm25 replay (idf/avgdl
     * literals) and the q_embed_topk replay nested as the two towers,
@@ -2595,19 +2583,27 @@ object SparkEntry {
        |SELECT doc_id, rrf_ppm FROM f
        |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The shared exact-cosine tower CTEs (the q_embed_topk replay):
+    * `d(vec_id, dot, n2)` / `qn(qn2)` over the full corpus plus
+    * `vc(doc_id, cos)`, the top-50 list on the raw-ordering /
+    * 6-decimal-grid convention. One source of truth for both the
+    * fused and the re-ranked hybrid oracles. */
+  private val hybridCosCtes: String =
+    """q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings WHERE vec_id = 0),
+      |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings WHERE vec_id > 0),
+      |d AS (SELECT vec_id, sum(xv*qv) AS dot, sum(xv*xv) AS n2
+      |      FROM v JOIN q USING (i) GROUP BY 1),
+      |qn AS (SELECT sum(qv*qv) AS qn2 FROM q),
+      |vc AS (SELECT vec_id AS doc_id, round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
+      |       FROM d, qn ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 50)""".stripMargin
+
   private def hybridOracleSql(s: SparkSession, dir: String): String =
     s"""${hybridLexCtes(s, dir)},
-       |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
-       |             generate_subscripts(embedding, 1) AS i
-       |      FROM embeddings WHERE vec_id = 0),
-       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
-       |             generate_subscripts(embedding, 1) AS i
-       |      FROM embeddings WHERE vec_id > 0),
-       |d AS (SELECT vec_id, sum(xv*qv) AS dot, sum(xv*xv) AS n2
-       |      FROM v JOIN q USING (i) GROUP BY 1),
-       |qn AS (SELECT sum(qv*qv) AS qn2 FROM q),
-       |vc AS (SELECT vec_id AS doc_id, round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos
-       |       FROM d, qn ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 50),
+       |$hybridCosCtes,
        |vr AS (SELECT doc_id,
        |         row_number() OVER (ORDER BY cos DESC, doc_id) AS r
        |       FROM vc),
@@ -2631,17 +2627,7 @@ object SparkEntry {
     * rounding grid and (raw desc, id) selection as q_embed_topk. */
   private def hybridRerankOracleSql(s: SparkSession, dir: String): String =
     s"""${hybridLexCtes(s, dir)},
-       |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
-       |             generate_subscripts(embedding, 1) AS i
-       |      FROM embeddings WHERE vec_id = 0),
-       |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
-       |             generate_subscripts(embedding, 1) AS i
-       |      FROM embeddings WHERE vec_id > 0),
-       |d AS (SELECT vec_id, sum(xv*qv) AS dot, sum(xv*xv) AS n2
-       |      FROM v JOIN q USING (i) GROUP BY 1),
-       |qn AS (SELECT sum(qv*qv) AS qn2 FROM q),
-       |vc AS (SELECT vec_id AS doc_id FROM d, qn
-       |       ORDER BY dot/sqrt(n2)/sqrt(qn2) DESC, vec_id LIMIT 50),
+       |$hybridCosCtes,
        |cand AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM vc)
        |SELECT d.vec_id AS doc_id,
        |       round(dot/sqrt(n2)/sqrt(qn2), 6) AS cos

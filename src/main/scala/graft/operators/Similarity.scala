@@ -27,14 +27,20 @@ object Similarity {
     * failure is a message, not an OOM. */
   val defaultMaxCorpusRows: Long = 1L << 21
 
-  private def requireCorpusBounded(n: Long, maxRows: Long,
-      op: String, scalePath: String): Unit =
-    require(n <= maxRows,
+  /** The bound check itself must be O(bound), not O(corpus): a
+    * LIMIT(max+1) count stops scanning after max+1 rows, so the loud
+    * failure on a 10B-row table costs 2²¹+1 rows, and the success
+    * path's extra job is bounded too. */
+  private def requireCorpusBounded(df: org.apache.spark.sql.Dataset[_],
+      maxRows: Long, op: String, scalePath: String): Unit = {
+    val probe = math.min(maxRows, Int.MaxValue - 1L).toInt
+    require(df.limit(probe + 1).count() <= maxRows,
       s"$op collects the corpus to the driver and is bounded at " +
-        s"$maxRows rows (got $n). For corpora past the bound use the " +
-        s"bucketed twin ($scalePath) — same output contract, no " +
-        "driver materialization — or raise maxCorpusRows with driver " +
-        "memory to match.")
+        s"$maxRows rows (the input has more). For corpora past the " +
+        s"bound use the bucketed twin ($scalePath) — same output " +
+        "contract, no driver materialization — or raise maxCorpusRows " +
+        "with driver memory to match.")
+  }
 
   /** Cosine of every row's `vecCol` against a literal query vector. */
   def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
@@ -494,7 +500,7 @@ object Similarity {
     * as knnJoin's broadcast side (the corpus must fit an executor);
     * the 100 TB path remains [[knnJoinLsh]]. The contract is
     * ENFORCED, not advisory: the corpus row count is checked BEFORE
-    * the driver collect (one metadata-cheap count job), so a caller
+    * the driver collect (one LIMIT-bounded count job), so a caller
     * pointing this at a big table gets a loud error naming the LSH
     * twin instead of a driver OOM — the reference's own
     * bounded-memory ethos (`supervisor/filter_manager.go:323-346`
@@ -508,7 +514,7 @@ object Similarity {
     val vecs = df.select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    requireCorpusBounded(vecs.count(), maxCorpusRows,
+    requireCorpusBounded(vecs, maxCorpusRows,
       "knnJoinCompiled", "knnJoinLsh / knnJoinMultiProbe")
     val corpus = vecs.collect()
     val norms = corpus.map { case (_, v) => math.sqrt(dotArr(v, v)) }
@@ -982,7 +988,7 @@ object Similarity {
         col(vecCol).cast("array<double>"),
         col(labelCol).cast("string"))
       .as[(Long, Array[Double], String)]
-    requireCorpusBounded(vecs.count(), maxCorpusRows,
+    requireCorpusBounded(vecs, maxCorpusRows,
       "hardNegatives", "hardNegativesLsh")
     val corpus = vecs.collect()
     val norms = corpus.map { case (_, v, _) => math.sqrt(dotArr(v, v)) }

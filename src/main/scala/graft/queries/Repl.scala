@@ -80,9 +80,16 @@ object Repl {
     private val HistoryMax = 100 // consoleAddHistory's max
     sessionPath.foreach { p =>
       val f = new java.io.File(p)
-      if (f.isFile)
-        scala.io.Source.fromFile(f, "UTF-8").getLines()
-          .foreach(l => if (l.nonEmpty) history += l)
+      if (f.isFile) {
+        // Files.readAllLines closes the handle; keep only the NEWEST
+        // HistoryMax entries so an oversized (hand-edited) session
+        // file cannot exceed the documented 100-entry FIFO bound
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(f.toPath,
+            java.nio.charset.StandardCharsets.UTF_8)
+          .asScala.filter(_.nonEmpty).takeRight(HistoryMax)
+          .foreach(history += _)
+      }
     }
     private def addHistory(cmd: String): Unit = {
       history += cmd
@@ -205,24 +212,48 @@ object Repl {
           if (toks.isEmpty) out ++= "ERR hybrid <token> [token...]\n"
           else {
             val docs = Tables.load(spark, sfDir, "documents")
+            // vec_id 0 is the fixture's reserved QUERY pseudo-vector
+            // everywhere in this codebase — it must not enter the
+            // corpus tower (it would rank a foreign vector and eat a
+            // rank slot)
             val emb = Tables.load(spark, sfDir, "embeddings")
-            val lexTop = graft.operators.TextAnalysis.bm25Rank(
-              docs, "doc_id", "text", toks, topN = 1).collect()
-            if (lexTop.isEmpty) out ++= "0 row(s) shown\n"
-            else {
-              val seed = lexTop.head.getLong(0)
-              val qv = emb.filter(col("vec_id") === seed)
-                .head().getSeq[Float](1).map(_.toDouble)
-              val hits = graft.operators.Retrieval.hybridSearch(
-                  docs, "doc_id", "text", emb, "vec_id", "embedding",
-                  toks, qv, topN = 10)
-                .join(docs.select(col("doc_id"),
-                  substring(col("text"), 1, 60).as("_snippet")), "doc_id")
-                .orderBy(col("rrf_ppm").desc, col("doc_id"))
-                .collect()
-              hits.foreach(r => out ++= s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getString(2)}\n")
-              out ++= s"${hits.length} row(s) shown\n"
-            }
+              .filter(col("vec_id") > 0)
+            // ONE lexical tower serves both the seed and the fusion —
+            // bm25Rank runs its own corpus-stats aggregate, so
+            // computing it twice would double the verb's corpus passes
+            val lex = graft.operators.TextAnalysis.bm25Rank(
+                docs, "doc_id", "text", toks, topN = 50)
+              .localCheckpoint(true)
+            try {
+              // seed = the BEST lexical hit that has an embedding (a
+              // corpus can embed only a subset; the verb must not die
+              // on a text-only top hit)
+              val seedRows = lex
+                .join(emb.select(col("vec_id").as("doc_id"),
+                  col("embedding")), "doc_id")
+                .orderBy(col("bm25_micro").desc, col("doc_id"))
+                .limit(1).collect()
+              if (seedRows.isEmpty) out ++= "0 row(s) shown\n"
+              else {
+                {
+                  val qv = seedRows.head.getAs[scala.collection.Seq[Float]]("embedding")
+                    .map(_.toDouble).toSeq
+                  val vec = graft.operators.Similarity.topKByQuery(
+                      emb, "vec_id", "embedding", qv, 50)
+                    .withColumnRenamed("vec_id", "doc_id")
+                  val hits = graft.operators.Retrieval.rrfFuse(
+                      "doc_id", topN = 10, rrfK = 60,
+                      Seq(lex -> "bm25_micro", vec -> "cos"))
+                    .join(docs.select(col("doc_id"),
+                      substring(col("text"), 1, 60).as("_snippet")), "doc_id")
+                    .orderBy(col("rrf_ppm").desc, col("doc_id"))
+                    .collect()
+                  hits.foreach(r =>
+                    out ++= s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getString(2)}\n")
+                  out ++= s"${hits.length} row(s) shown\n"
+                }
+              }
+            } finally graft.GraftSession.releaseCheckpoint(lex)
           }
         } else if (lower.startsWith("remove filter ")) {
           val name = t.drop("remove filter ".length).trim

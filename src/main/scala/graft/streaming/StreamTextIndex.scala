@@ -94,7 +94,10 @@ object StreamTextIndex {
     if (StreamState.claimSidecar(spark, marker(spark, root),
         chosen.toString)) chosen
     else {
-      val won = bucketsOf(spark, root)
+      // an empty/torn marker (an HDFS-branch winner that crashed
+      // between create and write) must surface as the designed retry
+      // message, not a NumberFormatException out of toInt
+      val won = scala.util.Try(bucketsOf(spark, root)).getOrElse(-1)
       require(won > 0,
         s"lost the bucket-modulus claim race at $root but no marker is " +
           "readable — the winning writer crashed mid-claim; retry")

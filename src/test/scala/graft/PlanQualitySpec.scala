@@ -59,6 +59,7 @@ class PlanQualitySpec extends SparkSpec {
     // its input tree from collect(); the bucketed no-shuffle property
     // is static (bucketing satisfies the join's required distribution
     // with or without AQE).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val exec = SparkEntry.queries("q_join_5way_bucketed")(spark, sfDir)
@@ -75,7 +76,7 @@ class PlanQualitySpec extends SparkSpec {
       assert(clean.exists(_.toString.contains("Bucketed: true")),
         s"shuffle-free SMJ is not over bucketed scans:\n${clean.head}")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       // the g5w_* tables stay registered on purpose: the query's
       // build-once guard (SparkEntry.ensureBucketedFacts) assumes
       // they survive within the JVM — dropping them here would break
