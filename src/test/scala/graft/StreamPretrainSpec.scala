@@ -470,6 +470,24 @@ class StreamPretrainSpec extends SparkSpec {
       "the most under-represented source keeps everything")
   }
 
+  test("MixPolicy: bad configs fail at construction, not mid-maintenance-run") {
+    val M = graft.streaming.Maintenance
+    // zero/negative weights would reach rebalanceMix as wSum == 0 /
+    // nonsense shares; duplicates would double-count a source
+    intercept[IllegalArgumentException](
+      M.MixPolicy("/r", Seq("a" -> 0L)))
+    intercept[IllegalArgumentException](
+      M.MixPolicy("/r", Seq("a" -> -5L, "b" -> 1L)))
+    intercept[IllegalArgumentException](
+      M.MixPolicy("/r", Seq("a" -> 1L, "a" -> 2L)))
+    intercept[IllegalArgumentException](
+      M.MixPolicy("/r", Seq.empty))
+    intercept[IllegalArgumentException](
+      M.MixPolicy("/r", Seq("a" -> 1L), tolerancePpm = -1L))
+    // a valid config constructs
+    M.MixPolicy("/r", Seq("a" -> 1L, "b" -> 2L))
+  }
+
   test("MixPolicy: no-op below tolerance, publishes at drift, never flaps") {
     val root = tmp()
     val fz = StreamPretrain.fit(docs, "doc_id", "text", "lang")
