@@ -83,6 +83,13 @@ object Multimodal {
     * REAL decoded bytes, not a simulation (r12 verdict stretch 8).
     */
   object ImageCodec {
+    // ImageIO's default stream cache is DISK-BACKED: every encode and
+    // decode creates (and deletes) a temp file. At one image per
+    // document that is a filesystem op per row — measured 21×/decade
+    // at the x100 probe (temp-dir contention under 32 concurrent
+    // tasks). Byte-array payloads never need it; cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic fixture pixel: channel values are pure integer
       * functions of (id, x, y) — what the SQL oracles replay. */
     @inline def r(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
