@@ -93,6 +93,16 @@ class RetrievalSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("ANN hybrid: the bench's persisted-index serving shape equals the self-contained fit") {
+    // the fits are deterministic, so build-once + table query must
+    // serve the same fused rows the oracle-checked form produces
+    val fresh = SparkEntry.queries("q_hybrid_search_ann")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val served = SparkEntry.benchQueries("q_hybrid_search_ann")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(served == fresh)
+  }
+
   test("hybridSearch with a TextIndex equals the scan path (posting pruning is lossless)") {
     val root = java.nio.file.Files
       .createTempDirectory("hybridix").toString + "/ix"
