@@ -18,7 +18,13 @@ object SlackHttp {
 
   final case class Server(http: com.sun.net.httpserver.HttpServer) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = {
+      http.stop(0)
+      http.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdown()
+        case _ => ()
+      }
+    }
   }
 
   /** application/x-www-form-urlencoded body → fields. Duplicate keys
@@ -47,6 +53,27 @@ object SlackHttp {
       case c => c.toString
     } + "\""
 
+  /** Slash-command payloads are a handful of short form fields; 64 KiB
+    * is already generous. Anything larger is rejected with 413 before
+    * being buffered, so one oversized client can't balloon the heap. */
+  private[graft] val MaxBodyBytes: Int = 64 * 1024
+
+  /** Read at most `max + 1` bytes from `in`; None when the body
+    * exceeds `max` (the caller responds 413). Bounded buffering — the
+    * unbounded readAllBytes was the r13 ADVICE finding. */
+  private[graft] def readBounded(in: java.io.InputStream,
+      max: Int): Option[Array[Byte]] = {
+    val buf = new java.io.ByteArrayOutputStream(math.min(max, 8192))
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      if (buf.size().toLong + n > max) return None
+      buf.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    Some(buf.toByteArray)
+  }
+
   /** Bind the slash-command endpoint on 127.0.0.1:`port` (0 = any
     * free port; read it back from [[Server.port]]). `token` mirrors
     * the reference's shared-secret check — a mismatch is 403 and the
@@ -55,6 +82,12 @@ object SlackHttp {
   def start(port: Int, token: String)(exec: String => String): Server = {
     val http = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    // a small pool instead of the default calling-thread executor: one
+    // slow client must not stall every other request (the bind is
+    // loopback-only, but the console exec inside a handler can itself
+    // take seconds)
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "slack-http"); t.setDaemon(true); t }))
     http.createContext("/slack/command",
       new com.sun.net.httpserver.HttpHandler {
         override def handle(
@@ -69,20 +102,23 @@ object SlackHttp {
           try {
             if (ex.getRequestMethod != "POST") {
               respond(405, """{"error":"POST only"}""")
-            } else {
-              val body = new String(ex.getRequestBody.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8)
-              val form = parseForm(body)
-              if (!form.get("token").contains(token)) {
-                // supervisor.go:116-123 — reject before any execution
-                respond(403, """{"error":"invalid token"}""")
-              } else {
-                val r = SlackGateway.handle(
-                  form.getOrElse("text", ""),
-                  form.getOrElse("user_name", "unknown"),
-                  form.getOrElse("channel_name", "unknown"))(exec)
-                respond(200, s"""{"channel":${jsonString(r.destination)},"text":${jsonString(r.text)}}""")
-              }
+            } else readBounded(ex.getRequestBody, MaxBodyBytes) match {
+              case None =>
+                respond(413, """{"error":"request body too large"}""")
+              case Some(raw) =>
+                val body = new String(raw,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                val form = parseForm(body)
+                if (!form.get("token").contains(token)) {
+                  // supervisor.go:116-123 — reject before any execution
+                  respond(403, """{"error":"invalid token"}""")
+                } else {
+                  val r = SlackGateway.handle(
+                    form.getOrElse("text", ""),
+                    form.getOrElse("user_name", "unknown"),
+                    form.getOrElse("channel_name", "unknown"))(exec)
+                  respond(200, s"""{"channel":${jsonString(r.destination)},"text":${jsonString(r.text)}}""")
+                }
             }
           } catch {
             case e: Exception =>

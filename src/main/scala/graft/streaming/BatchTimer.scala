@@ -11,11 +11,23 @@ package graft.streaming
   *
   * Scenarios run one at a time on the bench thread, but batch entry
   * points may be called from streaming micro-batch threads — the
-  * buffer is a concurrent queue, drained between scenarios.
+  * buffer is a concurrent queue, drained between scenarios. Samples
+  * are tagged with the epoch current at `timed` ENTRY: a micro-batch
+  * thread still inside `timed` when [[stop]] drains will add its
+  * sample afterward, and without the tag that straggler would either
+  * vanish or — if the next scenario's [[start]] already cleared the
+  * buffer — be misattributed to the NEXT scenario's p95 (r13 ADVICE).
+  * [[stop]] drains only matching-epoch samples; a late old-epoch
+  * sample is filtered on the next drain and a clear() can only drop
+  * old-epoch strays. start/stop are bench-thread-only (not
+  * mutual-exclusion-safe against each other — the single-scenario
+  * runner is the contract).
   */
 object BatchTimer {
   @volatile private var enabled = false
-  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+  @volatile private var epoch = 0L
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]
 
   /** Time `f` as one batch of kind `kind` when enabled; transparent
     * otherwise. Failures propagate untimed — a crashed batch is not a
@@ -23,20 +35,34 @@ object BatchTimer {
   def timed[T](kind: String)(f: => T): T =
     if (!enabled) f
     else {
+      val e = epoch
       val t0 = System.nanoTime()
       val r = f
-      buf.add(kind -> (System.nanoTime() - t0) / 1e9)
+      buf.add((e, kind, (System.nanoTime() - t0) / 1e9))
       r
     }
 
-  def start(): Unit = { buf.clear(); enabled = true }
+  /** Record a dimensionless observation under `kind` (e.g. the number
+    * of label-propagation rounds a batch needed — the r13 verdict
+    * asked the scenario artifact to carry rounds beside seconds so a
+    * slow batch is attributable). Same epoch/drain discipline as
+    * [[timed]]; the kind name carries the unit. */
+  def note(kind: String, value: Double): Unit =
+    if (enabled) buf.add((epoch, kind, value))
 
-  /** Stop recording and return the collected (kind, seconds) samples. */
+  def start(): Unit = { epoch += 1; buf.clear(); enabled = true }
+
+  /** Stop recording and return the collected (kind, value) samples of
+    * the CURRENT epoch; stragglers from earlier epochs are dropped. */
   def stop(): Seq[(String, Double)] = {
     enabled = false
+    val e = epoch
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var e = buf.poll()
-    while (e != null) { out += e; e = buf.poll() }
+    var s = buf.poll()
+    while (s != null) {
+      if (s._1 == e) out += ((s._2, s._3))
+      s = buf.poll()
+    }
     out.toSeq
   }
 

@@ -233,11 +233,34 @@ private[graft] object StreamState {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      // Only an already-exists failure of the CREATE is "lost the
+      // race". An IOException after the create succeeded (write/close
+      // died) has produced a torn marker that would wedge the root
+      // forever: claimModulus's "winner crashed mid-claim; retry"
+      // re-enters here, sees the marker exists, and loses again — so
+      // the torn marker must be deleted before the failure propagates,
+      // leaving the namespace claimable by the retry.
+      val out =
+        try hfs.create(path, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("already exists") =>
+            // some FileSystem impls signal the lost race as a plain
+            // IOException rather than the typed subclass
+            return false
+        }
       try {
-        val out = hfs.create(path, false)
         try out.write(bytes) finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case e: java.io.IOException =>
+          try hfs.delete(path, false)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
     }
   }
 

@@ -105,6 +105,26 @@ class SlackGatewaySpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SlackHttp: an oversized body is 413 and the command never executes") {
+    // the handler must bound its buffering (r13 ADVICE) — a payload
+    // past MaxBodyBytes is rejected before the token check or any exec
+    var executed = false
+    val srv = graft.queries.SlackHttp.start(0, token = "s3cret") {
+      _ => executed = true; "x"
+    }
+    try {
+      val big = "token=s3cret&text=" +
+        "x" * (graft.queries.SlackHttp.MaxBodyBytes + 1024)
+      val (code, body) = post(srv.port, big)
+      assert(code == 413, s"$code $body")
+      assert(!executed, "handler ran despite oversized body")
+      // a normal-sized request still works on the same server
+      val (code2, _) = post(srv.port,
+        "token=s3cret&user_name=a&channel_name=c&text=count")
+      assert(code2 == 200)
+    } finally srv.stop()
+  }
+
   test("SlackHttp: form decoding handles URL-encoded fields") {
     assert(graft.queries.SlackHttp.parseForm(
       "a=1&b=x%20y%2Bz&empty=&flag") ==
