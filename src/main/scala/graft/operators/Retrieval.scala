@@ -29,18 +29,40 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Ceiling on each ranked list's row count: the rank windows below
+    * are single-partition sorts, so the contract "each tower hands me
+    * a k-bounded list" must be ENFORCED, not advisory — a caller
+    * fusing an unbounded frame would otherwise get a silent one-task
+    * corpus sort (the same failure class [[Similarity
+    * .requireCorpusBounded]] closed for the compiled kNN paths, and
+    * the r13 verdict's one named scale-killer). 2¹⁶ rows is far past
+    * any real fusion depth and still milliseconds to window. */
+  val defaultMaxListRows: Long = 1L << 16
+
   /** Fuse two ranked candidate frames by RRF. Each input must carry
     * (idCol, its score column); ranks are assigned over
     * (score desc, id asc) — the deterministic total order both
     * engines share. Output: (idCol, rrf_ppm), best first, id
-    * tiebreak, at most `topN` rows. */
+    * tiebreak, at most `topN` rows. Each list is probed against
+    * `maxListRows` BEFORE any window runs (LIMIT(max+1) count — the
+    * probe is O(bound), and fails as a message, not a hung sort). */
   def rrfFuse(idCol: String, topN: Int, rrfK: Int,
-      lists: Seq[(DataFrame, String)]): DataFrame = {
+      lists: Seq[(DataFrame, String)],
+      maxListRows: Long = defaultMaxListRows): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(rrfK >= 1, s"rrfK must be >= 1: $rrfK")
+    lists.zipWithIndex.foreach { case ((df, scoreCol), i) =>
+      Similarity.requireBounded(df, maxListRows,
+        s"rrfFuse list $i (score column '$scoreCol') rank-windows on " +
+          "a single partition and",
+        "Pass each tower's k-bounded top-k output (bm25Rank / " +
+          "topKByQuery / queryIvfPqTable), never the raw corpus; or " +
+          "raise maxListRows deliberately.")
+    }
     val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
-      // the candidate frame is k-bounded by contract — a single-
-      // partition window over ≤ k rows, not a corpus sort
+      // the candidate frame is k-bounded — enforced above — so this
+      // is a single-partition window over ≤ maxListRows rows, not a
+      // corpus sort
       val w = Window.orderBy(col(scoreCol).desc, col(idCol))
       df.select(col(idCol), col(scoreCol))
         .withColumn(s"_r$i",

@@ -30,16 +30,33 @@ object Similarity {
   /** The bound check itself must be O(bound), not O(corpus): a
     * LIMIT(max+1) count stops scanning after max+1 rows, so the loud
     * failure on a 10B-row table costs 2²¹+1 rows, and the success
-    * path's extra job is bounded too. */
-  private def requireCorpusBounded(df: org.apache.spark.sql.Dataset[_],
-      maxRows: Long, op: String, scalePath: String): Unit = {
-    val probe = math.min(maxRows, Int.MaxValue - 1L).toInt
+    * path's extra job is bounded too. `limit()` takes an Int, so a
+    * bound at or past Int.MaxValue could not be probed and would be
+    * silently unenforceable — rejected up front instead (r13 ADVICE).
+    */
+  private[graft] def requireCorpusBounded(
+      df: org.apache.spark.sql.Dataset[_],
+      maxRows: Long, op: String, scalePath: String): Unit =
+    requireBounded(df, maxRows,
+      s"$op collects the corpus to the driver and",
+      s"For corpora past the bound use the bucketed twin ($scalePath)" +
+        " — same output contract, no driver materialization — or " +
+        "raise maxCorpusRows with driver memory to match.")
+
+  /** The generic bounded-input enforcement behind
+    * [[requireCorpusBounded]] (and [[graft.operators.Retrieval
+    * .rrfFuse]]'s list guard): `what` names the operation and why it
+    * must be bounded, `remedy` names the scale path. */
+  private[graft] def requireBounded(df: org.apache.spark.sql.Dataset[_],
+      maxRows: Long, what: String, remedy: String): Unit = {
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"$what: maxRows must be in (0, Int.MaxValue) — the bound is " +
+        s"enforced by a LIMIT(maxRows+1) probe and limit() takes an " +
+        s"Int, so $maxRows could never fail the check")
+    val probe = maxRows.toInt
     require(df.limit(probe + 1).count() <= maxRows,
-      s"$op collects the corpus to the driver and is bounded at " +
-        s"$maxRows rows (the input has more). For corpora past the " +
-        s"bound use the bucketed twin ($scalePath) — same output " +
-        "contract, no driver materialization — or raise maxCorpusRows " +
-        "with driver memory to match.")
+      s"$what is bounded at $maxRows rows (the input has more). " +
+        remedy)
   }
 
   /** Cosine of every row's `vecCol` against a literal query vector. */

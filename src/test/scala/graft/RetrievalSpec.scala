@@ -29,6 +29,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("rrfFuse: an unbounded list fails LOUDLY before any window runs, naming the towers") {
+    // the k-bounded contract is ENFORCED (the requireCorpusBounded
+    // precedent, r13 verdict item 2): a caller fusing a frame past
+    // maxListRows must get a message naming the bounded tower outputs,
+    // never a silent one-task corpus sort. Tiny bound = cheap spec.
+    val big = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("id", "s1")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse("id", topN = 10, rrfK = 60,
+        Seq(big -> "s1"), maxListRows = 2L)
+    }
+    assert(e.getMessage.contains("rrfFuse"), e.getMessage)
+    assert(e.getMessage.contains("bm25Rank"), e.getMessage)
+    assert(e.getMessage.contains("single partition"), e.getMessage)
+    // at or under the bound the fusion runs untouched
+    assert(Retrieval.rrfFuse("id", topN = 10, rrfK = 60,
+      Seq(big -> "s1"), maxListRows = 3L).count() == 3L)
+  }
+
   test("hybridSearch: a doc in BOTH towers outranks equal single-tower ranks; output is fusion of the towers") {
     val out = Retrieval.hybridSearch(docs, "doc_id", "text",
         emb.filter(col("vec_id") > 0), "vec_id", "embedding",
@@ -101,6 +119,21 @@ class RetrievalSpec extends SparkSpec {
     val served = SparkEntry.benchQueries("q_hybrid_search_ann")(spark, sfDir)
       .as[(Long, Long)].collect().toSeq
     assert(served == fresh)
+  }
+
+  test("fit/serve split: every served bench twin equals its self-contained oracle form") {
+    // the r14 bench twins time the serving scan against a per-JVM
+    // cached fit; the fits are deterministic, so the rows must be
+    // IDENTICAL to the self-contained forms Verify replays — any
+    // drift here would mean the bench measures a different answer
+    for (name <- Seq("q_embed_ivfpq_table", "q_embed_pq_codes",
+        "q_embed_pca")) {
+      val fresh = SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      val served = SparkEntry.benchQueries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == fresh, s"$name served twin drifted")
+    }
   }
 
   test("hybridSearch with a TextIndex equals the scan path (posting pruning is lossless)") {
