@@ -263,8 +263,82 @@ object Dedup {
       }
       if (!converged) throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxIter rounds — raise maxIter")
+      // scenario-artifact breadcrumb (no-op outside a bench scenario):
+      // a slow label fold must be attributable to its round count, not
+      // guessed at (r13 verdict item 1)
+      graft.streaming.BatchTimer.note("dedup.cluster_rounds", i)
       labels
     } finally edges.unpersist(false)
+  }
+
+  /** Ceiling on the pair set [[clustersDeltaScoped]] will collect for
+    * its driver union-find: 2²⁰ pairs ≈ 16 MB of ids — far past any
+    * real micro-batch's delta, and cheap to union-find in one pass.
+    * Past it the fold falls back to the distributed propagation
+    * (never a failure: the bound picks the ENGINE, not the answer). */
+  val defaultMaxDeltaPairs: Long = 1L << 20
+
+  /** Min-id connected components for the PER-BATCH label folds: one
+    * bounded driver union-find when the pair set fits
+    * `maxPairs` (LIMIT-probed — the collect is bounded BEFORE it
+    * happens), the distributed [[nearDupClusters]] propagation when
+    * it doesn't. Identical output either way (cluster = min id of
+    * the component — DedupSpec pins parity).
+    *
+    * Why this exists when [[nearDupClusters]] deliberately dropped
+    * its driver fast path: the BATCH operator's input is the whole
+    * corpus's pair set, whose size nothing bounds — there a driver
+    * collect is a scale bug. A micro-batch FOLD's input is one
+    * batch's delta edges (contracted against the existing labeling),
+    * bounded by the batch itself — and the distributed propagation's
+    * fixed per-round job overhead (2 joins + an aggregate + a
+    * localCheckpoint, × O(log d) rounds) was the dominant per-batch
+    * label cost in the r13 scenario artifact (dedup.labels p95 29 s
+    * driver-side). Bounded-with-fallback keeps the at-ingest hot
+    * path at one bounded collect + one LocalRelation (broadcast-able
+    * into the relabel join) while pathological batches degrade to
+    * the exact distributed path instead of OOMing the driver.
+    */
+  private[graft] def clustersDeltaScoped(pairs: DataFrame,
+      maxPairs: Long = defaultMaxDeltaPairs,
+      maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = math.min(maxPairs, Int.MaxValue - 1L).toInt
+    val edges = pairs.select(col("id_a").cast("long"),
+        col("id_b").cast("long"))
+      .limit(probe + 1).as[(Long, Long)].collect()
+    if (edges.length > probe) {
+      // past the bound: the delta is propagation-sized after all
+      graft.streaming.BatchTimer.note("dedup.labels.fallback_distributed", 1.0)
+      return nearDupClusters(pairs, maxIter)
+    }
+    graft.streaming.BatchTimer.note("dedup.labels.uf_pairs", edges.length)
+    // union-find with the MIN root kept as the representative, so
+    // find() returns the min id of the component directly; path
+    // halving keeps chains shallow
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val ids = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { case (a, b) => ids.add(a); ids.add(b) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+    ids.forEach(id => out += ((id, find(id))))
+    spark.createDataset(out.toSeq).toDF("id", "cluster")
   }
 
   /** EXACT incremental maintenance of near-dup cluster labels: given a
@@ -307,9 +381,10 @@ object Dedup {
       .select(least(col("_u"), col("_v")).as("id_a"),
         greatest(col("_u"), col("_v")).as("id_b"))
       .distinct()
-    // propagate over the contracted delta graph only; its node ids are
-    // old component labels and never-seen delta ids
-    val cc = nearDupClusters(cPairs, maxIter)
+    // cluster the contracted delta graph only (its node ids are old
+    // component labels and never-seen delta ids) — batch-bounded, so
+    // the bounded driver union-find normally handles it in one pass
+    val cc = clustersDeltaScoped(cPairs, maxIter = maxIter)
     val m = cc.withColumnRenamed("cluster", "_nc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

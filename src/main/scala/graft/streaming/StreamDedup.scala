@@ -275,7 +275,9 @@ object StreamDedup {
               col("a.id") < col("b.id"))
             .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
             .distinct()
-          Dedup.nearDupClusters(
+          // affected-components-only pair set — delta-scoped by
+          // construction, so the bounded union-find path applies
+          Dedup.clustersDeltaScoped(
             Dedup.verifyCandidates(cand, mSigs, cfg.numHashes, cfg.threshold))
         }
       try {
@@ -295,7 +297,7 @@ object StreamDedup {
           val outDirs = out.select("pl").distinct()
             .collect().map(_.getInt(0)).toSet
           if (outDirs.nonEmpty)
-            out.write.mode("overwrite")
+            out.repartition(col("pl")).write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("pl").parquet(path)
           // dynamic overwrite only rewrites directories it has rows
@@ -334,10 +336,13 @@ object StreamDedup {
     // file-based check: a deleteDocs can empty the table while its
     // directories remain — the next fold restarts from scratch
     if (!labelsExist(spark, root)) {
-      val labels = Dedup.nearDupClusters(deltaPairs)
+      // one batch's pair set — the bounded driver union-find path
+      // (distributed fallback past the bound), same output
+      val labels = Dedup.clustersDeltaScoped(deltaPairs)
       try {
         if (!labels.isEmpty)
-          withPl(labels).write.mode("overwrite").partitionBy("pl")
+          withPl(labels).repartition(col("pl"))
+            .write.mode("overwrite").partitionBy("pl")
             .parquet(path)
       } finally StreamState.release(labels)
     } else {
@@ -356,7 +361,7 @@ object StreamDedup {
           .localCheckpoint(true)
         try {
           if (!toWrite.isEmpty)
-            toWrite.write.mode("overwrite")
+            toWrite.repartition(col("pl")).write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("pl").parquet(path)
         } finally StreamState.release(toWrite)

@@ -220,6 +220,32 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("clustersDeltaScoped: union-find path and distributed fallback agree with nearDupClusters") {
+    val s = spark
+    import s.implicits._
+    // same deterministic graph family as the split test: chains,
+    // merges, singleton edges
+    val edges = (0 until 120).map { i =>
+      val a = (i * 2654435761L) % 60
+      val b = (i * 40503L + 7) % 60
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val pairs = edges.toDF("id_a", "id_b")
+    val want = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // under the bound: the driver union-find answers
+    val uf = Dedup.clustersDeltaScoped(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == want)
+    // past the bound: the distributed propagation answers, same labels
+    val fb = Dedup.clustersDeltaScoped(pairs, maxPairs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb == want)
+    // empty delta stays empty on both paths
+    assert(Dedup.clustersDeltaScoped(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+  }
+
   test("nearDupClusters never collects the pair relation to the driver") {
     val s = spark
     // The scale contract (round-9): clustering is joins/aggregates over
