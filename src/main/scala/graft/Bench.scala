@@ -401,41 +401,88 @@ object Bench {
     // contended flag; totals stay out of `value` so the headline
     // number remains comparable across rounds. Disable with
     // SPARK_GRAFT_SCENARIOS=0 for quick local loops.
+    // Per-scenario calibration fenceposts + one contended retry (r13
+    // verdict item 1): the leg previously carried ONE bracket around
+    // all 21 scenarios, so a 4× outlier (q_dedup_clusters_incr 83.7 s
+    // driver vs 21.3 s builder, same code) could only be ASSERTED to
+    // be host noise — the artifact could not adjudicate it. Every
+    // scenario now sits between its own serial + all-cores probes
+    // (fenceposts SHARED with its neighbor, so the leg pays ~22
+    // brackets ≈ 30 s, not 42); a scenario whose own bracket trips
+    // [[calibContended]] re-runs once immediately with a fresh
+    // bracket, the better attempt (ok > uncontended > lower wall)
+    // becomes the row of record, and both walls publish. The
+    // BatchTimer rows inside each scenario carry `n` per kind plus
+    // dimensionless notes (propagation rounds, union-find pair
+    // counts) so a slow batch is attributable, not guessed at.
     val scenariosJson: String =
       if (envLong("SPARK_GRAFT_SCENARIOS", 1L) == 0L)
         """"scenarios":null"""
       else {
-        val scCalB = calibrate(); val scParB = calPar2()
+        case class ScenRun(ok: Boolean, wall: Double, byKind: String,
+            calB: Double, parB: Double, calA: Double, parA: Double) {
+          def contended: Boolean = calibContended(calB, calA, parB, parA)
+        }
+        def runScenario(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            calB: Double, parB: Double): ScenRun = {
+          graft.streaming.BatchTimer.start()
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              fn(spark, sfDir).write.format("noop")
+                .mode("overwrite").save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] scenario $name failed: $e")
+              false
+            } finally GraftSession.releaseCachedBlocks(spark)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val byKind = graft.streaming.BatchTimer.stop()
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (kind, xs) =>
+              val ds = xs.map(_._2)
+              f""""$kind":{"n":${ds.size},"p95_sec":${graft.streaming.BatchTimer.p95(ds)}%.3f}"""
+            }.mkString("{", ",", "}")
+          ScenRun(ok, wall, byKind, calB, parB, calibrate(), calPar2())
+        }
+        var cal = calibrate(); var par = calPar2()
+        val legCalB = cal; val legParB = par
+        var anyContended = false
         val rows = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(q => scenarioQueries(q._1))
           .map { case (name, fn) =>
-            graft.streaming.BatchTimer.start()
-            val t0 = System.nanoTime()
-            val ok =
-              try {
-                fn(spark, sfDir).write.format("noop")
-                  .mode("overwrite").save()
-                true
-              } catch { case e: Throwable =>
-                System.err.println(s"[bench] scenario $name failed: $e")
-                false
-              } finally GraftSession.releaseCachedBlocks(spark)
-            val wall = (System.nanoTime() - t0) / 1e9
-            val byKind = graft.streaming.BatchTimer.stop()
-              .groupBy(_._1).toSeq.sortBy(_._1)
-              .map { case (kind, xs) =>
-                val ds = xs.map(_._2)
-                f""""$kind":{"n":${ds.size},"p95_sec":${graft.streaming.BatchTimer.p95(ds)}%.3f}"""
-              }.mkString("{", ",", "}")
-            f""""$name":{"wall_sec":${if (ok) wall else -1.0}%.3f,"batches":$byKind}"""
+            val first = runScenario(name, fn, cal, par)
+            val attempts =
+              if (!first.contended) Seq(first)
+              else {
+                System.err.println(s"[bench] scenario $name bracket " +
+                  f"adjudicated CONTENDED (serial ${first.calB}%.3f→" +
+                  f"${first.calA}%.3f, par ${first.parB}%.3f→" +
+                  f"${first.parA}%.3f); re-running once")
+                Seq(first, runScenario(name, fn, calibrate(), calPar2()))
+              }
+            // ok beats failed, uncontended beats contended, then wall
+            val chosen = attempts.minBy(a =>
+              (if (a.ok) 0 else 1, if (a.contended) 1 else 0, a.wall))
+            cal = attempts.last.calA; par = attempts.last.parA
+            anyContended ||= chosen.contended
+            val wallAttempts =
+              attempts.map(a => f"${a.wall}%.3f").mkString("[", ",", "]")
+            f""""$name":{"wall_sec":${if (chosen.ok) chosen.wall else -1.0}%.3f,""" +
+              f""""contended":${chosen.contended},""" +
+              f""""wall_attempts":$wallAttempts,""" +
+              f""""calib":{"calib_sec_before":${chosen.calB}%.3f,""" +
+              f""""calib_sec_after":${chosen.calA}%.3f,""" +
+              f""""calib_par_before":${chosen.parB}%.3f,""" +
+              f""""calib_par_after":${chosen.parA}%.3f},""" +
+              f""""batches":${chosen.byKind}}"""
           }
-        val scCalA = calibrate(); val scParA = calPar2()
-        val scContended = calibContended(scCalB, scCalA, scParB, scParA)
         s""""scenarios":${rows.mkString("{", ",", "}")},""" +
-          f""""scenarios_contended":$scContended,""" +
-          f""""scenarios_calib":{"calib_sec_before":$scCalB%.3f,""" +
-          f""""calib_sec_after":$scCalA%.3f,"calib_par_before":$scParB%.3f,""" +
-          f""""calib_par_after":$scParA%.3f}"""
+          f""""scenarios_contended":$anyContended,""" +
+          f""""scenarios_calib":{"calib_sec_before":$legCalB%.3f,""" +
+          f""""calib_sec_after":$cal%.3f,"calib_par_before":$legParB%.3f,""" +
+          f""""calib_par_after":$par%.3f}"""
       }
 
     val qs = a.queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
