@@ -143,4 +143,42 @@ class MultimodalSpec extends SparkSpec {
     val lineage = prof.rdd.toDebugString
     assert(!lineage.contains("Shuffled"), s"decode shuffles:\n$lineage")
   }
+
+  test("GIF codec: sequence encode → frame-iterated decode is pixel-exact per frame") {
+    val id = 4242L
+    val (w, h, nf) = (21, 15, 4)
+    val frames = Multimodal.GifCodec.decodeFrames(
+      Multimodal.GifCodec.renderGif(id, w, h, nf))
+    assert(frames.length == nf)
+    frames.foreach { case (f, fw, fh, sum) =>
+      assert(fw == w && fh == h, s"frame $f dims")
+      var want = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        want += Multimodal.GifCodec.lum(id, f, x, y)
+      assert(sum == want, s"frame $f lum_sum")
+    }
+    // frames really differ (the demux isn't re-serving frame 0)
+    assert(frames.map(_._4).distinct.length > 1)
+  }
+
+  test("GIF frame profile: distributed demux matches the formula; payload never shuffles") {
+    val gif = Multimodal.gifMediaTable(
+      Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 30))
+    val prof = Multimodal.gifFrameProfile(gif)
+    val rows = prof.collect()
+    // 2 + id%3 frames per doc
+    val wantRows = (0 until 30).map(id => 2 + id % 3).sum
+    assert(rows.length == wantRows)
+    rows.foreach { row =>
+      val id = row.getLong(0); val f = row.getInt(1)
+      val (w, h) = ((16 + id % 16).toInt, (12 + id % 8).toInt)
+      assert(row.getInt(2) == w && row.getInt(3) == h)
+      var want = 0L
+      for (x <- 0 until w; y <- 0 until h)
+        want += Multimodal.GifCodec.lum(id, f, x, y)
+      assert(row.getLong(4) == want, s"id=$id frame=$f lum_sum")
+    }
+    val lineage = prof.rdd.toDebugString
+    assert(!lineage.contains("Shuffled"), s"gif demux shuffles:\n$lineage")
+  }
 }
