@@ -27,6 +27,34 @@ class SurveyDriftSpec extends AnyFunSuite {
         missing.mkString(", "))
   }
 
+  test("SURVEY's declared tallies match the gate artifact (queries + scenarios)") {
+    // names were already drift-checked; r13 showed TALLIES drift too
+    // (SURVEY said "160 latency-table queries", both artifacts carried
+    // 159). SURVEY carries one machine-checkable tally line; prose
+    // counts elsewhere must derive from it.
+    val m = """tally: queries=(\d+) scenarios=(\d+)""".r
+      .findFirstMatchIn(surveyText)
+    assert(m.isDefined, "SURVEY.md must carry the machine-checkable " +
+      "'<!-- tally: queries=N scenarios=M -->' line")
+    val declared = m.get.group(1).toInt
+    val scen = m.get.group(2).toInt
+    assert(declared == SparkEntry.queries.size,
+      s"SURVEY declares $declared queries; SparkEntry.queries has " +
+        s"${SparkEntry.queries.size} — update the tally line (latency " +
+        s"table = queries - scenarios)")
+    assert(scen == Bench.scenarioQueries.size,
+      s"SURVEY declares $scen scenarios; Bench.scenarioQueries has " +
+        s"${Bench.scenarioQueries.size}")
+    // every scenario name must be a declared query (the latency-table
+    // size everyone quotes is queries - scenarios; a ghost scenario
+    // would silently skew it)
+    val ghosts = Bench.scenarioQueries
+      .filterNot(SparkEntry.queries.keySet).toSeq.sorted
+    assert(ghosts.isEmpty,
+      s"scenarioQueries not declared in SparkEntry.queries: " +
+        ghosts.mkString(", "))
+  }
+
   test("every oracleSql key is a declared query") {
     // an oracle without a query is dead weight the driver never runs;
     // (the reverse — a query without an oracle — is legitimate for
