@@ -145,8 +145,12 @@ object StreamDedup {
         val cross =
           if (!hasData(spark, bandsPath(root))) None
           else {
-            val pbs = banded.select("pb").distinct()
-              .collect().map(_.getInt(0)).toSeq
+            // this collect is the first action over sig+banded, so its
+            // sub-timer reads as "minhash + banding materialization"
+            val pbs = BatchTimer.timed("dedup.upsert.sig_probe") {
+              banded.select("pb").distinct()
+                .collect().map(_.getInt(0)).toSeq
+            }
             // tombstoned documents never surface as partners
             val hist = dropDead(spark.read.parquet(bandsPath(root))
               .filter(col("pb").isin(pbs: _*)), dead)
@@ -173,9 +177,11 @@ object StreamDedup {
                 .join(wanted, Seq("id"), "left_semi"))
               .dropDuplicates("id")
           }
-        val pairs = Dedup.verifyCandidates(cand, sides,
-            cfg.numHashes, cfg.threshold)
-          .localCheckpoint(true) // materialize BEFORE the appends below
+        val pairs = BatchTimer.timed("dedup.upsert.verify") {
+          Dedup.verifyCandidates(cand, sides,
+              cfg.numHashes, cfg.threshold)
+            .localCheckpoint(true) // materialize BEFORE the appends below
+        }
         // append AFTER the probe: the batch must not collide with its
         // own just-written rows. Repartition ON the partition column
         // first (the StreamTextIndex bucket-write precedent): the
@@ -186,12 +192,23 @@ object StreamDedup {
         // sf0.1 vs 0.6 s for the whole-corpus batch operator; file
         // creation plus every later probe listing the litter). One
         // small shuffle buys one file per touched directory.
-        banded.repartition(col("pb")).write.mode("append")
-          .partitionBy("pb").parquet(bandsPath(root))
-        sig.withColumn("pid", pmod(hash(col("id")), lit(cfg.dirBuckets)))
-          .repartition(col("pid"))
-          .write.mode("append").partitionBy("pid")
-          .parquet(sigsPath(root))
+        // The two tables are INDEPENDENT, so their appends run on two
+        // driver threads at once (concurrent job submission — the
+        // pool has 32 cores and each append is a ≤dirBuckets-task
+        // shuffle+write; overlap halves the wall). Both must land
+        // before return; a failure in either propagates and the
+        // micro-batch retries both — readers are duplicate-proof, so
+        // the crash semantics are exactly the sequential ones.
+        BatchTimer.timed("dedup.upsert.append") {
+          val sigOut = sig
+            .withColumn("pid", pmod(hash(col("id")), lit(cfg.dirBuckets)))
+          StreamState.inParallel(
+            () => banded.repartition(col("pb")).write.mode("append")
+              .partitionBy("pb").parquet(bandsPath(root)),
+            () => sigOut.repartition(col("pid"))
+              .write.mode("append").partitionBy("pid")
+              .parquet(sigsPath(root)))
+        }
         pairs
       } finally banded.unpersist(false)
     } finally sig.unpersist(false)

@@ -251,27 +251,47 @@ object StreamPretrain {
     // maintained clusters equal the batch clustering over the whole
     // corpus. The upsert is retry-idempotent (duplicate-proof readers,
     // label fold converges), so it can safely run before the ledger.
-    nearDup.foreach { cfg =>
-      // the returned pair delta is consumed by the label fold inside
-      // the call; release its checkpoint blocks (one delta per
-      // micro-batch in a long-lived ingest). The pipeline's batch id
-      // threads through as the index's generation id, so a later
-      // StreamDedup.deleteDocs can order against this ingest.
-      StreamState.release(StreamDedup.upsertBatchWithLabels(
-        batch.select(col(idCol), col(textCol)), idCol, textCol,
-        nearRoot(root), cfg, batchId = batchId))
-    }
-    // SEMANTIC structure likewise ingests ALL arrivals (a refused
-    // document still refuses later lookalikes — the batch
-    // semanticDedup's non-greedy rule). The refusal decision is
-    // final at arrival (direct-pair keep-first under monotone ids),
-    // so unlike the near gate there is no read-side late exclusion:
-    // the anti-join below is the whole composition.
-    val semRefused = semDup.map { g =>
-      StreamSemDedup.upsertBatch(
-        batch.select(col(idCol), col(g.embCol)), idCol, g.embCol,
-        g.model, semRoot(root), batchId)
-    }
+    // The near-dup and SEMANTIC index upserts target DISJOINT roots
+    // and both precede every gate read below, so they run on two
+    // driver threads at once ([[StreamState.inParallel]] — the
+    // per-batch wall pays max(near, sem), not the sum; both have
+    // completed before any frame built below can run a job).
+    //
+    // Near: the batch's bands probe the accumulated index and the
+    // cluster-label table folds the new pairs in
+    // ([[StreamDedup.upsertBatchWithLabels]] — the
+    // q_dedup_clusters_incr machinery). Like the fingerprint ledger,
+    // the index ingests ALL arrivals — near-dup structure is a
+    // property of the content, not of what the gates kept — so the
+    // maintained clusters equal the batch clustering over the whole
+    // corpus. The upsert is retry-idempotent (duplicate-proof readers,
+    // label fold converges), so it can safely run before the ledger;
+    // the returned pair delta is consumed by the label fold inside
+    // the call, and its checkpoint blocks are released (one delta per
+    // micro-batch in a long-lived ingest). The pipeline's batch id
+    // threads through as the index's generation id, so a later
+    // StreamDedup.deleteDocs can order against this ingest.
+    //
+    // Semantic: likewise ingests ALL arrivals (a refused document
+    // still refuses later lookalikes — the batch semanticDedup's
+    // non-greedy rule). The refusal decision is final at arrival
+    // (direct-pair keep-first under monotone ids), so unlike the near
+    // gate there is no read-side late exclusion: the anti-join below
+    // is the whole composition.
+    val semRefusedRef =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    StreamState.inParallel(
+      (nearDup.map { cfg => () =>
+        StreamState.release(StreamDedup.upsertBatchWithLabels(
+          batch.select(col(idCol), col(textCol)), idCol, textCol,
+          nearRoot(root), cfg, batchId = batchId))
+      } ++
+        semDup.map { g => () =>
+          semRefusedRef.set(StreamSemDedup.upsertBatch(
+            batch.select(col(idCol), col(g.embCol)), idCol, g.embCol,
+            g.model, semRoot(root), batchId))
+        }).toSeq: _*)
+    val semRefused = Option(semRefusedRef.get)
     // stateless gates
     val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
       stopWords = fz.stopWords).filter(col("keep")).select(idCol)

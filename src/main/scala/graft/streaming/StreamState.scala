@@ -57,6 +57,39 @@ private[graft] object StreamState {
   def release(df: org.apache.spark.sql.DataFrame): Unit =
     graft.GraftSession.releaseCheckpoint(df)
 
+  /** Run independent Spark actions on concurrent driver threads and
+    * wait for ALL of them (concurrent job submission against one
+    * executor pool — standard Spark scheduling). For per-batch ingest
+    * paths whose writes target DISJOINT state (e.g. the bands and
+    * sigs appends, the near-dup and semantic index upserts): the wall
+    * cost becomes max() instead of sum(), and failure semantics are
+    * the sequential ones — any failure propagates (its ORIGINAL
+    * exception, unwrapped) after every action has settled, the caller
+    * retries the batch, and retry-idempotent state absorbs the
+    * replay. Deliberately NOT for actions ordered by correctness
+    * (probe-before-append stays sequential). */
+  def inParallel(actions: (() => Unit)*): Unit = {
+    if (actions.isEmpty) return
+    if (actions.size == 1) return actions.head()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      actions.size,
+      r => { val t = new Thread(r, "graft-ingest-par"); t.setDaemon(true); t })
+    try {
+      val fs = actions.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = a()
+      }))
+      var firstFailure: Throwable = null
+      fs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
+  }
+
   /** Retire a compaction's snapshot files. Idempotent: a file already
     * gone (a crashed earlier retire got partway) is skipped. */
   def deleteFiles(spark: SparkSession, root: String,

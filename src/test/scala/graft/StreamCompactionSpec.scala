@@ -171,6 +171,28 @@ class StreamCompactionSpec extends SparkSpec {
     assert(postings(root) == scanPostings(docs.limit(50)))
   }
 
+  test("claimSidecar (create-path): a torn write deletes the marker so a retry can win") {
+    // the HDFS-like branch (create(overwrite=false)) used to swallow
+    // EVERY IOException as 'lost the race' — a write/close failure
+    // after a successful create left a torn marker that wedged the
+    // root forever (claimModulus's 'winner crashed mid-claim; retry'
+    // re-enters, sees the marker exists, loses again). Exercised via
+    // a scheme whose FileSystem fails the first write after create.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.torn.impl", classOf[TornClaimFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("tornclaim")
+    val p = new org.apache.hadoop.fs.Path(s"torn://$dir/_graft_buckets")
+    TornClaimFs.failNextWrite.set(true)
+    intercept[java.io.IOException] {
+      StreamState.claimSidecar(spark, p, "64")
+    }
+    val tfs = p.getFileSystem(conf)
+    assert(!tfs.exists(p), "torn marker left behind wedges the root")
+    // the retry wins cleanly; a later claimer loses as usual
+    assert(StreamState.claimSidecar(spark, p, "64"))
+    assert(!StreamState.claimSidecar(spark, p, "32"))
+  }
+
   test("text index: deletes tombstone, resurrect, and physically retire at compaction") {
     val root = tmp("sci-idx-del")
     StreamTextIndex.upsertBatch(docs, "doc_id", "text", root, 0L)
