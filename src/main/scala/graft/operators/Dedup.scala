@@ -314,10 +314,21 @@ object Dedup {
       return nearDupClusters(pairs, maxIter)
     }
     graft.streaming.BatchTimer.note("dedup.labels.uf_pairs", edges.length)
-    // union-find with the MIN root kept as the representative, so
-    // find() returns the min id of the component directly; path
-    // halving keeps chains shallow
-    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    val uf = new MinUnionFind(edges.length * 2)
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val ids = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { case (a, b) => ids.add(a); ids.add(b) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+    ids.forEach(id => out += ((id, uf.find(id))))
+    spark.createDataset(out.toSeq).toDF("id", "cluster")
+  }
+
+  /** Union-find with the MIN element kept as each component's root, so
+    * [[find]] returns the min id of the component directly (the label
+    * convention every cluster operator shares); path halving keeps
+    * chains shallow. Driver-side, for BOUNDED delta folds only. */
+  private[graft] final class MinUnionFind(sizeHint: Int) {
+    private val parent = new java.util.HashMap[Long, Long](sizeHint)
     def find(x0: Long): Long = {
       var x = x0
       var p = parent.getOrDefault(x, x)
@@ -329,16 +340,11 @@ object Dedup {
       }
       x
     }
-    edges.foreach { case (a, b) =>
+    def union(a: Long, b: Long): Unit = {
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
-    val ids = new java.util.TreeSet[java.lang.Long]()
-    edges.foreach { case (a, b) => ids.add(a); ids.add(b) }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
-    ids.forEach(id => out += ((id, find(id))))
-    spark.createDataset(out.toSeq).toDF("id", "cluster")
   }
 
   /** EXACT incremental maintenance of near-dup cluster labels: given a

@@ -331,11 +331,28 @@ object StreamDedup {
 
   /** Fold one batch's near-dup pairs into the persistent label table.
     *
-    * First batch: a full [[Dedup.nearDupClusters]] over the (batch-
-    * sized) pair set. Every later batch:
-    * [[Dedup.incrementalClusters]] — propagation over the DELTA edges
-    * only, then a relabel join — so per-batch work is O(batch pairs +
-    * touched labels), independent of corpus size.
+    * First batch: [[Dedup.clustersDeltaScoped]] over the (batch-sized)
+    * pair set. Every later batch: the delta edges are CONTRACTED
+    * against the existing labeling (only the endpoints' label rows are
+    * read — a broadcast semi-join, then a bounded driver collect) and
+    * union-found on the driver; the rewrite touches ONLY directories
+    * holding a changed or new row. Per-batch work is O(batch pairs +
+    * touched directories) — the label table is never relabeled,
+    * checkpointed, or even fully scanned per batch (pre-r14 the fold
+    * materialized the FULL relabeled table every micro-batch, an
+    * O(all-time duplicates) checkpoint that would dominate at corpus
+    * scale). A delta past the [[Dedup.defaultMaxDeltaPairs]] bound
+    * falls back to the exact distributed fold
+    * ([[Dedup.incrementalClusters]] + whole-dir rewrite), identical
+    * labels either way.
+    *
+    * Exactness of the contraction (the [[Dedup.incrementalClusters]]
+    * argument, driver-side): contracting each existing component to
+    * its label is a graph quotient, every old label IS its
+    * component's min id, so union-find over the contracted delta
+    * edges yields the merged components' min-id labels directly; rows
+    * of an untouched component keep their label because no contracted
+    * edge reaches it.
     *
     * Storage: (id, cluster) partitioned by `pl = pmod(hash(id),
     * dirBuckets)`. `hash(id)` (not cluster) keys the layout so a row's
@@ -345,8 +362,10 @@ object StreamDedup {
     * directories, not the corpus-wide table.
     */
   def updateLabels(spark: SparkSession, root: String,
-      deltaPairs: DataFrame, cfg: Config = Config()): Unit =
+      deltaPairs: DataFrame, cfg: Config = Config(),
+      maxPairs: Long = Dedup.defaultMaxDeltaPairs): Unit =
     BatchTimer.timed("dedup.labels") {
+    import spark.implicits._
     val path = labelsPath(root)
     def withPl(df: DataFrame) =
       df.withColumn("pl", pmod(hash(col("id")), lit(cfg.dirBuckets)))
@@ -362,11 +381,18 @@ object StreamDedup {
             .write.mode("overwrite").partitionBy("pl")
             .parquet(path)
       } finally StreamState.release(labels)
-    } else {
-      val existing = spark.read.parquet(path).select("id", "cluster")
+      return
+    }
+    val existing = spark.read.parquet(path).select("id", "cluster")
+    val probe = math.min(maxPairs, Int.MaxValue - 1L).toInt
+    val edges = deltaPairs.select(col("id_a").cast("long"),
+        col("id_b").cast("long"))
+      .limit(probe + 1).as[(Long, Long)].collect()
+    if (edges.length > probe) {
+      // pathological delta: the exact distributed fold (pre-r14 path)
+      BatchTimer.note("dedup.labels.fallback_distributed", 1.0)
       val updated = Dedup.incrementalClusters(existing, deltaPairs)
       try {
-        // directories holding a row whose label changed (or a new row)
         val changed = updated
           .join(existing.withColumnRenamed("cluster", "_old"), Seq("id"), "left")
           .filter(col("_old").isNull || col("_old") =!= col("cluster"))
@@ -382,12 +408,71 @@ object StreamDedup {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("pl").parquet(path)
         } finally StreamState.release(toWrite)
-        // one delta's worth of checkpoint blocks per micro-batch
-        // (labels / updated / toWrite) is released HERE, not left to
-        // the driver's GC — a long ingest must not pin N batches of
-        // label snapshots in executor storage
       } finally StreamState.release(updated)
+      return
     }
+    if (edges.isEmpty) return // nothing can change any label
+    BatchTimer.note("dedup.labels.uf_pairs", edges.length)
+    // existing labels of the delta ENDPOINTS only (broadcast semi-join
+    // against the endpoint list, bounded collect — never the table)
+    val endpointIds = {
+      val s = new java.util.TreeSet[java.lang.Long]()
+      edges.foreach { case (a, b) => s.add(a); s.add(b) }
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](s.size)
+      s.forEach(x => buf += x)
+      buf.toSeq
+    }
+    val endLab = existing
+      .join(broadcast(endpointIds.toDF("id")), Seq("id"), "left_semi")
+      .as[(Long, Long)].collect().toMap
+    // contract each endpoint through its existing label (identity for
+    // never-seen ids) and union-find the contracted edges
+    val uf = new Dedup.MinUnionFind(edges.length * 2)
+    edges.foreach { case (a, b) =>
+      uf.union(endLab.getOrElse(a, a), endLab.getOrElse(b, b))
+    }
+    // cluster relabel map: only entries that actually change a label
+    val relabel = {
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      endpointIds.foreach { id =>
+        val c = endLab.getOrElse(id, id)
+        val nc = uf.find(c)
+        if (nc != c) m(c) = nc
+      }
+      m.toMap
+    }
+    // rows for ids the table has never seen (their contracted node is
+    // the id itself)
+    val freshRows = endpointIds.filterNot(endLab.contains)
+      .map(id => (id, uf.find(id)))
+    if (relabel.isEmpty && freshRows.isEmpty) return
+    val relabelDf = broadcast(
+      relabel.toSeq.toDF("cluster", "_nc"))
+    // directories holding a changed row (cluster ∈ relabel keys — one
+    // broadcast-pruned scan of the table) or a new row
+    val changedDirs = withPl(
+        existing.join(relabelDf, Seq("cluster"), "left_semi"))
+      .select("pl")
+    val freshDf = freshRows.toDF("id", "cluster")
+    val touched = changedDirs
+      .unionByName(withPl(freshDf).select("pl"))
+      .distinct()
+    // rewrite = every existing row of a touched directory (relabeled
+    // through the broadcast map, identity elsewhere) ∪ the fresh rows;
+    // materialize BEFORE the overwrite — the scans must not race the
+    // commit's deletes
+    val toWrite = withPl(existing)
+      .join(touched, Seq("pl"), "left_semi")
+      .join(relabelDf, Seq("cluster"), "left")
+      .select(col("id"),
+        coalesce(col("_nc"), col("cluster")).as("cluster"))
+      .unionByName(freshDf)
+      .localCheckpoint(true)
+    try {
+      withPl(toWrite).repartition(col("pl")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pl").parquet(path)
+    } finally StreamState.release(toWrite)
   }
 
   /** The maintained labeling as it stands: (id, cluster) for every id

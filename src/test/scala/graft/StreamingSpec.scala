@@ -303,6 +303,45 @@ class StreamingSpec extends SparkSpec {
     assert(labelMap(StreamDedup.indexLabels(spark, root)) == want)
   }
 
+  test("label fold: driver contraction, distributed fallback, and fresh-min-id promotion all land on the batch fixpoint") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamDedup
+    val s = spark
+    import s.implicits._
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def foldInto(root: String, batches: Seq[Seq[(Long, Long)]],
+        maxPairs: Long): Map[Long, Long] = {
+      batches.foreach { b =>
+        StreamDedup.updateLabels(spark, root,
+          b.toDF("id_a", "id_b"), maxPairs = maxPairs)
+      }
+      labelMap(StreamDedup.indexLabels(spark, root))
+    }
+    // edge choreography: a merge of two existing components (10+20),
+    // an extension, a FRESH id (5) that becomes the new min of an
+    // existing component (cluster must relabel to the fresh id), and
+    // an untouched component (100,101) that must stay byte-stable
+    val batches = Seq(
+      Seq((10L, 11L), (20L, 21L), (100L, 101L)),
+      Seq((11L, 21L), (30L, 31L)),
+      Seq((5L, 10L)))
+    val want = labelMap(Dedup.nearDupClusters(
+      batches.flatten.toDF("id_a", "id_b")))
+    assert(want(20L) == 5L, "fresh id must become the promoted min label")
+    // driver-contraction path (bound far above the delta)
+    val r1 = java.nio.file.Files.createTempDirectory("uf_fold").toString
+    assert(foldInto(r1, batches, maxPairs = 1L << 20) == want)
+    // distributed fallback (bound below every delta) — identical labels
+    val r2 = java.nio.file.Files.createTempDirectory("dist_fold").toString
+    assert(foldInto(r2, batches, maxPairs = 1L) == want)
+    // empty delta after the fact: content stays identical
+    StreamDedup.updateLabels(spark, r1,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(labelMap(StreamDedup.indexLabels(spark, r1)) == want)
+  }
+
   test("streaming curation gates quality/length at ingest and dedups survivors") {
     implicit val s = spark
     import s.implicits._
