@@ -5752,7 +5752,7 @@ object SparkEntry {
           Seq(lex -> "bm25_micro", ann -> "neg_d2"))
       }),
       // fit/serve split for the fit-heavy ANN rows (r13 verdict item
-      // 3): these three rows re-paid a deterministic driver-side fit
+      // 3): these rows re-paid a deterministic driver-side fit
       // on every bench pass (~30 s of the r13 headline, and the most
       // host-band-sensitive rows in the table — 1.7–2.3× driver vs
       // builder on identical plans). Each now times its SERVING shape
@@ -5777,6 +5777,27 @@ object SparkEntry {
         Similarity.pqEncode(emb, "vec_id", "embedding", pqTrainFor(s, dir))
           .select(col("vec_id"),
             posexplode(col("codes")).as(Seq("sub", "code")))
+      }),
+      "q_embed_pq_topk" -> ((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val cb = pqTrainFor(s, dir)
+        Similarity.pqSearchAdc(
+          Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+          "vec_id", cb, q, 20)
+      }),
+      "q_embed_pq_rerank" -> ((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val corpus = emb.filter(col("vec_id") > 0)
+        val cb = pqTrainFor(s, dir)
+        Similarity.pqSearchRerank(
+          Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+          corpus, "vec_id", "embedding", cb, q, kTop = 20,
+          shortlist = 200)
       }),
       "q_embed_pca" -> ((s, dir) => {
         val emb = t(s, dir, "embeddings").filter(col("vec_id") > 0)

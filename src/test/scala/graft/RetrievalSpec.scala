@@ -127,7 +127,7 @@ class RetrievalSpec extends SparkSpec {
     // IDENTICAL to the self-contained forms Verify replays — any
     // drift here would mean the bench measures a different answer
     for (name <- Seq("q_embed_ivfpq_table", "q_embed_pq_codes",
-        "q_embed_pca")) {
+        "q_embed_pca", "q_embed_pq_topk", "q_embed_pq_rerank")) {
       val fresh = SparkEntry.queries(name)(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq
       val served = SparkEntry.benchQueries(name)(spark, sfDir)
