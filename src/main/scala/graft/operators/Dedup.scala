@@ -838,7 +838,8 @@ object Dedup {
     * all-pairs.
     */
   def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+      shingleSize: Int = 3, tNum: Int = 1, tDen: Int = 2,
+      maxCandidatePairs: Long = defaultMaxCandidatePairs): DataFrame = {
     require(tNum >= 1 && tDen >= tNum,
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
     // token-empty documents are excluded BEFORE shingling: the short-
@@ -851,7 +852,7 @@ object Dedup {
           .shingles(col(textCol), shingleSize)).as("_ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = prefixCandidates(sets, tNum, tDen)
+      val cand = prefixCandidates(sets, tNum, tDen, maxCandidatePairs)
       cand
         .join(sets.select(col("id").as("id_a"), col("_ss").as("_sa")), "id_a")
         .join(sets.select(col("id").as("id_b"), col("_ss").as("_sb")), "id_b")
@@ -882,8 +883,17 @@ object Dedup {
     * candidates for 256 true pairs, 11.9 s → 4.4 s end to end.
     * Exposed for DedupSpec's completeness and candidate-bound gates.
     */
+  /** Ceiling on [[jaccardJoinPrefix]]'s candidate-pair mass: an exact
+    * similarity join over a near-duplicate-heavy corpus is quadratic
+    * BY NATURE (every qualifying pair must be verified), so the
+    * operator's documented contract — run it AFTER near-dedup — is
+    * enforced, not advisory. 2²⁶ pairs ≈ minutes of verify work; a
+    * healthy post-dedup corpus sits orders of magnitude below it. */
+  val defaultMaxCandidatePairs: Long = 1L << 26
+
   private[graft] def prefixCandidates(sets: DataFrame, tNum: Int,
-      tDen: Int): DataFrame = {
+      tDen: Int,
+      maxCandidatePairs: Long = defaultMaxCandidatePairs): DataFrame = {
     // _n rides along from the set size — no second window over the
     // item stream
     val items = sets.select(col("id"), size(col("_ss")).as("_n"),
@@ -896,6 +906,23 @@ object Dedup {
       .filter(col("_rk") <=
         col("_n") - expr(s"($tNum * _n + $tDen - 1) div $tDen") + 1)
       .select(col("id"), col("s"), col("_rk"), col("_n"))
+    // enforced candidate-mass bound (the requireBounded standard
+    // applied to the quadratic hazard): Σ_s C(df_prefix(s), 2) bounds
+    // the equi-join's pair count from ABOVE, computed by one cheap
+    // aggregate over the prefix relation BEFORE the join runs — a
+    // duplicate-heavy corpus fails as a message naming the bounded
+    // twins, never as an hours-long verify stage.
+    val mass = prefix.groupBy("s").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum((col("_c") * (col("_c") - 1)).cast("long") / 2),
+        lit(0.0)).cast("long"))
+      .head().getLong(0)
+    require(mass <= maxCandidatePairs,
+      s"jaccardJoinPrefix's prefix-item candidate mass is $mass pairs " +
+        s"(bound: $maxCandidatePairs) — an exact similarity join over " +
+        "a near-duplicate-heavy corpus is quadratic by nature. Run it " +
+        "AFTER near-dedup (dropNearDuplicates / minhashLsh), use the " +
+        "bounded twins (minhashLsh probabilistic, jaccardPairs " +
+        "df-capped), or raise maxCandidatePairs deliberately.")
     val a = prefix.as("a"); val b = prefix.as("b")
     a.join(b,
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&

@@ -246,6 +246,23 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
   }
 
+  test("jaccardJoinPrefix: the candidate-mass bound fails LOUDLY before the join, naming the twins") {
+    // the exact PPJoin's run-after-dedup contract is ENFORCED: a
+    // corpus whose prefix-item mass exceeds maxCandidatePairs must
+    // produce a message naming the bounded twins, never an unbounded
+    // quadratic verify stage. Tiny bound = cheap spec.
+    val slice = docs.filter(col("doc_id") < 200)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardJoinPrefix(slice, "doc_id", "text",
+        maxCandidatePairs = 1L)
+    }
+    assert(e.getMessage.contains("minhashLsh"), e.getMessage)
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+    // at or under a sane bound the join runs untouched
+    assert(Dedup.jaccardJoinPrefix(slice.limit(30), "doc_id", "text")
+      .count() >= 0)
+  }
+
   test("nearDupClusters never collects the pair relation to the driver") {
     val s = spark
     // The scale contract (round-9): clustering is joins/aggregates over
