@@ -853,17 +853,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cand = prefixCandidates(sets, tNum, tDen, maxCandidatePairs)
-      cand
-        .join(sets.select(col("id").as("id_a"), col("_ss").as("_sa")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("_ss").as("_sb")), "id_b")
-        .withColumn("inter",
-          size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
-        .withColumn("uni",
-          size(col("_sa")) + size(col("_sb")) - col("inter"))
-        .filter(col("inter") * tDen >= col("uni") * tNum)
-        .select(col("id_a"), col("id_b"), col("inter"),
-          col("uni").cast("long").as("uni"))
-        .localCheckpoint(true)
+      try {
+        cand
+          .join(sets.select(col("id").as("id_a"), col("_ss").as("_sa")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("_ss").as("_sb")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+          .withColumn("uni",
+            size(col("_sa")) + size(col("_sb")) - col("inter"))
+          .filter(col("inter") * tDen >= col("uni") * tNum)
+          .select(col("id_a"), col("id_b"), col("inter"),
+            col("uni").cast("long").as("uni"))
+          .localCheckpoint(true)
+      } finally graft.GraftSession.releaseCheckpoint(cand)
     } finally sets.unpersist(false)
   }
 
@@ -906,36 +908,43 @@ object Dedup {
       .filter(col("_rk") <=
         col("_n") - expr(s"($tNum * _n + $tDen - 1) div $tDen") + 1)
       .select(col("id"), col("s"), col("_rk"), col("_n"))
-    // enforced candidate-mass bound (the requireBounded standard
-    // applied to the quadratic hazard): Σ_s C(df_prefix(s), 2) bounds
-    // the equi-join's pair count from ABOVE, computed by one cheap
-    // aggregate over the prefix relation BEFORE the join runs — a
-    // duplicate-heavy corpus fails as a message naming the bounded
-    // twins, never as an hours-long verify stage.
-    val mass = prefix.groupBy("s").agg(count(lit(1)).as("_c"))
-      .agg(coalesce(sum((col("_c") * (col("_c") - 1)).cast("long") / 2),
-        lit(0.0)).cast("long"))
-      .head().getLong(0)
-    require(mass <= maxCandidatePairs,
-      s"jaccardJoinPrefix's prefix-item candidate mass is $mass pairs " +
-        s"(bound: $maxCandidatePairs) — an exact similarity join over " +
-        "a near-duplicate-heavy corpus is quadratic by nature. Run it " +
-        "AFTER near-dedup (dropNearDuplicates / minhashLsh), use the " +
-        "bounded twins (minhashLsh probabilistic, jaccardPairs " +
-        "df-capped), or raise maxCandidatePairs deliberately.")
-    val a = prefix.as("a"); val b = prefix.as("b")
-    a.join(b,
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-        // length filter on both orderings of the pair
-        col("a._n") * tNum <= col("b._n") * tDen &&
-        col("b._n") * tNum <= col("a._n") * tDen &&
-        // positional filter: max reachable overlap from this meeting
-        // point must still satisfy J >= tNum/tDen
-        (lit(1) + least(col("a._n") - col("a._rk"),
-            col("b._n") - col("b._rk"))) * (tNum + tDen)
-          >= (col("a._n") + col("b._n")) * tNum)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      // three consumers (the mass guard and both self-join sides) —
+      // persist so the dfreq aggregate + rank window run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // enforced candidate-mass bound (the requireBounded standard
+      // applied to the quadratic hazard): Σ_s C(df_prefix(s), 2)
+      // bounds the equi-join's pair count from ABOVE, computed by one
+      // cheap aggregate over the prefix relation BEFORE the join
+      // runs — a duplicate-heavy corpus fails as a message naming the
+      // bounded twins, never as an hours-long verify stage.
+      val mass = prefix.groupBy("s").agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum((col("_c") * (col("_c") - 1)).cast("long") / 2),
+          lit(0.0)).cast("long"))
+        .head().getLong(0)
+      require(mass <= maxCandidatePairs,
+        s"jaccardJoinPrefix's prefix-item candidate mass is $mass pairs " +
+          s"(bound: $maxCandidatePairs) — an exact similarity join over " +
+          "a near-duplicate-heavy corpus is quadratic by nature. Run it " +
+          "AFTER near-dedup (dropNearDuplicates / minhashLsh), use the " +
+          "bounded twins (minhashLsh probabilistic, jaccardPairs " +
+          "df-capped), or raise maxCandidatePairs deliberately.")
+      val a = prefix.as("a"); val b = prefix.as("b")
+      a.join(b,
+          col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          // length filter on both orderings of the pair
+          col("a._n") * tNum <= col("b._n") * tDen &&
+          col("b._n") * tNum <= col("a._n") * tDen &&
+          // positional filter: max reachable overlap from this meeting
+          // point must still satisfy J >= tNum/tDen
+          (lit(1) + least(col("a._n") - col("a._rk"),
+              col("b._n") - col("b._rk"))) * (tNum + tDen)
+            >= (col("a._n") + col("b._n")) * tNum)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+        // materialize before unpersist — callers may consume lazily
+        .localCheckpoint(true)
+    } finally prefix.unpersist(false)
   }
 
   /** Candidate pairs from the df-capped token inverted index: ids
