@@ -112,7 +112,16 @@ object Bench {
       // even when the query sweep itself ran clean.
       streamCalibBefore: Double = -1.0, streamCalibAfter: Double = -1.0,
       streamCalibParBefore: Double = -1.0,
-      streamCalibParAfter: Double = -1.0) {
+      streamCalibParAfter: Double = -1.0,
+      // the throughput legs' OWN bracket (fan-out + shard-write): the
+      // r14 fan-out readings spanned 394–511k lines/s across clean
+      // attempts and the artifact could not say whether that band was
+      // the engine or a co-tenant hitting exactly that 10-second
+      // window — the same ambiguity the streaming leg had before its
+      // bracket. A contended throughput window now marks the attempt
+      // contended even when the query sweep ran clean.
+      auxCalibBefore: Double = -1.0, auxCalibAfter: Double = -1.0,
+      auxCalibParBefore: Double = -1.0, auxCalibParAfter: Double = -1.0) {
     def total: Double = queries.map(_._2).filter(_ >= 0).sum
     def contended: Boolean =
       calibContended(calibBefore, calibAfter,
@@ -120,6 +129,9 @@ object Bench {
         (streamCalibBefore > 0 &&
           calibContended(streamCalibBefore, streamCalibAfter,
             streamCalibParBefore, streamCalibParAfter)) ||
+        (auxCalibBefore > 0 &&
+          calibContended(auxCalibBefore, auxCalibAfter,
+            auxCalibParBefore, auxCalibParAfter)) ||
         streamSustained.contains(false)
     def telemetryJson: String =
       f"""{"total":$total%.3f,"contended":$contended,""" +
@@ -130,6 +142,10 @@ object Bench {
         f""""stream_calib_sec_after":$streamCalibAfter%.3f,""" +
         f""""stream_calib_par_before":$streamCalibParBefore%.3f,""" +
         f""""stream_calib_par_after":$streamCalibParAfter%.3f,""" +
+        f""""aux_calib_sec_before":$auxCalibBefore%.3f,""" +
+        f""""aux_calib_sec_after":$auxCalibAfter%.3f,""" +
+        f""""aux_calib_par_before":$auxCalibParBefore%.3f,""" +
+        f""""aux_calib_par_after":$auxCalibParAfter%.3f,""" +
         f""""stream_sustained":${streamSustained.map(_.toString).getOrElse("null")}}"""
   }
 
@@ -299,6 +315,8 @@ object Bench {
       // fixture load here ran OUTSIDE any catch and a regenerated
       // events.parquet poisoned the JVM. A failed leg now records -1
       // and the artifact still publishes.
+      // the throughput legs' own bracket (see Attempt.auxCalib*)
+      val auxCalB = calibrate(); val auxParB = calPar2()
       val fanoutRate = try {
         import org.apache.spark.sql.functions._
         val lines = graft.sources.Tables.load(spark, sfDir, "events")
@@ -347,13 +365,16 @@ object Bench {
         -1.0
       }
 
+      val auxCalA = calibrate(); val auxParA = calPar2()
+
       val calibAfter = calibrate()
       val calibParAfter = calibrateParallel()
       val loadAfter = loadAvg()
       Attempt(results, fanoutRate, writeMbPerSec, streamJson,
         stream.map(_.sustained), loadBefore, loadAfter,
         calibBefore, calibAfter, calibParBefore, calibParAfter,
-        sCalB, sCalA, sParB, sParA)
+        sCalB, sCalA, sParB, sParA,
+        auxCalB, auxCalA, auxParB, auxParA)
     }
 
     // Self-adjudication: a contended attempt triggers re-runs — the
