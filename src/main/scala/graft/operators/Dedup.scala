@@ -893,6 +893,13 @@ object Dedup {
     * healthy post-dedup corpus sits orders of magnitude below it. */
   val defaultMaxCandidatePairs: Long = 1L << 26
 
+  /** Returns an EAGERLY `localCheckpoint(true)`'d frame — the caller
+    * owns its executor blocks and must release them via
+    * [[graft.GraftSession.releaseCheckpoint]] once the last consumer
+    * is done (same contract as [[graft.streaming.StreamDedup]]'s
+    * `upsertBatch` deltas; [[jaccardJoinPrefix]] shows the
+    * try/finally shape). A caller that skips the release accumulates
+    * un-collectable storage blocks per call. */
   private[graft] def prefixCandidates(sets: DataFrame, tNum: Int,
       tDen: Int,
       maxCandidatePairs: Long = defaultMaxCandidatePairs): DataFrame = {
@@ -918,12 +925,18 @@ object Dedup {
       // cheap aggregate over the prefix relation BEFORE the join
       // runs — a duplicate-heavy corpus fails as a message naming the
       // bounded twins, never as an hours-long verify stage.
+      // per-group term in DOUBLE: `_c * (_c - 1)` in long arithmetic
+      // wraps silently for a prefix token with df ≳ 3.04e9 — a negative
+      // product would deflate the mass and let exactly the pathological
+      // corpus the guard defends against PASS the bound (r14 ADVICE).
+      // Double loses ulps at that magnitude but can only blur the
+      // estimate, never flip its sign.
       val mass = prefix.groupBy("s").agg(count(lit(1)).as("_c"))
-        .agg(coalesce(sum((col("_c") * (col("_c") - 1)).cast("long") / 2),
-          lit(0.0)).cast("long"))
-        .head().getLong(0)
-      require(mass <= maxCandidatePairs,
-        s"jaccardJoinPrefix's prefix-item candidate mass is $mass pairs " +
+        .agg(coalesce(sum(col("_c").cast("double") * (col("_c") - 1) / 2),
+          lit(0.0)))
+        .head().getDouble(0)
+      require(mass <= maxCandidatePairs.toDouble,
+        f"jaccardJoinPrefix's prefix-item candidate mass is $mass%.0f pairs " +
           s"(bound: $maxCandidatePairs) — an exact similarity join over " +
           "a near-duplicate-heavy corpus is quadratic by nature. Run it " +
           "AFTER near-dedup (dropNearDuplicates / minhashLsh), use the " +

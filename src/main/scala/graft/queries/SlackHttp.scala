@@ -58,6 +58,14 @@ object SlackHttp {
     * being buffered, so one oversized client can't balloon the heap. */
   private[graft] val MaxBodyBytes: Int = 64 * 1024
 
+  /** How much of an oversized body the 413 path will still read-and-
+    * discard before answering: without the drain, the JDK HttpServer
+    * can reset the connection while the client is mid-upload and the
+    * client sees a broken pipe instead of the 413 (r14 ADVICE). The
+    * drain is bounded — a client streaming past the cap gets
+    * `Connection: close` instead of an unbounded read loop. */
+  private[graft] val DrainCapBytes: Long = 1L << 20
+
   /** Read at most `max + 1` bytes from `in`; None when the body
     * exceeds `max` (the caller responds 413). Bounded buffering — the
     * unbounded readAllBytes was the r13 ADVICE finding. */
@@ -104,6 +112,18 @@ object SlackHttp {
               respond(405, """{"error":"POST only"}""")
             } else readBounded(ex.getRequestBody, MaxBodyBytes) match {
               case None =>
+                // drain what the client is still sending (bounded) so
+                // the 413 arrives on a healthy connection; past the
+                // cap, mark the connection for close instead
+                val chunk = new Array[Byte](8192)
+                var drained = 0L
+                var n = ex.getRequestBody.read(chunk)
+                while (n >= 0 && drained < DrainCapBytes) {
+                  drained += n
+                  n = ex.getRequestBody.read(chunk)
+                }
+                if (n >= 0)
+                  ex.getResponseHeaders.set("Connection", "close")
                 respond(413, """{"error":"request body too large"}""")
               case Some(raw) =>
                 val body = new String(raw,

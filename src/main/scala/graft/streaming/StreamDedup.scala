@@ -132,19 +132,53 @@ object StreamDedup {
         .withColumn("pb", pmod(col("bucket"), lit(cfg.dirBuckets)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // intra-batch candidates: the batch operator's self-join
-        val intra = banded.as("a").join(banded.as("b"),
-            col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        // cross candidates: probe the historical bands, reading only
-        // the pb directories this batch's buckets hash into. The pb
-        // list is ≤ dirBuckets ints — a bounded driver collect that
-        // buys partition pruning on the probe scan.
-        val cross =
+        // the historical tables this batch probes: SNAPSHOT both file
+        // lists NOW, before the appends below can start — parquet
+        // reads resolve their file index eagerly, so the plans built
+        // from these frames can never see the batch's own just-written
+        // rows even while the appends run concurrently
+        val histBands =
           if (!hasData(spark, bandsPath(root))) None
-          else {
+          else Some(spark.read.parquet(bandsPath(root)))
+        val histSigs =
+          if (!hasData(spark, sigsPath(root))) None
+          else Some(spark.read.parquet(sigsPath(root)))
+        // PROBE→VERIFY and the two index APPENDS run concurrently (r14
+        // verdict item 4 — at sf0.1 the sequential form paid
+        // probe ~0.7 s, THEN verify ~2.6 s, THEN append ~1.6 s per
+        // batch; the overlap makes the wall max(probe+verify,
+        // appends), and the persisted sig/banded relations
+        // materialize ONCE under whichever action gets there first —
+        // the storage layer serializes concurrent computes of the
+        // same cached partition). Failure semantics are the
+        // sequential ones: inParallel propagates after all actions
+        // settle, the micro-batch retries everything, and the readers
+        // are duplicate-proof (dropDuplicates on sigs, distinct() on
+        // candidates), so a replayed append is absorbed.
+        // Append layout: repartition ON the partition column first
+        // (the StreamTextIndex bucket-write precedent): the persisted
+        // 32-partition frames each hold all dirBuckets values, so a
+        // direct partitionBy write fans out to tasks×dirBuckets ≈
+        // 2,000 tiny files PER APPEND — measured as the dominant
+        // per-batch cost (dedup.upsert p95 15 s at sf0.1 vs 0.6 s for
+        // the whole-corpus batch operator; file creation plus every
+        // later probe listing the litter). One small shuffle buys one
+        // file per touched directory.
+        val sigOut = sig
+          .withColumn("pid", pmod(hash(col("id")), lit(cfg.dirBuckets)))
+        @volatile var pairs: DataFrame = null
+        def probeAndVerify(): DataFrame = {
+          // intra-batch candidates: the batch operator's self-join
+          val intra = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          // cross candidates: probe the historical bands, reading only
+          // the pb directories this batch's buckets hash into. The pb
+          // list is ≤ dirBuckets ints — a bounded driver collect that
+          // buys partition pruning on the probe scan.
+          val cross = histBands.map { hb =>
             // this collect is the first action over sig+banded, so its
             // sub-timer reads as "minhash + banding materialization"
             val pbs = BatchTimer.timed("dedup.upsert.sig_probe") {
@@ -152,63 +186,43 @@ object StreamDedup {
                 .collect().map(_.getInt(0)).toSeq
             }
             // tombstoned documents never surface as partners
-            val hist = dropDead(spark.read.parquet(bandsPath(root))
-              .filter(col("pb").isin(pbs: _*)), dead)
-            Some(banded.as("a").join(hist.as("b"),
+            val hist = dropDead(hb.filter(col("pb").isin(pbs: _*)), dead)
+            banded.as("a").join(hist.as("b"),
                 col("a.band") === col("b.band") &&
                 col("a.bucket") === col("b.bucket") &&
                 col("a.id") =!= col("b.id"))
               .select(
                 least(col("a.id"), col("b.id")).as("id_a"),
-                greatest(col("a.id"), col("b.id")).as("id_b")))
+                greatest(col("a.id"), col("b.id")).as("id_b"))
           }
-        val cand = cross.fold(intra)(intra.union).distinct()
-        // verification sides: this batch's signatures plus the
-        // historical ones the candidates touch (semi-join bounds the
-        // read to O(candidates)); dropDuplicates absorbs retry appends
-        val sides =
-          if (!hasData(spark, sigsPath(root))) sig
-          else {
+          val cand = cross.fold(intra)(intra.union).distinct()
+          // verification sides: this batch's signatures plus the
+          // historical ones the candidates touch (semi-join bounds the
+          // read to O(candidates)); dropDuplicates absorbs retry appends
+          val sides = histSigs.fold(sig) { hs =>
             val wanted = cand.select(col("id_a").as("id"))
               .union(cand.select(col("id_b").as("id"))).distinct()
             sig.unionByName(
-              dropDead(spark.read.parquet(sigsPath(root))
-                .select("id", "hs", "sig"), dead)
+              dropDead(hs.select("id", "hs", "sig"), dead)
                 .join(wanted, Seq("id"), "left_semi"))
               .dropDuplicates("id")
           }
-        val pairs = BatchTimer.timed("dedup.upsert.verify") {
-          Dedup.verifyCandidates(cand, sides,
-              cfg.numHashes, cfg.threshold)
-            .localCheckpoint(true) // materialize BEFORE the appends below
+          BatchTimer.timed("dedup.upsert.verify") {
+            Dedup.verifyCandidates(cand, sides,
+                cfg.numHashes, cfg.threshold)
+              .localCheckpoint(true) // materialize NOW, beside the appends
+          }
         }
-        // append AFTER the probe: the batch must not collide with its
-        // own just-written rows. Repartition ON the partition column
-        // first (the StreamTextIndex bucket-write precedent): the
-        // persisted 32-partition frames each hold all dirBuckets
-        // values, so a direct partitionBy write fans out to
-        // tasks×dirBuckets ≈ 2,000 tiny files PER APPEND — measured
-        // as the dominant per-batch cost (dedup.upsert p95 15 s at
-        // sf0.1 vs 0.6 s for the whole-corpus batch operator; file
-        // creation plus every later probe listing the litter). One
-        // small shuffle buys one file per touched directory.
-        // The two tables are INDEPENDENT, so their appends run on two
-        // driver threads at once (concurrent job submission — the
-        // pool has 32 cores and each append is a ≤dirBuckets-task
-        // shuffle+write; overlap halves the wall). Both must land
-        // before return; a failure in either propagates and the
-        // micro-batch retries both — readers are duplicate-proof, so
-        // the crash semantics are exactly the sequential ones.
-        BatchTimer.timed("dedup.upsert.append") {
-          val sigOut = sig
-            .withColumn("pid", pmod(hash(col("id")), lit(cfg.dirBuckets)))
-          StreamState.inParallel(
-            () => banded.repartition(col("pb")).write.mode("append")
-              .partitionBy("pb").parquet(bandsPath(root)),
-            () => sigOut.repartition(col("pid"))
-              .write.mode("append").partitionBy("pid")
-              .parquet(sigsPath(root)))
-        }
+        StreamState.inParallel(
+          () => pairs = probeAndVerify(),
+          () => BatchTimer.timed("dedup.upsert.append") {
+            StreamState.inParallel(
+              () => banded.repartition(col("pb")).write.mode("append")
+                .partitionBy("pb").parquet(bandsPath(root)),
+              () => sigOut.repartition(col("pid"))
+                .write.mode("append").partitionBy("pid")
+                .parquet(sigsPath(root)))
+          })
         pairs
       } finally banded.unpersist(false)
     } finally sig.unpersist(false)
@@ -223,9 +237,10 @@ object StreamDedup {
     */
   def upsertBatchWithLabels(batch: DataFrame, idCol: String,
       textCol: String, root: String, cfg: Config = Config(),
-      batchId: Long = -1L): DataFrame = {
+      batchId: Long = -1L,
+      maxPairs: Long = Dedup.defaultMaxDeltaPairs): DataFrame = {
     val pairs = upsertBatch(batch, idCol, textCol, root, cfg, batchId)
-    updateLabels(batch.sparkSession, root, pairs, cfg)
+    updateLabels(batch.sparkSession, root, pairs, cfg, maxPairs)
     pairs
   }
 
@@ -364,6 +379,13 @@ object StreamDedup {
   def updateLabels(spark: SparkSession, root: String,
       deltaPairs: DataFrame, cfg: Config = Config(),
       maxPairs: Long = Dedup.defaultMaxDeltaPairs): Unit =
+    // no early `return` anywhere inside this by-name block: in Scala 2
+    // a `return` exits via NonLocalReturnControl THROUGH timed()'s
+    // body before the sample is recorded, so the first-batch fold, the
+    // distributed fallback (the slowest path) and no-op folds would
+    // all vanish from the scenario artifact's dedup.labels n/p95 —
+    // silently optimistic telemetry (r14 ADVICE). Every path below is
+    // an if/else branch that falls off the end.
     BatchTimer.timed("dedup.labels") {
     import spark.implicits._
     val path = labelsPath(root)
@@ -381,8 +403,7 @@ object StreamDedup {
             .write.mode("overwrite").partitionBy("pl")
             .parquet(path)
       } finally StreamState.release(labels)
-      return
-    }
+    } else {
     val existing = spark.read.parquet(path).select("id", "cluster")
     val probe = math.min(maxPairs, Int.MaxValue - 1L).toInt
     val edges = deltaPairs.select(col("id_a").cast("long"),
@@ -409,9 +430,9 @@ object StreamDedup {
               .partitionBy("pl").parquet(path)
         } finally StreamState.release(toWrite)
       } finally StreamState.release(updated)
-      return
-    }
-    if (edges.isEmpty) return // nothing can change any label
+    } else if (edges.isEmpty) {
+      () // nothing can change any label — still a (cheap) timed sample
+    } else {
     BatchTimer.note("dedup.labels.uf_pairs", edges.length)
     // existing labels of the delta ENDPOINTS only (broadcast semi-join
     // against the endpoint list, bounded collect — never the table)
@@ -445,7 +466,7 @@ object StreamDedup {
     // the id itself)
     val freshRows = endpointIds.filterNot(endLab.contains)
       .map(id => (id, uf.find(id)))
-    if (relabel.isEmpty && freshRows.isEmpty) return
+    if (relabel.nonEmpty || freshRows.nonEmpty) {
     val relabelDf = broadcast(
       relabel.toSeq.toDF("cluster", "_nc"))
     // directories holding a changed row (cluster ∈ relabel keys — one
@@ -473,6 +494,9 @@ object StreamDedup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pl").parquet(path)
     } finally StreamState.release(toWrite)
+    } // relabel/fresh non-empty
+    } // driver union-find branch
+    } // labels-exist branch
   }
 
   /** The maintained labeling as it stands: (id, cluster) for every id

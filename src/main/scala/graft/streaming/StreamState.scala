@@ -71,23 +71,41 @@ private[graft] object StreamState {
   def inParallel(actions: (() => Unit)*): Unit = {
     if (actions.isEmpty) return
     if (actions.size == 1) return actions.head()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      actions.size,
-      r => { val t = new Thread(r, "graft-ingest-par"); t.setDaemon(true); t })
-    try {
-      val fs = actions.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = a()
-      }))
-      var firstFailure: Throwable = null
-      fs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure == null) firstFailure = e.getCause
+    // Dedicated threads, not a pool: the settle guarantee must hold
+    // even when the WAITING batch thread is interrupted (a stopping
+    // stream) — with a pool, cancelling queued-vs-running futures
+    // races their completion bookkeeping, whereas Thread.join either
+    // returns settled or re-throws and is retried below. 2–4 threads
+    // per multi-second micro-batch is noise next to its Spark jobs.
+    val firstFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = actions.zipWithIndex.map { case (a, i) =>
+      val t = new Thread(() => {
+        try a()
+        catch { case e: Throwable => firstFailure.compareAndSet(null, e) }
+      }, s"graft-ingest-par-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    // every action SETTLES before anything propagates — the caller's
+    // batch-retry cleanup must never race a still-running write. An
+    // interrupt of the batch thread is forwarded to the workers (so a
+    // blocking action can bail early) and the join resumes until every
+    // worker has actually finished.
+    var interrupted = false
+    threads.foreach { t =>
+      var joined = false
+      while (!joined)
+        try { t.join(); joined = true }
+        catch { case _: InterruptedException =>
+          interrupted = true
+          threads.foreach(_.interrupt())
         }
-      }
-      if (firstFailure != null) throw firstFailure
-    } finally pool.shutdown()
+    }
+    if (interrupted) Thread.currentThread().interrupt()
+    val e = firstFailure.get()
+    if (e != null) throw e
+    if (interrupted) throw new InterruptedException(
+      "inParallel interrupted; all actions settled before propagating")
   }
 
   /** Retire a compaction's snapshot files. Idempotent: a file already

@@ -627,7 +627,12 @@ class DedupSpec extends SparkSpec {
       array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3))
         .as("_ss")).filter(size(col("_ss")) > 0)
     val n = sets.count()
-    val cands = Dedup.prefixCandidates(sets, 1, 2).count()
+    // prefixCandidates hands the caller a checkpointed frame — release
+    // it (the scaladoc contract) so spec runs don't accumulate blocks
+    val candDf = Dedup.prefixCandidates(sets, 1, 2)
+    val cands =
+      try candDf.count()
+      finally graft.GraftSession.releaseCheckpoint(candDf)
     assert(cands < n * (n - 1) / 2 / 4,
       s"$cands candidates for $n docs — prefix filter not pruning")
   }
