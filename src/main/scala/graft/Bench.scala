@@ -80,6 +80,121 @@ object Bench {
   private def calPar2(): Double =
     math.min(calibrateParallel(), calibrateParallel())
 
+  /** ~50 ms fixed serial workload — the in-window heartbeat's unit of
+    * measure ([[calibrate]]'s loop at a quarter length, same
+    * DCE-proof xorshift fold). */
+  private[graft] def calibrateSmall(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var acc = 0L
+    var i = 0
+    while (i < 50000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x * 0x2545f4914f6cdd1dL
+      i += 1
+    }
+    if (acc == 42L) println("") // defeat DCE; never true in practice
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** In-window contention probe (r14 verdict item 3): the fencepost
+    * brackets around a scenario or streaming window sample the GAPS —
+    * a co-tenant that arrives after the opening probe and drains
+    * before the closing one inflates every batch inside and flags
+    * nothing (the r14 decon scenario published a "clean" 47.6 s whose
+    * bpe.encode p95 ran 8–10× its six-run band). This daemon thread
+    * samples a fixed ~50 ms op every ~500 ms DURING the window; its
+    * in-window p95 publishes beside the fencepost calib and feeds the
+    * contended verdict via [[hbContended]]. ~10% duty cycle of ONE
+    * core — noise next to a 32-thread Spark window.
+    */
+  private[graft] final class Heartbeat(periodMs: Long = 500L) {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.lang.Long, java.lang.Double)]
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      try while (running) {
+        val v = calibrateSmall()
+        q.add((java.lang.Long.valueOf(System.nanoTime()),
+          java.lang.Double.valueOf(v)))
+        Thread.sleep(periodMs)
+      } catch { case _: InterruptedException => () }
+    }, "graft-bench-heartbeat")
+    t.setDaemon(true); t.start()
+    /** Samples whose END timestamp falls in [t0, t1) nanos — the
+      * query-sweep groups slice a single long-running heartbeat into
+      * per-group windows this way (weakly-consistent iteration, no
+      * drain, safe while the sampler keeps running). */
+    def samplesBetween(t0: Long, t1: Long): Seq[Double] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala
+        .filter(s => s._1 >= t0 && s._1 < t1)
+        .map(_._2.doubleValue).toSeq
+    }
+    /** Stop sampling and return the window's samples. */
+    def stop(): Seq[Double] = {
+      running = false; t.interrupt(); t.join(5000)
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.map(_._2.doubleValue).toSeq
+    }
+  }
+
+  /** Nearest-rank median — the heartbeat's adjudication statistic. */
+  private[graft] def p50(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0
+    else {
+      val s = xs.sorted
+      s(math.max(0, math.ceil(0.50 * s.size).toInt - 1))
+    }
+
+  /** Heartbeat verdict: in-window MEDIAN vs an idle reference taken
+    * at leg start. Median, not p95: with the 3–30 samples a window
+    * collects, nearest-rank p95 is effectively the window's max, so
+    * one GC stop-the-world pause inside an allocation-heavy Spark
+    * window trips it (observed: a single 0.26 s sample against a
+    * 0.118 s ref in an otherwise-clean group). Real co-tenancy is
+    * SUSTAINED — runnable threads exceed cores for the whole window
+    * and every sample inflates together, so the median moves with it
+    * while staying immune to spike noise. The OS gives a 33rd
+    * runnable thread on a 32-core box ~32/33 of a core (≈1.03×
+    * inflation), so the engine's own full saturation stays far under
+    * the 1.6× trip (the same ratio [[calibContended]] uses — a
+    * 24-thread co-tenant lands ≈1.8×); n ≥ 3 so sub-second windows
+    * stay the fenceposts' call.
+    */
+  private[graft] def hbContended(p50: Double, ref: Double, n: Long): Boolean =
+    n >= 3 && ref > 0 && p50 > 1.6 * ref
+
+  /** Serialize one scenario's drained [[graft.streaming.BatchTimer]]
+    * samples: timed kinds carry `{"n":…,"p95_sec":…}`; dimensionless
+    * notes (pair counts, fallback markers) serialize under a separate
+    * `"notes"` object as `{"n":…,"total":…,"max":…}` — the r14
+    * artifact rendered a pair COUNT of 139 through the seconds shape
+    * (`"p95_sec":139.000`) and misled any consumer summing batch p95s
+    * (r14 verdict item 2). Spec-pinned in BatchTimerSpec.
+    */
+  private[graft] def batchesJson(
+      samples: Seq[graft.streaming.BatchTimer.Sample]): String = {
+    def num(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      else f"$v%.3f"
+    val (notes, timings) = samples.partition(_.isNote)
+    val timedRows = timings.groupBy(_.kind).toSeq.sortBy(_._1)
+      .map { case (kind, xs) =>
+        val ds = xs.map(_.value)
+        f""""$kind":{"n":${ds.size},"p95_sec":${graft.streaming.BatchTimer.p95(ds)}%.3f}"""
+      }
+    val noteRows = notes.groupBy(_.kind).toSeq.sortBy(_._1)
+      .map { case (kind, xs) =>
+        val ds = xs.map(_.value)
+        s""""$kind":{"n":${ds.size},"total":${num(ds.sum)},"max":${num(ds.max)}}"""
+      }
+    val rows = timedRows ++
+      (if (noteRows.isEmpty) Nil
+       else Seq(s""""notes":${noteRows.mkString("{", ",", "}")}"""))
+    rows.mkString("{", ",", "}")
+  }
+
   /** THE contention predicate, one source of truth for the attempt,
     * streaming, and scenario brackets: either endpoint's all-cores
     * probe runs >1.6× its serial twin (idle ratio on this box:
@@ -92,6 +207,19 @@ object Bench {
       parB: Double, parA: Double): Boolean =
     parB > 1.6 * calB || parA > 1.6 * calA ||
       calA > 1.3 * calB || calB > 1.3 * calA
+
+  /** Serial-probe drift alone — the fencepost check for windows that
+    * carry their own in-window heartbeat. The all-cores probe is NOT
+    * consulted there: taken immediately after a Spark window it
+    * measures the JVM's own JIT-compile/GC tail (observed 1.6–2.3×
+    * its serial twin right after ~10 fresh wholestage-codegen
+    * queries vs 1.1–1.2× idle), a false-positive storm from the
+    * bench's own work. The serial twin is churn-immune (a few
+    * compiler threads on a 32-core box don't displace one runnable
+    * thread), and sustained co-tenancy DURING the window is the
+    * in-window median's job ([[hbContended]]). */
+  private[graft] def serialDrift(calB: Double, calA: Double): Boolean =
+    calA > 1.3 * calB || calB > 1.3 * calA
 
   /** Contended per [[calibContended]] on the attempt's own bracket or
     * the streaming window's, or the streaming leg failed to sustain
@@ -121,20 +249,50 @@ object Bench {
       // bracket. A contended throughput window now marks the attempt
       // contended even when the query sweep ran clean.
       auxCalibBefore: Double = -1.0, auxCalibAfter: Double = -1.0,
-      auxCalibParBefore: Double = -1.0, auxCalibParAfter: Double = -1.0) {
+      auxCalibParBefore: Double = -1.0, auxCalibParAfter: Double = -1.0,
+      // the streaming window's IN-WINDOW heartbeat (r14 verdict item
+      // 3): the fencepost bracket samples the gaps around the window,
+      // not the window — the r14 driver stats p95 3.77 s sat under a
+      // clean bracket and was unexplainable from the artifact.
+      streamHbP50: Double = -1.0, streamHbN: Long = 0L,
+      streamHbRef: Double = -1.0,
+      // per-group adjudication of the query sweep (r14 verdict item
+      // 1): a group whose bracket stayed contended even after its
+      // retry poisons the attempt, so a mid-sweep co-tenant window
+      // can no longer publish a single-attempt headline.
+      groupsJson: String = "[]", groupsContended: Boolean = false,
+      // the fan-out/write legs' in-window heartbeat (same ref as the
+      // streaming one — the attempt's idle floor)
+      auxHbP50: Double = -1.0, auxHbN: Long = 0L) {
     def total: Double = queries.map(_._2).filter(_ >= 0).sum
+    // The attempt-BOUNDARY bracket keeps the full par+serial check:
+    // its opening probes guard the integrity of the idle heartbeat
+    // reference every in-window verdict compares against (a co-tenant
+    // present while hbRef is measured would inflate the ref and make
+    // every later check lenient), and the attempt opens settled — a
+    // fresh JVM after the idle gate, or a backoff after a contended
+    // attempt — so the JIT-churn false-positive mode doesn't apply.
+    // The stream/aux WINDOW brackets adjudicate on serial drift only;
+    // sustained co-tenancy inside those windows is the in-window
+    // heartbeat median's job (see serialDrift's scaladoc — their
+    // post-window all-cores probes measure the JVM's own tail).
     def contended: Boolean =
       calibContended(calibBefore, calibAfter,
         calibParBefore, calibParAfter) ||
         (streamCalibBefore > 0 &&
-          calibContended(streamCalibBefore, streamCalibAfter,
-            streamCalibParBefore, streamCalibParAfter)) ||
+          serialDrift(streamCalibBefore, streamCalibAfter)) ||
         (auxCalibBefore > 0 &&
-          calibContended(auxCalibBefore, auxCalibAfter,
-            auxCalibParBefore, auxCalibParAfter)) ||
+          serialDrift(auxCalibBefore, auxCalibAfter)) ||
+        hbContended(streamHbP50, streamHbRef, streamHbN) ||
+        hbContended(auxHbP50, streamHbRef, auxHbN) ||
+        groupsContended ||
         streamSustained.contains(false)
     def telemetryJson: String =
       f"""{"total":$total%.3f,"contended":$contended,""" +
+        f""""groups_contended":$groupsContended,""" +
+        f""""stream_hb_p50":$streamHbP50%.3f,"stream_hb_ref":$streamHbRef%.3f,""" +
+        f""""stream_hb_n":$streamHbN,""" +
+        f""""aux_hb_p50":$auxHbP50%.3f,"aux_hb_n":$auxHbN,""" +
         f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,""" +
         f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
         f""""calib_par_before":$calibParBefore%.3f,"calib_par_after":$calibParAfter%.3f,""" +
@@ -180,7 +338,7 @@ object Bench {
     "q_stream_pretrain_near", "q_stream_pretrain_mix",
     "q_stream_pretrain_sem", "q_stream_pretrain_stats",
     "q_pretrain_monitor", "q_embed_ivfpq_del",
-    "q_dedup_clusters_del")
+    "q_dedup_clusters_del", "q_dedup_clusters_incr_dist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -215,6 +373,9 @@ object Bench {
       val loadBefore = loadAvg()
       val calibBefore = calibrate()
       val calibParBefore = calibrateParallel()
+      // idle reference for every in-window heartbeat this attempt
+      // takes (best-of-3 — the min is the box's uncontended floor)
+      val hbRef = Seq.fill(3)(calibrateSmall()).min
 
       // Warmup: exercise parquet reader, codegen, shuffle machinery once.
       SparkEntry.queries.get("q1_agg").foreach(onePass)
@@ -235,6 +396,10 @@ object Bench {
       val (sCalB, sParB) =
         if (streamSecs <= 0) (-1.0, -1.0)
         else (calibrate(), calPar2())
+      // the in-window heartbeat runs for the whole streaming window —
+      // the one probe that can see a co-tenant arriving after sCalB
+      // and draining before sCalA (r14 verdict item 3)
+      val streamHb = if (streamSecs <= 0) None else Some(new Heartbeat())
       val stream: Option[StreamBench.Result] =
         if (streamSecs <= 0) None
         else try Some(StreamBench.run(spark,
@@ -246,6 +411,11 @@ object Bench {
           e.printStackTrace()
           None
         }
+      val streamHbSamples = streamHb.map(_.stop()).getOrElse(Nil)
+      val streamHbP50 = p50(streamHbSamples)
+      val streamHbP95 =
+        if (streamHbSamples.isEmpty) -1.0
+        else graft.streaming.BatchTimer.p95(streamHbSamples)
       val (sCalA, sParA) =
         if (streamSecs <= 0) (-1.0, -1.0)
         else (calibrate(), calPar2())
@@ -256,7 +426,9 @@ object Bench {
         if (!base.endsWith("}")) base
         else base.dropRight(1) +
           f""","calib_sec_before":$sCalB%.3f,"calib_sec_after":$sCalA%.3f,""" +
-          f""""calib_par_before":$sParB%.3f,"calib_par_after":$sParA%.3f}"""
+          f""""calib_par_before":$sParB%.3f,"calib_par_after":$sParA%.3f,""" +
+          f""""hb_p50":$streamHbP50%.3f,"hb_p95":$streamHbP95%.3f,""" +
+          f""""hb_ref":$hbRef%.3f,"hb_n":${streamHbSamples.size}}"""
       }.getOrElse("null")
 
       // Scenario queries drive a whole streaming pipeline inside the
@@ -304,9 +476,73 @@ object Bench {
       // benchQueries: the three pinned-plane LSH entries time their
       // AUTO-SIZED production configs here; Verify replays the pinned
       // forms (whose plane literals the oracles inline).
-      val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      //
+      // PER-GROUP adjudication (r14 verdict item 1): the whole-attempt
+      // brackets sit 160 queries apart, so a co-tenant window that
+      // drains mid-sweep flags nothing — the r14 driver published
+      // q_dedup_winnow at 25.97 s (six-run band 0.81–1.12 s) as its
+      // value of record under a "clean" bracket. The sweep runs in
+      // groups of ~10 under ONE long-running in-window heartbeat; each
+      // group is adjudicated on the SERIAL heartbeat samples that
+      // landed inside its wall-clock window. Why not calibration
+      // fenceposts between groups (the scenario leg's trick): the
+      // probes would sample right after ~10 FRESH wholestage-codegen
+      // queries, when the JIT's compile threads are churning through
+      // the new classes — measured on this box, the all-cores probe
+      // reads 1.6–2.3× its serial twin there vs 1.1–1.2× idle, a
+      // false-positive storm from the bench's own work. The serial
+      // heartbeat is immune: it only inflates when RUNNABLE THREADS
+      // EXCEED CORES (a real co-tenant), not when a few compiler
+      // threads join the mix. A tripped group re-runs once and each
+      // row takes its min across sweeps (min is the armor — every
+      // run() is itself best-of-2); a group still hot after its retry
+      // poisons the attempt (groupsContended → the attempt-level
+      // backoff+retry loop), so the excess is either retried away or
+      // loudly explained. Groups too fast for 3 samples stay the
+      // attempt bracket's call (hbContended's n guard).
+      val sweep = SparkEntry.benchQueries.toSeq.sortBy(_._1)
         .filterNot(q => scenarioQueries(q._1))
-        .map { case (name, fn) => name -> run(fn) }
+      val resultsBuf =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val groupRows = scala.collection.mutable.ArrayBuffer.empty[String]
+      var groupsContended = false
+      val sweepHb = new Heartbeat()
+      try sweep.grouped(10).foreach { g =>
+        def sweepOnce(): (Seq[(String, Double)], Double, Double, Int) = {
+          val t0 = System.nanoTime()
+          val vals = g.map { case (name, fn) => name -> run(fn) }
+          val hs = sweepHb.samplesBetween(t0, System.nanoTime())
+          (vals, p50(hs),
+            if (hs.isEmpty) -1.0 else graft.streaming.BatchTimer.p95(hs),
+            hs.size)
+        }
+        val (first, p50a, p95a, na) = sweepOnce()
+        val firstContended = hbContended(p50a, hbRef, na.toLong)
+        var vals = first
+        var residual = firstContended
+        var p50b = -1.0; var nb = 0
+        if (firstContended) {
+          System.err.println(s"[bench] query group ${g.head._1}.." +
+            s"${g.last._1} in-window heartbeat adjudicated CONTENDED " +
+            f"(median $p50a%.3f vs ref $hbRef%.3f × $na); re-running once")
+          val (second, p, _, n) = sweepOnce()
+          p50b = p; nb = n
+          residual = hbContended(p50b, hbRef, nb.toLong)
+          vals = first.zip(second).map { case ((name, a), (_, b)) =>
+            name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+          }
+        }
+        groupsContended ||= residual
+        resultsBuf ++= vals
+        groupRows += s"""{"from":"${g.head._1}","to":"${g.last._1}",""" +
+          f""""hb_p50":$p50a%.3f,"hb_p95":$p95a%.3f,"hb_n":$na,""" +
+          s""""contended":$firstContended,"retried":$firstContended,""" +
+          (if (firstContended) f""""retry_hb_p50":$p50b%.3f,"retry_hb_n":$nb,"""
+           else "") +
+          s""""contended_after_retry":$residual}"""
+      } finally sweepHb.stop()
+      val results = resultsBuf.toSeq
+      val groupsJson = groupRows.mkString("[", ",", "]")
 
       // Fan-out throughput (BASELINE.md: ≥50k lines/s at sf0.1): lines =
       // the event stream rendered as log text, matched against the
@@ -315,8 +551,12 @@ object Bench {
       // fixture load here ran OUTSIDE any catch and a regenerated
       // events.parquet poisoned the JVM. A failed leg now records -1
       // and the artifact still publishes.
-      // the throughput legs' own bracket (see Attempt.auxCalib*)
+      // the throughput legs' own bracket (see Attempt.auxCalib*) plus
+      // an in-window heartbeat — with this, every window whose numbers
+      // the artifact publishes (sweep groups, streaming, fan-out/write)
+      // carries in-window median evidence, not just fenceposts
       val auxCalB = calibrate(); val auxParB = calPar2()
+      val auxHb = new Heartbeat()
       val fanoutRate = try {
         import org.apache.spark.sql.functions._
         val lines = graft.sources.Tables.load(spark, sfDir, "events")
@@ -365,6 +605,8 @@ object Bench {
         -1.0
       }
 
+      val auxHbSamples = auxHb.stop()
+      val auxHbP50 = p50(auxHbSamples)
       val auxCalA = calibrate(); val auxParA = calPar2()
 
       val calibAfter = calibrate()
@@ -374,7 +616,10 @@ object Bench {
         stream.map(_.sustained), loadBefore, loadAfter,
         calibBefore, calibAfter, calibParBefore, calibParAfter,
         sCalB, sCalA, sParB, sParA,
-        auxCalB, auxCalA, auxParB, auxParA)
+        auxCalB, auxCalA, auxParB, auxParA,
+        streamHbP50, streamHbSamples.size.toLong, hbRef,
+        groupsJson, groupsContended,
+        auxHbP50, auxHbSamples.size.toLong)
     }
 
     // Self-adjudication: a contended attempt triggers re-runs — the
@@ -391,18 +636,44 @@ object Bench {
     val maxAttempts = 1 +
       math.max(0L, envLong("SPARK_GRAFT_BENCH_RETRIES", 3L)).toInt
     val backoffSecs = envLong("SPARK_GRAFT_BENCH_BACKOFF_SECS", 300L)
+    // IDLE GATE (r14 verdict item 1): the r14 driver started its only
+    // attempt at load_avg 9.24 and published a contaminated headline
+    // as the value of record. A loaded box now WAITS (bounded) for the
+    // 1-min load to drain before each attempt; if the budget runs out
+    // the attempt proceeds anyway — the per-group brackets adjudicate
+    // whatever co-tenancy remains, so the gate only ever trades wait
+    // for cleaner first-try evidence.
+    val idleLoad = sys.env.get("SPARK_GRAFT_IDLE_LOAD")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .getOrElse(2.0)
+    val idleBudget = envLong("SPARK_GRAFT_IDLE_WAIT_SECS", 900L)
+    val loadAtStart = loadAvg()
+    var idleWaitedTotal = 0L
+    def idleGate(): Unit = {
+      var l = loadAvg()
+      while (l > idleLoad && idleWaitedTotal < idleBudget) {
+        System.err.println(f"[bench] idle gate: load_avg $l%.2f > " +
+          f"$idleLoad%.1f; waiting 15 s (${idleWaitedTotal}s/${idleBudget}s used)")
+        Thread.sleep(15000L)
+        idleWaitedTotal += 15
+        l = loadAvg()
+      }
+    }
+    idleGate()
     val attemptsBuf = scala.collection.mutable.ArrayBuffer(attempt())
     while (attemptsBuf.last.contended && attemptsBuf.size < maxAttempts) {
       val n = attemptsBuf.size
-      if (n >= 2 && backoffSecs > 0) {
-        System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
-          s"(${attemptsBuf.last.telemetryJson}); backing off ${backoffSecs}s " +
-          "before the next attempt")
-        Thread.sleep(backoffSecs * 1000L)
-      } else {
-        System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
-          s"(${attemptsBuf.last.telemetryJson}); re-running")
-      }
+      // EVERY retry backs off (the first briefly) — an immediate
+      // re-run would take its opening par probes inside the previous
+      // attempt's JIT/GC tail and false-trip the boundary bracket
+      // that guards hbRef; a short settle also lets a transient
+      // co-tenant drain before the next 400 s attempt starts.
+      val pause = if (n == 1) math.min(60L, backoffSecs) else backoffSecs
+      System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
+        s"(${attemptsBuf.last.telemetryJson}); backing off ${pause}s " +
+        "before the next attempt")
+      if (pause > 0) Thread.sleep(pause * 1000L)
+      idleGate()
       attemptsBuf += attempt()
     }
     def rank(a: Attempt) =
@@ -440,14 +711,28 @@ object Bench {
       if (envLong("SPARK_GRAFT_SCENARIOS", 1L) == 0L)
         """"scenarios":null"""
       else {
+        // the leg's heartbeat reference — one idle floor for all 22
+        // scenario windows (taken at the leg's start, best-of-3)
+        val hbRefS = Seq.fill(3)(calibrateSmall()).min
         case class ScenRun(ok: Boolean, wall: Double, byKind: String,
-            calB: Double, parB: Double, calA: Double, parA: Double) {
-          def contended: Boolean = calibContended(calB, calA, parB, parA)
+            calB: Double, parB: Double, calA: Double, parA: Double,
+            hbP50: Double, hbP95: Double, hbN: Long) {
+          // serial-drift fenceposts OR the in-window heartbeat
+          // median: a co-tenant that arrives after calB and drains
+          // before calA hides from the fenceposts but not from the
+          // samples taken inside the window. The all-cores probes are
+          // published for transparency but do not adjudicate — taken
+          // right after a scenario window they measure the JVM's own
+          // JIT/GC tail (see serialDrift's scaladoc).
+          def contended: Boolean =
+            serialDrift(calB, calA) ||
+              hbContended(hbP50, hbRefS, hbN)
         }
         def runScenario(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             calB: Double, parB: Double): ScenRun = {
           graft.streaming.BatchTimer.start()
+          val hb = new Heartbeat()
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -459,13 +744,12 @@ object Bench {
               false
             } finally GraftSession.releaseCachedBlocks(spark)
           val wall = (System.nanoTime() - t0) / 1e9
-          val byKind = graft.streaming.BatchTimer.stop()
-            .groupBy(_._1).toSeq.sortBy(_._1)
-            .map { case (kind, xs) =>
-              val ds = xs.map(_._2)
-              f""""$kind":{"n":${ds.size},"p95_sec":${graft.streaming.BatchTimer.p95(ds)}%.3f}"""
-            }.mkString("{", ",", "}")
-          ScenRun(ok, wall, byKind, calB, parB, calibrate(), calPar2())
+          val hbs = hb.stop()
+          val byKind = batchesJson(graft.streaming.BatchTimer.stop())
+          ScenRun(ok, wall, byKind, calB, parB, calibrate(), calPar2(),
+            p50(hbs),
+            if (hbs.isEmpty) -1.0 else graft.streaming.BatchTimer.p95(hbs),
+            hbs.size.toLong)
         }
         var cal = calibrate(); var par = calPar2()
         val legCalB = cal; val legParB = par
@@ -474,15 +758,29 @@ object Bench {
           .filter(q => scenarioQueries(q._1))
           .map { case (name, fn) =>
             val first = runScenario(name, fn, cal, par)
-            val attempts =
+            var attempts =
               if (!first.contended) Seq(first)
               else {
-                System.err.println(s"[bench] scenario $name bracket " +
+                System.err.println(s"[bench] scenario $name " +
                   f"adjudicated CONTENDED (serial ${first.calB}%.3f→" +
                   f"${first.calA}%.3f, par ${first.parB}%.3f→" +
-                  f"${first.parA}%.3f); re-running once")
+                  f"${first.parA}%.3f, hb median ${first.hbP50}%.3f vs " +
+                  f"ref $hbRefS%.3f × ${first.hbN}); re-running once")
                 Seq(first, runScenario(name, fn, calibrate(), calPar2()))
               }
+            // a THIRD attempt only when the first two disagree >2×
+            // (r14 verdict item 6: the chooser once published a
+            // slower-but-clean 47.6 s over a contended 23.6 s with no
+            // tiebreak evidence — two walls that far apart mean at
+            // least one is wrong, and one more sample adjudicates)
+            if (attempts.size == 2 && attempts.forall(_.ok) &&
+                attempts.map(_.wall).max > 2 * attempts.map(_.wall).min) {
+              System.err.println(s"[bench] scenario $name attempts " +
+                f"disagree >2x (${attempts.head.wall}%.3f vs " +
+                f"${attempts(1).wall}%.3f); tiebreak attempt")
+              attempts = attempts :+
+                runScenario(name, fn, calibrate(), calPar2())
+            }
             // ok beats failed, uncontended beats contended, then wall
             val chosen = attempts.minBy(a =>
               (if (a.ok) 0 else 1, if (a.contended) 1 else 0, a.wall))
@@ -496,7 +794,10 @@ object Bench {
               f""""calib":{"calib_sec_before":${chosen.calB}%.3f,""" +
               f""""calib_sec_after":${chosen.calA}%.3f,""" +
               f""""calib_par_before":${chosen.parB}%.3f,""" +
-              f""""calib_par_after":${chosen.parA}%.3f},""" +
+              f""""calib_par_after":${chosen.parA}%.3f,""" +
+              f""""hb_p50":${chosen.hbP50}%.3f,""" +
+              f""""hb_p95":${chosen.hbP95}%.3f,"hb_ref":$hbRefS%.3f,""" +
+              f""""hb_n":${chosen.hbN}},""" +
               f""""batches":${chosen.byKind}}"""
           }
         s""""scenarios":${rows.mkString("{", ",", "}")},""" +
@@ -517,7 +818,7 @@ object Bench {
     // aggregates because they led the line) — with totals at the end, a
     // tail-scrape always keeps the headline numbers, and the file
     // artifact below keeps everything regardless.
-    val line = f"""{"queries":$qs,"fanout_lines_per_sec":${a.fanoutRate}%.0f,"write_mb_per_sec":${a.writeMbPerSec}%.1f,"streaming":${a.streamJson},$scenariosJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"query_groups":${a.groupsJson},"fanout_lines_per_sec":${a.fanoutRate}%.0f,"write_mb_per_sec":${a.writeMbPerSec}%.1f,"streaming":${a.streamJson},$scenariosJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"idle_wait_sec":$idleWaitedTotal,"load_at_start":$loadAtStart%.2f,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Also write the complete artifact to a file: the round driver's
     // stdout tail-scrape truncated 28 of 90 per-query numbers in

@@ -3916,6 +3916,47 @@ object SparkEntry {
              |    SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
              |  ) SELECT * FROM rr)
              |SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id""".stripMargin)),
+    ("q_dedup_clusters_incr_dist", // the DISTRIBUTED-fallback engine
+      // of the incremental label fold: the same three-batch ingest as
+      // q_dedup_clusters_incr, but with the per-batch driver
+      // union-find bound forced to 0 so every post-first-batch fold
+      // takes the exact distributed path (Dedup.incrementalClusters +
+      // touched-directory rewrite) that normally only a past-the-2²⁰-
+      // pair pathological delta reaches. Labels are identical by
+      // construction (DedupSpec pins engine parity); benching this as
+      // an ingest scenario makes the fallback's cost a PUBLISHED
+      // number — its dedup.labels p95 and fallback_distributed notes
+      // land in the artifact — instead of a code comment (r14 verdict
+      // item 5).
+      (s: SparkSession, dir: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_dedup_clusters_incr_dist").toString
+        val docs = t(s, dir, "documents")
+        val cfg = graft.streaming.StreamDedup.Config(threshold = 0.5)
+        (0 until 3).foreach { k =>
+          graft.GraftSession.releaseCheckpoint(
+            graft.streaming.StreamDedup.upsertBatchWithLabels(
+              docs.filter(col("doc_id") % 3 === k), "doc_id", "text",
+              root, cfg, maxPairs = 0L))
+        }
+        val got = graft.streaming.StreamDedup.indexLabels(s, root)
+          .localCheckpoint(true) // materialize before the index dir goes
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        got
+      },
+      Some(s"""${shinglePairsSql(0.5)},
+             |edges AS (SELECT id_a AS id, id_b AS r FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  WITH RECURSIVE rr(id, r) AS (
+             |    SELECT id, r FROM edges
+             |    UNION
+             |    SELECT rr.id, e.r FROM rr JOIN edges e ON rr.r = e.id
+             |  ) SELECT * FROM rr)
+             |SELECT id, least(min(r), id) AS cluster FROM reach GROUP BY id""".stripMargin)),
     ("q_dedup_clusters_del", // the DELETION face of the incremental
       // cluster ledger: ingest in three generation-tracked batches,
       // tombstone every doc_id % 7 == 3 (StreamDedup.deleteDocs — one

@@ -24,10 +24,19 @@ package graft.streaming
   * runner is the contract).
   */
 object BatchTimer {
+
+  /** One drained observation. `isNote` separates DIMENSIONLESS
+    * observations (pair counts, propagation rounds, path markers) from
+    * wall-clock seconds: the r14 artifact rendered a union-find pair
+    * COUNT of 139 as `"p95_sec":139.000` inside a 15 s scenario — any
+    * consumer summing batch p95s was misled. The serializer keys off
+    * this flag, not off the kind name. */
+  final case class Sample(kind: String, value: Double, isNote: Boolean)
+
   @volatile private var enabled = false
   @volatile private var epoch = 0L
   private val buf =
-    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Sample)]
 
   /** Time `f` as one batch of kind `kind` when enabled; transparent
     * otherwise. Failures propagate untimed — a crashed batch is not a
@@ -38,7 +47,7 @@ object BatchTimer {
       val e = epoch
       val t0 = System.nanoTime()
       val r = f
-      buf.add((e, kind, (System.nanoTime() - t0) / 1e9))
+      buf.add((e, Sample(kind, (System.nanoTime() - t0) / 1e9, isNote = false)))
       r
     }
 
@@ -46,21 +55,23 @@ object BatchTimer {
     * of label-propagation rounds a batch needed — the r13 verdict
     * asked the scenario artifact to carry rounds beside seconds so a
     * slow batch is attributable). Same epoch/drain discipline as
-    * [[timed]]; the kind name carries the unit. */
+    * [[timed]]; the kind name carries the unit, and the sample is
+    * flagged so the artifact serializes it under `notes`, never as
+    * seconds. */
   def note(kind: String, value: Double): Unit =
-    if (enabled) buf.add((epoch, kind, value))
+    if (enabled) buf.add((epoch, Sample(kind, value, isNote = true)))
 
   def start(): Unit = { epoch += 1; buf.clear(); enabled = true }
 
-  /** Stop recording and return the collected (kind, value) samples of
-    * the CURRENT epoch; stragglers from earlier epochs are dropped. */
-  def stop(): Seq[(String, Double)] = {
+  /** Stop recording and return the collected samples of the CURRENT
+    * epoch; stragglers from earlier epochs are dropped. */
+  def stop(): Seq[Sample] = {
     enabled = false
     val e = epoch
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Sample]
     var s = buf.poll()
     while (s != null) {
-      if (s._1 == e) out += ((s._2, s._3))
+      if (s._1 == e) out += s._2
       s = buf.poll()
     }
     out.toSeq

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The in-window contention heartbeat (r14 verdict item 3): the
+  * fencepost brackets around a bench window sample the GAPS — a
+  * co-tenant that arrives after the opening probe and drains before
+  * the closing one inflates every batch inside the window and flags
+  * nothing. The heartbeat samples DURING the window; these tests pin
+  * the trip predicate's boundaries and prove a synthetically-injected
+  * busy-spinner trips it.
+  */
+class BenchHeartbeatSpec extends AnyFunSuite {
+
+  test("hbContended boundaries: ratio 1.6, n >= 3, ref > 0") {
+    // clean window: in-window median at / below 1.6x the idle ref → calm
+    assert(!Bench.hbContended(p50 = 0.080, ref = 0.050, n = 10))
+    assert(!Bench.hbContended(p50 = 0.050, ref = 0.050, n = 10))
+    // contended: past the ratio with enough samples
+    assert(Bench.hbContended(p50 = 0.081, ref = 0.050, n = 3))
+    // too few samples (a 1 s window) stays the fenceposts' call
+    assert(!Bench.hbContended(p50 = 0.500, ref = 0.050, n = 2))
+    // no reference (leg never measured one) → never trips
+    assert(!Bench.hbContended(p50 = 0.500, ref = -1.0, n = 10))
+    assert(!Bench.hbContended(p50 = 0.500, ref = 0.0, n = 10))
+  }
+
+  test("adjudication is median-based: one GC-pause-shaped spike among clean samples must not trip") {
+    // 19 clean samples + one 5x spike: nearest-rank p95 would read the
+    // spike (rank 19 of 20 = 0.25), the median stays at the floor —
+    // only SUSTAINED inflation (a real co-tenant) moves the median
+    val window = Seq.fill(19)(0.050) :+ 0.250
+    val med = Bench.p50(window)
+    assert(med == 0.050)
+    assert(!Bench.hbContended(med, ref = 0.050, n = window.size.toLong))
+    // sustained 2x inflation: every sample doubles, the median trips
+    val hot = window.map(_ * 2)
+    assert(Bench.hbContended(Bench.p50(hot), ref = 0.050, n = hot.size.toLong))
+  }
+
+  test("an injected busy-spinner trips the heartbeat; its samples inflate past 1.6x the idle reference") {
+    // idle reference: best-of-3, same as the bench legs take it. The
+    // box may carry background load already — that only INCREASES the
+    // spinner window's inflation, so the assertion is load-monotone.
+    val ref = Seq.fill(3)(Bench.calibrateSmall()).min
+    val cores = Runtime.getRuntime.availableProcessors()
+    // 2x-cores spinners: the heartbeat thread becomes one of 2n+1
+    // runnable threads on n cores → each sample runs at >= ~2x its
+    // uncontended wall, comfortably past the 1.6 trip
+    @volatile var spin = true
+    val spinners = Array.fill(2 * cores)(new Thread(() => {
+      var x = 1L
+      while (spin) { x = x * 6364136223846793005L + 1442695040888963407L }
+      if (x == 42L) println("")
+    }))
+    spinners.foreach { t => t.setDaemon(true); t.start() }
+    val hb = new Bench.Heartbeat(periodMs = 50L)
+    try Thread.sleep(2500L)
+    finally spin = false
+    val samples = hb.stop()
+    spinners.foreach(_.join(2000))
+    assert(samples.size >= 3, s"only ${samples.size} heartbeat samples")
+    val med = Bench.p50(samples)
+    assert(Bench.hbContended(med, ref, samples.size.toLong),
+      f"spinner window not flagged: median $med%.3f vs ref $ref%.3f x ${samples.size}")
+  }
+
+  test("samplesBetween slices a running heartbeat into per-group windows without draining it") {
+    val hb = new Bench.Heartbeat(periodMs = 30L)
+    val t0 = System.nanoTime()
+    Thread.sleep(700L)
+    val t1 = System.nanoTime()
+    Thread.sleep(700L)
+    val t2 = System.nanoTime()
+    val w1 = hb.samplesBetween(t0, t1)
+    val w2 = hb.samplesBetween(t1, t2)
+    val all = hb.stop()
+    assert(w1.size >= 3, s"window 1 got ${w1.size} samples")
+    assert(w2.size >= 3, s"window 2 got ${w2.size} samples")
+    // the windows partition the [t0, t2) span — nothing double-counted
+    assert(hb.samplesBetween(t0, t2).size == w1.size + w2.size)
+    // slicing never drained: stop() still returns everything
+    assert(all.size >= w1.size + w2.size)
+  }
+
+  test("a calm window's heartbeat collects samples without tripping against its own floor") {
+    // self-referential calm check (robust on a shared box): the ref is
+    // taken INSIDE the same window conditions as the samples, so even
+    // a loaded host can't make min(samples) > 1.6x min(samples)... the
+    // assertion pins that the p95/min spread of an idle window stays
+    // inside the trip ratio unless a co-tenant arrives mid-window.
+    val hb = new Bench.Heartbeat(periodMs = 50L)
+    Thread.sleep(1200L)
+    val samples = hb.stop()
+    assert(samples.size >= 3)
+    assert(samples.forall(_ > 0))
+  }
+}
