@@ -370,14 +370,38 @@ object StreamPretrain {
           Scale.sampleBucket(col(idCol)) < col("_thr"))
         .drop("_mix_src", "_kf", "_thr")
     }
+    // The tail actions below each re-evaluate their lazy inputs:
+    // without the persists, `kept` (the full gate chain — gopher +
+    // quality + KN scoring + ledger anti-join + near/sem/mix joins)
+    // re-runs for the encode write, the encode generation row, the
+    // manifest write and the opt-in stats count, and `freshAll` (the
+    // fingerprint window + ledger anti-join) re-runs for the ledger
+    // append — 3–4 evaluations of the batch's most expensive frames
+    // per micro-batch. Persist both for the batch's lifetime; blocks
+    // release in the finally (batch-sized, MEMORY_AND_DISK, never a
+    // corpus relation).
+    val freshAllP = freshAll
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = mixGate.fold(kept2)(g => g(kept2))
-    // encode + manifest BEFORE the ledger append (see header)
-    StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
-      encRoot(root), batchId)
-    kept.select(col(idCol).as("id"), col(sourceCol).as("source"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(1)
-      .write.mode("append").parquet(keptRoot(root))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // encode + manifest BEFORE the ledger append (see header). The
+    // two target DISJOINT roots and neither reads the other, so they
+    // run on two driver threads at once (the near/sem upsert
+    // precedent above); both have completed before the stats/ledger
+    // actions below. A crash in either retries both: the encoded
+    // table is generation-guarded (appendGens last inside
+    // encodeBatch) and the manifest's readers go through
+    // [[keptDocs]]' distinct(), so replay duplicates are absorbed.
+    StreamState.inParallel(
+      () => StreamBpe.encodeBatch(kept, idCol, textCol, fz.tokenizer,
+        encRoot(root), batchId),
+      () => BatchTimer.timed("pretrain.manifest") {
+        kept.select(col(idCol).as("id"), col(sourceCol).as("source"))
+          .withColumn("batch_id", lit(batchId))
+          .repartition(1)
+          .write.mode("append").parquet(keptRoot(root))
+      })
     // OPT-IN gate accounting — the "why did my corpus shrink" row:
     // one tiny record per batch with each gate's individual pass
     // count over the batch plus the composed result. Counts cost
@@ -390,7 +414,7 @@ object StreamPretrain {
     // because every count can only shrink on a replay.
     if (recordStats) {
       import batch.sparkSession.implicits._
-      Seq((batchId, batch.count(), freshAll.count(), gop.count(),
+      Seq((batchId, batch.count(), freshAllP.count(), gop.count(),
           lks.count(), knk.count(), dkp.map(_.count()),
           nkp.map(_.count()),
           semRefused.map(r => batch.count() - r.count()),
@@ -401,10 +425,16 @@ object StreamPretrain {
         .repartition(1)
         .write.mode("append").parquet(statsRoot(root))
     }
-    freshAll.select(col("_fp"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(1)
-      .write.mode("append").parquet(ledgerRoot(root))
+    BatchTimer.timed("pretrain.ledger") {
+      freshAllP.select(col("_fp"))
+        .withColumn("batch_id", lit(batchId))
+        .repartition(1)
+        .write.mode("append").parquet(ledgerRoot(root))
+    }
+    } finally {
+      kept.unpersist(false)
+      freshAllP.unpersist(false)
+    }
     // the semantic delta's checkpoint blocks release once the batch's
     // last consumer (encode/kept/stats above) has run
     semRefused.foreach(StreamState.release)

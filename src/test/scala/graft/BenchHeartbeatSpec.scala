@@ -65,6 +65,18 @@ class BenchHeartbeatSpec extends AnyFunSuite {
       f"spinner window not flagged: median $med%.3f vs ref $ref%.3f x ${samples.size}")
   }
 
+  test("canaryContended: trips past 1.5x the attempt floor; silent without a floor or a reading") {
+    // the canary is the Spark-stack twin of the heartbeat: a fixed
+    // warm plan repeated between groups, sensitive to the bandwidth/
+    // LLC co-tenancy a register-resident serial probe cannot see
+    // (measured: queries inflated 4x while the hb median read 1.18x)
+    assert(!Bench.canaryContended(c = 0.52, floor = 0.35))
+    assert(Bench.canaryContended(c = 0.53, floor = 0.35))
+    assert(!Bench.canaryContended(c = 0.30, floor = 0.35)) // faster is fine
+    assert(!Bench.canaryContended(c = 0.53, floor = -1.0)) // no floor yet
+    assert(!Bench.canaryContended(c = -1.0, floor = 0.35)) // failed canary
+  }
+
   test("samplesBetween slices a running heartbeat into per-group windows without draining it") {
     val hb = new Bench.Heartbeat(periodMs = 30L)
     val t0 = System.nanoTime()
