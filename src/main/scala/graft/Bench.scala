@@ -35,6 +35,13 @@ import org.apache.spark.sql.SparkSession
   *    total, preferring sustained streaming) becomes the artifact of
   *    record. Both attempts' telemetry is published under `attempts`
   *    so nothing is hidden.
+  *  - MANDATORY SECOND ATTEMPT (r15): even a clean-probed first
+  *    attempt is followed by one more full attempt, because the
+  *    probe stack's measured residual mode — a mid-grade bandwidth
+  *    co-tenant under every trip threshold — is only defeated by the
+  *    per-query min across attempts, which needs a second attempt to
+  *    exist. `query_sources` names the attempt behind every
+  *    published row.
   */
 object Bench {
 
@@ -95,6 +102,39 @@ object Bench {
     }
     if (acc == 42L) println("") // defeat DCE; never true in practice
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** [[calibrateSmall]] sampled once while EVERY core runs the same
+    * workload — the heartbeat probe's all-core-turbo floor. The idle
+    * reference ([[calibrateSmall]] best-of-3 on a quiet box) runs at
+    * single-thread boost frequency, but in-window samples run while
+    * 32 Spark threads keep all cores busy; on a host with a large
+    * single-core vs all-core turbo spread the samples inflate toward
+    * the 1.6× trip with ZERO co-tenancy — frequency scaling, not
+    * runnable-queue pressure (r15 ADVICE). Published per attempt as
+    * `hb_ref_loaded` beside `hb_ref`, so a false-trip storm on a
+    * turbo-heavy host is diagnosable from the artifact: loaded/idle
+    * near 1.0 (this box: ~1.03) means a tripped median was real
+    * co-tenancy; a ratio near the trip threshold means the host's
+    * frequency spread eats the margin and the verdicts need a loaded
+    * reference instead. Diagnostic only — it does not adjudicate
+    * (measuring it per-window would cost a full-saturation probe
+    * inside every Spark window).
+    */
+  private[graft] def calibrateSmallLoaded(): Double = {
+    val n = math.max(1, Runtime.getRuntime.availableProcessors() - 1)
+    @volatile var running = true
+    val load = Array.fill(n)(new Thread(() => {
+      while (running) { calibrateSmall(); () }
+    }))
+    load.foreach { t => t.setDaemon(true); t.start() }
+    try {
+      calibrateSmall() // settle: let every load thread reach its loop
+      Seq.fill(3)(calibrateSmall()).min
+    } finally {
+      running = false
+      load.foreach(_.join(2000))
+    }
   }
 
   /** In-window contention probe (r14 verdict item 3): the fencepost
@@ -283,7 +323,12 @@ object Bench {
       auxHbP50: Double = -1.0, auxHbN: Long = 0L,
       // the attempt's final canary floor (min over every canary run —
       // the Spark-stack twin of hbRef; see canaryContended)
-      canaryFloor: Double = -1.0) {
+      canaryFloor: Double = -1.0,
+      // the heartbeat probe's all-core-turbo reference (r15 ADVICE —
+      // see calibrateSmallLoaded): the idle ref (streamHbRef)
+      // adjudicates, the loaded twin publishes so a turbo-spread
+      // false-trip storm is diagnosable from the artifact
+      hbRefLoaded: Double = -1.0) {
     def total: Double = queries.map(_._2).filter(_ >= 0).sum
     // The attempt-BOUNDARY bracket keeps the full par+serial check:
     // its opening probes guard the integrity of the idle heartbeat
@@ -314,6 +359,7 @@ object Bench {
         f""""stream_hb_n":$streamHbN,""" +
         f""""aux_hb_p50":$auxHbP50%.3f,"aux_hb_n":$auxHbN,""" +
         f""""canary_floor":$canaryFloor%.3f,""" +
+        f""""hb_ref_loaded":$hbRefLoaded%.3f,""" +
         f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,""" +
         f""""calib_sec_before":$calibBefore%.3f,"calib_sec_after":$calibAfter%.3f,""" +
         f""""calib_par_before":$calibParBefore%.3f,"calib_par_after":$calibParAfter%.3f,""" +
@@ -400,13 +446,26 @@ object Bench {
       val calibBefore = calibrate()
       val calibParBefore = calibrateParallel()
       // idle reference for every in-window heartbeat this attempt
-      // takes (best-of-3 — the min is the box's uncontended floor)
+      // takes (best-of-3 — the min is the box's uncontended floor),
+      // plus its all-core-turbo twin (diagnostic — see
+      // calibrateSmallLoaded's scaladoc)
       val hbRef = Seq.fill(3)(calibrateSmall()).min
+      val hbRefLoaded = calibrateSmallLoaded()
 
       // Warmup: exercise parquet reader, codegen, shuffle machinery once.
       SparkEntry.queries.get("q1_agg").foreach(onePass)
-      // the attempt's canary floor, seeded warm (see canaryContended)
-      var canaryFloor = run(canaryFn)
+      // The attempt's canary floor, seeded warm (see canaryContended).
+      // The fold RE-SEEDS from -1 (r15 ADVICE): if the seed run fails,
+      // a floor stuck at -1 would silently disable canaryContended for
+      // the whole attempt — any later successful canary becomes the
+      // floor, and a failed run is loud in the log.
+      var canaryFloor = -1.0
+      def foldCanaryFloor(c: Double, where: String): Unit =
+        if (c > 0) {
+          if (canaryFloor <= 0 || c < canaryFloor) canaryFloor = c
+        } else System.err.println(s"[bench] canary run FAILED at " +
+          f"$where — floor stays $canaryFloor%.3f")
+      foldCanaryFloor(run(canaryFn), "seed")
 
       // Streaming cadence (BASELINE.md: 1 s results / 10 s stats without
       // backlog) runs FIRST, right after warmup: measured per-trigger
@@ -554,7 +613,7 @@ object Bench {
         val (first, p50a, p95a, na, canA) = sweepOnce()
         val firstContended = hbContended(p50a, hbRef, na.toLong) ||
           canaryContended(canA, canaryFloor)
-        if (canA > 0 && canA < canaryFloor) canaryFloor = canA
+        foldCanaryFloor(canA, s"group ${g.head._1}")
         var vals = first
         var residual = firstContended
         var p50b = -1.0; var nb = 0; var canB = -1.0
@@ -567,7 +626,7 @@ object Bench {
           p50b = p; nb = n; canB = c
           residual = hbContended(p50b, hbRef, nb.toLong) ||
             canaryContended(canB, canaryFloor)
-          if (canB > 0 && canB < canaryFloor) canaryFloor = canB
+          foldCanaryFloor(canB, s"group ${g.head._1} retry")
           vals = first.zip(second).map { case ((name, a), (_, b)) =>
             name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
           }
@@ -662,7 +721,7 @@ object Bench {
         auxCalB, auxCalA, auxParB, auxParA,
         streamHbP50, streamHbSamples.size.toLong, hbRef,
         groupsJson, groupsContended,
-        auxHbP50, auxHbSamples.size.toLong, canaryFloor)
+        auxHbP50, auxHbSamples.size.toLong, canaryFloor, hbRefLoaded)
     }
 
     // Self-adjudication: a contended attempt triggers re-runs — the
@@ -702,19 +761,46 @@ object Bench {
         l = loadAvg()
       }
     }
+    // MANDATORY SECOND ATTEMPT (r15 verdict item 1): the r15 driver
+    // published 148.8 s from ONE silent-probe attempt against a
+    // 110.3–118.1 s same-code six-run band — the probe stack's
+    // documented residual mode is a MID-GRADE bandwidth co-tenant
+    // that stays under every trip threshold (canary < 1.5× floor, hb
+    // median < 1.6× ref, fenceposts flat) for a whole attempt, and
+    // the element-wise-min publication rule only defends when a
+    // second attempt EXISTS to lose to. Every run therefore takes at
+    // least SPARK_GRAFT_BENCH_MIN_ATTEMPTS (default 2) full attempts
+    // even when the first adjudicates clean; a sub-threshold
+    // co-tenant window in either attempt then loses row-by-row to
+    // the cleaner attempt's readings. Set
+    // SPARK_GRAFT_BENCH_MIN_ATTEMPTS=1 for quick local loops.
+    val minAttempts =
+      math.max(1L, envLong("SPARK_GRAFT_BENCH_MIN_ATTEMPTS", 2L)).toInt
     idleGate()
     val attemptsBuf = scala.collection.mutable.ArrayBuffer(attempt())
-    while (attemptsBuf.last.contended && attemptsBuf.size < maxAttempts) {
+    while ((attemptsBuf.last.contended && attemptsBuf.size < maxAttempts) ||
+        attemptsBuf.size < minAttempts) {
       val n = attemptsBuf.size
-      // EVERY retry backs off (the first briefly) — an immediate
+      // EVERY re-run backs off (the first briefly) — an immediate
       // re-run would take its opening par probes inside the previous
       // attempt's JIT/GC tail and false-trip the boundary bracket
       // that guards hbRef; a short settle also lets a transient
       // co-tenant drain before the next 400 s attempt starts.
-      val pause = if (n == 1) math.min(60L, backoffSecs) else backoffSecs
-      System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
-        s"(${attemptsBuf.last.telemetryJson}); backing off ${pause}s " +
-        "before the next attempt")
+      // A clean-but-mandatory attempt only ever takes the short
+      // settle: there is nothing to wait out.
+      val pause =
+        if (!attemptsBuf.last.contended || n == 1)
+          math.min(60L, backoffSecs)
+        else backoffSecs
+      if (attemptsBuf.last.contended)
+        System.err.println(s"[bench] attempt $n adjudicated CONTENDED " +
+          s"(${attemptsBuf.last.telemetryJson}); backing off ${pause}s " +
+          "before the next attempt")
+      else
+        System.err.println(s"[bench] attempt $n clean; running " +
+          s"mandatory attempt ${n + 1} of $minAttempts after a " +
+          s"${pause}s settle (published table = per-query min across " +
+          "attempts)")
       if (pause > 0) Thread.sleep(pause * 1000L)
       idleGate()
       attemptsBuf += attempt()
@@ -759,7 +845,16 @@ object Bench {
         // plus the leg's canary floor (min-monotone across scenarios,
         // seeded here while the leg is provably settled)
         val hbRefS = Seq.fill(3)(calibrateSmall()).min
-        var canFloorS = run(canaryFn)
+        // the leg's canary floor — same re-seed-from-failure fold as
+        // the attempt's (r15 ADVICE: a failed seed left -1 forever and
+        // silently disabled the bandwidth detector for the whole leg)
+        var canFloorS = -1.0
+        def foldFloorS(c: Double, where: String): Unit =
+          if (c > 0) {
+            if (canFloorS <= 0 || c < canFloorS) canFloorS = c
+          } else System.err.println(s"[bench] canary run FAILED at " +
+            f"$where — scenario floor stays $canFloorS%.3f")
+        foldFloorS(run(canaryFn), "scenario seed")
         case class ScenRun(ok: Boolean, wall: Double, byKind: String,
             calB: Double, parB: Double, calA: Double, parA: Double,
             hbP50: Double, hbP95: Double, hbN: Long,
@@ -796,7 +891,7 @@ object Bench {
           val byKind = batchesJson(graft.streaming.BatchTimer.stop())
           val can = run(canaryFn)
           val floorBefore = canFloorS
-          if (can > 0 && can < canFloorS) canFloorS = can
+          foldFloorS(can, s"scenario $name")
           ScenRun(ok, wall, byKind, calB, parB, calibrate(), calPar2(),
             p50(hbs),
             if (hbs.isEmpty) -1.0 else graft.streaming.BatchTimer.p95(hbs),
@@ -871,16 +966,31 @@ object Bench {
     // Each attempt's own total stays in `attempts` for audit;
     // `attempt_chosen` still names the attempt whose telemetry and
     // throughput legs the artifact publishes.
-    val minQueries: Seq[(String, Double)] = {
+    // Per-row provenance (r15 ADVICE): each published row also names
+    // the 1-based attempt that supplied its min (`query_sources`) and
+    // the artifact counts how many rows came from an attempt whose
+    // own adjudication was contended — sound under the
+    // contention-only-inflates model, but an audit must be able to
+    // tie every published number back to the telemetry that vouches
+    // for it.
+    val minQueries: Seq[(String, Double, Int)] = {
       val names = a.queries.map(_._1)
       val byAttempt = attempts.map(_.queries.toMap)
       names.map { n =>
-        val vs = byAttempt.flatMap(_.get(n)).filter(_ >= 0)
-        n -> (if (vs.isEmpty) -1.0 else vs.min)
+        val vs = byAttempt.zipWithIndex
+          .flatMap { case (m, i) => m.get(n).filter(_ >= 0).map((_, i + 1)) }
+        if (vs.isEmpty) (n, -1.0, -1)
+        else { val (v, i) = vs.minBy(_._1); (n, v, i) }
       }
     }
-    val qs = minQueries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = minQueries.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val querySources = minQueries
+      .map { case (k, _, i) => "\"" + k + "\":" + i }
+      .mkString("{", ",", "}")
+    val rowsFromContended = minQueries.count { case (_, _, i) =>
+      i >= 1 && attempts(i - 1).contended
+    }
     val total = minQueries.map(_._2).filter(_ >= 0).sum
     // Throughput legs publish the MAX across attempts by the same
     // argument in reverse: contention only ever DEFLATES a rate.
@@ -894,7 +1004,7 @@ object Bench {
     // aggregates because they led the line) — with totals at the end, a
     // tail-scrape always keeps the headline numbers, and the file
     // artifact below keeps everything regardless.
-    val line = f"""{"queries":$qs,"query_groups":${a.groupsJson},"fanout_lines_per_sec":$fanoutBest%.0f,"write_mb_per_sec":$writeBest%.1f,"streaming":${a.streamJson},$scenariosJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"idle_wait_sec":$idleWaitedTotal,"load_at_start":$loadAtStart%.2f,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"value_source":"per_query_min_across_${attempts.size}_attempts","metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"query_sources":$querySources,"rows_from_contended_attempts":$rowsFromContended,"query_groups":${a.groupsJson},"fanout_lines_per_sec":$fanoutBest%.0f,"write_mb_per_sec":$writeBest%.1f,"streaming":${a.streamJson},$scenariosJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"idle_wait_sec":$idleWaitedTotal,"load_at_start":$loadAtStart%.2f,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"value_source":"per_query_min_across_${attempts.size}_attempts","metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Also write the complete artifact to a file: the round driver's
     // stdout tail-scrape truncated 28 of 90 per-query numbers in

@@ -39,11 +39,21 @@ class BenchHeartbeatSpec extends AnyFunSuite {
   }
 
   test("an injected busy-spinner trips the heartbeat; its samples inflate past 1.6x the idle reference") {
-    // idle reference: best-of-3, same as the bench legs take it. The
-    // box may carry background load already — that only INCREASES the
-    // spinner window's inflation, so the assertion is load-monotone.
-    val ref = Seq.fill(3)(Bench.calibrateSmall()).min
     val cores = Runtime.getRuntime.availableProcessors()
+    // NOT load-monotone for heavy pre-load (r15 ADVICE): with L
+    // background runnable threads on n cores, the ref inflates too
+    // and the spinner's RELATIVE inflation is ~(L+2n+1)/(L+1), which
+    // drops below the 1.6 trip for L ≳ 5n — on an already-saturated
+    // host the injection can't separate itself from the noise, so
+    // skip rather than flake (the trip predicate's boundaries are
+    // pinned by the pure tests above either way).
+    val preLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    assume(preLoad < cores.toDouble,
+      f"pre-test load $preLoad%.1f >= $cores cores — spinner inflation" +
+        " would sit under the trip; skipping the injection test")
+    // idle-ish reference: best-of-3, same as the bench legs take it
+    val ref = Seq.fill(3)(Bench.calibrateSmall()).min
     // 2x-cores spinners: the heartbeat thread becomes one of 2n+1
     // runnable threads on n cores → each sample runs at >= ~2x its
     // uncontended wall, comfortably past the 1.6 trip
