@@ -88,18 +88,35 @@ object LinearQuality {
     // base² keys back to hex here, off the hot path.
     val base = 1 << (4 * hexDigits)
     def hex(i: Int) = ("%0" + hexDigits + "x").format(i)
-    val gram = gramCells(feats, base)
-      .collect().map { r =>
-        val k = r.getInt(0)
-        (hex(k / base), hex(k % base)) -> r.getLong(1)
-      }.toMap
-    // Xᵀy and the bias row's moments: Σ_d x_d (column sums), Σ y, n.
-    val xty = feats.join(labels, "_id")
-      .groupBy("b").agg(sum(col("v") * col("_y")).as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val colSums = feats.groupBy("b").agg(sum("v").as("s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val moments = labels.agg(count(lit(1)), sum("_y")).head()
+    // The four moment jobs (gram, Xᵀy, column sums, label moments)
+    // are independent reads of the persisted scan — dispatch them as
+    // concurrent jobs (guide §2.6) so the three cheap ones ride the
+    // gram pass's straggler tail instead of queuing behind it; the
+    // storage layer serializes concurrent computes of a cached
+    // partition, so `feats` still materializes once.
+    val gramRef = new java.util.concurrent.atomic.AtomicReference[
+      Map[(String, String), Long]]
+    val xtyRef = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, Long]]
+    val colSumsRef = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, Long]]
+    val momentsRef = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.Row]
+    graft.streaming.StreamState.inParallel(
+      () => gramRef.set(gramCells(feats, base)
+        .collect().map { r =>
+          val k = r.getInt(0)
+          (hex(k / base), hex(k % base)) -> r.getLong(1)
+        }.toMap),
+      // Xᵀy and the bias row's moments: Σ_d x_d (column sums), Σ y, n.
+      () => xtyRef.set(feats.join(labels, "_id")
+        .groupBy("b").agg(sum(col("v") * col("_y")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap),
+      () => colSumsRef.set(feats.groupBy("b").agg(sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap),
+      () => momentsRef.set(labels.agg(count(lit(1)), sum("_y")).head()))
+    val gram = gramRef.get; val xty = xtyRef.get
+    val colSums = colSumsRef.get; val moments = momentsRef.get
     val n = moments.getLong(0)
     val sumY = if (moments.isNullAt(1)) 0L else moments.getLong(1)
 
@@ -149,22 +166,51 @@ object LinearQuality {
     * keys and mirrors the triangle when it builds the dense normal
     * equations. */
   private[graft] def gramCells(feats: DataFrame, base: Int): DataFrame = {
-    val fs = col("_fs")
-    def f(i: org.apache.spark.sql.Column) = element_at(fs, i)
-    val pairCells = flatten(transform(sequence(lit(1), size(fs)), i =>
-      transform(sequence(lit(1), i), j =>
-        struct(
-          (least(f(i).getField("bi"), f(j).getField("bi")) * base +
-            greatest(f(i).getField("bi"), f(j).getField("bi"))).as("k"),
-          (f(i).getField("v") * f(j).getField("v")).as("p")))))
+    val spark = feats.sparkSession
+    import spark.implicits._
+    // Dense per-partition accumulation replaces the former
+    // explode-then-aggregate (r16): per document the upper triangle is
+    // k²/2 cells, so the exploded relation ran to ~10⁴ struct
+    // allocations per document feeding a corpus-sized hash aggregate —
+    // measured as the fit's dominant cost. A partition instead folds
+    // every document's triangle into ONE dense long[base²] buffer
+    // (base = 256 → 512 KB) with primitive multiply-adds, and emits
+    // its non-zero cells once at the end; the final aggregate then
+    // sums ≤ base²·partitions tiny rows. Cell keys and values are
+    // unchanged (k = min·base + max, g = Σ v_i·v_j — integer sums,
+    // order-independent), so the solved weights are bit-identical.
     feats
       .select(col("_id"),
         conv(col("b"), 16, 10).cast("int").as("bi"), col("v"))
       .groupBy("_id")
       .agg(collect_list(struct(col("bi"), col("v"))).as("_fs"))
-      .select(explode(pairCells).as("_c"))
-      .groupBy(col("_c.k").as("k"))
-      .agg(sum(col("_c.p")).as("g"))
+      .select(col("_fs")).as[Seq[(Int, Long)]]
+      .mapPartitions { docs =>
+        val acc = new Array[Long](base * base)
+        docs.foreach { fs =>
+          val n = fs.size
+          val bi = new Array[Int](n)
+          val v = new Array[Long](n)
+          var i = 0
+          fs.foreach { case (b, x) => bi(i) = b; v(i) = x; i += 1 }
+          i = 0
+          while (i < n) {
+            var j = 0
+            while (j <= i) {
+              val lo = math.min(bi(i), bi(j))
+              val hi = math.max(bi(i), bi(j))
+              acc(lo * base + hi) += v(i) * v(j)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.range(0, acc.length)
+          .filter(acc(_) != 0L).map(k => (k, acc(k)))
+      }
+      .toDF("k", "g")
+      .groupBy(col("k"))
+      .agg(sum(col("g")).as("g"))
   }
 
   /** In-place Gaussian elimination with partial pivoting — D is

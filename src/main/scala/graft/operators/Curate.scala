@@ -344,6 +344,26 @@ object Curate {
     */
   def perplexityBuckets(scored: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
+    val thr = perplexityThresholds(scored, groupCol, scoreCol)
+    scored.join(broadcast(thr), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("_t1"), lit("head"))
+          .when(col(scoreCol) <= col("_t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_t1", "_t2")
+  }
+
+  /** [[perplexityBuckets]]' tercile thresholds alone: one (group,
+    * score) histogram pass over `scored`, no join back. For a caller
+    * that only needs the per-group boundary values — e.g. freezing
+    * head thresholds at fit time — this evaluates `scored` ONCE,
+    * where the full bucket labeling evaluates it twice (histogram +
+    * join-back sides). t1 is by construction an ATTAINED score (the
+    * smallest score whose cumulative count reaches n/3), so
+    * max(score | score <= t1) = t1 — the head-bucket max equals the
+    * threshold itself. Output: (groupCol, _t1, _t2). */
+  def perplexityThresholds(scored: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
     val hist = scored.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(groupCol).orderBy(col(scoreCol))
@@ -353,15 +373,9 @@ object Curate {
     val cum = hist
       .withColumn("_cc", sum(col("_c")).over(wCum))
       .withColumn("_n", sum(col("_c")).over(wAll))
-    val thr = cum.groupBy(col(groupCol)).agg(
+    cum.groupBy(col(groupCol)).agg(
       min(when(col("_cc") * 3 >= col("_n"), col(scoreCol))).as("_t1"),
       min(when(col("_cc") * 3 >= col("_n") * 2, col(scoreCol))).as("_t2"))
-    scored.join(broadcast(thr), Seq(groupCol))
-      .withColumn("bucket",
-        when(col(scoreCol) <= col("_t1"), lit("head"))
-          .when(col(scoreCol) <= col("_t2"), lit("middle"))
-          .otherwise(lit("tail")))
-      .drop("_t1", "_t2")
   }
 
   /** Curriculum interleave — the deterministic epoch ORDER a trainer

@@ -386,6 +386,17 @@ object Similarity {
       .select(col(idCol), col("cluster"))
   }
 
+  /** [[assignCells]]' assignment rule as a bare Column over an
+    * ALREADY-QUANTIZED vector column (same quantization expression,
+    * same integer argmin, same lowest-cell tie-break) — for callers
+    * that want the cell id as one projected column beside others
+    * instead of a separate (id, cluster) relation they must join
+    * back. `qv` should reference a materialized column: it is
+    * referenced once per centroid inside the argmin. */
+  private[graft] def cellOfQuantized(qv: Column,
+      cents: Array[(Int, Array[Long])]): Column =
+    argminCluster(qv, cents)
+
   /** Bits per LSH table that hold the RANDOM-collision candidate rate
     * flat as the corpus grows: a table's buckets hold ~n/2^bits rows,
     * so each row draws ~n/2^bits chance candidates per table — bits

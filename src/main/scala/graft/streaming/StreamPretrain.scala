@@ -100,42 +100,94 @@ object StreamPretrain {
       deconN: Int = 8, deconMinShared: Long = 1L): Frozen = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val m = LinearQuality.fit(
-      corpus.withColumn("_is", (col(langCol) === refLang).cast("int")),
-      idCol, textCol, "_is")
-    val costs = LangModel.knCollectCosts(
-      LangModel.knBigrams(corpus.filter(col(langCol) === refLang), textCol))
-    // the decontamination gate freezes as the benchmark's distinct
-    // gram set — ONE pass over the small side, sorted for determinism
-    val dec = bench.map { b =>
-      Decon(b.select(explode(
-          Decontaminate.ngramSet(col(benchTextCol), deconN)).as("_ng"))
-        .distinct().as[String].collect().toSeq.sorted,
-        deconN, deconMinShared)
-    }
-    val gk = TextAnalysis.gopherRules(corpus, idCol, textCol,
-      stopWords = stopWords).filter(col("keep")).select(idCol)
-    val lk = LinearQuality.score(corpus, idCol, textCol, m)
-      .filter(col("keep")).select(idCol)
-    val dk = Dedup.exactKeepFirst(corpus, idCol, textCol).select(idCol)
-    val kq = LangModel.knScoreWith(corpus, idCol, textCol, costs)
-      .select(col(idCol), col("mean_nll_micro"))
-    // the per-lang thresholds freeze over the corpus that survives the
-    // OTHER gates — including the decon gate when one is configured
-    val scored0 = corpus.select(col(idCol), col(langCol))
-      .join(gk, idCol).join(lk, idCol).join(dk, idCol).join(kq, idCol)
-    val scored = dec match {
-      case None => scored0
-      case Some(d) =>
-        scored0.join(deconKeep(corpus, idCol, textCol, d), Seq(idCol),
-          "left_semi")
-    }
-    val t1 = Curate.perplexityBuckets(scored, langCol, "mean_nll_micro")
-      .filter(col("bucket") === "head")
-      .groupBy(langCol).agg(max("mean_nll_micro").as("_t1"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Frozen(m, costs, t1,
-      Bpe.learnMerges(corpus, textCol, bpeRounds), stopWords, dec)
+    // The four sub-fits below are mutually independent (classifier,
+    // KN cost tables, benchmark gram set, BPE merges — none reads
+    // another's output), and each is a CHAIN of Spark jobs with
+    // driver-side collects between them, so run serially they leave
+    // the box idle at every tail (guide §2.6: overlap independent
+    // jobs so the next one's tasks back-fill the current one's
+    // stragglers). Dispatch them on driver threads and join; outputs
+    // are deterministic, so the overlap cannot change the model.
+    val mRef = new java.util.concurrent.atomic.AtomicReference[
+      LinearQuality.Model]
+    val costsRef = new java.util.concurrent.atomic.AtomicReference[
+      (Map[(String, String), Long], Map[String, Long],
+        Map[String, Long], Long)]
+    val decRef = new java.util.concurrent.atomic.AtomicReference[
+      Option[Decon]](None)
+    val tokRef = new java.util.concurrent.atomic.AtomicReference[
+      graft.operators.Bpe.Learned]
+    val t1Ref = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, Long]]
+    // Two driver threads span the whole fit: the BPE merge loop
+    // (bpeRounds full-corpus rounds, nothing downstream reads it) runs
+    // beside everything else, while the other thread fits the three
+    // models the threshold chain needs (classifier / KN costs /
+    // benchmark grams — mutually independent, so themselves parallel)
+    // and then freezes the per-lang thresholds. Serially each of these
+    // is a chain of small jobs with driver collects between them that
+    // leave the box idle at every tail (guide §2.6 — overlap
+    // independent jobs); every output is deterministic, so the overlap
+    // cannot change the model.
+    StreamState.inParallel(
+      () => tokRef.set(Bpe.learnMerges(corpus, textCol, bpeRounds)),
+      () => {
+        StreamState.inParallel(
+          () => mRef.set(LinearQuality.fit(
+            corpus.withColumn("_is",
+              (col(langCol) === refLang).cast("int")),
+            idCol, textCol, "_is")),
+          () => costsRef.set(LangModel.knCollectCosts(
+            LangModel.knBigrams(corpus.filter(col(langCol) === refLang),
+              textCol))),
+          // the decontamination gate freezes as the benchmark's
+          // distinct gram set — ONE pass over the small side, sorted
+          // for determinism
+          () => decRef.set(bench.map { b =>
+            Decon(b.select(explode(
+                Decontaminate.ngramSet(col(benchTextCol), deconN))
+                .as("_ng"))
+              .distinct().as[String].collect().toSeq.sorted,
+              deconN, deconMinShared)
+          }))
+        val m = mRef.get; val costs = costsRef.get; val dec = decRef.get
+        val gk = TextAnalysis.gopherRules(corpus, idCol, textCol,
+          stopWords = stopWords).filter(col("keep")).select(idCol)
+        val lk = LinearQuality.score(corpus, idCol, textCol, m)
+          .filter(col("keep")).select(idCol)
+        val dk = Dedup.exactKeepFirst(corpus, idCol, textCol).select(idCol)
+        // the per-lang thresholds freeze over the corpus that survives
+        // the OTHER gates — including the decon gate when one is
+        // configured. KN scoring (tokenize + bigram explode + three
+        // joins, the chain's most expensive frame) runs over the
+        // SURVIVORS of the cheap gates, not the whole corpus: the
+        // inner joins below intersect anyway, and the score is
+        // per-document, so the surviving (id, lang, mean_nll_micro)
+        // rows are identical (guide §2.3 — don't compute what you
+        // throw away).
+        val surv = corpus.join(gk, idCol).join(lk, idCol).join(dk, idCol)
+        val scored0 = LangModel.knScoreWith(surv, idCol, textCol, costs)
+          .join(surv.select(col(idCol), col(langCol)), idCol)
+          .select(col(idCol), col(langCol), col("mean_nll_micro"))
+        val scored = dec match {
+          case None => scored0
+          case Some(d) =>
+            scored0.join(deconKeep(corpus, idCol, textCol, d), Seq(idCol),
+              "left_semi")
+        }
+        // the head threshold IS the frozen value: t1 is an attained
+        // score (see [[Curate.perplexityThresholds]]), so
+        // max(score | bucket = head) = t1 — reading the threshold
+        // relation directly skips perplexityBuckets' join-back, which
+        // evaluated the whole `scored` chain (four gate scans + the
+        // KN frame) a second time inside one action
+        t1Ref.set(Curate.perplexityThresholds(scored, langCol,
+            "mean_nll_micro")
+          .select(col(langCol), col("_t1"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      })
+    Frozen(mRef.get, costsRef.get, t1Ref.get, tokRef.get, stopWords,
+      decRef.get)
   }
 
   /** Persist the frozen model set — the fit-on-the-curation-cluster /
@@ -242,6 +294,19 @@ object StreamPretrain {
     BatchTimer.timed("pretrain.ingest") {
     val spark = batch.sparkSession
     import spark.implicits._
+    // The incoming micro-batch is scanned by EVERY consumer below —
+    // the near/sem index upserts, each stateless gate, the
+    // fingerprint window, the opt-in stats counts — up to ~8 full
+    // re-evaluations per batch, and nothing guarantees the caller
+    // hands us a cheap scan (q_stream_pretrain_sem's batch is a
+    // docs⋈embeddings JOIN that re-ran per gate; measured 5.7 s
+    // bpe.encode vs 1.6 s on the plain-scan twin). Persist it for
+    // the batch's lifetime (batch-sized, MEMORY_AND_DISK — never a
+    // corpus relation), released in the finally at the end.
+    val batchP = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val batch = batchP // shadow: every read below rides the persist
     // NEAR-dup structure first (when configured): the batch's bands
     // probe the accumulated index and the cluster-label table folds
     // the new pairs in ([[StreamDedup.upsertBatchWithLabels]] — the
@@ -278,8 +343,115 @@ object StreamPretrain {
     // (direct-pair keep-first under monotone ids), so unlike the near
     // gate there is no read-side late exclusion: the anti-join below
     // is the whole composition.
+    // (r16) The index upserts and the gate chain now OVERLAP: the
+    // stateless gate frames are defined first (they read only the
+    // persisted batch and pre-batch ledger state — nothing the
+    // upserts write), `kept1` persists and a third driver thread
+    // materializes it while the upserts run, so the per-batch wall
+    // pays max(upserts, gate chain) instead of their sum. The frames
+    // that DO read upsert state (the near pre-filter `nkp`, the
+    // semantic anti-join) are still built strictly after the group
+    // settles, exactly as before.
     val semRefusedRef =
       new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    // stateless gates
+    val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
+      stopWords = fz.stopWords).filter(col("keep")).select(idCol)
+    val lks = batch
+      .filter(LinearQuality.scoreColumn(col(textCol), fz.quality) * 2 >
+        fz.quality.scale)
+      .select(idCol)
+    val t1Df = broadcast(fz.langT1.toSeq.toDF(langCol, "_t1"))
+    // The KN gate is the chain's most expensive frame (tokenize +
+    // bigram explode + three broadcast joins + a per-doc aggregate),
+    // and its keep decision is PER-DOCUMENT — a semi-join only ever
+    // consults membership, so the gate may be evaluated over any
+    // superset of the rows whose membership is consulted. When the
+    // per-gate counts are off (the normal ingest path), score only
+    // the documents that already survived the ledger and the two
+    // cheap gates instead of the whole batch (guide §2.3: don't
+    // compute what you throw away); the composed `kept` set is
+    // identical because semi-join intersection commutes.
+    // recordStats keeps the full-batch form: the accounting contract
+    // is each gate's INDIVIDUAL pass count over the whole batch.
+    def knKeepOf(src: DataFrame): DataFrame =
+      LangModel.knScoreWith(src, idCol, textCol, fz.knCosts)
+        .join(src.select(col(idCol), col(langCol)), idCol)
+        .join(t1Df, langCol)
+        .filter(col("mean_nll_micro") <= col("_t1"))
+        .select(idCol)
+    // keep-first ledger over ALL arrivals (gate-independent, so a
+    // gated-out first copy still blocks its later duplicates — the
+    // batch exactKeepFirst semantics), first-per-fp within the batch
+    val wFp = Window.partitionBy("_fp").orderBy(col(idCol))
+    val freshAll = batch
+      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(wFp))
+      .filter(col("_rn") === 1).drop("_rn")
+      .join(readLedger(spark, root), Seq("_fp"), "left_anti")
+    val kept0a = freshAll
+      .join(gop, Seq(idCol), "left_semi")
+      .join(lks, Seq(idCol), "left_semi")
+    val knk = if (recordStats) knKeepOf(batch) else knKeepOf(kept0a)
+    val kept0 = kept0a.join(knk, Seq(idCol), "left_semi")
+    // the frozen decontamination gate (when configured): stateless and
+    // deterministic like the others, so redelivery replays it exactly.
+    // Same reduced-input rule as the KN gate: the decision is
+    // per-document, so without recordStats it only scans the
+    // cheap-gate survivors (kept0a, NOT kept0 — kept0 nests the KN
+    // frame, and feeding it back in would re-evaluate KN once per
+    // appearance inside the one `kept` materialization).
+    val dkp =
+      if (recordStats) fz.decon.map(d => deconKeep(batch, idCol, textCol, d))
+      else fz.decon.map(d => deconKeep(kept0a, idCol, textCol, d))
+    val kept1 = dkp.fold(kept0)(k =>
+      kept0.join(k, Seq(idCol), "left_semi"))
+    // With recordStats every gate frame is consumed twice — once in
+    // the kept chain's semi-joins, once by its count job — so the
+    // id-only gate relations persist for the batch's lifetime (the
+    // near pre-filter's joins later). Marked BEFORE anything forces
+    // the chain, so whichever action materializes first populates
+    // the cache the counts read.
+    val statsPersistsA: Seq[DataFrame] =
+      if (!recordStats) Nil
+      else (Seq(gop, lks, knk) ++ dkp).map(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // kept1 persists whenever an index upsert runs beside it: the
+    // third thread below materializes it (count() over the marked
+    // plan populates the cache) while the upserts work, and every
+    // later consumer — the near/sem joins, encode, manifest, counts —
+    // rides the blocks. Without an upsert there is nothing to overlap
+    // and the later `kept` persist already covers reuse.
+    val kept1P =
+      if (nearDup.isEmpty && semDup.isEmpty) None
+      else Some(kept1.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Near: the batch's bands probe the accumulated index and the
+    // cluster-label table folds the new pairs in
+    // ([[StreamDedup.upsertBatchWithLabels]] — the
+    // q_dedup_clusters_incr machinery). Like the fingerprint ledger,
+    // the index ingests ALL arrivals — near-dup structure is a
+    // property of the content, not of what the gates kept — so the
+    // maintained clusters equal the batch clustering over the whole
+    // corpus. The upsert is retry-idempotent (duplicate-proof readers,
+    // label fold converges), so it can safely run before the ledger;
+    // the returned pair delta is consumed by the label fold inside
+    // the call, and its checkpoint blocks are released (one delta per
+    // micro-batch in a long-lived ingest). The pipeline's batch id
+    // threads through as the index's generation id, so a later
+    // StreamDedup.deleteDocs can order against this ingest.
+    //
+    // Semantic: likewise ingests ALL arrivals (a refused document
+    // still refuses later lookalikes — the batch semanticDedup's
+    // non-greedy rule). The refusal decision is final at arrival
+    // (direct-pair keep-first under monotone ids), so unlike the near
+    // gate there is no read-side late exclusion: the anti-join below
+    // is the whole composition.
+    //
+    // The upserts target DISJOINT roots and neither reads the other,
+    // so they run on concurrent driver threads with the gate-chain
+    // materialization; all have settled before any frame that reads
+    // their state is built.
     StreamState.inParallel(
       (nearDup.map { cfg => () =>
         StreamState.release(StreamDedup.upsertBatchWithLabels(
@@ -290,39 +462,9 @@ object StreamPretrain {
           semRefusedRef.set(StreamSemDedup.upsertBatch(
             batch.select(col(idCol), col(g.embCol)), idCol, g.embCol,
             g.model, semRoot(root), batchId))
-        }).toSeq: _*)
+        } ++
+        kept1P.map { k => () => { k.count(); () } }).toSeq: _*)
     val semRefused = Option(semRefusedRef.get)
-    // stateless gates
-    val gop = TextAnalysis.gopherRules(batch, idCol, textCol,
-      stopWords = fz.stopWords).filter(col("keep")).select(idCol)
-    val lks = batch
-      .filter(LinearQuality.scoreColumn(col(textCol), fz.quality) * 2 >
-        fz.quality.scale)
-      .select(idCol)
-    val t1Df = broadcast(fz.langT1.toSeq.toDF(langCol, "_t1"))
-    val knk = LangModel.knScoreWith(batch, idCol, textCol, fz.knCosts)
-      .join(batch.select(col(idCol), col(langCol)), idCol)
-      .join(t1Df, langCol)
-      .filter(col("mean_nll_micro") <= col("_t1"))
-      .select(idCol)
-    // keep-first ledger over ALL arrivals (gate-independent, so a
-    // gated-out first copy still blocks its later duplicates — the
-    // batch exactKeepFirst semantics), first-per-fp within the batch
-    val wFp = Window.partitionBy("_fp").orderBy(col(idCol))
-    val freshAll = batch
-      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("_rn", row_number().over(wFp))
-      .filter(col("_rn") === 1).drop("_rn")
-      .join(readLedger(spark, root), Seq("_fp"), "left_anti")
-    val kept0 = freshAll
-      .join(gop, Seq(idCol), "left_semi")
-      .join(lks, Seq(idCol), "left_semi")
-      .join(knk, Seq(idCol), "left_semi")
-    // the frozen decontamination gate (when configured): stateless and
-    // deterministic like the others, so redelivery replays it exactly
-    val dkp = fz.decon.map(d => deconKeep(batch, idCol, textCol, d))
-    val kept1 = dkp.fold(kept0)(k =>
-      kept0.join(k, Seq(idCol), "left_semi"))
     // near-dup pre-filter (when configured): documents ALREADY known
     // non-canonical — an earlier-id near-dup exists in the index —
     // skip encoding. With monotone batch/document ids non-canonical
@@ -384,6 +526,13 @@ object StreamPretrain {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = mixGate.fold(kept2)(g => g(kept2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the near pre-filter is consumed twice under recordStats too
+    // (kept chain + its count job) — persist it beside the
+    // statsPersistsA gate relations marked above
+    val statsPersists: Seq[DataFrame] =
+      statsPersistsA ++ (if (!recordStats) Nil
+      else nkp.map(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     try {
     // encode + manifest BEFORE the ledger append (see header). The
     // two target DISJOINT roots and neither reads the other, so they
@@ -414,12 +563,30 @@ object StreamPretrain {
     // because every count can only shrink on a replay.
     if (recordStats) {
       import batch.sparkSession.implicits._
-      Seq((batchId, batch.count(), freshAllP.count(), gop.count(),
-          lks.count(), knk.count(), dkp.map(_.count()),
-          nkp.map(_.count()),
-          semRefused.map(r => batch.count() - r.count()),
-          mixGate.map(g => g(batch).count()),
-          kept.count()))
+      // ten independent read-only count jobs over persisted relations
+      // — run them concurrently (guide §2.6: each job's straggler
+      // tail back-fills the next one's ramp) instead of serially;
+      // results land in fixed slots so the row's column order is
+      // unchanged. batch.count() is evaluated once (it used to run
+      // twice: n_in and the n_sem subtraction).
+      val slots = new Array[java.lang.Long](10)
+      def slot(i: Int)(f: => Long): () => Unit = () => slots(i) = f
+      StreamState.inParallel((Seq(
+        slot(0)(batch.count()), slot(1)(freshAllP.count()),
+        slot(2)(gop.count()), slot(3)(lks.count()),
+        slot(4)(knk.count())) ++
+        dkp.map(d => slot(5)(d.count())) ++
+        nkp.map(k => slot(6)(k.count())) ++
+        semRefused.map(r => slot(7)(r.count())) ++
+        mixGate.map(g => slot(8)(g(batch).count())) ++
+        Seq(slot(9)(kept.count()))): _*)
+      val nIn: Long = slots(0)
+      Seq((batchId, nIn, slots(1): Long, slots(2): Long,
+          slots(3): Long, slots(4): Long,
+          Option(slots(5)).map(_.toLong),
+          Option(slots(6)).map(_.toLong),
+          Option(slots(7)).map(nIn - _.toLong),
+          Option(slots(8)).map(_.toLong), slots(9): Long))
         .toDF("batch_id", "n_in", "n_fresh", "n_gopher", "n_quality",
           "n_kn", "n_decon", "n_near", "n_sem", "n_mix", "n_kept")
         .repartition(1)
@@ -434,10 +601,13 @@ object StreamPretrain {
     } finally {
       kept.unpersist(false)
       freshAllP.unpersist(false)
+      kept1P.foreach(_.unpersist(false))
+      statsPersists.foreach(_.unpersist(false))
     }
     // the semantic delta's checkpoint blocks release once the batch's
     // last consumer (encode/kept/stats above) has run
     semRefused.foreach(StreamState.release)
+    } finally batchP.unpersist(false)
   }
 
   /** The per-batch gate accounting rows ([[ingestBatch]] with

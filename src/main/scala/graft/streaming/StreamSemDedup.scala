@@ -75,14 +75,25 @@ object StreamSemDedup {
   private def hasData(spark: SparkSession, path: String): Boolean =
     StreamState.listDataFiles(spark, path).nonEmpty
 
-  /** The batch as (id, v, nrm, cl) under the frozen assignment. */
-  private def annotate(batch: DataFrame, idCol: String, vecCol: String,
-      m: Model): DataFrame =
+  /** The batch as (id, v, nrm, cl) under the frozen assignment — ONE
+    * projection, no join: the old form joined the batch against its
+    * own [[Similarity.assignCells]] output on id, a self-join (and
+    * its exchange) that existed only to put the cell id beside the
+    * vector. The quantized vector materializes as `_qv` in its own
+    * select so the argmin's k references read the alias instead of
+    * re-quantizing per centroid (CollapseProject keeps a non-cheap
+    * alias referenced more than once — the SNIPPETS lambda-inlining
+    * rule). Same quantization expression, same argmin, same
+    * tie-break; the assignment per row is bit-identical. */
+  private[graft] def annotate(batch: DataFrame, idCol: String,
+      vecCol: String, m: Model): DataFrame =
     batch.select(col(idCol).as("id"), col(vecCol).as("v"),
-        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"))
-      .join(Similarity.assignCells(batch, idCol, vecCol, m.centroids,
-          m.scale)
-        .select(col(idCol).as("id"), col("cluster").as("cl")), "id")
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("nrm"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(m.scale)).cast("long"))
+          .as("_qv"))
+      .withColumn("cl", Similarity.cellOfQuantized(col("_qv"), m.centroids))
+      .drop("_qv")
 
   /** Exact same-cell cosine pairs at/above the threshold — `a` is the
     * arriving (larger-id) side. The expressions mirror
@@ -90,7 +101,13 @@ object StreamSemDedup {
     * replay is shared. */
   private def refusedSide(a: DataFrame, b: DataFrame,
       threshold: Double): DataFrame =
-    a.as("a").join(b.as("b"),
+    // broadcast the ARRIVING side: the equi key `cl` has only k
+    // distinct values, so a shuffle join on it caps parallelism at k
+    // partitions (8 tasks doing all the cosine work at the scenario's
+    // k = 8); the batch side is micro-batch-bounded by the operator's
+    // contract, so broadcasting it keeps the history scan's full
+    // parallelism and shuffles nothing
+    broadcast(a.as("a")).join(b.as("b"),
         col("a.cl") === col("b.cl") && col("a.id") > col("b.id"))
       .withColumn("cos",
         when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
@@ -113,25 +130,38 @@ object StreamSemDedup {
     val ann = annotate(batch, idCol, vecCol, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // SNAPSHOT the history's file list before anything runs: the
+      // probe plan built from it can never see the batch's own rows,
+      // so the probe and the store append below may overlap (the
+      // StreamDedup.upsertBatch probe∥append precedent — per-batch
+      // wall pays max(probe, append), not the sum).
+      val histFiles = StreamState.listDataFiles(spark, vecsPath(root))
       val intra = refusedSide(ann, ann, m.threshold)
       val cross =
-        if (!hasData(spark, vecsPath(root))) None
+        if (histFiles.isEmpty) None
         else {
           // probe only the batch's own cell directories: the cl list
           // is ≤ k ints — a bounded driver collect that buys
-          // partition pruning on the history scan
+          // partition pruning on the history scan. NO per-batch
+          // dropDuplicates on the history (it was a full shuffle of
+          // the pruned store every batch): a retry's duplicate rows
+          // can only produce duplicate refused ids, which the
+          // distinct() below absorbs — [[compact]] retires the
+          // physical duplicates.
           val cls = ann.select("cl").distinct()
             .collect().map(_.getInt(0)).toSeq
-          val hist = spark.read.parquet(vecsPath(root))
+          val hist = spark.read.option("basePath", vecsPath(root))
+            .parquet(histFiles: _*)
             .filter(col("cl").isin(cls: _*))
-            .dropDuplicates("id") // retry appends fold away
           Some(refusedSide(ann, hist, m.threshold))
         }
-      val refused = cross.fold(intra)(intra.union).distinct()
-        .localCheckpoint(true)
-      // one file per touched cell (the StreamDedup append lesson)
-      ann.repartition(col("cl"))
-        .write.mode("append").partitionBy("cl").parquet(vecsPath(root))
+      @volatile var refused: DataFrame = null
+      StreamState.inParallel(
+        () => refused = cross.fold(intra)(intra.union).distinct()
+          .localCheckpoint(true),
+        // one file per touched cell (the StreamDedup append lesson)
+        () => ann.repartition(col("cl"))
+          .write.mode("append").partitionBy("cl").parquet(vecsPath(root)))
       refused
     } finally ann.unpersist(false)
   }

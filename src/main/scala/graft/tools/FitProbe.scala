@@ -1,0 +1,94 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the pretrain scenarios' phases (r16 round
+  * work; not part of the bench surface). */
+object FitProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "plain"
+    val spark = GraftSession.builder(GraftSession.defaultCores)
+      .appName("fitprobe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[fitprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm
+    graft.SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val SP = graft.streaming.StreamPretrain
+    if (which == "fitparts") {
+      for (pass <- 1 to 2) {
+        println(s"[fitprobe] ===== fitparts pass $pass =====")
+        val m = time("LinearQuality.fit")(graft.ml.LinearQuality.fit(
+          docs.withColumn("_is", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "_is"))
+        val costs = time("knCollectCosts")(
+          graft.operators.LangModel.knCollectCosts(
+            graft.operators.LangModel.knBigrams(
+              docs.filter(col("lang") === "en"), "text")))
+        time("learnMerges")(
+          graft.operators.Bpe.learnMerges(docs, "text", 6))
+        val gk = graft.operators.TextAnalysis.gopherRules(docs, "doc_id",
+          "text", stopWords = Seq("the", "a"))
+          .filter(col("keep")).select("doc_id")
+        val lk = graft.ml.LinearQuality.score(docs, "doc_id", "text", m)
+          .filter(col("keep")).select("doc_id")
+        val dk = graft.operators.Dedup.exactKeepFirst(docs, "doc_id",
+          "text").select("doc_id")
+        val surv = docs.join(gk, "doc_id").join(lk, "doc_id")
+          .join(dk, "doc_id")
+        val scored = time("knScore chain")(
+          graft.operators.LangModel.knScoreWith(surv, "doc_id", "text",
+            costs)
+          .join(surv.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("mean_nll_micro")))
+        time("perplexityBuckets+collect")(
+          graft.operators.Curate.perplexityBuckets(scored, "lang",
+            "mean_nll_micro")
+          .filter(col("bucket") === "head")
+          .groupBy("lang").agg(max("mean_nll_micro").as("_t1"))
+          .collect())
+        graft.GraftSession.releaseCachedBlocks(spark)
+      }
+      spark.stop(); return
+    }
+    for (pass <- 1 to 2) {
+      println(s"[fitprobe] ===== pass $pass ($which) =====")
+      val root = java.nio.file.Files
+        .createTempDirectory("fitprobe").toString + "/pipe"
+      val fz = time("fit")(SP.fit(docs, "doc_id", "text", "lang"))
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val b0 = docs.filter(col("doc_id") * 3 <= maxId)
+      val b1 = docs.filter(col("doc_id") * 3 > maxId &&
+        col("doc_id") * 3 <= maxId * 2)
+      val b2 = docs.filter(col("doc_id") * 3 > maxId * 2)
+      val near =
+        if (which == "near")
+          Some(graft.streaming.StreamDedup.Config(threshold = 0.5))
+        else None
+      time("ingest b0")(SP.ingestBatch(b0, "doc_id", "text", "lang",
+        "source", fz, root, 0L, nearDup = near))
+      time("ingest b1")(SP.ingestBatch(b1, "doc_id", "text", "lang",
+        "source", fz, root, 1L, nearDup = near))
+      time("ingest b1 retry")(SP.ingestBatch(b1, "doc_id", "text", "lang",
+        "source", fz, root, 1L, nearDup = near))
+      time("ingest b2")(SP.ingestBatch(b2, "doc_id", "text", "lang",
+        "source", fz, root, 2L, nearDup = near))
+      time("packedShards")(SP.packedShards(spark, root, 512)
+        .write.format("noop").mode("overwrite").save())
+      GraftSession.releaseCachedBlocks(spark)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root).getParent)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.stop()
+  }
+}
