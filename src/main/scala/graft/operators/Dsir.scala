@@ -93,11 +93,17 @@ object Dsir {
     val all = spark.range(buckets).select(col("id").cast("int").as("bucket"))
     // each side's corpus scan runs ONCE: the counts relation is bounded
     // by `buckets`, so checkpoint it and derive the totals from the
-    // materialized counts instead of a second scan
-    val ct = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("c", "ct").localCheckpoint(true)
-    val cr = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("c", "cr").localCheckpoint(true)
+    // materialized counts instead of a second scan. The two eager
+    // checkpoints are independent scans of different slices — run them
+    // on concurrent driver threads (guide §2.6) so the target scan
+    // rides the raw scan's tail instead of queuing behind it.
+    var ct: DataFrame = null
+    var cr: DataFrame = null
+    graft.streaming.StreamState.inParallel(
+      () => ct = bucketCounts(target, textCol, buckets)
+        .withColumnRenamed("c", "ct").localCheckpoint(true),
+      () => cr = bucketCounts(raw, textCol, buckets)
+        .withColumnRenamed("c", "cr").localCheckpoint(true))
     def costMicro(cnt: Column, tot: Column): Column =
       floor(log((cnt + 1).cast("double") /
         (tot + lit(buckets)).cast("double")) * Scale).cast("long")

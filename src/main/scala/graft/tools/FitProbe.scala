@@ -73,14 +73,30 @@ object FitProbe {
         if (which == "near")
           Some(graft.streaming.StreamDedup.Config(threshold = 0.5))
         else None
+      def drain(label: String): Unit = {
+        val byKind = graft.streaming.BatchTimer.stop()
+          .groupBy(_.kind).toSeq.sortBy(_._1)
+          .map { case (k, xs) =>
+            f"$k=${xs.map(_.value).sum}%.2f(n=${xs.size})"
+          }
+        println(s"[fitprobe]   $label batches: ${byKind.mkString(" ")}")
+      }
+      graft.streaming.BatchTimer.start()
       time("ingest b0")(SP.ingestBatch(b0, "doc_id", "text", "lang",
         "source", fz, root, 0L, nearDup = near))
+      drain("b0")
+      graft.streaming.BatchTimer.start()
       time("ingest b1")(SP.ingestBatch(b1, "doc_id", "text", "lang",
         "source", fz, root, 1L, nearDup = near))
+      drain("b1")
+      graft.streaming.BatchTimer.start()
       time("ingest b1 retry")(SP.ingestBatch(b1, "doc_id", "text", "lang",
         "source", fz, root, 1L, nearDup = near))
+      drain("b1r")
+      graft.streaming.BatchTimer.start()
       time("ingest b2")(SP.ingestBatch(b2, "doc_id", "text", "lang",
         "source", fz, root, 2L, nearDup = near))
+      drain("b2")
       time("packedShards")(SP.packedShards(spark, root, 512)
         .write.format("noop").mode("overwrite").save())
       GraftSession.releaseCachedBlocks(spark)
