@@ -23,6 +23,52 @@ object FitProbe {
       .write.format("noop").mode("overwrite").save()
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val SP = graft.streaming.StreamPretrain
+    if (which == "folddist") {
+      // r15 VERDICT item 4: the distributed label-fold fallback's
+      // decade factor, measured next to the driver union-find's. Runs
+      // the exact q_dedup_clusters_incr three-batch ingest at the
+      // base fixture and at a 10x ScaleProbe replica, once per engine
+      // (maxPairs=0 forces the distributed fold on every
+      // post-first-batch batch; the default bound takes the driver
+      // union-find path).
+      val x10 = java.nio.file.Files.createTempDirectory("fold_x10").toString
+      println("[fitprobe] generating x10 documents replica...")
+      ScaleProbe.generateDocs(spark, dir, x10, 10)
+      def fold(label: String, d: String, maxPairs: Long): Unit = {
+        val ds = graft.sources.Tables.load(spark, d, "documents")
+        val root = java.nio.file.Files
+          .createTempDirectory("folddist").toString
+        val cfg = graft.streaming.StreamDedup.Config(threshold = 0.5)
+        time(label) {
+          (0 until 3).foreach { k =>
+            graft.GraftSession.releaseCheckpoint(
+              graft.streaming.StreamDedup.upsertBatchWithLabels(
+                ds.filter(col("doc_id") % 3 === k), "doc_id", "text",
+                root, cfg, maxPairs = maxPairs))
+          }
+        }
+        GraftSession.releaseCachedBlocks(spark)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      // warm each code path once at the small fixture before timing
+      fold("warmup uf sf0.001", "/root/testdata/sf0.001",
+        graft.operators.Dedup.defaultMaxDeltaPairs)
+      fold("warmup dist sf0.001", "/root/testdata/sf0.001", 0L)
+      fold("union-find 3-batch ingest @sf0.1", dir,
+        graft.operators.Dedup.defaultMaxDeltaPairs)
+      fold("union-find 3-batch ingest @x10", x10,
+        graft.operators.Dedup.defaultMaxDeltaPairs)
+      fold("distributed 3-batch ingest @sf0.1", dir, 0L)
+      fold("distributed 3-batch ingest @x10", x10, 0L)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(x10))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      spark.stop(); return
+    }
     if (which == "fitparts") {
       for (pass <- 1 to 2) {
         println(s"[fitprobe] ===== fitparts pass $pass =====")
