@@ -71,6 +71,14 @@ object LinearQuality {
   private def fitAll(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, hexDigits: Int, lambda: Double,
       scale: Long): Model = {
+    // gramCells folds each partition into a dense long[base²] buffer
+    // — 512 KB at the default hexDigits=2, 128 MiB per concurrent
+    // task at 3, and base² overflows Int beyond that. Enforce the
+    // dense path's assumption here instead of leaving it implicit
+    // (hashEmbed alone admits up to 8).
+    require(hexDigits <= 3,
+      s"fit's dense gram accumulator requires hexDigits <= 3 " +
+        s"(base² longs per task): $hexDigits")
     // three consumers (gram, Xᵀy, column sums) — materialize the scan
     // once and RELEASE it before returning: fit is called repeatedly
     // (oracle build + query + bench passes) and a leaked block per

@@ -248,42 +248,51 @@ object LangModel {
     knScoreWith(docs, idCol, textCol,
       knCollectCosts(knBigrams(ref, refTextCol), scale))
 
+  /** Per-row (n_big, nll_micro) struct of a text column under frozen
+    * KN cost tables — one compiled pass ([[graft.functions
+    * .KnDocCost]]): tokenize, then an O(1) lookup per bigram. NULL
+    * below 2 tokens. Per bigram the cost is exactly the join path's
+    * `coalesce(_pc, _b1 + _cc, oov)`; sums are order-independent
+    * BIGINTs, so scores are bit-identical to the former
+    * explode→3-broadcast-joins→aggregate chain (LangModelSpec pins
+    * parity). Because it is one projection with no join or
+    * aggregation, a caller can compute it BESIDE other per-row
+    * columns (lang, source) in a single scan — the
+    * [[graft.streaming.StreamPretrain]] gate shape. */
+  def knDocCostStruct(textCol: Column,
+      costs: (Map[(String, String), Long], Map[String, Long],
+        Map[String, Long], Long)): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    val (pairCost, b1Cost, cCost, oov) = costs
+    GraftExprBridge.column(graft.functions.KnDocCost(
+      GraftExprBridge.expression(
+        graft.functions.TextFunctions.tokens(lower(textCol))),
+      pairCost, b1Cost, cCost, oov))
+  }
+
   /** [[knScore]] under FROZEN cost tables (the [[knCollectCosts]]
     * tuple): fit once on the reference slice, score any batch — the
     * streaming-gate face ([[graft.streaming.StreamPretrain]]), same
-    * split as [[lmScoreCompiled]]'s literal costs. */
+    * split as [[lmScoreCompiled]]'s literal costs.
+    *
+    * (r17) Computed by the compiled per-row path ([[knDocCostStruct]]
+    * — the [[lmScoreCompiled]] shape applied to the bigram model):
+    * the former chain exploded every document into ~token-count
+    * bigram rows, pushed each through three broadcast hash joins, and
+    * re-assembled documents in a hash aggregate (one corpus exchange
+    * on the id). Now the corpus is touched once, row by row, no
+    * explode, no join, no shuffle; every integer is unchanged. */
   def knScoreWith(docs: DataFrame, idCol: String, textCol: String,
       costs: (Map[(String, String), Long], Map[String, Long],
-        Map[String, Long], Long)): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (pairCost, b1Cost, cCost, oov) = costs
-    val pairDf = broadcast(pairCost.toSeq.map { case ((a, b), c) => (a, b, c) }
-      .toDF("w1", "w2", "_pc"))
-    val b1Df = broadcast(b1Cost.toSeq.toDF("w1", "_b1"))
-    val cDf = broadcast(cCost.toSeq.toDF("w2", "_cc"))
-    val toks = docs
-      .select(col(idCol),
-        graft.functions.TextFunctions.tokens(lower(col(textCol))).as("_tk"))
-      .select(col(idCol), col("_tk"), (size(col("_tk")) - 1).as("_n"))
-      .filter(col("_n") >= 1)
-    toks
-      .select(col(idCol), explode(zip_with(
-        slice(col("_tk"), lit(1), col("_n")),
-        slice(col("_tk"), lit(2), col("_n")),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
-      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-      .join(pairDf, Seq("w1", "w2"), "left")
-      .join(b1Df, Seq("w1"), "left")
-      .join(cDf, Seq("w2"), "left")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_big"),
-        sum(coalesce(col("_pc"), col("_b1") + col("_cc"), lit(oov)))
-          .as("nll_micro"))
+        Map[String, Long], Long)): DataFrame =
+    docs.select(col(idCol),
+        knDocCostStruct(col(textCol), costs).as("_st"))
+      .filter(col("_st").isNotNull)
+      .select(col(idCol), col("_st.n_big").as("n_big"),
+        col("_st.nll_micro").as("nll_micro"))
       .withColumn("mean_nll_micro", expr("nll_micro div n_big"))
       .select(col(idCol), col("n_big"), col("nll_micro"),
         col("mean_nll_micro"))
-  }
 
   def knBigrams(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -158,16 +158,25 @@ object StreamPretrain {
         val dk = Dedup.exactKeepFirst(corpus, idCol, textCol).select(idCol)
         // the per-lang thresholds freeze over the corpus that survives
         // the OTHER gates — including the decon gate when one is
-        // configured. KN scoring (tokenize + bigram explode + three
-        // joins, the chain's most expensive frame) runs over the
-        // SURVIVORS of the cheap gates, not the whole corpus: the
-        // inner joins below intersect anyway, and the score is
-        // per-document, so the surviving (id, lang, mean_nll_micro)
-        // rows are identical (guide §2.3 — don't compute what you
-        // throw away).
+        // configured. KN scoring (the chain's most expensive frame)
+        // runs over the SURVIVORS of the cheap gates, not the whole
+        // corpus: the inner joins below intersect anyway, and the
+        // score is per-document, so the surviving
+        // (id, lang, mean_nll_micro) rows are identical (guide §2.3 —
+        // don't compute what you throw away). (r17) The score and the
+        // lang ride ONE projection ([[LangModel.knDocCostStruct]] —
+        // the compiled per-row scorer), so the gate chain under it
+        // evaluates once, not twice (the former form re-ran it for
+        // the id→lang join-back side).
         val surv = corpus.join(gk, idCol).join(lk, idCol).join(dk, idCol)
-        val scored0 = LangModel.knScoreWith(surv, idCol, textCol, costs)
-          .join(surv.select(col(idCol), col(langCol)), idCol)
+        val scored0 = surv
+          .select(col(idCol), col(langCol),
+            LangModel.knDocCostStruct(col(textCol), costs).as("_st"))
+          .filter(col("_st").isNotNull)
+          .select(col(idCol), col(langCol),
+            col("_st.n_big").as("n_big"),
+            col("_st.nll_micro").as("nll_micro"))
+          .withColumn("mean_nll_micro", expr("nll_micro div n_big"))
           .select(col(idCol), col(langCol), col("mean_nll_micro"))
         val scored = dec match {
           case None => scored0
@@ -263,29 +272,33 @@ object StreamPretrain {
       meta.getSeq[String](meta.fieldIndex("stop_words")), dec)
   }
 
-  /** Ids of `df` NOT contaminated under the frozen gate: explode the
-    * document's distinct `n`-grams, stream them through the broadcast
-    * benchmark gram set at scan speed (the [[Decontaminate]] design —
-    * no corpus shuffle), and drop documents with `minShared`+ hits. */
-  private def deconKeep(df: DataFrame, idCol: String, textCol: String,
-      d: Decon): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bg = broadcast(d.grams.toDF("_ng"))
-    val flagged = df.select(col(idCol),
-        explode(Decontaminate.ngramSet(col(textCol), d.n)).as("_ng"))
-      .join(bg, "_ng")
-      .groupBy(idCol).agg(count(lit(1)).as("_ns"))
-      .filter(col("_ns") >= d.minShared)
-      .select(idCol)
-    df.select(col(idCol)).join(flagged, Seq(idCol), "left_anti")
+  /** Ids of `df` NOT contaminated under the frozen gate: count each
+    * document's distinct `n`-grams against the frozen benchmark gram
+    * set in ONE compiled pass ([[graft.functions.SetHitCount]] over
+    * [[Decontaminate.ngramSet]]'s distinct grams — an O(1) hash probe
+    * per gram), and drop documents with `minShared`+ hits. (r17) The
+    * former chain exploded every document's grams, pushed them
+    * through a broadcast join, counted in a hash aggregate (one
+    * corpus exchange on the id) and anti-joined the ids back; per
+    * UNIQUE id the hit count is identical (ngramSet emits distinct
+    * grams), so the kept set is unchanged — a null or sub-`n`-token
+    * document has zero hits and stays kept, exactly as it was never
+    * flagged before. */
+  private[graft] def deconKeep(df: DataFrame, idCol: String,
+      textCol: String, d: Decon): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    val hits = GraftExprBridge.column(graft.functions.SetHitCount(
+      GraftExprBridge.expression(
+        Decontaminate.ngramSet(col(textCol), d.n)),
+      d.grams))
+    df.filter(coalesce(hits, lit(0L)) < d.minShared).select(col(idCol))
   }
 
   /** Run one micro-batch through the whole chain: gates → ledger →
-    * encode → manifest row. One scan for the three gates (two are
-    * compiled projections, the KN gate three vocabulary-bounded
-    * broadcast joins), one anti-join against the fingerprint ledger,
-    * one encode projection over the survivors. */
+    * encode → manifest row. One scan for the three gates (all three
+    * compiled projections — the KN gate rides
+    * [[LangModel.knDocCostStruct]]), one anti-join against the
+    * fingerprint ledger, one encode projection over the survivors. */
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       langCol: String, sourceCol: String, fz: Frozen, root: String,
       batchId: Long, recordStats: Boolean = false,
@@ -307,43 +320,7 @@ object StreamPretrain {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val batch = batchP // shadow: every read below rides the persist
-    // NEAR-dup structure first (when configured): the batch's bands
-    // probe the accumulated index and the cluster-label table folds
-    // the new pairs in ([[StreamDedup.upsertBatchWithLabels]] — the
-    // q_dedup_clusters_incr machinery). Like the fingerprint ledger,
-    // the index ingests ALL arrivals — near-dup structure is a
-    // property of the content, not of what the gates kept — so the
-    // maintained clusters equal the batch clustering over the whole
-    // corpus. The upsert is retry-idempotent (duplicate-proof readers,
-    // label fold converges), so it can safely run before the ledger.
-    // The near-dup and SEMANTIC index upserts target DISJOINT roots
-    // and both precede every gate read below, so they run on two
-    // driver threads at once ([[StreamState.inParallel]] — the
-    // per-batch wall pays max(near, sem), not the sum; both have
-    // completed before any frame built below can run a job).
-    //
-    // Near: the batch's bands probe the accumulated index and the
-    // cluster-label table folds the new pairs in
-    // ([[StreamDedup.upsertBatchWithLabels]] — the
-    // q_dedup_clusters_incr machinery). Like the fingerprint ledger,
-    // the index ingests ALL arrivals — near-dup structure is a
-    // property of the content, not of what the gates kept — so the
-    // maintained clusters equal the batch clustering over the whole
-    // corpus. The upsert is retry-idempotent (duplicate-proof readers,
-    // label fold converges), so it can safely run before the ledger;
-    // the returned pair delta is consumed by the label fold inside
-    // the call, and its checkpoint blocks are released (one delta per
-    // micro-batch in a long-lived ingest). The pipeline's batch id
-    // threads through as the index's generation id, so a later
-    // StreamDedup.deleteDocs can order against this ingest.
-    //
-    // Semantic: likewise ingests ALL arrivals (a refused document
-    // still refuses later lookalikes — the batch semanticDedup's
-    // non-greedy rule). The refusal decision is final at arrival
-    // (direct-pair keep-first under monotone ids), so unlike the near
-    // gate there is no read-side late exclusion: the anti-join below
-    // is the whole composition.
-    // (r16) The index upserts and the gate chain now OVERLAP: the
+    // (r16) The index upserts and the gate chain OVERLAP: the
     // stateless gate frames are defined first (they read only the
     // persisted batch and pre-batch ledger state — nothing the
     // upserts write), `kept1` persists and a third driver thread
@@ -362,34 +339,46 @@ object StreamPretrain {
         fz.quality.scale)
       .select(idCol)
     val t1Df = broadcast(fz.langT1.toSeq.toDF(langCol, "_t1"))
-    // The KN gate is the chain's most expensive frame (tokenize +
-    // bigram explode + three broadcast joins + a per-doc aggregate),
-    // and its keep decision is PER-DOCUMENT — a semi-join only ever
-    // consults membership, so the gate may be evaluated over any
-    // superset of the rows whose membership is consulted. When the
-    // per-gate counts are off (the normal ingest path), score only
-    // the documents that already survived the ledger and the two
-    // cheap gates instead of the whole batch (guide §2.3: don't
-    // compute what you throw away); the composed `kept` set is
-    // identical because semi-join intersection commutes.
-    // recordStats keeps the full-batch form: the accounting contract
-    // is each gate's INDIVIDUAL pass count over the whole batch.
+    // The KN gate is the chain's most expensive frame (it reads every
+    // surviving byte of text), and its keep decision is PER-DOCUMENT —
+    // a semi-join only ever consults membership, so the gate may be
+    // evaluated over any superset of the rows whose membership is
+    // consulted. When the per-gate counts are off (the normal ingest
+    // path), score only the documents that already survived the
+    // ledger and the two cheap gates instead of the whole batch
+    // (guide §2.3: don't compute what you throw away); the composed
+    // `kept` set is identical because semi-join intersection
+    // commutes. recordStats keeps the full-batch form: the accounting
+    // contract is each gate's INDIVIDUAL pass count over the whole
+    // batch. (r17) The score is the compiled per-row scorer
+    // ([[LangModel.knDocCostStruct]] — no explode, no joins, no
+    // per-doc aggregate), so the score and the lang ride ONE
+    // projection over src: the former knScoreWith + id→lang join-back
+    // evaluated the src chain twice per materialization.
     def knKeepOf(src: DataFrame): DataFrame =
-      LangModel.knScoreWith(src, idCol, textCol, fz.knCosts)
-        .join(src.select(col(idCol), col(langCol)), idCol)
+      src.select(col(idCol), col(langCol),
+          LangModel.knDocCostStruct(col(textCol), fz.knCosts).as("_st"))
+        .filter(col("_st").isNotNull)
         .join(t1Df, langCol)
-        .filter(col("mean_nll_micro") <= col("_t1"))
+        .filter(expr("_st.nll_micro div _st.n_big") <= col("_t1"))
         .select(idCol)
     // keep-first ledger over ALL arrivals (gate-independent, so a
     // gated-out first copy still blocks its later duplicates — the
     // batch exactKeepFirst semantics), first-per-fp within the batch
     val wFp = Window.partitionBy("_fp").orderBy(col(idCol))
-    val freshAll = batch
+    // persist marked HERE, before kept0a/kept1 nest it (r17): the
+    // kept1 materialization on the overlap thread below is the first
+    // action over this frame, and the mark must precede it so that
+    // run populates the cache the ledger append reads — marked after
+    // the group, the fingerprint window + ledger anti-join evaluated
+    // twice per batch. Batch-sized, released in the finally.
+    val freshAllP = batch
       .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
       .withColumn("_rn", row_number().over(wFp))
       .filter(col("_rn") === 1).drop("_rn")
       .join(readLedger(spark, root), Seq("_fp"), "left_anti")
-    val kept0a = freshAll
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept0a = freshAllP
       .join(gop, Seq(idCol), "left_semi")
       .join(lks, Seq(idCol), "left_semi")
     val knk = if (recordStats) knKeepOf(batch) else knKeepOf(kept0a)
@@ -513,17 +502,14 @@ object StreamPretrain {
         .drop("_mix_src", "_kf", "_thr")
     }
     // The tail actions below each re-evaluate their lazy inputs:
-    // without the persists, `kept` (the full gate chain — gopher +
+    // without the persist, `kept` (the full gate chain — gopher +
     // quality + KN scoring + ledger anti-join + near/sem/mix joins)
     // re-runs for the encode write, the encode generation row, the
-    // manifest write and the opt-in stats count, and `freshAll` (the
-    // fingerprint window + ledger anti-join) re-runs for the ledger
-    // append — 3–4 evaluations of the batch's most expensive frames
-    // per micro-batch. Persist both for the batch's lifetime; blocks
-    // release in the finally (batch-sized, MEMORY_AND_DISK, never a
-    // corpus relation).
-    val freshAllP = freshAll
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // manifest write and the opt-in stats count — 3–4 evaluations of
+    // the batch's most expensive frames per micro-batch. Persist for
+    // the batch's lifetime; blocks release in the finally
+    // (batch-sized, MEMORY_AND_DISK, never a corpus relation).
+    // freshAll's own persist is marked at its definition above.
     val kept = mixGate.fold(kept2)(g => g(kept2))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the near pre-filter is consumed twice under recordStats too

@@ -72,6 +72,16 @@ object StreamSemDedup {
 
   private def vecsPath(root: String) = s"$root/vecs"
 
+  /** Row-count ceiling for broadcasting the arriving micro-batch into
+    * the probe joins. Micro-batches are orders of magnitude below it
+    * in any sane trigger; it exists so a pathological batch degrades
+    * to the shuffle join instead of failing at the broadcast /
+    * driver-memory limit. At dim-64 vectors 1M rows ≈ 0.6 GB.
+    * Env-tunable for clusters with bigger drivers. */
+  private val broadcastMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_SEM_BCAST_MAX_ROWS").map(_.toLong)
+      .getOrElse(1L << 20)
+
   private def hasData(spark: SparkSession, path: String): Boolean =
     StreamState.listDataFiles(spark, path).nonEmpty
 
@@ -100,14 +110,18 @@ object StreamSemDedup {
     * [[graft.operators.Dedup.semanticDedup]] exactly so the SQL
     * replay is shared. */
   private def refusedSide(a: DataFrame, b: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, broadcastA: Boolean): DataFrame =
     // broadcast the ARRIVING side: the equi key `cl` has only k
     // distinct values, so a shuffle join on it caps parallelism at k
     // partitions (8 tasks doing all the cosine work at the scenario's
     // k = 8); the batch side is micro-batch-bounded by the operator's
     // contract, so broadcasting it keeps the history scan's full
-    // parallelism and shuffles nothing
-    broadcast(a.as("a")).join(b.as("b"),
+    // parallelism and shuffles nothing. The hint is gated on the
+    // batch's measured row count (r17 — upsertBatch counts it in the
+    // same job that collects the touched cells): an oversized batch
+    // falls back to the shuffle join, which degrades gracefully
+    // instead of hitting the broadcast/driver-memory ceiling.
+    (if (broadcastA) broadcast(a.as("a")) else a.as("a")).join(b.as("b"),
         col("a.cl") === col("b.cl") && col("a.id") > col("b.id"))
       .withColumn("cos",
         when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
@@ -136,24 +150,28 @@ object StreamSemDedup {
       // StreamDedup.upsertBatch probe∥append precedent — per-batch
       // wall pays max(probe, append), not the sum).
       val histFiles = StreamState.listDataFiles(spark, vecsPath(root))
-      val intra = refusedSide(ann, ann, m.threshold)
+      // one tiny job collects the batch's touched cells (≤ k ints —
+      // buys partition pruning on the history scan) AND its row count
+      // (gates the broadcast hint below), and doubles as the action
+      // that populates ann's cache before the parallel consumers
+      val clCounts = ann.groupBy("cl").agg(count(lit(1)).as("_n"))
+        .collect()
+      val batchRows = clCounts.map(_.getLong(1)).sum
+      val bcastA = batchRows <= broadcastMaxRows
+      val intra = refusedSide(ann, ann, m.threshold, bcastA)
       val cross =
         if (histFiles.isEmpty) None
         else {
-          // probe only the batch's own cell directories: the cl list
-          // is ≤ k ints — a bounded driver collect that buys
-          // partition pruning on the history scan. NO per-batch
-          // dropDuplicates on the history (it was a full shuffle of
-          // the pruned store every batch): a retry's duplicate rows
-          // can only produce duplicate refused ids, which the
-          // distinct() below absorbs — [[compact]] retires the
-          // physical duplicates.
-          val cls = ann.select("cl").distinct()
-            .collect().map(_.getInt(0)).toSeq
+          // NO per-batch dropDuplicates on the history (it was a full
+          // shuffle of the pruned store every batch): a retry's
+          // duplicate rows can only produce duplicate refused ids,
+          // which the distinct() below absorbs — [[compact]] retires
+          // the physical duplicates.
+          val cls = clCounts.map(_.getInt(0)).toSeq
           val hist = spark.read.option("basePath", vecsPath(root))
             .parquet(histFiles: _*)
             .filter(col("cl").isin(cls: _*))
-          Some(refusedSide(ann, hist, m.threshold))
+          Some(refusedSide(ann, hist, m.threshold, bcastA))
         }
       @volatile var refused: DataFrame = null
       StreamState.inParallel(

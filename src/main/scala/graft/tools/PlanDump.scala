@@ -57,6 +57,24 @@ object PlanDump {
       graft.streaming.StreamSemDedup.annotate(emb, "doc_id",
         "embedding", m))
 
+    // 4. (r17) KN document scoring under frozen cost tables — the
+    //    q_kn_quality core AND the ingest gate / fit scorer of every
+    //    pretrain face
+    dump("LangModel.knScoreWith (frozen-cost KN scoring)")(
+      graft.operators.LangModel.knScoreWith(docs, "doc_id", "text",
+        costs))
+
+    // 5. (r17) the frozen decontamination gate's per-batch keep set
+    //    (q_stream_pretrain_decon's most expensive frame)
+    val grams = graft.operators.Decontaminate
+      .ngramSet(col("text"), 8)
+    val benchGrams = docs.filter(col("doc_id") % 23 === 7)
+      .select(explode(grams).as("g")).distinct()
+      .limit(5000).collect().map(_.getString(0)).toSeq
+    dump("StreamPretrain.deconKeep (frozen decon gate)")(
+      graft.streaming.StreamPretrain.deconKeep(docs, "doc_id", "text",
+        graft.streaming.StreamPretrain.Decon(benchGrams, 8, 3L)))
+
     spark.stop()
   }
 }

@@ -140,6 +140,44 @@ class LangModelSpec extends SparkSpec {
     assert(got2.getLong(2) == b1Cost("b") + cCost("b"))
   }
 
+  test("knScoreWith: compiled per-row path equals the explode+join reference exactly") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val costs = LangModel.knCollectCosts(LangModel.knBigrams(
+      docs.filter(col("lang") === "en"), "text"))
+    val (pairCost, b1Cost, cCost, oov) = costs
+    // the pre-r17 chain, reconstructed: explode each document into
+    // bigrams, three broadcast joins against the cost tables, per-doc
+    // aggregate with the coalesce cascade
+    val pairDf = broadcast(pairCost.toSeq
+      .map { case ((a, b), c) => (a, b, c) }.toDF("w1", "w2", "_pc"))
+    val b1Df = broadcast(b1Cost.toSeq.toDF("w1", "_b1"))
+    val cDf = broadcast(cCost.toSeq.toDF("w2", "_cc"))
+    val toks = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("_tk"))
+      .select(col("doc_id"), col("_tk"), (size(col("_tk")) - 1).as("_n"))
+      .filter(col("_n") >= 1)
+    val reference = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("_tk"), lit(1), col("_n")),
+        slice(col("_tk"), lit(2), col("_n")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .join(pairDf, Seq("w1", "w2"), "left")
+      .join(b1Df, Seq("w1"), "left")
+      .join(cDf, Seq("w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        sum(coalesce(col("_pc"), col("_b1") + col("_cc"), lit(oov)))
+          .as("nll_micro"))
+      .withColumn("mean_nll_micro", expr("nll_micro div n_big"))
+      .select("doc_id", "n_big", "nll_micro", "mean_nll_micro")
+    val compiled = LangModel.knScoreWith(docs, "doc_id", "text", costs)
+    assert(reference.exceptAll(compiled).isEmpty &&
+      compiled.exceptAll(reference).isEmpty)
+    assert(compiled.count() > 0)
+  }
+
   test("knBigrams: every smoothed probability is a valid rational in (0, 1]") {
     val rows = LangModel.knBigrams(
       Seq("x y x y x z", "y x").toDF("text"), "text").collect()

@@ -332,12 +332,18 @@ class PlanQualitySpec extends SparkSpec {
       s"n² label-crossing join rows back in the plan:\n$p")
   }
 
-  test("KN scoring: the three cost tables broadcast (no gram-keyed shuffle of the corpus)") {
+  test("KN scoring: one compiled projection — no join, no exchange of the corpus") {
+    // (r17) the scorer is the compiled per-row KnDocCost expression
+    // under driver-frozen cost tables: the former
+    // explode→3-broadcast-joins→per-doc-aggregate chain is gone, so
+    // the scoring plan must be join-free AND shuffle-free — one scan,
+    // one projection, one filter
     val p = plan("q_kn_quality")
-    assert(p.split("BroadcastHashJoin").length >= 4,
-      s"expected 3 broadcast joins for pair/left/right cost tables:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"a cost table fell off the broadcast path:\n$p")
+    assert(!p.contains("Join"), s"KN scoring must not join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"KN scoring must not shuffle the corpus:\n$p")
+    assert(p.toLowerCase.contains("kndoccost"),
+      s"expected the compiled KnDocCost expression in the plan:\n$p")
   }
 
   test("PCA scatter: one combinable aggregate — exactly one exchange, partial agg present") {
