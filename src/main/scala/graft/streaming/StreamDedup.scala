@@ -82,9 +82,14 @@ object StreamDedup {
   /** Ids whose newest generation is a tombstone, or null when no
     * deletion ever happened (the common case — zero read-side cost
     * until then). Deletions are compliance events, so the set is
-    * broadcast-small by assumption, like the text index's exclusion. */
+    * broadcast-small by assumption, like the text index's exclusion.
+    * (r17) The no-delete-ever case is answered by the tombstone-
+    * presence marker — one FS probe — instead of a groupBy aggregate
+    * over the generation log: every generation-tracked upsert
+    * consulted deadIds per micro-batch, so an ingest that never
+    * deletes paid a log-sized job per batch for an always-empty set. */
   private def deadIds(spark: SparkSession, root: String): DataFrame =
-    if (!StreamState.genLogExists(spark, root)) null
+    if (!StreamState.tombstonesExist(spark, root)) null
     else StreamState.updatedGens(spark, root)
       .filter(col("_del")).select("id")
 
@@ -105,7 +110,8 @@ object StreamDedup {
     * accumulate until the executors OOM.
     */
   def upsertBatch(batch: DataFrame, idCol: String, textCol: String,
-      root: String, cfg: Config = Config(), batchId: Long = -1L): DataFrame =
+      root: String, cfg: Config = Config(), batchId: Long = -1L,
+      onPairs: DataFrame => Unit = null): DataFrame =
     BatchTimer.timed("dedup.upsert") {
     val spark = batch.sparkSession
     // generation tracking (see the deletion section of the header):
@@ -213,8 +219,20 @@ object StreamDedup {
               .localCheckpoint(true) // materialize NOW, beside the appends
           }
         }
+        // `onPairs` (r17): a consumer that depends ONLY on the
+        // verified pair delta (the labels fold) runs on the probe
+        // thread as soon as `pairs` has materialized, OVERLAPPING the
+        // index appends on the other thread — the per-batch wall pays
+        // max(probe+verify+consumer, appends) instead of
+        // max(probe+verify, appends) + consumer. Failure semantics
+        // are unchanged: inParallel settles everything before
+        // propagating, the micro-batch retries the whole call, and
+        // both the appends and the labels fold are retry-idempotent.
         StreamState.inParallel(
-          () => pairs = probeAndVerify(),
+          () => {
+            pairs = probeAndVerify()
+            if (onPairs != null) onPairs(pairs)
+          },
           () => BatchTimer.timed("dedup.upsert.append") {
             StreamState.inParallel(
               () => banded.repartition(col("pb")).write.mode("append")
@@ -238,11 +256,18 @@ object StreamDedup {
   def upsertBatchWithLabels(batch: DataFrame, idCol: String,
       textCol: String, root: String, cfg: Config = Config(),
       batchId: Long = -1L,
-      maxPairs: Long = Dedup.defaultMaxDeltaPairs): DataFrame = {
-    val pairs = upsertBatch(batch, idCol, textCol, root, cfg, batchId)
-    updateLabels(batch.sparkSession, root, pairs, cfg, maxPairs)
-    pairs
-  }
+      maxPairs: Long = Dedup.defaultMaxDeltaPairs): DataFrame =
+    // the labels fold depends only on the verified pair delta, so it
+    // rides upsertBatch's probe thread (`onPairs`) and OVERLAPS the
+    // bands/sigs appends (r17 — it used to start only after both
+    // appends settled). The single-writer timeline on labels/ is
+    // intact: the fold still runs exactly once per batch, ordered
+    // against other label writes by the caller's ingest serialization;
+    // it never reads bands/ or sigs/, so the concurrent appends are
+    // invisible to it.
+    upsertBatch(batch, idCol, textCol, root, cfg, batchId,
+      onPairs = pairs =>
+        updateLabels(batch.sparkSession, root, pairs, cfg, maxPairs))
 
   /** Forget documents: from the next read on, tombstoned ids appear in
     * no pair, no label, and no probe result, and [[compact]] physically
@@ -469,21 +494,30 @@ object StreamDedup {
     if (relabel.nonEmpty || freshRows.nonEmpty) {
     val relabelDf = broadcast(
       relabel.toSeq.toDF("cluster", "_nc"))
-    // directories holding a changed row (cluster ∈ relabel keys — one
-    // broadcast-pruned scan of the table) or a new row
-    val changedDirs = withPl(
-        existing.join(relabelDf, Seq("cluster"), "left_semi"))
-      .select("pl")
     val freshDf = freshRows.toDF("id", "cluster")
-    val touched = changedDirs
+    // directories holding a changed row (cluster ∈ relabel keys — one
+    // column-pruned scan of the table's (cluster, pl)) or a new row,
+    // COLLECTED to the driver: the list is ≤ dirBuckets ints, and
+    // having it driver-side lets the rewrite scan below PARTITION-
+    // PRUNE the parquet read to the touched directories (r17 — the
+    // former semi-join on pl scanned the whole all-time table to
+    // rewrite an O(batch) slice; guide §6 pushdown-to-the-scan). The
+    // table's own pl partition column carries the same value withPl
+    // computes, so pruning on it is exact. Non-empty under this
+    // branch's guard: a fresh endpoint contributes its own dir, and a
+    // relabel key is an existing cluster value when no endpoint is
+    // fresh.
+    val existingAll = spark.read.parquet(path) // (id, cluster, pl)
+    val touched = existingAll
+      .join(relabelDf, Seq("cluster"), "left_semi").select("pl")
       .unionByName(withPl(freshDf).select("pl"))
-      .distinct()
+      .distinct().collect().map(_.getInt(0)).toSeq
     // rewrite = every existing row of a touched directory (relabeled
     // through the broadcast map, identity elsewhere) ∪ the fresh rows;
     // materialize BEFORE the overwrite — the scans must not race the
     // commit's deletes
-    val toWrite = withPl(existing)
-      .join(touched, Seq("pl"), "left_semi")
+    val toWrite = existingAll
+      .filter(col("pl").isin(touched: _*)).drop("pl")
       .join(relabelDf, Seq("cluster"), "left")
       .select(col("id"),
         coalesce(col("_nc"), col("cluster")).as("cluster"))

@@ -141,16 +141,46 @@ private[graft] object StreamState {
     fs(spark, root).exists(
       new org.apache.hadoop.fs.Path(genLogPath(root)))
 
+  // Tombstone-presence marker (r17): `_docs/_has_tombstones`, an
+  // empty underscore-prefixed sidecar (parquet scans and snapshots
+  // never see it; compaction's deleteFiles never retires it). Created
+  // the first time a tombstone generation is appended — so a reader
+  // that only cares about DELETIONS (deadIds/tombstones, consulted by
+  // every per-batch upsert) can answer the common no-delete-ever case
+  // with one file-existence probe instead of a groupBy aggregate over
+  // the whole generation log per micro-batch. The marker is written
+  // BEFORE the tombstone rows: a crash between the two leaves a
+  // marker with no tombstones — readers pay the aggregate and find
+  // nothing, which is correct; the reverse order could hide a
+  // committed delete.
+  private def tombMarkerPath(root: String) =
+    new org.apache.hadoop.fs.Path(genLogPath(root), "_has_tombstones")
+
+  /** Whether any tombstone generation was ever appended under `root`
+    * — one FS probe, no job. */
+  def tombstonesExist(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(tombMarkerPath(root))
+
   /** Append one batch's generation rows. `ids` must be a single
     * column of document ids (any name). ~17 bytes a document. */
   def appendGens(ids: DataFrame, root: String, batchId: Long,
-      del: Boolean = false): Unit =
+      del: Boolean = false): Unit = {
+    if (del) {
+      val spark = ids.sparkSession
+      val p = tombMarkerPath(root)
+      val hfs = fs(spark, root)
+      if (!hfs.exists(p)) {
+        hfs.mkdirs(p.getParent)
+        hfs.create(p, true).close()
+      }
+    }
     ids.toDF("id").distinct()
       .withColumn("batch_id", lit(batchId))
       .withColumn("del", lit(del))
       // one file per batch; the distinct stays parallel
       .repartition(1)
       .write.mode("append").parquet(genLogPath(root))
+  }
 
   /** The log with the tombstone flag normalized (rows written before
     * deletions existed read as live generations). */
@@ -189,9 +219,10 @@ private[graft] object StreamState {
 
   /** Newest tombstone per document, or null when the log (or any
     * tombstone) does not exist — the physical-retire input for
-    * compaction folds. */
+    * compaction folds. The presence marker answers the
+    * no-delete-ever case without a job. */
   def tombstones(spark: SparkSession, root: String): DataFrame =
-    if (!genLogExists(spark, root)) null
+    if (!tombstonesExist(spark, root)) null
     else readGenLog(spark, root).filter(col("del"))
       .groupBy("id").agg(max("batch_id").as("_tomb"))
 
