@@ -1139,16 +1139,41 @@ object Similarity {
       query: Seq[Double], kTop: Int, nCells: Int = 8, nprobe: Int = 2,
       iterations: Int = 2, m: Int = 8, k: Int = 16, shortlist: Int = 200,
       scale: Double = 1048576.0): DataFrame = {
-    val (cents, assigned) = kmeansQuantizedFit(df, idCol, vecCol,
-      nCells, iterations, scale)
+    val (cents, assigned, cb) = fitCoarseAndPq(df, idCol, vecCol,
+      nCells, iterations, m, k, scale)
     val probes = probeCells(cents, query, nprobe, scale)
     val probed = df.join(
       assigned.filter(col("cluster").isInCollection(probes))
         .select(col(idCol)), Seq(idCol))
-    val cb = pqTrain(df, idCol, vecCol, m, k, iterations, scale)
     val enc = pqEncode(probed, idCol, vecCol, cb, scale)
     pqSearchRerank(enc, probed, idCol, vecCol, cb, query, kTop,
       shortlist, scale)
+  }
+
+  /** The coarse k-means fit and the PQ codebook fit, dispatched on
+    * concurrent driver threads (r17, guide §2.6): the two are
+    * independent driver-blocking loops over the same input — each
+    * persists its OWN projection and collects its own model — so the
+    * wall pays max(coarse, PQ) instead of the sum. Both fits are
+    * deterministic and neither reads the other's state, so the fitted
+    * models are bit-identical to the serial form; every call still
+    * fits from scratch (the self-contained-fit contract of
+    * q_embed_ivfpq / buildIvfPq). */
+  private def fitCoarseAndPq(df: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iterations: Int, m: Int, k: Int,
+      scale: Double): (Array[(Int, Array[Long])], DataFrame,
+        Array[Array[Array[Long]]]) = {
+    val fitRef = new java.util.concurrent.atomic.AtomicReference[
+      (Array[(Int, Array[Long])], DataFrame)]
+    val cbRef = new java.util.concurrent.atomic.AtomicReference[
+      Array[Array[Array[Long]]]]
+    graft.streaming.StreamState.inParallel(
+      () => fitRef.set(kmeansQuantizedFit(df, idCol, vecCol, nCells,
+        iterations, scale)),
+      () => cbRef.set(pqTrain(df, idCol, vecCol, m, k, iterations,
+        scale)))
+    val (cents, assigned) = fitRef.get
+    (cents, assigned, cbRef.get)
   }
 
   /** The `nprobe` coarse cells nearest the quantized query (integer
@@ -1190,9 +1215,8 @@ object Similarity {
       path: String, nCells: Int = 8, iterations: Int = 2, m: Int = 8,
       k: Int = 16, scale: Double = 1048576.0): IvfPqIndex = {
     val spark = df.sparkSession
-    val (cents, assigned) = kmeansQuantizedFit(df, idCol, vecCol,
-      nCells, iterations, scale)
-    val cb = pqTrain(df, idCol, vecCol, m, k, iterations, scale)
+    val (cents, assigned, cb) = fitCoarseAndPq(df, idCol, vecCol,
+      nCells, iterations, m, k, scale)
     pqEncode(df, idCol, vecCol, cb, scale)
       .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
       .select(col(idCol), col("codes"), lit(-1L).as("batch_id"),
