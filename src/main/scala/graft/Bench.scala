@@ -4,6 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run (driver contract).
   *
+  * OUTPUT (r17): the full line (per-query map first, aggregates last)
+  * prints to stdout AND lands in `SPARK_GRAFT_BENCH_OUT`
+  * (default /tmp/graft_bench.json); a SECOND, compact aggregates-only
+  * JSON line (≤ ~1.5 KB) prints LAST, so a bounded stdout tail —
+  * the round driver keeps 2000 chars — always contains one complete
+  * JSON object (16 rounds of `parsed: null` came from the tail
+  * starting mid-way through the ~20 KB full line). Methodology,
+  * timed actions, query set and scale factor are unchanged.
+  *
   * Each query is forced through full evaluation with the noop sink
   * (a bare .count() lets Catalyst collapse projection-only plans to a
   * metadata count, which would under-report real work). A warmup pass
@@ -836,6 +845,12 @@ object Bench {
     // BatchTimer rows inside each scenario carry `n` per kind plus
     // dimensionless notes (propagation rounds, union-find pair
     // counts) so a slow batch is attributable, not guessed at.
+    // aggregates for the compact summary line (r17): the scenario
+    // leg's chosen walls summed, row count, failures — the per-row
+    // detail stays in scenariosJson / the file artifact
+    var scenTotal = 0.0
+    var scenN = 0
+    var scenFailed = 0
     val scenariosJson: String =
       if (envLong("SPARK_GRAFT_SCENARIOS", 1L) == 0L)
         """"scenarios":null"""
@@ -934,6 +949,8 @@ object Bench {
               (if (a.ok) 0 else 1, if (a.contended) 1 else 0, a.wall))
             cal = attempts.last.calA; par = attempts.last.parA
             anyContended ||= chosen.contended
+            if (chosen.ok) { scenTotal += chosen.wall; scenN += 1 }
+            else scenFailed += 1
             val wallAttempts =
               attempts.map(a => f"${a.wall}%.3f").mkString("[", ",", "]")
             f""""$name":{"wall_sec":${if (chosen.ok) chosen.wall else -1.0}%.3f,""" +
@@ -954,6 +971,61 @@ object Bench {
           f""""scenarios_calib":{"calib_sec_before":$legCalB%.3f,""" +
           f""""calib_sec_after":$cal%.3f,"calib_par_before":$legParB%.3f,""" +
           f""""calib_par_after":$par%.3f}"""
+      }
+
+    // (r17, verdict item 5) One x10 scaling leg: time a fixed set of
+    // corpus-driven declared queries on a seeded 10× replica
+    // (ScaleProbe — similarity structure preserved, so operator cost
+    // scales like the data, and replicas are mutually dissimilar so
+    // pair counts scale 10× not 100×), once, AFTER adjudication. At
+    // sf0.1 every sweep row is fixed-overhead bound (8 cores ≈ 32
+    // cores on most rows — r16 verdict item 3: the scaling evidence
+    // was void), so per-query parallelism is only measurable at a SF
+    // where work dominates scheduling. The driver benches at 32 AND 8
+    // cores; the sec@8/sec@32 ratio of THESE rows is the published
+    // parallelism evidence. Values stay out of `value` (the scenario-
+    // leg precedent) and ride both the full artifact and the compact
+    // summary line. The replica is generated into a temp dir and
+    // deleted — never a cross-run cache. Disable with
+    // SPARK_GRAFT_SCALING_X10=0 for quick local loops.
+    val scalingX10Queries = Seq(
+      "q_embed_ivfpq", "q_dedup_canonical", "q_hh_dyadic",
+      "q_embed_pq_codes", "q_jaccard_join", "q_dedup_spans",
+      "q_quality_classifier", "q_bpe_deep", "q_quality_gate",
+      "q_ccnet_buckets", "q_kn_quality", "q_lm_quality")
+    val scalingJson: String =
+      if (envLong("SPARK_GRAFT_SCALING_X10", 1L) == 0L)
+        """"scaling_x10":null"""
+      else {
+        val x10 = java.nio.file.Files.createTempDirectory("bench_x10")
+          .toString
+        try {
+          graft.tools.ScaleProbe.generate(spark, sfDir, x10)
+          val rows = scalingX10Queries.map { name =>
+            val fn = SparkEntry.benchQueries.getOrElse(name,
+              SparkEntry.queries(name))
+            val t0 = System.nanoTime()
+            val sec =
+              try {
+                fn(spark, x10).write.format("noop")
+                  .mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              } catch { case e: Throwable =>
+                System.err.println(
+                  s"[bench] x10 scaling row $name failed: $e")
+                -1.0
+              } finally GraftSession.releaseCachedBlocks(spark)
+            "\"" + name + "\":" + f"$sec%.3f"
+          }
+          rows.mkString(""""scaling_x10":{""", ",", "}")
+        } finally {
+          import scala.jdk.CollectionConverters._
+          try java.nio.file.Files.walk(java.nio.file.Paths.get(x10))
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: Throwable => () }
+        }
       }
 
     // The PUBLISHED per-query table is the element-wise MIN across
@@ -996,7 +1068,10 @@ object Bench {
     // argument in reverse: contention only ever DEFLATES a rate.
     val fanoutBest = attempts.map(_.fanoutRate).max
     val writeBest = attempts.map(_.writeMbPerSec).max
-    val cores = Runtime.getRuntime.availableProcessors()
+    // the HONORED core count (r16 verdict item 2: the 8-core run's
+    // artifact claimed "cores":32 because this published the host's
+    // processor count instead of the master's)
+    val cores = GraftSession.defaultCores
     val attemptsJson = attempts.map(_.telemetryJson).mkString("[", ",", "]")
     // Key order is deliberate: per-query map FIRST, aggregates + verdict
     // LAST. The round driver captures a bounded TAIL of stdout (BENCH_r06
@@ -1004,7 +1079,7 @@ object Bench {
     // aggregates because they led the line) — with totals at the end, a
     // tail-scrape always keeps the headline numbers, and the file
     // artifact below keeps everything regardless.
-    val line = f"""{"queries":$qs,"query_sources":$querySources,"rows_from_contended_attempts":$rowsFromContended,"query_groups":${a.groupsJson},"fanout_lines_per_sec":$fanoutBest%.0f,"write_mb_per_sec":$writeBest%.1f,"streaming":${a.streamJson},$scenariosJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"idle_wait_sec":$idleWaitedTotal,"load_at_start":$loadAtStart%.2f,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"value_source":"per_query_min_across_${attempts.size}_attempts","metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"query_sources":$querySources,"rows_from_contended_attempts":$rowsFromContended,"query_groups":${a.groupsJson},"fanout_lines_per_sec":$fanoutBest%.0f,"write_mb_per_sec":$writeBest%.1f,"streaming":${a.streamJson},$scenariosJson,$scalingJson,"sf":"$sfDir","cores":$cores,"attempts":$attemptsJson,"attempt_chosen":$chosenIdx,"idle_wait_sec":$idleWaitedTotal,"load_at_start":$loadAtStart%.2f,"load_avg_before":${a.loadBefore}%.2f,"load_avg_after":${a.loadAfter}%.2f,"calib_sec_before":${a.calibBefore}%.3f,"calib_sec_after":${a.calibAfter}%.3f,"calib_par_before":${a.calibParBefore}%.3f,"calib_par_after":${a.calibParAfter}%.3f,"contended":${a.contended},"value_is_upper_bound":${a.contended},"value_source":"per_query_min_across_${attempts.size}_attempts","metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Also write the complete artifact to a file: the round driver's
     // stdout tail-scrape truncated 28 of 90 per-query numbers in
@@ -1018,6 +1093,45 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write to $outPath failed: $e")
     }
+    // (r17, verdict item 1) A SECOND, compact summary line, printed
+    // LAST: the round driver keeps a bounded (2000-char) tail of
+    // stdout, and the full line above is ~20 KB — in all 16 prior
+    // rounds the tail began mid-line and the driver's `parsed` landed
+    // null. This line is aggregates-only (no per-query map, no
+    // attempts array, ≤ ~1,500 chars incl. the streaming block), so
+    // any tail capture keeps one complete JSON object: headline
+    // value/unit/metric, per-attempt totals + contended flags,
+    // throughput legs, streaming percentiles, scenario-leg total.
+    // The per-query table is NOT lost — it stays in the full line
+    // above and in the $outPath artifact. Nothing about the timed
+    // queries or methodology changes; this is output plumbing only.
+    val attemptTotals = attempts.map(t => f"${t.total}%.3f")
+      .mkString("[", ",", "]")
+    val attemptContended = attempts.map(_.contended)
+      .mkString("[", ",", "]")
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        f""""sf":"$sfDir","cores":$cores,"n_queries":${minQueries.size},""" +
+        f""""n_failed":${minQueries.count(_._2 < 0)},""" +
+        f""""contended":${a.contended},""" +
+        f""""value_is_upper_bound":${a.contended},""" +
+        f""""value_source":"per_query_min_across_${attempts.size}_attempts",""" +
+        f""""attempt_chosen":$chosenIdx,""" +
+        f""""attempt_totals":$attemptTotals,""" +
+        f""""attempts_contended":$attemptContended,""" +
+        f""""rows_from_contended_attempts":$rowsFromContended,""" +
+        f""""idle_wait_sec":$idleWaitedTotal,""" +
+        f""""load_at_start":$loadAtStart%.2f,""" +
+        f""""calib_sec_before":${a.calibBefore}%.3f,""" +
+        f""""calib_sec_after":${a.calibAfter}%.3f,""" +
+        f""""fanout_lines_per_sec":$fanoutBest%.0f,""" +
+        f""""write_mb_per_sec":$writeBest%.1f,""" +
+        f""""streaming":${a.streamJson},""" +
+        f""""scenarios_total_sec":$scenTotal%.3f,""" +
+        f""""scenarios_n":$scenN,"scenarios_failed":$scenFailed,""" +
+        f"""$scalingJson,""" +
+        f""""full_artifact":"$outPath"}"""
+    println(summary)
     spark.stop()
   }
 }
