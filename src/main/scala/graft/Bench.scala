@@ -1000,6 +1000,9 @@ object Bench {
         val x10 = java.nio.file.Files.createTempDirectory("bench_x10")
           .toString
         try {
+          // the whole leg is best-effort: a replica-generation failure
+          // (disk space, a fixture quirk) must cost the scaling block,
+          // never the bench lines the driver parses
           graft.tools.ScaleProbe.generate(spark, sfDir, x10)
           val rows = scalingX10Queries.map { name =>
             val fn = SparkEntry.benchQueries.getOrElse(name,
@@ -1018,6 +1021,9 @@ object Bench {
             "\"" + name + "\":" + f"$sec%.3f"
           }
           rows.mkString(""""scaling_x10":{""", ",", "}")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] x10 scaling leg failed: $e")
+          """"scaling_x10":null"""
         } finally {
           import scala.jdk.CollectionConverters._
           try java.nio.file.Files.walk(java.nio.file.Paths.get(x10))

@@ -85,11 +85,17 @@ case class KnDocCost(child: Expression,
     else {
       var sum = 0L
       // each token is decoded once: the current bigram's w2 becomes
-      // the next bigram's w1
-      var w1 = arr.getUTF8String(0).toString
+      // the next bigram's w1. A null element (admitted by the type
+      // check, though the tokens() child never produces one) is never
+      // in any table, so its bigrams take the OOV branch — exactly
+      // the join path's null-never-matches semantics; HashMap.get
+      // accepts a null key.
+      var w1: String =
+        if (arr.isNullAt(0)) null else arr.getUTF8String(0).toString
       var i = 1
       while (i < n) {
-        val w2 = arr.getUTF8String(i).toString
+        val w2: String =
+          if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
         val inner = pairTbl.get(w1)
         val pc: java.lang.Long = if (inner == null) null else inner.get(w2)
         if (pc != null) sum += pc.longValue()

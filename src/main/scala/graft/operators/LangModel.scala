@@ -281,7 +281,11 @@ object LangModel {
     * bigram rows, pushed each through three broadcast hash joins, and
     * re-assembled documents in a hash aggregate (one corpus exchange
     * on the id). Now the corpus is touched once, row by row, no
-    * explode, no join, no shuffle; every integer is unchanged. */
+    * explode, no join, no shuffle; every integer is unchanged.
+    * PRECONDITION carried from every existing caller: `idCol` is
+    * unique per row. The former per-id aggregate would have merged
+    * duplicate ids into one summed row; the per-row form scores each
+    * row independently (the [[lmScoreCompiled]] contract). */
   def knScoreWith(docs: DataFrame, idCol: String, textCol: String,
       costs: (Map[(String, String), Long], Map[String, Long],
         Map[String, Long], Long)): DataFrame =

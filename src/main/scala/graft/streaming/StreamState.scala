@@ -137,9 +137,14 @@ private[graft] object StreamState {
 
   def genLogPath(root: String): String = s"$root/_docs"
 
+  // DATA-file based, not directory-existence based (r17): the marker
+  // sidecars below create the `_docs` directory before any parquet
+  // lands, and a crash in that window must not flip readers into the
+  // log-reading paths (readGenLog on a data-less directory throws at
+  // schema inference) or plain upserts into the require-batchId
+  // branch. A log "exists" iff it has committed rows to read.
   def genLogExists(spark: SparkSession, root: String): Boolean =
-    fs(spark, root).exists(
-      new org.apache.hadoop.fs.Path(genLogPath(root)))
+    listDataFiles(spark, genLogPath(root)).nonEmpty
 
   // Tombstone-presence marker (r17): `_docs/_has_tombstones`, an
   // empty underscore-prefixed sidecar (parquet scans and snapshots
@@ -156,24 +161,43 @@ private[graft] object StreamState {
   private def tombMarkerPath(root: String) =
     new org.apache.hadoop.fs.Path(genLogPath(root), "_has_tombstones")
 
-  /** Whether any tombstone generation was ever appended under `root`
-    * — one FS probe, no job. */
-  def tombstonesExist(spark: SparkSession, root: String): Boolean =
-    fs(spark, root).exists(tombMarkerPath(root))
+  // `_docs/_marker_aware`: written by EVERY post-r17 appendGens, so
+  // its absence distinguishes a legacy log (written before the
+  // tombstone marker existed — the absence of `_has_tombstones` there
+  // proves nothing and readers must fall back to the aggregate) from
+  // a marker-aware log (absence of `_has_tombstones` proves no delete
+  // ever committed). Without this, upgrading a root that already
+  // holds tombstone rows would silently stop honoring its deletions.
+  private def awareMarkerPath(root: String) =
+    new org.apache.hadoop.fs.Path(genLogPath(root), "_marker_aware")
+
+  /** Whether any tombstone generation exists under `root` — FS probes
+    * only in the common cases, the gen-log aggregate only for legacy
+    * (pre-marker) logs. `_has_tombstones` alone is not enough: the
+    * marker is written BEFORE the tombstone rows, so a crash between
+    * the two leaves a marker over a log with no tombstone data — the
+    * data-file check keeps that window honest (the delete did not
+    * commit; its retry re-runs both). */
+  def tombstonesExist(spark: SparkSession, root: String): Boolean = {
+    val hfs = fs(spark, root)
+    if (hfs.exists(tombMarkerPath(root))) genLogExists(spark, root)
+    else if (hfs.exists(awareMarkerPath(root))) false
+    else genLogExists(spark, root) // legacy log: cannot prove absence
+  }
 
   /** Append one batch's generation rows. `ids` must be a single
     * column of document ids (any name). ~17 bytes a document. */
   def appendGens(ids: DataFrame, root: String, batchId: Long,
       del: Boolean = false): Unit = {
-    if (del) {
-      val spark = ids.sparkSession
-      val p = tombMarkerPath(root)
-      val hfs = fs(spark, root)
+    val spark = ids.sparkSession
+    val hfs = fs(spark, root)
+    def ensure(p: org.apache.hadoop.fs.Path): Unit =
       if (!hfs.exists(p)) {
         hfs.mkdirs(p.getParent)
         hfs.create(p, true).close()
       }
-    }
+    ensure(awareMarkerPath(root))
+    if (del) ensure(tombMarkerPath(root))
     ids.toDF("id").distinct()
       .withColumn("batch_id", lit(batchId))
       .withColumn("del", lit(del))
